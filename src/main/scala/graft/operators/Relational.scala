@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish corpus. The reference
+  * delegates all relational planning to Snowflake via SQL strings
+  * (SURVEY.md §2.3, §4 — /root/reference/transformer.py:46-49,
+  * main.py:25-28,56-60); here every shape is a first-class Catalyst plan
+  * so the 100 TB story is Spark's own: broadcast joins for dims, shuffle
+  * hash/sort-merge for fact-fact, TakeOrderedAndProject for top-k,
+  * partial aggregation before every shuffle.
+  */
+object Relational {
+
+  /** Money/quantity sums run over DECIMAL-cast terms so accumulation is
+    * exact and independent of Spark's partition/add order — a double sum
+    * would hash-diverge from the oracle in its low bits. The per-row
+    * double arithmetic (price * (1-discount)) is IEEE-identical in every
+    * engine; the 4dp cast then recovers the exact decimal value (inputs
+    * are 2dp, so the product has at most 4dp). */
+  private def exactSum(c: Column, scale: Int): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  private def revenueTerm: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Filter + projection pushed into the parquet scan (P1/P3). The scan
+    * must show PushedFilters + a 3-column ReadSchema — verified in the
+    * plan spec. */
+  def revenueByOrder(lineitem: DataFrame, fromDate: String, toDate: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") <  lit(toDate).cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(exactSum(revenueTerm, 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** Fact ⋈ two small dims: both dims broadcast (no shuffle of the
+    * fact), then one shuffle on the (p_type, s_name) grouping key with
+    * map-side partial aggregation. */
+  def revenueByTypeAndSupplier(lineitem: DataFrame, part: DataFrame,
+                               supplier: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_type"), col("s_name"))
+      .agg(exactSum(col("l_quantity"), 2).as("sum_qty"),
+           exactSum(revenueTerm, 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** Three-way dim chain customer ⋈ nation ⋈ region (J-chain depth). */
+  def customersByRegion(customer: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
+
+  /** Left-semi join (EXISTS): orders having a high-quantity lineitem. */
+  def ordersWithBigItems(orders: DataFrame, lineitem: DataFrame,
+                         minQty: Double): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") > minQty).select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Left-anti join (NOT EXISTS): orders with no lineitems at all. */
+  def ordersWithoutItems(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Distributed top-k: plans as TakeOrderedAndProject — per-partition
+    * heaps + a k-row driver merge, never a global sort (O(n) not
+    * O(n log n) at 100 TB). */
+  def topOrdersByPrice(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Ranking window: top-n orders per customer (deterministic
+    * tie-break on orderkey). One shuffle on o_custkey. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** ROLLUP grouping sets (the multi-client generalization the reference
+    * notes as future work — transformer.py:137-141). */
+  def rollupQtyByFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+
+  /** UNION + DISTINCT over aligned projections (§2.7). */
+  def activeNationKeys(supplier: DataFrame, customer: DataFrame): DataFrame =
+    supplier.select(col("s_nationkey").cast("long").as("nationkey"))
+      .union(customer.select(col("c_nationkey").cast("long").as("nationkey")))
+      .distinct()
+
+  /** Point lookup (S3/P3/O5): single-row fetch by key. The key is the
+    * min orderkey so the query is scale-factor independent; the scalar
+    * prefetch is one tiny parquet-footer-driven agg. */
+  def orderPointLookup(orders: DataFrame): DataFrame = {
+    val mk = orders.agg(min(col("o_orderkey")).as("mk"))
+    orders.join(broadcast(mk), col("o_orderkey") === col("mk"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+      .limit(1)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's whole compute surface — the period spending report —
+  * re-expressed as composable Spark plans over a long-form transactions
+  * DataFrame `(txn_date DATE, category STRING, vendor STRING, amount
+  * DOUBLE)`.
+  *
+  * Reference semantics (file:line cites into /root/reference):
+  *  - global sums / counts / min-max dates: transformer.py:146-147,172-187
+  *  - per-key group sums with per-addend round(2): transformer.py:194-205
+  *  - distinct sorted key sets: transformer.py:153-154,232-233
+  *  - zero-imputed per-key mean (denominator = number of files, NOT number
+  *    of files containing the key): transformer.py:217-226
+  *  - pct_change of the latest file vs its predecessor per key, missing
+  *    keys imputed 0, leading/0-predecessor rows -> 0: transformer.py:221-222
+  *  - value-ascending sort of key totals and "top-5" = first 5 of that
+  *    ASC sort (as-implemented quirk): transformer.py:212-213,240
+  *
+  * Everything here is stock Catalyst: hash aggregates with map-side
+  * partial aggregation, one shuffle per groupBy on the grouping key,
+  * window functions over a (key)-partitioned sort. At 100 TB the
+  * category/vendor cardinalities are the shuffle keys — low-cardinality
+  * (category) aggregations reduce almost entirely map-side; the dense
+  * date×key grid stays small (days × keys, independent of row count).
+  */
+object SpendingReport {
+
+  /** A5/A6 per-addend rounding: the reference rounds every amount to 2dp
+    * before accumulating (transformer.py:196,203). The DECIMAL(14,2)
+    * cast IS that round (half-up), and summing decimals keeps the
+    * accumulation exact and order-independent — double sums would pick
+    * up low-bit noise from Spark's partition-dependent add order and
+    * hash-diverge from any oracle. Cast back to double at the end. */
+  private def amt2: Column = col("amount").cast("decimal(14,2)")
+  private def moneySum(c: Column): Column = sum(c).cast("double")
+
+  /** A1-A4: global totals and the covered date range — one row.
+    * Reference: transformer.py:146-147,172-187,229-231,241-242. */
+  def globalSummary(tx: DataFrame): DataFrame =
+    tx.agg(
+      moneySum(amt2).as("total_spent"),
+      count(lit(1)).as("total_transactions"),
+      min(col("txn_date")).as("begin_date"),
+      max(col("txn_date")).as("end_date"))
+
+  /** A5/A6 + O1/O2: group-sum by key, reported with the value-ascending
+    * rank the reference's sorted-dict output encodes
+    * (transformer.py:212-213,234-237). Ties broken by key name so the
+    * rank is deterministic. */
+  def keyTotals(tx: DataFrame, key: String): DataFrame =
+    tx.groupBy(col(key))
+      .agg(moneySum(amt2).as("total"))
+      .withColumn("rank_asc",
+        row_number().over(Window.orderBy(col("total").asc, col(key).asc)).cast("long"))
+
+  /** A7/A8 + O4: distinct keys, one row per key (row-form of the sorted
+    * distinct list; transformer.py:153-154,232-233). */
+  def distinctKeys(tx: DataFrame, key: String): DataFrame =
+    tx.select(col(key)).distinct()
+
+  /** A7/A8 aggregate form: sorted distinct array + exact cardinality.
+    * At 100 TB swap countDistinct for approx_count_distinct (HLL). */
+  def uniqueKeySets(tx: DataFrame): DataFrame =
+    tx.agg(
+      sort_array(collect_set(col("category"))).as("unique_categories"),
+      countDistinct(col("category")).as("n_categories"),
+      sort_array(collect_set(col("vendor"))).as("unique_vendors"),
+      countDistinct(col("vendor")).as("n_vendors"))
+
+  /** Per-(file,key) sums — the long form of the reference's pivot table
+    * (transformer.py:217-218): rows = file dates, columns = keys, built
+    * here as (txn_date, key, amount) without materializing the wide
+    * shape. A10's within-file duplicate-key re-aggregation is inherent. */
+  def bucketKeySums(tx: DataFrame, key: String): DataFrame =
+    tx.groupBy(col("txn_date"), col(key))
+      .agg(moneySum(amt2).as("amount"))
+
+  /** The dense date×key grid with absent cells imputed 0.0 — pandas
+    * `fillna(0)` over the pivot (transformer.py:217-218). The grid is
+    * (#dates × #keys) rows regardless of input size, so the cross join
+    * is tiny and broadcast. */
+  def denseGrid(tx: DataFrame, key: String): DataFrame = {
+    val dates = tx.select(col("txn_date")).distinct()
+    val keys  = tx.select(col(key)).distinct()
+    dates.crossJoin(broadcast(keys))
+      .join(bucketKeySums(tx, key), Seq("txn_date", key), "left")
+      .na.fill(0.0, Seq("amount"))
+  }
+
+  /** A9: zero-imputed per-key mean — sum over ALL file dates divided by
+    * the number of file dates (transformer.py:225-226; NOT avg(), which
+    * would divide by per-key row counts). The division runs in double on
+    * an exact decimal sum, unrounded: deterministic bit-identical output
+    * (rounding a post-division double would re-introduce engine-specific
+    * round-boundary behavior). */
+  def zeroImputedMean(tx: DataFrame, key: String): DataFrame = {
+    val nDates = tx.select(col("txn_date")).distinct().count()
+    tx.groupBy(col(key))
+      .agg((moneySum(amt2) / lit(nDates.toDouble)).as("mean_amount"))
+  }
+
+  /** W1/W2: percent change of the latest file date vs its predecessor,
+    * per key, over the zero-imputed dense grid (transformer.py:221-222).
+    * Engine semantics (documented deviation from pandas ±inf): a zero or
+    * missing predecessor yields 0.0 — the reference's own `.fillna(0)`
+    * already zeroes the leading row and 0→0; we extend the same rule to
+    * 0→x rather than emit unrepresentable infinities. */
+  def pctChangeLatest(tx: DataFrame, key: String): DataFrame = {
+    val w  = Window.partitionBy(col(key)).orderBy(col("txn_date").asc)
+    val wl = Window.partitionBy(col(key)).orderBy(col("txn_date").desc)
+    denseGrid(tx, key)
+      .withColumn("prev", lag(col("amount"), 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev").isNull || col("prev") === 0.0, lit(0.0))
+          .otherwise((col("amount") - col("prev")) / col("prev")))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col(key), col("pct_change"))
+  }
+
+  /** O3: "top-5" vendors = first 5 of the value-ASCENDING sort — the
+    * reference's as-implemented quirk (transformer.py:240 labels the 5
+    * LOWEST-spend vendors `top_5_vendors`). Plans as
+    * TakeOrderedAndProject (distributed top-k, no global sort). */
+  def top5Asc(tx: DataFrame, key: String): DataFrame =
+    keyTotals(tx, key)
+      .orderBy(col("total").asc, col(key).asc)
+      .limit(5)
+      .select(col(key), col("total"))
+
+  /** Full report assembly (transformer.py:229-243 + P2's details
+    * projection at :283): one row; ordered map-likes persisted as
+    * arrays of (key,total) structs so output hashing is deterministic.
+    */
+  def report(tx: DataFrame): DataFrame = {
+    val g = globalSummary(tx)
+    val catTotals = keyTotals(tx, "category")
+      .orderBy(col("rank_asc")).select(struct(col("category"), col("total")).as("kv"))
+      .agg(collect_list(col("kv")).as("spending_per_category"))
+    val venTotals = keyTotals(tx, "vendor")
+      .orderBy(col("rank_asc")).select(struct(col("vendor"), col("total")).as("kv"))
+      .agg(collect_list(col("kv")).as("spending_per_vendor"))
+    val catPct = pctChangeLatest(tx, "category")
+      .select(struct(col("category"), col("pct_change")).as("kv"))
+      .agg(sort_array(collect_list(col("kv"))).as("pct_change_category"))
+    val venPct = pctChangeLatest(tx, "vendor")
+      .select(struct(col("vendor"), col("pct_change")).as("kv"))
+      .agg(sort_array(collect_list(col("kv"))).as("pct_change_vendor"))
+    val catMean = zeroImputedMean(tx, "category")
+      .select(struct(col("category"), col("mean_amount")).as("kv"))
+      .agg(sort_array(collect_list(col("kv"))).as("avg_category"))
+    val venMean = zeroImputedMean(tx, "vendor")
+      .select(struct(col("vendor"), col("mean_amount")).as("kv"))
+      .agg(sort_array(collect_list(col("kv"))).as("avg_vendor"))
+    val top5 = top5Asc(tx, "vendor")
+      .select(struct(col("vendor"), col("total")).as("kv"))
+      .agg(collect_list(col("kv")).as("top_5_vendors"))
+    val uniq = uniqueKeySets(tx)
+
+    // All sides are single-row aggregates -> broadcast-nested-loop cross
+    // joins of 1x1 rows; cost is the underlying aggs, not the joins.
+    val row = g.crossJoin(uniq).crossJoin(catTotals).crossJoin(venTotals)
+      .crossJoin(catPct).crossJoin(venPct).crossJoin(catMean).crossJoin(venMean)
+      .crossJoin(top5)
+
+    // P2: details = report minus (begin_date, end_date, fi_summary).
+    val detailCols = Seq("total_spent", "total_transactions",
+      "unique_categories", "unique_vendors", "spending_per_category",
+      "pct_change_category", "avg_category", "spending_per_vendor",
+      "pct_change_vendor", "avg_vendor", "top_5_vendors")
+    row.withColumn("details", to_json(struct(detailCols.map(col): _*)))
+      .withColumn("id", expr("uuid()"))
+      .withColumn("created_at", current_date())
+  }
+
+  /** Report + fi_summary enrichment (driver-side single-row step,
+    * §2.10): collects the one report row, renders the executive summary
+    * via the supplied function (deterministic stub by default), and
+    * returns the final file_details-shaped row. */
+  def enriched(tx: DataFrame,
+               summarize: ReportFields => String = Summarizer.stub): DataFrame = {
+    val r = report(tx).cache()
+    val row = r.select("begin_date", "end_date", "total_spent",
+      "total_transactions", "unique_categories").head()
+    val fields = ReportFields(
+      beginDate = row.getDate(0).toString,
+      endDate = row.getDate(1).toString,
+      totalSpent = row.getDouble(2),
+      totalTransactions = row.getLong(3),
+      topCategories = row.getSeq[String](4))
+    r.withColumn("fi_summary", lit(summarize(fields)))
+  }
+}
+
+/** The collected report fields handed to the enrichment step. */
+final case class ReportFields(
+    beginDate: String, endDate: String, totalSpent: Double,
+    totalTransactions: Long, topCategories: Seq[String])
+
+/** §2.10: the reference's Gemini executive-summary call
+  * (transformer.py:245-278) is a driver-side, single-row,
+  * post-aggregation step — NOT a per-row UDF. Behind a function value so
+  * tests (and the zero-egress environment) use the deterministic stub,
+  * mirroring the reference's own fallback-on-error behavior
+  * (transformer.py:276-278). */
+object Summarizer {
+  val stub: ReportFields => String = r =>
+    s"Between ${r.beginDate} and ${r.endDate} you spent ${r.totalSpent} " +
+      s"across ${r.totalTransactions} transactions; top categories: " +
+      r.topCategories.mkString(", ") + "."
+}
