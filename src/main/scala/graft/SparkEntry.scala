@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, SpendingReport}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Relational, ReportUpsert, SpendingReport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +58,38 @@ object SparkEntry {
     "q_union_nationkeys" -> ((s, d) =>
       Relational.activeNationKeys(Tables.supplier(s, d), Tables.customer(s, d))),
     "q_order_point_lookup" -> ((s, d) => Relational.orderPointLookup(Tables.orders(s, d))),
+    // --- upsert / reports surface (SURVEY §2.1 S3-S6, §2.3 J1, §2.2 P5) ---
+    "q_upsert_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, dayofmonth}
+      val t = tx(s, d)
+      val v1 = ReportUpsert.dailyReports(
+        t.filter(dayofmonth(col("txn_date")) <= 15 || col("category") =!= "error"), "v1")
+      val v2 = ReportUpsert.dailyReports(t, "v2")
+      ReportUpsert.merge(v1, v2)
+    }),
+    "q_report_by_range" -> ((s, d) =>
+      ReportUpsert.dailyReports(tx(s, d), "v1")
+        .orderBy(org.apache.spark.sql.functions.col("begin_date")).limit(1)),
+    // --- text analysis (training-data pipeline ops) ---
+    "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_language_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // --- dedup ---
+    "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
+    "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5)),
+    "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
+    "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
+    "q_simhash64" -> ((s, d) => Dedup.simhash64(Tables.documents(s, d))),
+    // --- similarity search ---
+    "q_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10)),
+    "q_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+    "q_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),
   )
 
   private val txSql =
@@ -161,7 +194,178 @@ object SparkEntry {
     "q_order_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
+    "q_upsert_merge" ->
+      s"""WITH v1 AS (SELECT txn_date AS begin_date, txn_date AS end_date,
+         |                   cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |                   'v1' AS version, count(*) AS total_transactions
+         |            FROM ($txSql)
+         |            WHERE day(txn_date) <= 15 OR category <> 'error'
+         |            GROUP BY txn_date),
+         |     v2 AS (SELECT txn_date AS begin_date, txn_date AS end_date,
+         |                   cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |                   'v2' AS version, count(*) AS total_transactions
+         |            FROM ($txSql) GROUP BY txn_date)
+         |SELECT coalesce(v1.begin_date, v2.begin_date) AS begin_date,
+         |       coalesce(v1.end_date, v2.end_date) AS end_date,
+         |       CASE WHEN v1.total_transactions IS NULL
+         |              OR v2.total_transactions > v1.total_transactions
+         |            THEN v2.total_spent ELSE v1.total_spent END AS total_spent,
+         |       CASE WHEN v1.total_transactions IS NULL
+         |              OR v2.total_transactions > v1.total_transactions
+         |            THEN v2.version ELSE v1.version END AS version,
+         |       CASE WHEN v1.total_transactions IS NULL
+         |              OR v2.total_transactions > v1.total_transactions
+         |            THEN v2.total_transactions ELSE v1.total_transactions END AS total_transactions
+         |FROM v1 FULL OUTER JOIN v2
+         |  ON v1.begin_date = v2.begin_date AND v1.end_date = v2.end_date""".stripMargin,
+    "q_report_by_range" ->
+      s"""SELECT txn_date AS begin_date, txn_date AS end_date,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       'v1' AS version, count(*) AS total_transactions
+         |FROM ($txSql) GROUP BY txn_date ORDER BY begin_date LIMIT 1""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id, n_chars, cast(length(text) AS bigint) AS len_chars,
+        |       cast(len(string_split_regex(trim(lower(text)), '\s+')) AS bigint) AS n_tokens,
+        |       cast(length(regexp_replace(text, '\s', '', 'g')) AS bigint) AS n_nonspace_chars
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace,
+        |                  cast(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')) AS bigint) AS n_punct
+        |           FROM documents)
+        |SELECT doc_id, cast(len(toks) AS bigint) AS n_tokens,
+        |       cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
+        |         / cast(len(toks) AS double) AS stopword_ratio,
+        |       nonspace / cast(len(toks) AS double) AS avg_token_len,
+        |       n_punct,
+        |       ((cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
+        |          / cast(len(toks) AS double)) * 0.4)
+        |       + (least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3)
+        |       + (least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3) AS quality_score
+        |FROM t""".stripMargin,
+    "q_language_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    cast(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+        |       + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b')) AS bigint) AS s_en,
+        |    cast(len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+        |       + len(regexp_extract_all(lower(text), '\bde\b')) + len(regexp_extract_all(lower(text), '\bque\b')) AS bigint) AS s_es,
+        |    cast(len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+        |       + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\best\b')) AS bigint) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_fr,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |       (CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |             WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS agrees
+        |FROM t""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_exact_dedup_docs" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_exact_dup_events" ->
+      """SELECT user_id, event_type, value, count(*) AS n_occurrences
+        |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_minhash_lsh" -> minhashLshSql,
+    "q_simhash16" -> simhash16Sql,
+    "q_ann_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM n qq, n cc WHERE qq.vec_id % 100 = 0 AND cc.vec_id <> qq.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM p)
+         |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH n AS ($quantizedSql),
+         |p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |             CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             a.nq AS na, b.nq AS nb
+         |      FROM n a, n b WHERE a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, id_a, id_b,
+         |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+         |FROM p
+         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
   )
+
+  /** Quantized embeddings CTE body (floor(x*1e6) exact-integer vectors
+    * + exact squared norms — see Similarity.quantize). */
+  private val quantizedSql =
+    """SELECT vec_id, label,
+      |       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,
+      |       CAST(list_sum(list_transform(
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+      |         z -> z * z)) AS BIGINT) AS nq
+      |FROM embeddings""".stripMargin
+
+  /** Distinct word-3-gram shingle sets per document (mirror of
+    * Dedup.shingles(n=3)). */
+  private val shinglesSql =
+    """SELECT doc_id, lang, source,
+      |       list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |FROM (SELECT doc_id, lang, source,
+      |             string_split_regex(trim(lower(text)), '\s+') AS toks
+      |      FROM documents)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""WITH s AS ($shinglesSql),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             cast(len(list_intersect(a.sh, b.sh)) AS bigint) AS inter,
+       |             cast(len(a.sh) + len(b.sh) AS bigint)
+       |               - cast(len(list_intersect(a.sh, b.sh)) AS bigint) AS uni
+       |      FROM s a JOIN s b
+       |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter, uni,
+       |       cast(inter AS double) / uni AS jaccard
+       |FROM p WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+
+  private val minhashLshSql = {
+    val mins = (0 until 8).map(s => s"min(md5('$s:' || sh)) AS s$s").mkString(",\n       ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n      UNION ALL ")
+    s"""WITH s AS ($shinglesSql),
+       |e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |        FROM e GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |v AS (SELECT c.doc_a, c.doc_b,
+       |             cast(len(list_intersect(sa.sh, sb.sh)) AS bigint) AS inter,
+       |             cast(len(sa.sh) + len(sb.sh) AS bigint)
+       |               - cast(len(list_intersect(sa.sh, sb.sh)) AS bigint) AS uni
+       |      FROM cand c
+       |      JOIN s sa ON sa.doc_id = c.doc_a
+       |      JOIN s sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, cast(inter AS double) / uni AS jaccard
+       |FROM v WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+  }
+
+  private val simhash16Sql = {
+    val votes = (0 until 16).map(j =>
+      s"sum(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n       ")
+    val bits = (0 until 16).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    raw"""WITH e AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+       |           FROM documents),
+       |v AS (SELECT doc_id,
+       |       $votes
+       |      FROM e GROUP BY doc_id)
+       |SELECT doc_id, cast($bits AS bigint) AS simhash16 FROM v""".stripMargin
+  }
 
   /** W1/W2 oracle: dense date×key grid, 0-imputed, lag pct-change of the
     * latest date per key (SURVEY §2.5; engine semantics: 0/missing

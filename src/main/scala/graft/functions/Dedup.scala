@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup
+  * (the last in Similarity.scala). Designed for 100 TB:
+  *  - exact dedup is one hash-shuffle on the canonical-form digest;
+  *  - MinHash signatures are computed in a single grouped aggregation
+  *    (k mins in one shuffle, not k passes), and LSH banding turns the
+  *    all-pairs O(n²) into per-bucket joins;
+  *  - pairwise Jaccard is only ever evaluated on candidate pairs.
+  *
+  * Oracle-gated variants use only engine-portable primitives (md5
+  * strings, integer arithmetic); xxhash64-based fast paths are unit
+  * tested instead.
+  */
+object Dedup {
+
+  /** Canonical form for exact duplicate detection. */
+  private def canonical(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup over documents: one surviving doc_id per distinct
+    * canonical text + the duplicate count (hash groupBy — a single
+    * shuffle on the digest, never on the full text). */
+  def exactDedupDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact duplicate-row detection on the events stream: groups that
+    * occur more than once (user_id, event_type, value). */
+  def exactDupEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+
+  /** Distinct word n-gram shingle sets per document. Shingling is pure
+    * map-side array work inside codegen. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingles",
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(expr(
+            s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')))")))
+      .drop("toks")
+
+  /** n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
+    * self-join is per-bucket, not all-pairs. Jaccard is exact integer
+    * set arithmetic -> double division (engine-portable). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val s = shingles(docs, n)
+      .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+    val a = s.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("shingles").as("sh_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("shingles").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * md5(seed || ':' || shingle); the per-seed minimum is taken over
+    * the hex STRING (lexicographic order == numeric order for fixed-
+    * width hex), which is engine-portable. All k mins are computed in
+    * ONE grouped aggregation — a single shuffle regardless of k. */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val exploded = shingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until k).map(s =>
+      min(md5(concat(lit(s + ":"), col("sh")))).as(s"s$s"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the k-row signature into
+    * `bands` groups of k/bands rows; docs sharing any band-key are
+    * candidates; candidates are verified with exact Jaccard.
+    * At 100 TB this is the scalable near-dup join: the only shuffles
+    * are the signature groupBy and the per-band bucket join. */
+  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minhashSignatures(docs, n, k)
+    // (doc_id, band, key): band key = md5 of its rows' concatenation.
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"s${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard on the shingle sets.
+    val s = shingles(docs, n).select(col("doc_id"), col("shingles"))
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Portable 16-bit SimHash: per token, md5's 16 hex nibbles vote
+    * ±1 by their top bit ('8'..'f'); the document's bit j is the sign
+    * of the vote sum. One grouped aggregation -> 16 sums. (The
+    * production-width 64-bit variant, simhash64, uses xxhash64 and is
+    * unit-tested; DuckDB lacks xxhash64 so the oracle gates this one.) */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(
+        Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash16",
+        (0 until 16).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("simhash16"))
+  }
+
+  /** Production 64-bit SimHash on xxhash64 (not oracle-portable; unit
+    * tested). Same shape: explode -> 64 vote sums -> sign bits. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash64",
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("simhash64"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup pairing
+    * on simhash: pairs with distance <= t). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

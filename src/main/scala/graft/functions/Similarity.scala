@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two cosine paths:
+  *  - `quantizedCosine`: elements are floor-quantized to 1e-6 integers;
+  *    dot products and norms are then EXACT bigint arithmetic, so the
+  *    cosine double is bit-identical in any engine and any partition
+  *    order — this is what the DuckDB-oracle queries use. floor() has
+  *    no round-half ambiguity, unlike any float-sum + round scheme.
+  *  - `doubleCosine`: plain double fold — the fast production path
+  *    (unit-tested against the quantized one to 1e-6).
+  *
+  * Scale design: brute-force top-k is a broadcast of the (tiny) query
+  * set against the candidate scan — no shuffle of candidates — followed
+  * by a per-query top-k window. The LSH variant (random-hyperplane sign
+  * buckets) turns all-pairs search into per-bucket joins; recall is
+  * tested against brute force.
+  */
+object Similarity {
+
+  /** floor(x * 1e6) per element — exact integer embedding. */
+  def quantize(emb: Column): Column =
+    expr("transform(CAST(" + colName(emb) + " AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000.0) AS BIGINT))")
+
+  private def colName(c: Column): String = c.toString
+
+  private def dotQ(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  private def normQ(a: String): Column =
+    expr(s"aggregate($a, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+
+  /** Embeddings with quantized vector + its exact squared norm. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("nq", normQ("q"))
+
+  /** Brute-force cosine top-k: for each query vector (`queryPred` picks
+    * the query subset), the k nearest candidates by quantized cosine,
+    * rank-deterministic via (cosine DESC, id ASC). */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = quantized(embeddings)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // Broadcast the tiny query set against the candidate scan: the
+    // candidates never shuffle; only the per-query top-k window does.
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
+    * corpus's natural partition), threshold on quantized cosine. */
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val e = quantized(embeddings)
+      .select(col("vec_id"), col("label"), col("q"), col("nq"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("nq").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dotQ("qa", "qb"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Fast double-precision cosine fold (production path; not used by
+    * oracle queries because double sum order is engine-dependent). */
+  def doubleCosine(a: String, b: String): Column = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val nb = expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    dot / sqrt(na * nb)
+  }
+
+  /** Random-hyperplane LSH bucketing: `bits` sign bits per vector,
+    * where hyperplane h's component for dimension d is a deterministic
+    * ±1 from xxhash64(h, d). Vectors sharing a bucket are candidate
+    * neighbors — the scale path for ANN (per-bucket joins instead of
+    * all-pairs). Recall vs brute force is covered by tests. */
+  def lshBuckets(embeddings: DataFrame, bits: Int): DataFrame = {
+    val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
+    val bitCols = (0 until bits).map { h =>
+      val proj = expr(
+        s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
+           |  (x, d) -> CAST(IF(pmod(xxhash64($h, d), 2) = 0, x, -x) AS DOUBLE)),
+           |  CAST(0 AS DOUBLE), (acc, p) -> acc + p)""".stripMargin)
+      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    e.withColumn("bucket", bitCols.reduce(_ + _))
+      .select(col("vec_id"), col("label"), col("bucket"), col("embedding"))
+  }
+
+  /** LSH-accelerated top-k: search only within the query's bucket plus
+    * buckets at Hamming distance 1 (probing), then exact cosine. */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int): DataFrame = {
+    val bucketed = quantized(embeddings)
+      .join(lshBuckets(embeddings, bits).select(col("vec_id"), col("bucket")), Seq("vec_id"))
+    val probes = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"),
+        explode(array((-1 +: (0 until bits).toSeq).map {
+          case -1 => col("bucket")
+          case j  => col("bucket").bitwiseXOR(lit(1L << j))
+        }: _*)).as("bucket"))
+    val cands = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("q").as("cv"), col("nq").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+}

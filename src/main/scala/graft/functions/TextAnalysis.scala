@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (doc_id, text, lang, source, n_chars). All
+  * expressions are built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs), so they inline into whole-stage codegen and scale as pure
+  * map-side work — no shuffle at any size.
+  *
+  * Every operator has an exactly-matching DuckDB oracle (SparkEntry):
+  * token boundaries, regex classes, and arithmetic are chosen to be
+  * engine-portable (int-division-free, no post-FP rounding).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token/char statistics per document (token counting — the
+    * whitespace path; see `bpeishTokens` for the regex path). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).cast("long").as("len_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace_chars"))
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a
+    * single non-space symbol — the classic pre-tokenizer shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality scoring: stopword ratio, average token length, and a
+    * bounded composite score. All ratios are double divisions of exact
+    * integers, so the result is bit-identical across engines. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?'\"()\\[\\]-]", ""))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (stopCnt / nTok).as("stopword_ratio"),
+      (nonSpace / nTok).as("avg_token_len"),
+      punct.cast("long").as("n_punct"),
+      (((stopCnt / nTok) * 0.4) +
+        (least(nTok / 100.0, lit(1.0)) * 0.3) +
+        (least((nonSpace / nTok) / 8.0, lit(1.0)) * 0.3)).as("quality_score"))
+  }
+
+  /** Language-ID by stopword-marker voting (n-gram-free heuristic that
+    * is deterministic and engine-portable): count language-marker words
+    * and take the argmax with a fixed preference order. The corpus
+    * carries a ground-truth `lang` column; `agrees` reports whether the
+    * heuristic matches it. */
+  def languageId(docs: DataFrame): DataFrame = {
+    def score(markers: Seq[String]): Column =
+      markers.map(m => regexp_count(lower(col("text")), lit("\\b" + m + "\\b")))
+        .reduce(_ + _).cast("long")
+    val en = score(Seq("the", "and", "of", "is"))
+    val es = score(Seq("el", "la", "de", "que"))
+    val fr = score(Seq("le", "la", "et", "est"))
+    docs.select(col("doc_id"), col("lang"),
+        en.as("s_en"), es.as("s_es"), fr.as("s_fr"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_es") >= col("s_fr"), lit("es"))
+          .otherwise(lit("fr")))
+      .withColumn("agrees", (col("lang_pred") === col("lang")).cast("boolean"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * — the canonical-form hash used by exact dedup. (A rolling-hash
+    * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the
+    * engine-portable gate.) */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** J1/P5: the reference's conditional upsert of period reports keyed by
+  * `(begin_date, end_date)` (/root/reference/transformer.py:30-132):
+  * a key miss inserts; a key hit updates ONLY when the incoming report's
+  * `total_transactions` is strictly greater than the stored one (the
+  * monotone-growth idempotence guard, transformer.py:55-65); otherwise
+  * the stored row wins (no-op).
+  *
+  * Expressed as one full-outer join on the report key — the relational
+  * form of MERGE. The incoming side is a per-period aggregate (tiny:
+  * one row per date range), so Spark broadcasts it against a large
+  * stored table; at 100 TB the stored table is date-partitioned and
+  * dynamic partition pruning rewrites only the touched partitions.
+  */
+object ReportUpsert {
+
+  /** Pure merge: returns the post-upsert table. Both sides must share
+    * the schema `(begin_date, end_date, ...payload, total_transactions)`.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val keys = Seq("begin_date", "end_date")
+    val payload = existing.columns.filterNot(keys.contains)
+    require(payload.sameElements(incoming.columns.filterNot(keys.contains)),
+      "existing/incoming schemas must match")
+    val e = existing.select(col("begin_date"), col("end_date"),
+      struct(payload.map(col): _*).as("_e"))
+    val i = incoming.select(col("begin_date"), col("end_date"),
+      struct(payload.map(col): _*).as("_i"))
+    val takeIncoming = col("_e").isNull ||
+      (col("_i").isNotNull &&
+        col("_i.total_transactions") > col("_e.total_transactions"))
+    val winner = when(takeIncoming, col("_i")).otherwise(col("_e"))
+    e.join(i, keys, "full_outer")
+      .select(col("begin_date") +: col("end_date") +:
+        payload.map(p => winner.getField(p).as(p)): _*)
+  }
+
+  /** Sink form over a parquet reports directory (the driver corpus has
+    * no Delta, so MERGE is read → merge → overwrite; with Delta this is
+    * a single MERGE INTO). Reads the current table if present. */
+  def mergeInto(dir: String, incoming: DataFrame): Unit = {
+    val spark = incoming.sparkSession
+    val target = new java.io.File(dir)
+    val merged =
+      if (target.exists()) merge(spark.read.parquet(dir), incoming)
+      else incoming
+    // Overwrite must not read its own output mid-write: stage to a temp
+    // local collect-free checkpoint via a shadow dir swap.
+    val tmp = dir + "_staged"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(dir)
+    if (old.exists()) {
+      val bak = new java.io.File(dir + "_old")
+      deleteRec(bak)
+      old.renameTo(bak)
+      new java.io.File(tmp).renameTo(old)
+      deleteRec(bak)
+    } else new java.io.File(tmp).renameTo(old)
+  }
+
+  /** Recursive delete of a local directory (test/probe helper). */
+  def deleteDir(path: String): Unit = deleteRec(new java.io.File(path))
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+
+  /** One report row per txn_date (begin = end = the day): the per-file
+    * report analog used to exercise merge semantics on the corpus. */
+  def dailyReports(tx: DataFrame, version: String): DataFrame =
+    tx.groupBy(col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+           count(lit(1)).as("total_transactions"))
+      .select(col("txn_date").as("begin_date"), col("txn_date").as("end_date"),
+              col("total_spent"), lit(version).as("version"),
+              col("total_transactions"))
+}
