@@ -14,6 +14,7 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("upsert")) upsertProbe(spark)
+    else if (args.headOption.contains("stream")) streamProbe(spark)
     else {
       val df = SparkEntry.entry(spark)
       println("ENTRY_ROWS=" + df.count())
@@ -22,6 +23,37 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Drive the streaming pipeline end-to-end: stage a landing dir with
+    * one batch of events, run the AvailableNow merge sink, then land a
+    * SECOND copy (a replay) and run again — the P5 guard must keep the
+    * table unchanged. */
+  private def streamProbe(spark: SparkSession): Unit = {
+    import graft.streaming.StreamingReport
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing")
+    val reports = landing.toString + "/reports"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("batch0.parquet"))
+    def runOnce(): Unit = {
+      val q = StreamingReport.reportMergeSink(
+        StreamingReport.transactionsStream(spark, landing.toString), reports).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val t1 = spark.read.parquet(reports)
+    println("STREAM_REPORT_ROWS=" + t1.count() +
+      " TXN_TOTAL=" + t1.agg(org.apache.spark.sql.functions.sum("total_transactions")).head().getLong(0))
+    // replay: same events landed again (new file name, same content)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("batch1.parquet"))
+    runOnce()
+    val t2 = spark.read.parquet(reports)
+    println("AFTER_REPLAY_ROWS=" + t2.count() +
+      " TXN_TOTAL=" + t2.agg(org.apache.spark.sql.functions.sum("total_transactions")).head().getLong(0) +
+      " VERSIONS=" + t2.select("version").distinct().collect().map(_.getString(0)).sorted.toSeq)
   }
 
   /** Drive the ReportUpsert.mergeInto sink: first merge populates the

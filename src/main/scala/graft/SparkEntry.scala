@@ -90,6 +90,10 @@ object SparkEntry {
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),
+    // --- multimodal plumbing ---
+    "q_multimodal_meta" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaMeta(
+        graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
   )
 
   private val txSql =
@@ -284,6 +288,13 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,

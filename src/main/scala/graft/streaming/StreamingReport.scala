@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.ReportUpsert
+
+/** Structured-Streaming form of the reference's 5-minute cron recompute
+  * (SURVEY.md §2.9; /root/reference/pipelines/dagster_pipeline.py:17-22):
+  * instead of re-folding ALL uploads every tick, new upload batches
+  * stream in and `foreachBatch` MERGEs their per-period reports into the
+  * reports table via the same monotone-count guard (transformer.py:55-65
+  * becomes ReportUpsert.merge's P5 predicate).
+  *
+  * At scale this replaces an O(all-history) recompute per tick with
+  * O(new-data) incremental work — the watermark bounds state, and the
+  * MERGE touches only the date partitions present in the batch.
+  */
+object StreamingReport {
+
+  /** The events schema as a streaming source expects it (ts read as
+    * nanos LONG — see Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events dir as a stream of transactions. */
+  def transactionsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(
+        col("ts"),
+        to_date(col("ts")).as("txn_date"),
+        col("event_type").as("category"),
+        concat(lit("u"), col("user_id").cast("string")).as("vendor"),
+        col("value").as("amount"))
+  }
+
+  /** Event-time windowed spend per category with late-data watermark —
+    * the streaming generalization of the per-file fold (A1/A5). */
+  def windowedCategorySpend(tx: DataFrame, window_ : String, watermark: String): DataFrame =
+    tx.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("category"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+           count(lit(1)).as("total_transactions"))
+
+  /** Incremental report maintenance: each micro-batch's daily reports
+    * are MERGEd into the parquet reports table (exactly-once per the
+    * reference's idempotence guard: replayed batches can only grow
+    * total_transactions, so equal-count replays are no-ops). */
+  def reportMergeSink(tx: DataFrame, reportsDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    tx.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val daily = ReportUpsert.dailyReports(batch, version = s"batch$batchId")
+        ReportUpsert.mergeInto(reportsDir, daily)
+      }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("tokenStats counts whitespace tokens; multi-space collapses") {
+    val out = TextAnalysis.tokenStats(docs((1L, "  a  bb   ccc "), (2L, "x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 3L && out(2L) == 1L)
+  }
+
+  test("bpeish tokens split letter/digit/symbol runs") {
+    val toks = docs((1L, "abc123 def-9")).select(
+      TextAnalysis.bpeishTokens(col("text")).as("t")).head().getSeq[String](0)
+    assert(toks == Seq("abc", "123", "def", "-", "9"))
+  }
+
+  test("qualityScore bounded and stopword-sensitive") {
+    val out = TextAnalysis.qualityScore(
+      docs((1L, "the the the the"), (2L, "zq zq zq zq")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0) // stopword_ratio
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = TextAnalysis.fingerprint(
+      docs((1L, "Hello   World"), (2L, "hello world "), (3L, "other")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val near2 = "the quick brown fox jumps over the lazy dog again and once"
+  private val other = "completely different content with no shared shingles at all here"
+
+  test("exactDedupDocs groups case/space variants") {
+    val out = Dedup.exactDedupDocs(docs((1L, "A  b"), (2L, "a b"), (3L, "c")))
+    val dups = out.filter(col("n_dups") > 1).collect()
+    assert(dups.length == 1 && dups.head.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("ngramJaccardPairs finds planted near-dup, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashLshPairs finds the same planted near-dup") {
+    val pairs = Dedup.minhashLshPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 8, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash64: near-dups land within small hamming distance") {
+    val h = Dedup.simhash64(docs((1L, near1), (2L, near2), (3L, other)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d12 = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val d13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(d12 < d13)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*): DataFrame =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine with known geometry") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),   // closest to 0
+      (2L, Seq(0f, 1f), 0),       // orthogonal
+      (3L, Seq(-1f, 0f), 0))      // opposite
+    val out = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("quantized cosine agrees with double cosine to 1e-5") {
+    val e = Similarity.quantized(
+      Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50))
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val rows = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        (col("a.nq").cast("double")).as("na"),
+        Similarity.doubleCosine("a.v", "b.v").as("dc"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .cast("double").as("dot"),
+        col("b.nq").cast("double").as("nb"))
+      .withColumn("qc", col("dot") / sqrt(col("na") * col("nb")))
+      .select("dc", "qc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Multimodal.fromDocuments(
+    Tables.documents(spark, "/root/testdata/sf0.001").limit(30))
+
+  test("extractFeatures: histogram features normalized, checksum stable") {
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 30)
+    f.foreach { m =>
+      assert(m.features.length == 8)
+      assert(math.abs(m.features.sum - 1f) < 1e-3)
+      assert(m.checksum.length == 32)
+    }
+  }
+
+  test("sampleFrames emits every-k byte windows for video rows") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyK = 2)
+    assert(frames.count() > 0)
+    val widths = frames.selectExpr("length(frame) AS w").collect().map(_.getInt(0)).toSet
+    assert(widths.forall(_ <= 16))
+  }
+}

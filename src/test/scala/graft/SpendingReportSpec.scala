@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import graft.operators.SpendingReport
+
+/** Per-operator semantics from SURVEY.md §2 over tiny literal frames,
+  * including the reference's documented failure modes
+  * (/root/reference/README.md:37-38,210-214): heterogeneous key sets
+  * across files, zero-imputation in mean and pct-change, the ascending
+  * "top-5" quirk, and the zero/missing-predecessor pct-change edges. */
+class SpendingReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  /** Three "files" (days) with identical, overlapping, and disjoint
+    * category sets; includes 0-amount and appearing/disappearing keys. */
+  private def tx: DataFrame = Seq(
+    ("2024-01-01", "food", "v1", 10.0),
+    ("2024-01-01", "rent", "v1", 100.0),
+    ("2024-01-02", "food", "v2", 20.0),   // rent absent on day 2
+    ("2024-01-02", "toys", "v2", 5.0),    // toys appears
+    ("2024-01-03", "food", "v1", 0.0),    // 0-amount day for food
+    ("2024-01-03", "toys", "v3", 10.0)
+  ).toDF("dt", "category", "vendor", "amount")
+    .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+
+  test("globalSummary: sums, count, date range (A1-A4)") {
+    val r = SpendingReport.globalSummary(tx).head()
+    assert(r.getDouble(0) == 145.0)
+    assert(r.getLong(1) == 6L)
+    assert(r.getDate(2) == d("2024-01-01"))
+    assert(r.getDate(3) == d("2024-01-03"))
+  }
+
+  test("keyTotals: per-key sums with ascending rank (A5/O1)") {
+    val m = SpendingReport.keyTotals(tx, "category").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m("food") == (30.0, 2L))   // rank 2: toys(15) < food(30) < rent(100)
+    assert(m("toys") == (15.0, 1L))
+    assert(m("rent") == (100.0, 3L))
+  }
+
+  test("zeroImputedMean divides by ALL file dates, not per-key count (A9)") {
+    val m = SpendingReport.zeroImputedMean(tx, "category").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("rent") == 100.0 / 3)   // NOT 100.0 (avg over 1 occurrence)
+    assert(m("food") == 10.0)
+    assert(m("toys") == 5.0)
+  }
+
+  test("pctChangeLatest: imputed-0 predecessor and 0->x edges (W1/W2)") {
+    val m = SpendingReport.pctChangeLatest(tx, "category").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // food: day2=20 -> day3=0 : (0-20)/20 = -1
+    assert(m("food") == -1.0)
+    // toys: day2=5 -> day3=10 : +1
+    assert(m("toys") == 1.0)
+    // rent: day2 imputed 0 -> day3 imputed 0: 0-predecessor -> 0.0
+    assert(m("rent") == 0.0)
+  }
+
+  test("single-file input: all pct_change are 0 (leading-row fill)") {
+    val one = tx.filter($"txn_date" === lit(d("2024-01-01")))
+    val vals = SpendingReport.pctChangeLatest(one, "category")
+      .collect().map(_.getDouble(1)).toSet
+    assert(vals == Set(0.0))
+  }
+
+  test("top5Asc returns the LOWEST-total keys (O3 as-implemented quirk)") {
+    val vendors = SpendingReport.top5Asc(tx, "vendor").collect().map(_.getString(0))
+    // v3(10) < v2(25) < v1(110): ascending, so v3 first
+    assert(vendors.head == "v3")
+    assert(vendors.toSeq == Seq("v3", "v2", "v1"))
+  }
+
+  test("report assembles one row; details drops begin/end/fi_summary (P2)") {
+    val r = SpendingReport.report(tx)
+    assert(r.count() == 1)
+    val details = r.select("details").head().getString(0)
+    assert(details.contains("\"total_spent\""))
+    assert(!details.contains("begin_date"))
+    val enriched = SpendingReport.enriched(tx)
+    assert(enriched.select("fi_summary").head().getString(0).nonEmpty)
+  }
+
+  test("aggregates are partition-count invariant (scale sanity)") {
+    val many = tx.repartition(13)
+    val a = SpendingReport.keyTotals(tx, "category").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val b = SpendingReport.keyTotals(many, "category").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  private def lit(x: Date) = org.apache.spark.sql.functions.lit(x)
+}
