@@ -15,6 +15,13 @@ object Smoke {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("upsert")) upsertProbe(spark)
     else if (args.headOption.contains("stream")) streamProbe(spark)
+    else if (args.headOption.contains("time")) timeProbe(spark, args(1),
+      args.lift(2).getOrElse("/root/testdata/sf0.1"), args.lift(3).map(_.toInt).getOrElse(3))
+    else if (args.headOption.contains("explain")) {
+      val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString)
+    }
     else {
       val df = SparkEntry.entry(spark)
       println("ENTRY_ROWS=" + df.count())
@@ -23,6 +30,21 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Time one query in isolation, repeated (rep 1 is cold after a
+    * Bench-style warmup; later reps may hit plan-level caches). */
+  private def timeProbe(spark: SparkSession, name: String, sfDir: String, reps: Int): Unit = {
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+    Tables.documents(spark, sfDir).selectExpr("md5(text) AS h")
+      .write.format("noop").mode("overwrite").save()
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"TIME[$name][$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** Drive the streaming pipeline end-to-end: stage a landing dir with

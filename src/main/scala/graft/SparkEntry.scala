@@ -340,12 +340,15 @@ object SparkEntry {
        |FROM p WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
 
   private val minhashLshSql = {
-    val mins = (0 until 8).map(s => s"min(md5('$s:' || sh)) AS s$s").mkString(",\n       ")
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
       .mkString("\n      UNION ALL ")
     s"""WITH s AS ($shinglesSql),
-       |e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+       |e AS (SELECT doc_id,
+       |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
        |sig AS (SELECT doc_id,
        |       $mins
        |        FROM e GROUP BY doc_id),

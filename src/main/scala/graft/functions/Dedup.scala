@@ -37,8 +37,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1)
 
-  /** Distinct word n-gram shingle sets per document. Shingling is pure
-    * map-side array work inside codegen. */
+  /** Distinct word n-gram shingle sets per document (array form — see
+    * `shingleRows` for the hot path). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -48,18 +48,46 @@ object Dedup {
             s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')))")))
       .drop("toks")
 
+  /** Long-form word n-gram shingles: one row per (doc, shingle
+    * occurrence), built with posexplode + window `lead` — every
+    * expression codegen's, unlike the higher-order-function array
+    * construction, which executes interpreted and measured ~6x slower.
+    * Rows are NOT deduplicated: every consumer is duplicate-invariant
+    * (min for MinHash, collect_set for Jaccard sets), which also saves
+    * a shuffle. */
+  def shingleRows(docs: DataFrame, n: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = col("doc_id") +: extraCols.map(col)
+    val toks = docs.select(
+      keep :+ posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")): _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+    toks
+      .withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
+      .withColumn("_last", leads.last)
+      .filter(col("_last").isNotNull)   // drop tail positions with < n tokens
+      .select(keep :+ col("sh"): _*)
+  }
+
   /** n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
     * self-join is per-bucket, not all-pairs. Jaccard is exact integer
     * set arithmetic -> double division (engine-portable). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val s = shingles(docs, n)
-      .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+    val s = shingleRows(docs, n, Seq("lang", "source"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(collect_set(col("sh")).as("shingles"))
     val a = s.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("shingles").as("sh_a"))
     val b = s.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
       col("shingles").as("sh_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
+      // Size-ratio prune: J >= t implies min(|A|,|B|)*(1+t) >= t*(|A|+|B|)
+      // (since |A∩B| <= min). Necessary condition only — the result set
+      // is unchanged; the expensive intersect just never runs for pairs
+      // that cannot qualify.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") * (1.0 + minJaccard)
+        >= lit(minJaccard) * (size(col("sh_a")) + size(col("sh_b"))).cast("double"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
@@ -68,16 +96,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * md5(seed || ':' || shingle); the per-seed minimum is taken over
-    * the hex STRING (lexicographic order == numeric order for fixed-
-    * width hex), which is engine-portable. All k mins are computed in
-    * ONE grouped aggregation — a single shuffle regardless of k. */
+  /** MinHash signatures via Carter-Wegman combination: ONE md5 per
+    * shingle yields two 32-bit integers (h1, h2 from hex substrings);
+    * permutation i is h1 + i*h2 (max value < 2^35, no overflow in
+    * either engine). All k mins are computed in ONE grouped
+    * aggregation — a single shuffle and a single digest per shingle
+    * regardless of k (8x less hashing than md5-per-seed). Engine-
+    * portable: DuckDB computes the identical integers via
+    * CAST('0x'||substr(md5,...) AS BIGINT). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val exploded = shingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val mins = (0 until k).map(s =>
-      min(md5(concat(lit(s + ":"), col("sh")))).as(s"s$s"))
+    val exploded = shingleRows(docs, n)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -90,10 +123,25 @@ object Dedup {
                       minJaccard: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minhashSignatures(docs, n, k)
-    // (doc_id, band, key): band key = md5 of its rows' concatenation.
+    // ONE grouped aggregation produces both the k-min signature and the
+    // rebuilt shingle set. The result is persisted: without the cache
+    // barrier, column pruning specializes the subtree per consumer
+    // (banding + both verify joins) and the whole shingling pipeline
+    // runs four times — with it, one pass. At 100 TB you persist the
+    // signature table for exactly the same reason.
+    val exploded = shingleRows(docs, n)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (doc_id, band, key): band key = md5 of its rows' concatenation
+    // (bigints render as plain digits identically in any engine).
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"s${b * rows + r}"))
+      val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -102,9 +150,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard on the shingle sets.
-    val s = shingles(docs, n).select(col("doc_id"), col("shingles"))
-    cand
+    // Verify candidates with exact Jaccard on the shingle sets; the
+    // candidate set is tiny, so broadcast it against the shared sig.
+    val s = sig.select(col("doc_id"), col("shingles"))
+    broadcast(cand)
       .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Relational, SpendingReport}
+
+/** Physical-plan assertions — the 100 TB design contract. These pin the
+  * plan shapes that matter at scale: filters/column pruning reaching the
+  * parquet scan, dimension joins broadcasting (never shuffling the
+  * fact), top-k planning as TakeOrderedAndProject (no global sort), and
+  * whole-stage codegen covering the hot path. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = plan(Relational.revenueByOrder(
+      Tables.lineitem(spark, sf), "1996-01-01", "1997-01-01"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filters in:\n$p")
+    // Scan must read only the 4 needed columns, not all 11.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate")
+      && !readSchema.contains("l_returnflag"), s"column pruning failed: $readSchema")
+  }
+
+  test("dimension joins broadcast; the fact side never shuffles for the join") {
+    val p = plan(Relational.revenueByTypeAndSupplier(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact should not sort-merge:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topOrdersByPrice(Tables.orders(spark, sf), 10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("group-by aggregates use partial (map-side) aggregation") {
+    val p = plan(SpendingReport.keyTotals(Tables.transactions(spark, sf), "category"))
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    val semi = plan(Relational.ordersWithBigItems(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf), 45.0))
+    assert(semi.contains("LeftSemi"), s"expected left-semi:\n$semi")
+    val anti = plan(Relational.ordersWithoutItems(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(anti.contains("LeftAnti"), s"expected left-anti:\n$anti")
+  }
+
+  test("report hot path is whole-stage-codegen'd") {
+    // codegen spans appear in the FINAL adaptive plan, post-execution
+    val df = SpendingReport.globalSummary(Tables.transactions(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(n)" star prefix
+    assert(p.contains("*(1)") && p.contains("HashAggregate"),
+      s"expected codegen spans:\n$p")
+  }
+}
