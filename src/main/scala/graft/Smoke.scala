@@ -17,6 +17,7 @@ object Smoke {
     else if (args.headOption.contains("stream")) streamProbe(spark)
     else if (args.headOption.contains("time")) timeProbe(spark, args(1),
       args.lift(2).getOrElse("/root/testdata/sf0.1"), args.lift(3).map(_.toInt).getOrElse(3))
+    else if (args.headOption.contains("uploads")) uploadsProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -30,6 +31,33 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Drive the JSON upload-source surface (S1/S2/P4): land metadata +
+    * summary docs (one malformed, one empty) and run the full
+    * extract -> fold -> report pipeline from them. */
+  private def uploadsProbe(spark: SparkSession): Unit = {
+    import graft.sources.UploadSource
+    val meta = java.nio.file.Files.createTempDirectory("graft_meta")
+    val sums = java.nio.file.Files.createTempDirectory("graft_sums")
+    java.nio.file.Files.writeString(meta.resolve("list.json"),
+      """{"uploaded_files": [{"id": "1"}, {"id": "2"}, {"id": "3"}]}""")
+    java.nio.file.Files.writeString(sums.resolve("s.json"), Seq(
+      """{"upload_id": 1, "begin_date": "2024-01-01", "end_date": "2024-01-31", "total_spent": 99.5, "total_transactions": 4, "spending_per_category": {"food": 60.5, "rent": 39.0}, "spending_per_vendor": {"acme": 99.5}}""",
+      """{"upload_id": 2, "begin_date": "2024-02-01", "end_date": "2024-02-29", "total_spent": 10.0, "total_transactions": 1, "spending_per_category": {"food": 10.0}, "spending_per_vendor": {"acme": 10.0}}""",
+      """not json — a failed fetch""",
+      """{"upload_id": 3}""").mkString("\n"))
+    println("UPLOAD_IDS=" + UploadSource.uploadedFileIds(spark, meta.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    val summaries = UploadSource.uploadSummaries(spark, sums.toString)
+    println("SUMMARIES=" + summaries.count())
+    val tx = UploadSource.transactionsFromSummaries(summaries, "spending_per_category")
+      .withColumnRenamed("key", "category")
+      .withColumn("vendor", org.apache.spark.sql.functions.lit("acme"))
+      .select("txn_date", "category", "vendor", "amount")
+    val report = graft.operators.SpendingReport.enriched(tx)
+    report.select("begin_date", "end_date", "total_spent", "total_transactions",
+      "fi_summary").show(false)
   }
 
   /** Time one query in isolation, repeated (rep 1 is cold after a

@@ -94,6 +94,25 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
+    // --- JSON VARIANT roundtrip (F6/F7/P6: to_json -> get_json_object) ---
+    "q_json_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      ReportUpsert.dailyReports(tx(s, d), "v")
+        .withColumn("details", to_json(struct(col("total_spent"), col("total_transactions"))))
+        .select(col("begin_date"),
+          get_json_object(col("details"), "$.total_spent").cast("double").as("total_spent"),
+          get_json_object(col("details"), "$.total_transactions").cast("long").as("total_transactions"))
+    }),
+    // --- A7 at scale: HLL approximate-distinct toggle (rows-only; the
+    // estimate is engine-specific so there is no cross-engine oracle) ---
+    "q_approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      tx(s, d).agg(
+        countDistinct(col("vendor")).as("exact_vendors"),
+        approx_count_distinct(col("vendor"), 0.02).as("approx_vendors"),
+        countDistinct(col("category")).as("exact_categories"),
+        approx_count_distinct(col("category"), 0.02).as("approx_categories"))
+    }),
   )
 
   private val txSql =
@@ -288,6 +307,11 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_json_roundtrip" ->
+      s"""SELECT txn_date AS begin_date,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       count(*) AS total_transactions
+         |FROM ($txSql) GROUP BY txn_date""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

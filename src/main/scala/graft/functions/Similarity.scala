@@ -29,11 +29,14 @@ object Similarity {
 
   private def colName(c: Column): String = c.toString
 
+  /** Quantized dot products run through the native codegen'd DotI64
+    * expression — the HOF fold this replaces evaluates interpreted and
+    * is the per-pair inner loop of every similarity operator. */
   private def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    graft.plans.DotI64.dot_i64(col(a), col(b))
 
   private def normQ(a: String): Column =
-    expr(s"aggregate($a, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    graft.plans.DotI64.dot_i64(col(a), col(a))
 
   /** Embeddings with quantized vector + its exact squared norm. */
   def quantized(embeddings: DataFrame): DataFrame =

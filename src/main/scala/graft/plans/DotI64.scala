@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native integer dot product over two ARRAY<BIGINT> columns.
+  *
+  * Motivation (measured, see Dedup.shingleRows scaladoc): Spark's
+  * higher-order functions (`aggregate(zip_with(...))`) evaluate
+  * interpreted — per-element lambda dispatch with boxed rows. This
+  * expression generates a primitive long loop inside whole-stage
+  * codegen: no allocation, no boxing, no virtual calls per element.
+  * It is the hot inner loop of every similarity-search operator
+  * (Similarity.bruteForceTopK / nearDupPairs / lshTopK), where it runs
+  * once per candidate pair.
+  *
+  * Null semantics match the SQL fold it replaces: NULL if either array
+  * is NULL; array elements must be non-null (quantized vectors are).
+  * Arrays of unequal length use the shorter length (zip_with would pad
+  * with NULL and null out the sum; unequal lengths cannot occur for
+  * same-dimension embeddings).
+  */
+case class DotI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_i64 requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotI64 {
+  /** Column form. */
+  def dot_i64(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotI64(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register `dot_i64` for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
+}
+
+/** Session extensions: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` (or spark.sql.extensions=graft.plans.GraftExtensions)
+  * exposes the engine's native functions to pure-SQL users. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotI64].getName, "dot_i64"),
+        (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))))
+  }
+}
