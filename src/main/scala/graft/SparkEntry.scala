@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.{Dedup, Similarity, TextAnalysis}
-import graft.operators.{Relational, ReportUpsert, SpendingReport}
+import graft.operators.{Relational, ReportUpsert, SpendingReport, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,20 @@ object SparkEntry {
         countDistinct(col("category")).as("exact_categories"),
         approx_count_distinct(col("category"), 0.02).as("approx_categories"))
     }),
+    // --- temporal operators (as-of join, sessions, frames, cube) ---
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pvalue"))
+      Temporal.asOfJoin(left, purchases, "user_id", "ts", "ts", "pvalue")
+    }),
+    "q_sessions" -> ((s, d) =>
+      Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
+    "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
+    "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
   )
 
   private val txSql =
@@ -307,6 +321,44 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 = 0),
+        |p AS (SELECT user_id, ts, max(value) AS pvalue FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.pvalue AS asof_val
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin,
+    "q_sessions" ->
+      """WITH s AS (SELECT user_id, ts, value,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |           FROM events),
+        |n AS (SELECT user_id, ts, value,
+        |             CASE WHEN prev_ts IS NULL
+        |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |                  THEN 1 ELSE 0 END AS ns
+        |      FROM s),
+        |t AS (SELECT user_id, ts, value,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM n)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS session_value
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "q_running_spend" ->
+      s"""WITH d AS (SELECT category, txn_date,
+         |                  sum(cast(amount AS DECIMAL(14,2))) AS day_total
+         |           FROM ($txSql) GROUP BY category, txn_date)
+         |SELECT category, txn_date, cast(day_total AS double) AS day_total,
+         |       cast(sum(day_total) OVER (PARTITION BY category ORDER BY txn_date
+         |                                 ROWS UNBOUNDED PRECEDING) AS double) AS running_total
+         |FROM d""".stripMargin,
+    "q_cube_spend" ->
+      s"""SELECT category, txn_date,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       count(*) AS n
+         |FROM ($txSql) GROUP BY CUBE(category, txn_date)""".stripMargin,
     "q_json_roundtrip" ->
       s"""SELECT txn_date AS begin_date,
          |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,

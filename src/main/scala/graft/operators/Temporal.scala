@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators beyond the reference's inventory — the shapes a
+  * period-report engine grows into at scale (SURVEY §2.5's "absent"
+  * list, implemented Spark-first).
+  *
+  * The as-of join follows preference order (a) from the build contract:
+  * composed from built-ins (union + window) rather than a custom
+  * physical operator — one shuffle on (key), no O(n·m) inequality join.
+  */
+object Temporal {
+
+  /** AS-OF JOIN: for each left row, the single right row with the
+    * greatest `rightTs <= leftTs` for the same key. Implemented as the
+    * classic union-tag-window plan:
+    *   union(left tagged 0, right tagged 1)
+    *   -> window per key ordered by (ts, tag desc):
+    *      last non-null right payload at or before each left row
+    * Cost: ONE shuffle on the key (the window partition), linear scan
+    * per partition — versus a BroadcastNestedLoop inequality join's
+    * O(left × right). This is the 100 TB-safe shape.
+    *
+    * left must have (key, ts [+ payload]); right (key, ts, rightVal).
+    * Output: left columns + `asof_ts` + `asof_val` (null if no prior
+    * right row).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTs: String, rightTs: String,
+               rightVal: String): DataFrame = {
+    val l = left.withColumn("_tag", lit(0))
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_rts", lit(null).cast(right.schema(rightTs).dataType))
+      .withColumn("_rv", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.select(
+      col(key),
+      lit(1).as("_tag"),
+      col(rightTs).as("_ts"),
+      col(rightTs).as("_rts"),
+      col(rightVal).as("_rv"))
+    val lCols = left.columns
+    // Align schemas: right side carries nulls for left payload columns.
+    val rAligned = lCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((lCols.map(col) :+ col("_tag") :+ col("_ts") :+ col("_rts") :+ col("_rv")): _*)
+    val unioned = l.select((lCols.map(col) :+ col("_tag") :+ col("_ts") :+ col("_rts") :+ col("_rv")): _*)
+      .unionByName(rAligned)
+    // Window: right rows (tag 1) sort BEFORE left rows at equal ts so a
+    // right row at exactly leftTs is visible (<= semantics).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_tag").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("asof_ts", last(col("_rts"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .drop("_tag", "_ts", "_rts", "_rv")
+  }
+
+  /** Sessionization: gap-based session ids per user — a new session
+    * starts when the gap to the previous event exceeds `gapMinutes`.
+    * One shuffle (window by user); session_id = cumulative count of
+    * session starts, stable and deterministic. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_new_session")).over(wRun))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** Session summary: per (user, session) — span, event count, value
+    * sum (decimal-exact). */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   valueCol: String, gapMinutes: Int): DataFrame =
+    sessionize(events, userCol, tsCol, gapMinutes)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(14,2)")).cast("double").as("session_value"))
+
+  /** Running (cumulative) daily spend per category — frame-spec window
+    * (rowsBetween unbounded preceding), decimal-exact. */
+  def runningDailySpend(tx: DataFrame): DataFrame = {
+    val daily = tx.groupBy(col("category"), col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("day_total"))
+    val w = Window.partitionBy(col("category")).orderBy(col("txn_date").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("running_total", sum(col("day_total")).over(w).cast("double"))
+      .withColumn("day_total", col("day_total").cast("double"))
+  }
+
+  /** CUBE over (category, txn_date-month... here: category × vendor
+    * prefix) — full grouping-sets coverage (SURVEY §2.4 "absent" row).
+    */
+  def cubeSpend(tx: DataFrame): DataFrame =
+    tx.cube(col("category"), col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+           count(lit(1)).as("n"))
+}

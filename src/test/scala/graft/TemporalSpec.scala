@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest at-or-before match per key; null when no prior") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // after r1 -> r1
+      (2L, 10L, ts("2024-01-01 12:00:00")),   // exactly at r2 -> r2 (<= semantics)
+      (3L, 10L, ts("2024-01-01 09:00:00")),   // before anything -> null
+      (4L, 20L, ts("2024-01-01 23:00:00"))    // other key, no rights -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),  // r1
+      (10L, ts("2024-01-01 12:00:00"), 2.0)   // r2
+    ).toDF("user_id", "ts", "pvalue")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", "ts", "pvalue")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Double]("asof_val"))).toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).contains(2.0))
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("sessionize: gap over threshold starts a new session") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),   // 10 min gap -> same session
+      (1L, ts("2024-01-01 11:00:00"), 3.0),   // 50 min gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 4.0)    // other user -> own session 1
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.sessionStats(e, "user_id", "ts", "value", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(out((1L, 1L)) == (2L, 3.0))
+    assert(out((1L, 2L)) == (1L, 3.0))
+    assert(out((2L, 1L)) == (1L, 4.0))
+  }
+
+  test("runningDailySpend accumulates per category in date order") {
+    val tx = Seq(
+      ("2024-01-01", "food", 10.0), ("2024-01-02", "food", 5.0),
+      ("2024-01-03", "food", 1.0), ("2024-01-01", "rent", 100.0)
+    ).toDF("dt", "category", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "amount")
+    val out = Temporal.runningDailySpend(tx)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(3)).toMap
+    assert(out(("food", "2024-01-03")) == 16.0)
+    assert(out(("rent", "2024-01-01")) == 100.0)
+  }
+
+  test("cubeSpend emits all grouping sets incl. grand total") {
+    val tx = Seq(("2024-01-01", "food", 10.0), ("2024-01-02", "rent", 5.0))
+      .toDF("dt", "category", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "amount")
+    val out = Temporal.cubeSpend(tx).collect()
+    assert(out.length == 7)  // 2 observed cells + 2 cat margins + 2 date margins + grand total
+    val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getDouble(2) == 15.0 && grand.getLong(3) == 2L)
+  }
+}
