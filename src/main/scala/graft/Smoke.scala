@@ -82,7 +82,7 @@ object Smoke {
   private def streamProbe(spark: SparkSession): Unit = {
     import graft.streaming.StreamingReport
     val landing = java.nio.file.Files.createTempDirectory("graft_landing")
-    val reports = landing.toString + "/reports"
+    val reports = java.nio.file.Files.createTempDirectory("graft_reports").toString + "/reports"
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       landing.resolve("batch0.parquet"))

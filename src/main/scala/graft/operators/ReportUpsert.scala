@@ -62,6 +62,36 @@ object ReportUpsert {
     } else new java.io.File(tmp).renameTo(old)
   }
 
+  /** Partitioned MERGE sink — the 100 TB shape. The reports table is
+    * parquet partitioned by `begin_date`; an incoming batch only ever
+    * touches the partitions for its own date keys, so:
+    *   1. the existing-side read is partition-PRUNED to the incoming
+    *      dates (a handful of directories, not the table);
+    *   2. the write uses dynamic partition overwrite, rewriting ONLY
+    *      those partitions — untouched history is never read or
+    *      rewritten.
+    * Contrast `mergeInto`, which rewrites the whole table per batch.
+    */
+  def mergeIntoPartitioned(dir: String, incoming: DataFrame): Unit = {
+    val spark = incoming.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val target = new java.io.File(dir)
+    val merged =
+      if (target.exists()) {
+        val touched = incoming.select(col("begin_date")).distinct()
+          .collect().map(_.get(0)).toSeq
+        val existingTouched = spark.read.parquet(dir)
+          .filter(col("begin_date").isin(touched: _*))
+        merge(existingTouched, incoming)
+      } else incoming
+    // Dynamic mode: Overwrite replaces only the partitions present in
+    // `merged` (exactly the touched dates).
+    merged.write
+      .partitionBy("begin_date")
+      .mode(SaveMode.Overwrite)
+      .parquet(dir)
+  }
+
   /** Recursive delete of a local directory (test/probe helper). */
   def deleteDir(path: String): Unit = deleteRec(new java.io.File(path))
 

@@ -62,6 +62,9 @@ object StreamingReport {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val daily = ReportUpsert.dailyReports(batch, version = s"batch$batchId")
-        ReportUpsert.mergeInto(reportsDir, daily)
+        // Partitioned MERGE: only the date partitions present in this
+        // micro-batch are read (pruned) and rewritten (dynamic
+        // overwrite) — per-batch cost is O(batch), not O(history).
+        ReportUpsert.mergeIntoPartitioned(reportsDir, daily)
       }
 }
