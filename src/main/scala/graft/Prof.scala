@@ -56,6 +56,17 @@ object Prof {
       .write.format("noop").mode("overwrite").save())
     t("full again")(Dedup.minhashLshPairs(docs, 3, 8, 4, 0.5)
       .write.format("noop").mode("overwrite").save())
+    // IVF sanity: probing ALL cells must match brute force exactly
+    locally {
+      import graft.functions.Similarity
+      val emb = Tables.embeddings(spark, sf)
+      val q = col("vec_id") % 100 === 0
+      val bf = Similarity.bruteForceTopK(emb, q, 10)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfAll = Similarity.ivfTopK(emb, q, 10, 16, 16)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println("IVF_FULLPROBE_RECALL=" + (bf.intersect(ivfAll).size.toDouble / bf.size))
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,9 @@ object SparkEntry {
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),
+    "q_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 16, 4)),
     // --- multimodal plumbing ---
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(

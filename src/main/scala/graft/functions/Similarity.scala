@@ -115,6 +115,50 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
+    * vectors (deterministically seeded from the corpus: the lowest
+    * vec_ids) partitions the space; each vector is assigned to its
+    * nearest centroid cell, queries probe the `nProbe` nearest cells
+    * and run exact cosine inside them. At 100 TB the cell assignment is
+    * one broadcast-join pass and search cost drops by ~nCells/nProbe.
+    * Returns (query_id, rnk, neighbor_id, cosine). */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              nCells: Int, nProbe: Int): DataFrame = {
+    val e = quantized(embeddings)
+    // Deterministic centroids: the nCells lowest vec_ids (a real system
+    // would k-means; the plumbing — assignment + probing — is the same).
+    val centroids = e.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("q").as("cv"), col("nq").as("cn"))
+    def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_sim").desc, col("cell_id").asc)
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("_sim",
+          dotQ("q", "cv").cast("double") /
+            sqrt(col("nq").cast("double") * col("cn").cast("double")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= n)
+        .select(col("vec_id"), col("cell_id"))
+    }
+    val assigned = e.join(nearestCells(e, 1), Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+        col("q").as("nv"), col("nq").as("nn"))
+    val probes = e.filter(queryPred).join(nearestCells(e.filter(queryPred), nProbe), Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("query_id"),
+        col("q").as("qv"), col("nq").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        dotQ("qv", "nv").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-accelerated top-k: search only within the query's bucket plus
     * buckets at Hamming distance 1 (probing), then exact cosine. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int): DataFrame = {
