@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{ReportUpsert, SpendingReport}
+
+/** ScalaCheck properties for the algebraic invariants (SURVEY §5):
+  * partition-count invariance, dense-grid/long-form agreement,
+  * pct-change degenerate cases, merge idempotence, jaccard bounds.
+  * Trial counts are kept small — every trial runs real Spark jobs. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val genRow: Gen[(String, String, String, Double)] = for {
+    day <- Gen.choose(1, 5)
+    cat <- Gen.oneOf("food", "rent", "toys", "fuel")
+    ven <- Gen.oneOf("v1", "v2", "v3")
+    amt <- Gen.choose(-500, 5000).map(_ / 100.0)
+  } yield (f"2024-01-$day%02d", cat, ven, amt)
+
+  private val genTx = Gen.nonEmptyListOf(genRow)
+
+  private def toTx(rows: List[(String, String, String, Double)]) =
+    rows.toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+
+  property("keyTotals invariant under repartition") = forAll(genTx, Gen.choose(1, 13)) {
+    (rows, parts) =>
+      val tx = toTx(rows)
+      val a = SpendingReport.keyTotals(tx, "category").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+      val b = SpendingReport.keyTotals(tx.repartition(parts), "category").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+      Prop(a == b) :| s"parts=$parts a=$a b=$b"
+  }
+
+  property("denseGrid preserves present cells and zero-fills absent") = forAll(genTx) { rows =>
+    val tx = toTx(rows)
+    val grid = SpendingReport.denseGrid(tx, "category").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    val long = SpendingReport.bucketKeySums(tx, "category").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    val presentOk = long.forall { case (k, v) => grid(k) == v }
+    val absentOk = grid.forall { case (k, v) => long.getOrElse(k, 0.0) == v }
+    val sizeOk = {
+      val dates = rows.map(_._1).distinct.size
+      val cats = rows.map(_._2).distinct.size
+      grid.size == dates * cats
+    }
+    Prop(presentOk && absentOk && sizeOk) :| s"grid=${grid.size}"
+  }
+
+  property("pct-change on single-date data is all zero") = forAll(genTx) { rows =>
+    val oneDay = toTx(rows.map { case (_, c, v, a) => ("2024-01-01", c, v, a) })
+    val vals = SpendingReport.pctChangeLatest(oneDay, "category")
+      .collect().map(_.getDouble(1)).toSet
+    Prop(vals.subsetOf(Set(0.0)))
+  }
+
+  private val genReports: Gen[List[(String, Double, Long)]] =
+    Gen.nonEmptyListOf(for {
+      day <- Gen.choose(1, 6)
+      spent <- Gen.choose(0, 10000).map(_ / 100.0)
+      n <- Gen.choose(1L, 50L)
+    } yield (f"2024-01-$day%02d", spent, n))
+      .map(_.groupBy(_._1).map { case (d, xs) => xs.head }.toList) // unique keys
+
+  private def toReports(rows: List[(String, Double, Long)], tag: String) =
+    rows.toDF("dt", "total_spent", "total_transactions")
+      .selectExpr("to_date(dt) AS begin_date", "to_date(dt) AS end_date",
+        "total_spent", s"'$tag' AS version", "total_transactions")
+
+  property("merge is idempotent: re-merging the same batch changes nothing") =
+    forAll(genReports, genReports) { (e, i) =>
+      val existing = toReports(e, "e")
+      val incoming = toReports(i, "i")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      val once = ReportUpsert.merge(existing, incoming)
+      val twice = ReportUpsert.merge(once, incoming)
+      Prop(canon(once) == canon(twice)) :| s"once=${canon(once)}"
+    }
+
+  property("merge keeps exactly the union of keys") =
+    forAll(genReports, genReports) { (e, i) =>
+      val merged = ReportUpsert.merge(toReports(e, "e"), toReports(i, "i"))
+      val keys = merged.collect().map(_.getDate(0).toString).toSet
+      Prop(keys == (e.map(_._1).toSet ++ i.map(_._1).toSet))
+    }
+}
