@@ -91,6 +91,15 @@ object Smoke {
         StreamingReport.transactionsStream(spark, landing.toString), reports).start()
       q.awaitTermination()
     }
+    // stateful op over the same landing stream
+    val stTmp = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val sq = graft.streaming.StatefulSpend.runningVendorSpend(
+      StreamingReport.transactionsStream(spark, landing.toString))
+      .writeStream.outputMode("update").format("memory").queryName("smoke_state")
+      .option("checkpointLocation", stTmp).start()
+    sq.processAllAvailable(); sq.stop()
+    println("STATEFUL_VENDORS=" + spark.table("smoke_state")
+      .select("vendor").distinct().count())
     runOnce()
     val t1 = spark.read.parquet(reports)
     println("STREAM_REPORT_ROWS=" + t1.count() +

@@ -116,6 +116,13 @@ object SparkEntry {
         countDistinct(col("category")).as("exact_categories"),
         approx_count_distinct(col("category"), 0.02).as("approx_categories"))
     }),
+    // --- SQL entry surface (correlated subquery, CASE agg, LIKE) ---
+    "q_above_nation_avg" -> ((s, d) =>
+      Relational.sql(s, d, Relational.aboveNationAvgSql, Seq("customer"))),
+    "q_case_agg" -> ((s, d) =>
+      Relational.sql(s, d, Relational.caseAggSql, Seq("orders"))),
+    "q_like_filter" -> ((s, d) =>
+      Relational.sql(s, d, Relational.likeFilterSql, Seq("part"))),
     // --- temporal operators (as-of join, sessions, frames, cube) ---
     "q_asof_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -324,6 +331,9 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_above_nation_avg" -> Relational.aboveNationAvgSql,
+    "q_case_agg" -> Relational.caseAggSql,
+    "q_like_filter" -> Relational.likeFilterSql,
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type, value FROM events),
         |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 = 0),

@@ -109,6 +109,45 @@ object Relational {
       .union(customer.select(col("c_nationkey").cast("long").as("nationkey")))
       .distinct()
 
+  /** The SQL entry surface: register the corpus as temp views and run
+    * ANSI SQL through Catalyst — the engine's spark.sql() parity path.
+    * Used by the correlated-subquery and conditional-aggregation
+    * queries, which exercise decorrelation (Catalyst rewrites the
+    * correlated scalar into a join) rather than per-row re-execution. */
+  def sql(spark: org.apache.spark.sql.SparkSession, sfDir: String, query: String,
+          tables: Seq[String]): DataFrame = {
+    tables.foreach(t => graft.Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    spark.sql(query)
+  }
+
+  /** Customers above their nation's average balance — correlated
+    * subquery, decorrelated by Catalyst into an aggregate + join. The
+    * comparison is written multiplication-form (balance * n > sum) so
+    * it is exact decimal arithmetic, never an FP-average boundary. */
+  val aboveNationAvgSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |         WHERE c3.c_nationkey = c.c_nationkey)""".stripMargin
+
+  /** Conditional aggregation (CASE inside agg) per order priority. */
+  val caseAggSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |       cast(sum(CASE WHEN o_orderstatus = 'F'
+      |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS double) AS finished_value
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** LIKE-pattern filter + grouped count (string predicate pushdown). */
+  val likeFilterSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |       cast(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS double) AS sum_price
+      |FROM part WHERE p_type LIKE '%M%' GROUP BY p_brand""".stripMargin
+
   /** Point lookup (S3/P3/O5): single-row fetch by key. The key is the
     * min orderkey so the query is scale-factor independent; the scalar
     * prefetch is one tiny parquet-footer-driven agg. */

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful running vendor spend accumulates across batches") {
+    import graft.streaming.StatefulSpend
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val stx = StreamingReport.transactionsStream(spark, eventsDir)
+    val q = StatefulSpend.runningVendorSpend(stx)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("vendor_state")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // Latest state row per vendor must equal the batch aggregate.
+    val latest = spark.table("vendor_state")
+      .groupBy("vendor")
+      .agg(max("n_txns").as("n"), max("total_spent").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .groupBy(col("vendor"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("amount").cast("decimal(14,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(latest == batch)
+  }
+
   test("foreachBatch merge sink builds the reports table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/reports"
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
