@@ -18,6 +18,7 @@ object Smoke {
     else if (args.headOption.contains("time")) timeProbe(spark, args(1),
       args.lift(2).getOrElse("/root/testdata/sf0.1"), args.lift(3).map(_.toInt).getOrElse(3))
     else if (args.headOption.contains("uploads")) uploadsProbe(spark)
+    else if (args.headOption.contains("formats")) formatsProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -31,6 +32,29 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Drive the format breadth: CSV/ORC roundtrips of lineitem and a
+    * bucketed co-located join, printing the join's exchange count. */
+  private def formatsProbe(spark: SparkSession): Unit = {
+    import graft.sources.Formats
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    Formats.writeCsv(li, base + "/csv")
+    val csvN = Formats.readCsv(spark, base + "/csv", li.schema).count()
+    Formats.writeOrc(li, base + "/orc")
+    val orcN = Formats.readOrc(spark, base + "/orc").count()
+    println(s"CSV_ROWS=$csvN ORC_ROWS=$orcN PARQUET_ROWS=${li.count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Formats.writeBucketed(li.select("l_orderkey", "l_quantity"), "sb_li", "l_orderkey", 8)
+    Formats.writeBucketed(Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice"), "sb_o", "o_orderkey", 8)
+    val j = spark.table("sb_li").join(spark.table("sb_o"), col("l_orderkey") === col("o_orderkey"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    println("BUCKETED_JOIN_SHUFFLES=" +
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")))
   }
 
   /** Drive the JSON upload-source surface (S1/S2/P4): land metadata +

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink format breadth beyond the corpus's parquet: CSV and ORC
+  * read/write with schema-stable roundtrips, and bucketed tables for
+  * shuffle-free co-located joins.
+  *
+  * The reference ingests HTTP+JSON and writes Snowflake only
+  * (SURVEY §2.1); an engine replacing it needs the standard lake
+  * formats. Parquet stays the canonical store (Tables).
+  */
+object Formats {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  /** CSV re-read with the writer's schema (CSV is typeless; the schema
+    * must travel alongside — here taken from the source frame). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Write both sides of a join bucketed by the join key into the
+    * session catalog: subsequent equi-joins on that key are
+    * co-partitioned — SortMergeJoin WITHOUT a shuffle Exchange on
+    * either side. This is the at-rest co-location strategy for the
+    * 100 TB fact-fact joins AQE cannot broadcast. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+}
