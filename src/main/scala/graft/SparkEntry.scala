@@ -137,6 +137,15 @@ object SparkEntry {
       Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
     "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
+    // --- exact percentiles (A-extension) + heavy-hitters sketch ---
+    "q_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      tx(s, d).groupBy(col("category"))
+        .agg(expr("percentile(amount, array(0.25, 0.5, 0.75))").as("quartiles"),
+             count(lit(1)).as("n"))
+    }),
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.functions.HeavyHitters.topDocTerms(Tables.documents(s, d), 64, 20)),
   )
 
   private val txSql =
@@ -331,6 +340,10 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_percentiles" ->
+      s"""SELECT category, quantile_cont(amount, [0.25, 0.5, 0.75]) AS quartiles,
+         |       count(*) AS n
+         |FROM ($txSql) GROUP BY category""".stripMargin,
     "q_above_nation_avg" -> Relational.aboveNationAvgSql,
     "q_case_agg" -> Relational.caseAggSql,
     "q_like_filter" -> Relational.likeFilterSql,
