@@ -40,6 +40,17 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class ApproxDistinctSpec extends SparkSpec {
+  test("HLL approx distinct within configured 2% tolerance at sf0.01") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.01").head()
+    val (exactV, approxV) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approxV - exactV).toDouble / exactV < 0.05,
+      s"vendors: exact=$exactV approx=$approxV")
+    val (exactC, approxC) = (r.getLong(2), r.getLong(3))
+    assert(math.abs(approxC - exactC) <= math.max(1, (0.05 * exactC).toLong))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 

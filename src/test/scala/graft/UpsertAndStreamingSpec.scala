@@ -92,6 +92,53 @@ class StreamingSpec extends SparkSpec {
     assert(latest == batch)
   }
 
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_late")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck").toString
+    def nanos(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def land(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val data = rows.map { case (id, t, v) =>
+        Row(id, nanos(t), 1L, "purchase", v, "{}")
+      }
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString + "/d"
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1),
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .write.parquet(stage)
+      // the file stream source lists only the landing ROOT — move the
+      // part file there, not a nested directory
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$name.parquet"))
+    }
+    // batch 1: one event in the 10:00 window, one at 12:00 (advances
+    // the watermark to 11:30 -> the 10:00-11:00 window finalizes)
+    land("b1", Seq((1L, "2024-06-01 10:05:00", 10.0), (2L, "2024-06-01 12:00:00", 1.0)))
+    val stx = graft.streaming.StreamingReport.transactionsStream(spark, landing.toString)
+    val q = graft.streaming.StreamingReport
+      .windowedCategorySpend(stx, "1 hour", "30 minutes")
+      .selectExpr("window.start AS ws", "category", "total_spent")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_test")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-finalized 10:00 window
+    land("b2", Seq((3L, "2024-06-01 10:15:00", 99.0), (4L, "2024-06-01 13:30:00", 2.0)))
+    q.processAllAvailable(); q.stop()
+    val w10 = spark.table("late_test")
+      .filter(col("ws") === java.sql.Timestamp.valueOf("2024-06-01 10:00:00"))
+      .collect()
+    assert(w10.length == 1, s"10:00 window emitted once: ${w10.toSeq}")
+    assert(w10.head.getAs[Double]("total_spent") == 10.0,
+      s"late 99.0 must be dropped, got ${w10.head}")
+  }
+
   test("foreachBatch merge sink builds the reports table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/reports"
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
