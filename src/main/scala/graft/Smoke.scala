@@ -25,6 +25,11 @@ object Smoke {
       println(df.queryExecution.executedPlan.toString)
     }
     else {
+      // typed Dataset[T] surface (graft.model)
+      val ev = graft.model.Model.events(spark, "/root/testdata/sf0.001")
+      val docs = graft.model.Model.documents(spark, "/root/testdata/sf0.001")
+      println("TYPED_EVENTS=" + ev.filter(_.event_type == "purchase").count() +
+        " TYPED_DOC_CHARS=" + docs.filter(_.n_chars > 100).count())
       val df = SparkEntry.entry(spark)
       println("ENTRY_ROWS=" + df.count())
       df.select("begin_date", "end_date", "total_spent", "total_transactions",

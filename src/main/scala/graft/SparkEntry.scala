@@ -146,6 +146,9 @@ object SparkEntry {
     }),
     "q_heavy_hitters" -> ((s, d) =>
       graft.functions.HeavyHitters.topDocTerms(Tables.documents(s, d), 64, 20)),
+    "q_pivot_wide" -> ((s, d) =>
+      SpendingReport.pivotWide(tx(s, d), "category",
+        Seq("click", "error", "purchase", "signup", "view"))),
   )
 
   private val txSql =
@@ -340,6 +343,14 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_pivot_wide" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(c =>
+        s"cast(coalesce(sum(cast(amount AS DECIMAL(14,2))) FILTER (WHERE category = '$c'), 0) AS double) AS $c")
+        .mkString(",\n       ")
+      s"""SELECT txn_date,
+         |       $cols
+         |FROM ($txSql) GROUP BY txn_date""".stripMargin
+    },
     "q_percentiles" ->
       s"""SELECT category, quantile_cont(amount, [0.25, 0.5, 0.75]) AS quartiles,
          |       count(*) AS n

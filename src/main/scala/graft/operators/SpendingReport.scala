@@ -122,6 +122,16 @@ object SpendingReport {
       .select(col(key), col("pct_change"))
   }
 
+  /** The WIDE pivot shape itself (SURVEY §1.1 row 2, J2): rows = file
+    * dates, one column per category, absent cells 0. Explicit pivot
+    * values keep the plan single-pass (no extra distinct scan) and the
+    * output schema static. Long form is preferred everywhere else. */
+  def pivotWide(tx: DataFrame, key: String, values: Seq[String]): DataFrame =
+    tx.groupBy(col("txn_date"))
+      .pivot(key, values)
+      .agg(sum(amt2).cast("double"))
+      .na.fill(0.0, values)
+
   /** O3: "top-5" vendors = first 5 of the value-ASCENDING sort — the
     * reference's as-implemented quirk (transformer.py:240 labels the 5
     * LOWEST-spend vendors `top_5_vendors`). Plans as
