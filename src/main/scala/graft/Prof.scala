@@ -56,6 +56,14 @@ object Prof {
       .write.format("noop").mode("overwrite").save())
     t("full again")(Dedup.minhashLshPairs(docs, 3, 8, 4, 0.5)
       .write.format("noop").mode("overwrite").save())
+    t("jaccard ARRAY form")(Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .write.format("noop").mode("overwrite").save())
+    t("jaccard INVERTED form")(Dedup.ngramJaccardPairsInverted(docs, 3, 0.5)
+      .write.format("noop").mode("overwrite").save())
+    t("jaccard ARRAY form 2")(Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .write.format("noop").mode("overwrite").save())
+    t("jaccard INVERTED form 2")(Dedup.ngramJaccardPairsInverted(docs, 3, 0.5)
+      .write.format("noop").mode("overwrite").save())
     // IVF sanity: probing ALL cells must match brute force exactly
     locally {
       import graft.functions.Similarity

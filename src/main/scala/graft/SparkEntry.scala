@@ -78,7 +78,7 @@ object SparkEntry {
     // --- dedup ---
     "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
     "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
-    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsInverted(Tables.documents(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
     "q_simhash64" -> ((s, d) => Dedup.simhash64(Tables.documents(s, d))),

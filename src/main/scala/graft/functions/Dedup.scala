@@ -96,6 +96,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** Inverted-index form of the Jaccard near-dup join: instead of
+    * materializing shingle ARRAYS and intersecting per pair, self-join
+    * the long (doc, shingle) table on the shingle — the pair count per
+    * (doc_a, doc_b) IS the intersection size. Entirely codegen'd hash
+    * joins + counts, no per-pair array work; pairs sharing zero
+    * shingles never materialize. At 100 TB this is the standard
+    * posting-list approach (cost ~ Σ_shingle freq², bounded by
+    * blocking). */
+  def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val r = shingleRows(docs, n, Seq("lang", "source"))
+      .dropDuplicates("doc_id", "sh")
+    val sizes = r.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = r.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
+    val b = r.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("lang", "source", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
   /** MinHash signatures via Carter-Wegman combination: ONE md5 per
     * shingle yields two 32-bit integers (h1, h2 from hex substrings);
     * permutation i is h1 + i*h2 (max value < 2^35, no overflow in

@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("inverted-index jaccard agrees with the array form") {
+    val d = docs((1L, near1), (2L, near2), (3L, other))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(Dedup.ngramJaccardPairsInverted(d, 3, 0.1)) ==
+      canon(Dedup.ngramJaccardPairs(d, 3, 0.1)))
+  }
+
   test("minhashLshPairs finds the same planted near-dup") {
     val pairs = Dedup.minhashLshPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 8, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
