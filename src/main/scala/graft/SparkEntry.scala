@@ -149,6 +149,17 @@ object SparkEntry {
     "q_pivot_wide" -> ((s, d) =>
       SpendingReport.pivotWide(tx(s, d), "category",
         Seq("click", "error", "purchase", "signup", "view"))),
+    // --- semi-structured extraction over the real props JSON column
+    // (P6/F7 on data, the VARIANT-analog path) ---
+    "q_props_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+             max(col("k")).as("max_k"))
+    }),
   )
 
   private val txSql =
@@ -343,6 +354,10 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_props_extract" ->
+      """SELECT user_id, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |       count(*) AS n, max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_pivot_wide" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view").map(c =>
         s"cast(coalesce(sum(cast(amount AS DECIMAL(14,2))) FILTER (WHERE category = '$c'), 0) AS double) AS $c")
