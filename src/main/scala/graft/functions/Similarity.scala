@@ -24,10 +24,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** floor(x * 1e6) per element — exact integer embedding. */
-  def quantize(emb: Column): Column =
-    expr("transform(CAST(" + colName(emb) + " AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000.0) AS BIGINT))")
-
-  private def colName(c: Column): String = c.toString
+  def quantize(embCol: String): Column =
+    expr(s"transform(CAST($embCol AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000.0) AS BIGINT))")
 
   /** Quantized dot products run through the native codegen'd DotI64
     * expression — the HOF fold this replaces evaluates interpreted and
@@ -41,7 +39,7 @@ object Similarity {
   /** Embeddings with quantized vector + its exact squared norm. */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings
-      .withColumn("q", quantize(col("embedding")))
+      .withColumn("q", quantize("embedding"))
       .withColumn("nq", normQ("q"))
 
   /** Brute-force cosine top-k: for each query vector (`queryPred` picks
