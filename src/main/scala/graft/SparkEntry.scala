@@ -81,6 +81,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsInverted(Tables.documents(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
+    "q_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("n_chars"))),
     "q_simhash64" -> ((s, d) => Dedup.simhash64(Tables.documents(s, d))),
     // --- similarity search ---
     "q_ann_topk" -> ((s, d) =>

@@ -232,4 +232,57 @@ object Dedup {
     * on simhash: pairs with distance <= t). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each node adopts the minimum label in its
+    * neighborhood until fixpoint. Labels only ever decrease, so the
+    * total label sum is a cheap convergence detector. Each iteration
+    * localCheckpoints to truncate lineage — without it the plan doubles
+    * per round (the standard iterative-Spark requirement). Converges in
+    * O(diameter) rounds; near-dup clusters are shallow in practice. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
+  /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
+    * connected components → keep the minimum doc_id per component.
+    * Returns the surviving documents (non-duplicates plus one
+    * representative per duplicate cluster). */
+  def dedupCorpus(docs: DataFrame, n: Int, k: Int, bands: Int,
+                  minJaccard: Double): DataFrame = {
+    val exactPairs = docs
+      .select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_a"), collect_set(col("doc_id")).as("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val nearPairs = minhashLshPairs(docs, n, k, bands, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = connectedComponents(exactPairs.union(nearPairs))
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -89,6 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents resolves chains to the min label") {
+    // chain 1-2, 2-3 plus separate pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps one representative per cluster + all singletons") {
+    val d = docs(
+      (1L, near1), (2L, near2),        // near-dup cluster -> keep 1
+      (3L, other),                     // singleton -> keep
+      (4L, "A  B"), (5L, "a b"))       // exact-dup cluster -> keep 4
+    val survivors = Dedup.dedupCorpus(d, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 4L))
+  }
+
   test("simhash64: near-dups land within small hamming distance") {
     val h = Dedup.simhash64(docs((1L, near1), (2L, near2), (3L, other)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
