@@ -122,8 +122,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** MinHash signatures via Carter-Wegman combination: ONE md5 per
-    * shingle yields two 32-bit integers (h1, h2 from hex substrings);
+  /** MinHash signatures (Broder, "On the resemblance and containment
+    * of documents", SEQUENCES 1997) via Carter-Wegman combination: ONE
+    * md5 per shingle yields two 32-bit integers (h1, h2 from hex substrings);
     * permutation i is h1 + i*h2 (max value < 2^35, no overflow in
     * either engine). All k mins are computed in ONE grouped
     * aggregation — a single shuffle and a single digest per shingle
@@ -190,7 +191,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Portable 16-bit SimHash: per token, md5's 16 hex nibbles vote
+  /** Portable 16-bit SimHash (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", STOC 2002): per token, md5's 16 hex nibbles vote
     * ±1 by their top bit ('8'..'f'); the document's bit j is the sign
     * of the vote sum. One grouped aggregation -> 16 sums. (The
     * production-width 64-bit variant, simhash64, uses xxhash64 and is
@@ -240,13 +242,22 @@ object Dedup {
     * localCheckpoints to truncate lineage — without it the plan doubles
     * per round (the standard iterative-Spark requirement). Converges in
     * O(diameter) rounds; near-dup clusters are shallow in practice. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          partitions: Int = 1): DataFrame = {
+    // The duplicate-pair graph is vanishingly small relative to the
+    // corpus (near-dup pairs, not documents): default to 1 partition so
+    // each iteration is a single task, not 32 near-empty ones. Raise
+    // `partitions` when the pair graph itself is large.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(partitions)
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -258,7 +269,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       i += 1

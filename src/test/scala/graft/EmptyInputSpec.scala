@@ -46,6 +46,16 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.withColumn("n_chars", lit(0L))).count() == 0)
   }
 
+  test("dedupCorpus with no duplicate pairs returns all docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    assert(Dedup.dedupCorpus(docs, 3, 8, 4, 0.5).count() == 2)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping
