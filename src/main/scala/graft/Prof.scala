@@ -74,6 +74,14 @@ object Prof {
       val ivfAll = Similarity.ivfTopK(emb, q, 10, 16, 16)
         .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println("IVF_FULLPROBE_RECALL=" + (bf.intersect(ivfAll).size.toDouble / bf.size))
+      val ivfSeed = Similarity.ivfTopK(emb, q, 10, 16, 4)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t0k = System.nanoTime()
+      val ivfKm = Similarity.ivfTopK(emb, q, 10, 16, 4, trainIters = 3)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"IVF_SEED_RECALL=${bf.intersect(ivfSeed).size.toDouble / bf.size}%.2f " +
+        f"IVF_KMEANS_RECALL=${bf.intersect(ivfKm).size.toDouble / bf.size}%.2f " +
+        f"KMEANS_TIME=${(System.nanoTime()-t0k)/1e9}%.1f s")
     }
     spark.stop()
   }

@@ -153,6 +153,17 @@ object SparkEntry {
     "q_pivot_wide" -> ((s, d) =>
       SpendingReport.pivotWide(tx(s, d), "category",
         Seq("click", "error", "purchase", "signup", "view"))),
+    // --- sliding event-time windows (batch form of the streaming
+    // windowed agg; each event lands in 2 overlapping windows) ---
+    "q_sliding_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type").as("category"))
+        .agg(sum(col("value").cast("decimal(14,2)")).cast("double").as("total_spent"),
+             count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+                col("category"), col("total_spent"), col("n"))
+    }),
     // --- semi-structured extraction over the real props JSON column
     // (P6/F7 on data, the VARIANT-analog path) ---
     "q_props_extract" -> ((s, d) => {
@@ -358,6 +369,19 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_sliding_window" ->
+      """WITH w AS (SELECT event_type AS category, value, ts,
+        |                  unnest([to_timestamp(floor(epoch(ts) / 43200) * 43200),
+        |                          to_timestamp(floor(epoch(ts) / 43200) * 43200 - 43200)]) AS w_start
+        |           FROM events)
+        |SELECT CAST(w_start AS TIMESTAMP) AS w_start,
+        |       CAST(w_start + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
+        |       category,
+        |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_spent,
+        |       count(*) AS n
+        |FROM w
+        |WHERE ts >= w_start AND ts < w_start + INTERVAL 1 DAY
+        |GROUP BY w_start, category""".stripMargin,
     "q_props_extract" ->
       """SELECT user_id, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
         |       count(*) AS n, max(CAST(props->>'k' AS BIGINT)) AS max_k

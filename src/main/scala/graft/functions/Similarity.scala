@@ -113,20 +113,67 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"))
   }
 
+  /** Lloyd's k-means over the embeddings (cosine assignment), for IVF
+    * centroid training. Assignment dots and per-dimension means both
+    * run long-form (posexplode + joins/groupBy — fully codegen);
+    * each round localCheckpoints to truncate lineage. Returns
+    * (cell_id, centroid ARRAY<DOUBLE>). Seeds = the k lowest vec_ids. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vdims = v.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .localCheckpoint()
+    var cents = v.orderBy(col("vec_id").asc).limit(k)
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
+      .select(col("cell_id"), col("v").as("c"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val cdims = cents.select(col("cell_id"), posexplode(col("c")).as(Seq("d", "cx")))
+      // cosine assignment: argmax of dot / |c| (|v| constant per vec)
+      val cnorm = cdims.groupBy(col("cell_id"))
+        .agg(sqrt(sum(col("cx") * col("cx"))).as("cn"))
+      val sims = vdims.join(broadcast(cdims), Seq("d"))
+        .groupBy(col("vec_id"), col("cell_id"))
+        .agg(sum(col("x") * col("cx")).as("dot"))
+        .join(broadcast(cnorm), Seq("cell_id"))
+        .withColumn("sim", col("dot") / col("cn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell_id").asc)
+      val assign = sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id"))
+      // new centroids: per-dimension mean over members
+      cents = vdims.join(assign, Seq("vec_id"))
+        .groupBy(col("cell_id"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
-    * vectors (deterministically seeded from the corpus: the lowest
-    * vec_ids) partitions the space; each vector is assigned to its
+    * vectors partitions the space; each vector is assigned to its
     * nearest centroid cell, queries probe the `nProbe` nearest cells
     * and run exact cosine inside them. At 100 TB the cell assignment is
     * one broadcast-join pass and search cost drops by ~nCells/nProbe.
-    * Returns (query_id, rnk, neighbor_id, cosine). */
+    * `trainIters` = 0 uses raw corpus seeds as centroids; > 0 runs
+    * Lloyd's k-means first. Returns (query_id, rnk, neighbor_id,
+    * cosine). */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              nCells: Int, nProbe: Int): DataFrame = {
+              nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
     val e = quantized(embeddings)
-    // Deterministic centroids: the nCells lowest vec_ids (a real system
-    // would k-means; the plumbing — assignment + probing — is the same).
-    val centroids = e.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("q").as("cv"), col("nq").as("cn"))
+    val centroids =
+      if (trainIters == 0)
+        e.orderBy(col("vec_id").asc).limit(nCells)
+          .select(col("vec_id").as("cell_id"), col("q").as("cv"), col("nq").as("cn"))
+      else
+        kmeansCentroids(embeddings, nCells, trainIters)
+          .withColumn("cv", quantize("c"))
+          .withColumn("cn", expr(
+            "aggregate(cv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+          .select(col("cell_id"), col("cv"), col("cn"))
     def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("_sim").desc, col("cell_id").asc)

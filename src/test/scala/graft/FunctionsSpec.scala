@@ -133,6 +133,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("kmeans centroids: k cells, full dimensionality, usable by IVF") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, 8, 2).collect()
+    assert(cents.length == 8)
+    assert(cents.forall(_.getSeq[Double](1).length == 64))
+    val out = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, 5, 8, 2, trainIters = 2)
+    val perQuery = out.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
+    assert(perQuery == Set(5L))
+  }
+
   test("quantized cosine agrees with double cosine to 1e-5") {
     val e = Similarity.quantized(
       Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50))
