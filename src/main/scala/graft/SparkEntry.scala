@@ -141,6 +141,17 @@ object SparkEntry {
       Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
     "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
+    "q_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val intervals = ev.groupBy(col("user_id").as("ival_id"))
+        .agg(min(col("ts")).as("ival_start"))
+        .withColumn("ival_end", expr("ival_start + INTERVAL 1 DAY"))
+      Temporal.countPointsInIntervals(ev, "ts", intervals, 2)
+    }),
+    "q_profile" -> ((s, d) =>
+      graft.functions.Profiler.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"))),
     // --- exact percentiles (A-extension) + heavy-hitters sketch ---
     "q_percentiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -369,6 +380,23 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_range_join" ->
+      """WITH i AS (SELECT user_id AS ival_id, min(ts) AS ival_start,
+        |                  min(ts) + INTERVAL 1 DAY AS ival_end
+        |           FROM events GROUP BY user_id)
+        |SELECT ival_id, ival_start, ival_end, count(*) AS n_points
+        |FROM i JOIN events e ON e.ts >= i.ival_start AND e.ts < i.ival_end
+        |GROUP BY ival_id, ival_start, ival_end""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
     "q_sliding_window" ->
       """WITH w AS (SELECT event_type AS category, value, ts,
         |                  unnest([to_timestamp(floor(epoch(ts) / 43200) * 43200),

@@ -110,4 +110,24 @@ object Temporal {
     tx.cube(col("category"), col("txn_date"))
       .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
            count(lit(1)).as("n"))
+
+  /** RANGE (interval) JOIN, bucketed: count points whose timestamp
+    * falls inside each [start, end) interval — with NO equi key. The
+    * naive plan is a BroadcastNestedLoop O(points × intervals); the
+    * scalable form maps both sides onto day buckets (an interval of
+    * bounded length covers few buckets), equi-joins on the bucket, and
+    * post-filters exact containment — O(points + intervals·buckets)
+    * with an ordinary hash join. Intervals must span < `maxDays`.
+    * Output: one row per interval with its contained-point count. */
+  def countPointsInIntervals(points: DataFrame, tsCol: String,
+                             intervals: DataFrame, maxDays: Int): DataFrame = {
+    val p = points.select(to_date(col(tsCol)).as("bucket"), col(tsCol).as("_pts"))
+    val i = intervals
+      .withColumn("bucket",
+        explode(expr("sequence(to_date(ival_start), to_date(ival_end), interval 1 day)")))
+    i.join(p, Seq("bucket"))
+      .filter(col("_pts") >= col("ival_start") && col("_pts") < col("ival_end"))
+      .groupBy(col("ival_id"), col("ival_start"), col("ival_end"))
+      .agg(count(lit(1)).as("n_points"))
+  }
 }
