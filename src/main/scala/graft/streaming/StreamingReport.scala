@@ -55,9 +55,17 @@ object StreamingReport {
   /** Incremental report maintenance: each micro-batch's daily reports
     * are MERGEd into the parquet reports table (exactly-once per the
     * reference's idempotence guard: replayed batches can only grow
-    * total_transactions, so equal-count replays are no-ops). */
-  def reportMergeSink(tx: DataFrame, reportsDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    tx.writeStream
+    * total_transactions, so equal-count replays are no-ops).
+    *
+    * Without a checkpoint, every run reprocesses the whole landing zone
+    * — the reference's own recompute-from-scratch cadence
+    * (/root/reference/pipelines/dagster_pipeline.py:17-22). With
+    * `checkpointDir` set, restarts resume from the file-source offset
+    * log and each run processes ONLY newly landed files: true
+    * O(new-data) incremental maintenance. */
+  def reportMergeSink(tx: DataFrame, reportsDir: String,
+                      checkpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = tx.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -67,4 +75,6 @@ object StreamingReport {
         // overwrite) — per-batch cost is O(batch), not O(history).
         ReportUpsert.mergeIntoPartitioned(reportsDir, daily)
       }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
+  }
 }

@@ -54,6 +54,19 @@ class TemporalSpec extends SparkSpec {
     assert(out(("rent", "2024-01-01")) == 100.0)
   }
 
+  test("range join: boundary containment is [start, end)") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),  // == start -> in
+      (2L, ts("2024-01-01 23:59:59")),  // inside
+      (3L, ts("2024-01-02 00:00:00")),  // == end -> out
+      (4L, ts("2023-12-31 23:59:59"))   // before -> out
+    ).toDF("event_id", "ts")
+    val intervals = Seq((7L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("ival_id", "ival_start", "ival_end")
+    val out = Temporal.countPointsInIntervals(points, "ts", intervals, 2).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_points") == 2L)
+  }
+
   test("cubeSpend emits all grouping sets incl. grand total") {
     val tx = Seq(("2024-01-01", "food", 10.0), ("2024-01-02", "rent", 5.0))
       .toDF("dt", "category", "amount")

@@ -147,4 +147,33 @@ class StreamingSpec extends SparkSpec {
     val n = spark.read.parquet(dir).count()
     assert(n == 30)  // one report row per event day
   }
+
+  test("checkpointed sink processes only newly landed files per run") {
+    val landing = java.nio.file.Files.createTempDirectory("graft_ck_landing")
+    val reports = java.nio.file.Files.createTempDirectory("graft_ck_rep").toString + "/reports"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("f1.parquet"))
+    def runOnce(): Unit = {
+      val q = StreamingReport.reportMergeSink(
+        StreamingReport.transactionsStream(spark, landing.toString),
+        reports, Some(ckpt)).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val t1 = spark.read.parquet(reports)
+      .agg(sum("total_transactions")).head().getLong(0)
+    // land the SAME file again: with a checkpoint, the second run
+    // processes only f2; its per-day counts EQUAL the stored ones, so
+    // the P5 guard no-ops — true incremental semantics (contrast the
+    // uncheckpointed recompute, where totals double)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("f2.parquet"))
+    runOnce()
+    val t2 = spark.read.parquet(reports)
+      .agg(sum("total_transactions")).head().getLong(0)
+    assert(t1 == 1000L && t2 == 1000L)
+  }
 }
