@@ -81,6 +81,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsInverted(Tables.documents(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
+    "q_split_counts" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.Sampling.withSplit(Tables.documents(s, d), "doc_id", 10, 10)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
     "q_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -380,6 +386,14 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_split_counts" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
+        |         WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM s GROUP BY lang, split""".stripMargin,
     "q_range_join" ->
       """WITH i AS (SELECT user_id AS ival_id, min(ts) AS ival_start,
         |                  min(ts) + INTERVAL 1 DAY AS ival_end

@@ -51,6 +51,37 @@ class ApproxDistinctSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Sampling
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("deterministic sample: identical membership across runs, ~pct size") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 150) < 40, s"~30% of 500 expected, got ${a.size}")
+  }
+
+  test("splits partition every row exactly once and nest monotonically") {
+    val s = Sampling.withSplit(docs, "doc_id", 10, 10)
+    assert(s.count() == docs.count())
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // growing the sample keeps prior members (nested samples)
+    val p10 = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p20 = Sampling.deterministicSample(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p10.subsetOf(p20))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
