@@ -162,7 +162,9 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       tx(s, d).groupBy(col("category"))
-        .agg(expr("percentile(amount, array(0.25, 0.5, 0.75))").as("quartiles"),
+        .agg(expr("percentile(amount, 0.25)").as("q25"),
+             expr("percentile(amount, 0.5)").as("q50"),
+             expr("percentile(amount, 0.75)").as("q75"),
              count(lit(1)).as("n"))
     }),
     // SpaceSaving degenerates to exact counts while the vocabulary fits
@@ -446,7 +448,10 @@ object SparkEntry {
            |SELECT term, count(*) AS count, CAST(0 AS BIGINT) AS max_error
            |FROM t GROUP BY term ORDER BY count DESC, term ASC LIMIT 20""".stripMargin,
     "q_percentiles" ->
-      s"""SELECT category, quantile_cont(amount, [0.25, 0.5, 0.75]) AS quartiles,
+      s"""SELECT category,
+         |       quantile_cont(amount, 0.25) AS q25,
+         |       quantile_cont(amount, 0.5) AS q50,
+         |       quantile_cont(amount, 0.75) AS q75,
          |       count(*) AS n
          |FROM ($txSql) GROUP BY category""".stripMargin,
     "q_above_nation_avg" -> Relational.aboveNationAvgSql,
