@@ -32,7 +32,7 @@ object SparkEntry {
     "q_category_totals" -> ((s, d) => SpendingReport.keyTotals(tx(s, d), "category")),
     "q_vendor_totals" -> ((s, d) => SpendingReport.keyTotals(tx(s, d), "vendor")),
     "q_distinct_categories" -> ((s, d) => SpendingReport.distinctKeys(tx(s, d), "category")),
-    "q_unique_sets" -> ((s, d) => SpendingReport.uniqueKeySets(tx(s, d))),
+    "q_unique_sets" -> ((s, d) => SpendingReport.uniqueKeySetsDigest(tx(s, d))),
     "q_mean_category" -> ((s, d) => SpendingReport.zeroImputedMean(tx(s, d), "category")),
     "q_mean_vendor" -> ((s, d) => SpendingReport.zeroImputedMean(tx(s, d), "vendor")),
     "q_pct_change_category" -> ((s, d) => SpendingReport.pctChangeLatest(tx(s, d), "category")),
@@ -115,6 +115,20 @@ object SparkEntry {
         .select(col("begin_date"),
           get_json_object(col("details"), "$.total_spent").cast("double").as("total_spent"),
           get_json_object(col("details"), "$.total_transactions").cast("long").as("total_transactions"))
+    }),
+    // --- true VARIANT path (Spark 4 VariantType — the literal analog
+    // of the reference's Snowflake VARIANT details column,
+    // README.md:44-52): build details JSON, parse_json -> VARIANT,
+    // variant_get typed extraction. Output is scalar-only so the
+    // DuckDB oracle gates it (same values as q_json_roundtrip). ---
+    "q_variant_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      ReportUpsert.dailyReports(tx(s, d), "v")
+        .withColumn("details",
+          parse_json(to_json(struct(col("total_spent"), col("total_transactions")))))
+        .select(col("begin_date"),
+          variant_get(col("details"), "$.total_spent", "double").as("total_spent"),
+          variant_get(col("details"), "$.total_transactions", "bigint").as("total_transactions"))
     }),
     // --- A7 at scale: HLL approximate-distinct toggle (rows-only; the
     // estimate is engine-specific so there is no cross-engine oracle) ---
@@ -226,9 +240,9 @@ object SparkEntry {
     "q_distinct_categories" ->
       s"SELECT DISTINCT category FROM ($txSql)",
     "q_unique_sets" ->
-      s"""SELECT list_sort(list(DISTINCT category)) AS unique_categories,
+      s"""SELECT md5(array_to_string(list_sort(list(DISTINCT category)), '|')) AS categories_md5,
          |       count(DISTINCT category) AS n_categories,
-         |       list_sort(list(DISTINCT vendor)) AS unique_vendors,
+         |       md5(array_to_string(list_sort(list(DISTINCT vendor)), '|')) AS vendors_md5,
          |       count(DISTINCT vendor) AS n_vendors
          |FROM ($txSql)""".stripMargin,
     "q_mean_category" ->
@@ -398,7 +412,7 @@ object SparkEntry {
         |         WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
         |         ELSE 'train' END AS split
         |  FROM documents)
-        |SELECT lang, split, count(*) AS n, sum(n_chars) AS sum_chars
+        |SELECT lang, split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY lang, split""".stripMargin,
     "q_range_join" ->
       """WITH i AS (SELECT user_id AS ival_id, min(ts) AS ival_start,
@@ -411,7 +425,7 @@ object SparkEntry {
       val cols = Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
       cols.map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |       sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |       count(DISTINCT $c) AS n_distinct,
            |       CAST(min($c) AS VARCHAR) AS min_value,
            |       CAST(max($c) AS VARCHAR) AS max_value
@@ -431,7 +445,7 @@ object SparkEntry {
         |WHERE ts >= w_start AND ts < w_start + INTERVAL 1 DAY
         |GROUP BY w_start, category""".stripMargin,
     "q_props_extract" ->
-      """SELECT user_id, sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      """SELECT user_id, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n, max(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY user_id""".stripMargin,
     "q_pivot_wide" -> {
@@ -496,6 +510,11 @@ object SparkEntry {
          |       count(*) AS n
          |FROM ($txSql) GROUP BY CUBE(category, txn_date)""".stripMargin,
     "q_json_roundtrip" ->
+      s"""SELECT txn_date AS begin_date,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       count(*) AS total_transactions
+         |FROM ($txSql) GROUP BY txn_date""".stripMargin,
+    "q_variant_extract" ->
       s"""SELECT txn_date AS begin_date,
          |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
          |       count(*) AS total_transactions

@@ -57,9 +57,11 @@ object Dedup {
     * a shuffle. */
   def shingleRows(docs: DataFrame, n: Int, extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val keep = col("doc_id") +: extraCols.map(col)
     val toks = docs.select(
       keep :+ posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")): _*)
+    if (n == 1) return toks.select(keep :+ col("tok").as("sh"): _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
     toks
@@ -96,30 +98,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** Inverted-index form of the Jaccard near-dup join: instead of
-    * materializing shingle ARRAYS and intersecting per pair, self-join
-    * the long (doc, shingle) table on the shingle — the pair count per
-    * (doc_a, doc_b) IS the intersection size. Entirely codegen'd hash
-    * joins + counts, no per-pair array work; pairs sharing zero
-    * shingles never materialize. At 100 TB this is the standard
-    * posting-list approach (cost ~ Σ_shingle freq², bounded by
-    * blocking). */
-  def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val r = shingleRows(docs, n, Seq("lang", "source"))
-      .dropDuplicates("doc_id", "sh")
-    val sizes = r.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = r.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
-    val b = r.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("lang", "source", "sh"))
+  /** Inverted-index form of the Jaccard near-dup join: self-join the
+    * long (doc, shingle) table on the shingle so pairs sharing zero
+    * shingles never materialize. Entirely codegen'd hash joins, no
+    * per-pair array work until verification. At 100 TB this is the
+    * standard posting-list approach, and `maxDocFreq` is the standard
+    * stop-shingle cap on it: the posting-list self-join costs
+    * Σ_shingle df², which a single template shingle shared by millions
+    * of documents blows up quadratically. Candidate generation
+    * therefore uses only shingles with document frequency ≤ maxDocFreq
+    * (near-dup signal lives in rare shingles); candidates are then
+    * verified with EXACT Jaccard over the FULL shingle sets, so
+    * reported inter/uni/jaccard are uncapped. A qualifying pair is
+    * missed only if every shingle it shares is hotter than the cap —
+    * pick the cap ≥ corpus size (default 1000 ≥ the sf0.01/sf0.1
+    * fixtures) to make the cap non-binding where exactness is gated,
+    * and bind it deliberately at scale. */
+  def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
+                                maxDocFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One aggregation pass builds the full per-doc shingle sets; the
+    // persist is a sharing barrier (pruning would otherwise re-run the
+    // shingling pipeline for each of the 3 consumers below).
+    val sets = shingleRows(docs, n, Seq("lang", "source"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("lang"), col("source"), col("doc_id"),
+      explode(col("shs")).as("sh"))
+    val wDf = Window.partitionBy(col("lang"), col("source"), col("sh"))
+    val rare = ex.withColumn("_df", count(lit(1)).over(wDf))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
+    val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
+        Seq("lang", "source", "sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .agg(count(lit(1)).as("_rare_shared"))
+      .select(col("doc_a"), col("doc_b"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+      // Size-ratio prune: J >= t implies min(|A|,|B|)*(1+t) >= t*(|A|+|B|)
+      // (since |A∩B| <= min) — necessary condition only, result
+      // unchanged; the expensive intersect never runs for pairs that
+      // cannot qualify.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") * (1.0 + minJaccard)
+        >= lit(minJaccard) * (size(col("sh_a")) + size(col("sh_b"))).cast("double"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+    val pairs = out.localCheckpoint()
+    sets.unpersist()
+    pairs
   }
 
   /** MinHash signatures (Broder, "On the resemblance and containment
@@ -180,7 +215,7 @@ object Dedup {
     // Verify candidates with exact Jaccard on the shingle sets; the
     // candidate set is tiny, so broadcast it against the shared sig.
     val s = sig.select(col("doc_id"), col("shingles"))
-    broadcast(cand)
+    val out = broadcast(cand)
       .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -189,6 +224,13 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Materialize the (tiny) verified-pair set eagerly so the big
+    // signature cache can be released NOW instead of leaking for the
+    // session lifetime; downstream consumers (dedupCorpus's connected
+    // components re-read pairs every iteration) hit the checkpoint.
+    val pairs = out.localCheckpoint()
+    sig.unpersist()
+    pairs
   }
 
   /** Portable 16-bit SimHash (Charikar, "Similarity estimation
@@ -198,12 +240,20 @@ object Dedup {
     * production-width 64-bit variant, simhash64, uses xxhash64 and is
     * unit-tested; DuckDB lacks xxhash64 so the oracle gates this one.) */
   def simhash16(docs: DataFrame): DataFrame = {
+    // Parse the first 16 hex nibbles as TWO 32-bit ints once per token
+    // row, then read each nibble's top bit with integer shifts — the
+    // per-nibble substring compare this replaces did 16 string ops per
+    // row and measured ~9s at sf0.1 vs pure int arithmetic. Hex digit
+    // >= '8' ⟺ nibble top bit set, so votes are identical.
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
+      .withColumn("i0", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("i1", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     val votes = (0 until 16).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isInCollection(
-        Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1)).as(s"v$j")
+      val word = if (j < 8) col("i0") else col("i1")
+      val bit = (7 - (j % 8)) * 4 + 3 // hex char p holds bits (7-p)*4+3..(7-p)*4
+      sum(when(shiftright(word, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
     }
     tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .withColumn("simhash16",
@@ -236,12 +286,15 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Connected components over near-dup pairs by iterative min-label
-    * propagation: each node adopts the minimum label in its
-    * neighborhood until fixpoint. Labels only ever decrease, so the
-    * total label sum is a cheap convergence detector. Each iteration
-    * localCheckpoints to truncate lineage — without it the plan doubles
-    * per round (the standard iterative-Spark requirement). Converges in
-    * O(diameter) rounds; near-dup clusters are shallow in practice. */
+    * propagation WITH pointer jumping: each round every node adopts the
+    * minimum label in its neighborhood, then compresses one pointer hop
+    * (label ← label(label)), so propagation distance roughly squares
+    * per round — O(log diameter) rounds instead of O(diameter). Labels
+    * only ever decrease, so the total label sum is a cheap convergence
+    * detector. Each iteration localCheckpoints to truncate lineage —
+    * without it the plan doubles per round (the standard
+    * iterative-Spark requirement). An empty pair set exits before any
+    * iteration (the common case for a clean corpus). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           partitions: Int = 1): DataFrame = {
     // The duplicate-pair graph is vanishingly small relative to the
@@ -255,6 +308,7 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    if (labels.isEmpty) return labels
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -265,9 +319,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // Pointer jump: labels are always node ids, so label(label) is
+      // defined for every row; one extra tiny join halves the rounds.
+      labels = stepped
+        .join(stepped.select(col("id").as("_jid"), col("label").as("_jlabel")),
+          col("label") === col("_jid"))
+        .select(col("id"), col("_jlabel").as("label"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = s == prevSum

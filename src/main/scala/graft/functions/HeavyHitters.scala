@@ -43,18 +43,18 @@ object HeavyHitters {
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        // standard union: add counts for shared terms; for terms only in
-        // one side, the other side's minimum is the added uncertainty
+        // standard union: add counts for shared terms; a term missing
+        // from a full buffer could have been evicted with count up to
+        // that buffer's OWN minimum — substitute minA for terms absent
+        // from a, minB for terms absent from b (both upper bounds, so
+        // the over-estimate guarantee survives the merge)
         val minA = if (a.size < capacity) 0L else a.values.map(_._1).min
         val minB = if (b.size < capacity) 0L else b.values.map(_._1).min
         val out = mutable.Map.empty[String, (Long, Long)]
         (a.keySet ++ b.keySet).foreach { t =>
-          val (ca, ea) = a.getOrElse(t, (minB, minB))
-          val (cb, eb) = b.getOrElse(t, (minA, minA))
-          // note: missing-side substitution uses the OTHER buffer's min
-          val c = (if (a.contains(t)) ca else minB) + (if (b.contains(t)) cb else minA)
-          val e = (if (a.contains(t)) ea else minB) + (if (b.contains(t)) eb else minA)
-          out.update(t, (c, e))
+          val (ca, ea) = a.getOrElse(t, (minA, minA))
+          val (cb, eb) = b.getOrElse(t, (minB, minB))
+          out.update(t, (ca + cb, ea + eb))
         }
         // keep the top `capacity` by count (tie-break on term for determinism)
         val kept = out.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)

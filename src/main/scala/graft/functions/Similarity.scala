@@ -175,15 +175,27 @@ object Similarity {
             "aggregate(cv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
           .select(col("cell_id"), col("cv"), col("cn"))
     def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_sim").desc, col("cell_id").asc)
-      vecs.crossJoin(broadcast(centroids))
+      val sims = vecs.crossJoin(broadcast(centroids))
         .withColumn("_sim",
           dotQ("q", "cv").cast("double") /
             sqrt(col("nq").cast("double") * col("cn").cast("double")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= n)
-        .select(col("vec_id"), col("cell_id"))
+      if (n == 1)
+        // Assignment (the full-corpus pass) is a groupBy-argmax: a
+        // partial-aggregating hash agg over the ×nCells expansion — no
+        // row_number window, so the nCells×corpus rows never shuffle
+        // or sort. Tie-break = highest sim, then lowest cell_id
+        // (maximize (_sim, -cell_id), matching the window ordering).
+        sims.groupBy(col("vec_id"))
+          .agg(max_by(col("cell_id"),
+            struct(col("_sim"), (-col("cell_id")).as("_nc"))).as("cell_id"))
+      else {
+        // Probe side (queries only — tiny) keeps the top-n window.
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("_sim").desc, col("cell_id").asc)
+        sims.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= n)
+          .select(col("vec_id"), col("cell_id"))
+      }
     }
     val assigned = e.join(nearestCells(e, 1), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id").as("neighbor_id"),

@@ -96,12 +96,24 @@ object Relational {
   }
 
   /** ROLLUP grouping sets (the multi-client generalization the reference
-    * notes as future work — transformer.py:137-141). */
-  def rollupQtyByFlagStatus(lineitem: DataFrame): DataFrame =
-    lineitem
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(exactSum(col("l_quantity"), 2).as("sum_qty"),
-           count(lit(1)).as("n_rows"))
+    * notes as future work — transformer.py:137-141).
+    *
+    * Two-phase: plain groupBy on the finest grouping first, then rollup
+    * the tiny aggregate. Spark's Expand would otherwise multiply every
+    * INPUT row by the number of grouping sets before partial
+    * aggregation — ×3 the scan at any scale; this way Expand runs over
+    * ≤ |flag×status| rows. Sums of decimal partial sums re-aggregate
+    * exactly (decimal addition is associative), so results are
+    * bit-identical to the single-phase plan. */
+  def rollupQtyByFlagStatus(lineitem: DataFrame): DataFrame = {
+    val pre = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("_sq"),
+           count(lit(1)).as("_nr"))
+    pre.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("_sq")).cast("double").as("sum_qty"),
+           sum(col("_nr")).as("n_rows"))
+  }
 
   /** UNION + DISTINCT over aligned projections (§2.7). */
   def activeNationKeys(supplier: DataFrame, customer: DataFrame): DataFrame =
@@ -136,7 +148,7 @@ object Relational {
   val caseAggSql: String =
     """SELECT o_orderpriority,
       |       count(*) AS n_orders,
-      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
       |       cast(sum(CASE WHEN o_orderstatus = 'F'
       |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS double) AS finished_value

@@ -50,12 +50,48 @@ object SpendingReport {
   /** A5/A6 + O1/O2: group-sum by key, reported with the value-ascending
     * rank the reference's sorted-dict output encodes
     * (transformer.py:212-213,234-237). Ties broken by key name so the
-    * rank is deterministic. */
+    * rank is deterministic.
+    *
+    * The rank is computed scale-safe: an unpartitioned
+    * `Window.orderBy` would move ALL rows to a single partition — fine
+    * at #distinct-vendors today, a one-task straggler at 100× the key
+    * cardinality. `globalRank` range-partitions instead. */
   def keyTotals(tx: DataFrame, key: String): DataFrame =
-    tx.groupBy(col(key))
-      .agg(moneySum(amt2).as("total"))
-      .withColumn("rank_asc",
-        row_number().over(Window.orderBy(col("total").asc, col(key).asc)).cast("long"))
+    globalRank(
+      tx.groupBy(col(key)).agg(moneySum(amt2).as("total")),
+      Seq(col("total").asc, col(key).asc), "rank_asc")
+
+  /** Distributed global row_number over a total order, with no
+    * single-partition window anywhere in the plan:
+    *  1. range-partition on the sort columns (partitions are ordered,
+    *     non-overlapping ranges);
+    *  2. row_number within each partition (parallel windows);
+    *  3. add per-partition offsets = cumulative partition counts — a
+    *     metadata-sized driver step (one long per partition, same class
+    *     of driver state as AQE's per-partition stats).
+    * The sort order must be total (no ties across all sortCols) for the
+    * rank to be deterministic under repartitioning. The input is
+    * localCheckpointed so the count pass and the output read one
+    * materialization instead of recomputing the upstream aggregate. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    val offDf = offsets.toSeq.toDF("_pid", "_offset")
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    parted
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(outCol, (col("_offset") + col("_rn")).cast("long"))
+      .drop("_pid", "_rn", "_offset")
+  }
 
   /** A7/A8 + O4: distinct keys, one row per key (row-form of the sorted
     * distinct list; transformer.py:153-154,232-233). */
@@ -69,6 +105,18 @@ object SpendingReport {
       sort_array(collect_set(col("category"))).as("unique_categories"),
       countDistinct(col("category")).as("n_categories"),
       sort_array(collect_set(col("vendor"))).as("unique_vendors"),
+      countDistinct(col("vendor")).as("n_vendors"))
+
+  /** Scalar (gate-hashable) form of the distinct sets: md5 of the
+    * '|'-joined sorted set + exact cardinalities. Array columns crash
+    * the driver's pandas-based compare harness (unhashable ndarray), so
+    * the oracle-gated query emits only scalars; the array form above
+    * remains the report-assembly surface. */
+  def uniqueKeySetsDigest(tx: DataFrame): DataFrame =
+    tx.agg(
+      md5(array_join(sort_array(collect_set(col("category"))), "|")).as("categories_md5"),
+      countDistinct(col("category")).as("n_categories"),
+      md5(array_join(sort_array(collect_set(col("vendor"))), "|")).as("vendors_md5"),
       countDistinct(col("vendor")).as("n_vendors"))
 
   /** Per-(file,key) sums — the long form of the reference's pivot table
@@ -105,18 +153,35 @@ object SpendingReport {
 
   /** W1/W2: percent change of the latest file date vs its predecessor,
     * per key, over the zero-imputed dense grid (transformer.py:221-222).
-    * Engine semantics (documented deviation from pandas ±inf): a zero or
-    * missing predecessor yields 0.0 — the reference's own `.fillna(0)`
-    * already zeroes the leading row and 0→0; we extend the same rule to
-    * 0→x rather than emit unrepresentable infinities. */
-  def pctChangeLatest(tx: DataFrame, key: String): DataFrame = {
+    *
+    * Two modes for the 0-predecessor edge (the one place engine and
+    * reference-as-implemented can differ — see README "pct_change edge
+    * semantics"):
+    *  - default (`pandasInf = false`, what the oracle gates): a zero or
+    *    missing predecessor yields 0.0 — the reference's own
+    *    `.fillna(0)` already zeroes the leading row and 0→0; we extend
+    *    the same rule to 0→x rather than emit infinities.
+    *  - `pandasInf = true`: pandas-faithful — 0→x yields ±Infinity
+    *    (pandas' (x-0)/0; `.fillna(0)` replaces only NaN, so the inf
+    *    SURVIVES in the reference's report), while the leading row and
+    *    0→0 produce NaN and ARE zeroed by fillna. */
+  def pctChangeLatest(tx: DataFrame, key: String,
+                      pandasInf: Boolean = false): DataFrame = {
     val w  = Window.partitionBy(col(key)).orderBy(col("txn_date").asc)
     val wl = Window.partitionBy(col(key)).orderBy(col("txn_date").desc)
+    val pct =
+      if (pandasInf)
+        when(col("prev").isNull, lit(0.0))                                   // leading NaN -> fillna(0)
+          .when(col("prev") === 0.0 && col("amount") === 0.0, lit(0.0))      // 0/0 NaN -> fillna(0)
+          .when(col("prev") === 0.0 && col("amount") > 0.0, lit(Double.PositiveInfinity))
+          .when(col("prev") === 0.0, lit(Double.NegativeInfinity))
+          .otherwise((col("amount") - col("prev")) / col("prev"))
+      else
+        when(col("prev").isNull || col("prev") === 0.0, lit(0.0))
+          .otherwise((col("amount") - col("prev")) / col("prev"))
     denseGrid(tx, key)
       .withColumn("prev", lag(col("amount"), 1).over(w))
-      .withColumn("pct_change",
-        when(col("prev").isNull || col("prev") === 0.0, lit(0.0))
-          .otherwise((col("amount") - col("prev")) / col("prev")))
+      .withColumn("pct_change", pct)
       .withColumn("rn", row_number().over(wl))
       .filter(col("rn") === 1)
       .select(col(key), col("pct_change"))

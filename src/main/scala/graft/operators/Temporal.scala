@@ -103,13 +103,20 @@ object Temporal {
       .withColumn("day_total", col("day_total").cast("double"))
   }
 
-  /** CUBE over (category, txn_date-month... here: category × vendor
-    * prefix) — full grouping-sets coverage (SURVEY §2.4 "absent" row).
-    */
-  def cubeSpend(tx: DataFrame): DataFrame =
-    tx.cube(col("category"), col("txn_date"))
-      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
-           count(lit(1)).as("n"))
+  /** CUBE over (category, txn_date) — full grouping-sets coverage
+    * (SURVEY §2.4 "absent" row). Two-phase like
+    * Relational.rollupQtyByFlagStatus: groupBy the finest grouping
+    * first so Expand (×4 grouping sets for CUBE) multiplies only the
+    * tiny pre-aggregate, never the input scan; decimal partial sums
+    * re-aggregate exactly. */
+  def cubeSpend(tx: DataFrame): DataFrame = {
+    val pre = tx.groupBy(col("category"), col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("_ts"),
+           count(lit(1)).as("_n"))
+    pre.cube(col("category"), col("txn_date"))
+      .agg(sum(col("_ts")).cast("double").as("total_spent"),
+           sum(col("_n")).as("n"))
+  }
 
   /** RANGE (interval) JOIN, bucketed: count points whose timestamp
     * falls inside each [start, end) interval — with NO equi key. The
@@ -117,12 +124,17 @@ object Temporal {
     * scalable form maps both sides onto day buckets (an interval of
     * bounded length covers few buckets), equi-joins on the bucket, and
     * post-filters exact containment — O(points + intervals·buckets)
-    * with an ordinary hash join. Intervals must span < `maxDays`.
-    * Output: one row per interval with its contained-point count. */
+    * with an ordinary hash join. `maxDays` is ENFORCED: intervals
+    * spanning >= maxDays are excluded (the bucket fan-out is one row
+    * per covered day, so an unbounded interval would silently explode
+    * the join input — callers wanting long intervals must raise the
+    * bound explicitly). Output: one row per qualifying interval with
+    * its contained-point count. */
   def countPointsInIntervals(points: DataFrame, tsCol: String,
                              intervals: DataFrame, maxDays: Int): DataFrame = {
     val p = points.select(to_date(col(tsCol)).as("bucket"), col(tsCol).as("_pts"))
     val i = intervals
+      .filter(datediff(to_date(col("ival_end")), to_date(col("ival_start"))) < maxDays)
       .withColumn("bucket",
         explode(expr("sequence(to_date(ival_start), to_date(ival_end), interval 1 day)")))
     i.join(p, Seq("bucket"))

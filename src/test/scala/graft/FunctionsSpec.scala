@@ -114,6 +114,26 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccardPairs(d, 3, 0.1)))
   }
 
+  test("hot-shingle cap bounds candidates; survivors keep exact uncapped jaccard") {
+    // docs 3..8 are identical (every shared shingle has df=6); docs 1,2
+    // share rare (df=2) shingles. With maxDocFreq=2 the identical
+    // cluster's shingles are all hotter than the cap, so its pairs are
+    // not candidates — only (1,2) survives, and its inter/uni must be
+    // the EXACT full-set values (verification is uncapped).
+    val template = "one two three four five six seven eight nine ten"
+    val d = docs(Seq((1L, near1), (2L, near2)) ++ (3L to 8L).map(_ -> template): _*)
+    val capped = Dedup.ngramJaccardPairsInverted(d, 3, 0.5, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val uncappedPair = Dedup.ngramJaccardPairsInverted(d, 3, 0.5, maxDocFreq = 1000)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq == uncappedPair.toSeq,
+      s"cap must prune hot-only pairs but keep exact stats: ${capped.toSeq}")
+    // with a non-binding cap, the identical cluster IS reported (15 pairs + (1,2))
+    val all = Dedup.ngramJaccardPairsInverted(d, 3, 0.5, maxDocFreq = 1000).count()
+    assert(all == 16L, s"expected 16 pairs uncapped, got $all")
+  }
+
   test("minhashLshPairs finds the same planted near-dup") {
     val pairs = Dedup.minhashLshPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 8, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

