@@ -116,7 +116,6 @@ object Dedup {
     * and bind it deliberately at scale. */
   def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
                                 maxDocFreq: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // One aggregation pass builds the full per-doc shingle sets; the
     // persist is a sharing barrier (pruning would otherwise re-run the
     // shingling pipeline for each of the 3 consumers below).
@@ -126,10 +125,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("lang"), col("source"), col("doc_id"),
       explode(col("shs")).as("sh"))
-    val wDf = Window.partitionBy(col("lang"), col("source"), col("sh"))
-    val rare = ex.withColumn("_df", count(lit(1)).over(wDf))
-      .filter(col("_df") <= maxDocFreq)
-      .drop("_df")
+    // Hot-shingle set via hash aggregation + anti-join (NOT a window
+    // over (lang,source,sh) — that would sort-shuffle the whole
+    // posting table just to count). The hot set is tiny by
+    // construction (heavy tail), so AQE broadcasts the anti-join.
+    val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("lang"), col("source"), col("sh"))
+    val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
         Seq("lang", "source", "sh"))

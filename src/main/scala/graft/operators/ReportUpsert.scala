@@ -40,9 +40,19 @@ object ReportUpsert {
   }
 
   /** Sink form over a parquet reports directory (the driver corpus has
-    * no Delta, so MERGE is read → merge → overwrite; with Delta this is
-    * a single MERGE INTO). Reads the current table if present. */
+    * no Delta, so MERGE is read → merge → overwrite; with Delta/Iceberg
+    * this is a single transactional MERGE INTO). Reads the current
+    * table if present.
+    *
+    * Crash safety: the staged-write + rename sequence is not atomic,
+    * but every intermediate state is recoverable — `recover(dir)` is
+    * invoked on entry and restores the invariant (a leftover `_old`
+    * backup is re-promoted if the live dir vanished mid-swap; a
+    * leftover `_staged` from a crashed write is discarded — the merge
+    * simply re-runs). The data itself is never in a partial state:
+    * reads only ever see the old complete table or the new one. */
   def mergeInto(dir: String, incoming: DataFrame): Unit = {
+    recover(dir)
     val spark = incoming.sparkSession
     val target = new java.io.File(dir)
     val merged =
@@ -60,6 +70,18 @@ object ReportUpsert {
       new java.io.File(tmp).renameTo(old)
       deleteRec(bak)
     } else new java.io.File(tmp).renameTo(old)
+  }
+
+  /** Restore the `mergeInto` directory invariant after a crash at any
+    * point of its swap sequence: promote a stranded `_old` backup when
+    * the live dir is missing (crash between the two renames); drop any
+    * `_staged` leftovers (incomplete or unswapped write — the batch
+    * re-runs idempotently thanks to the monotone-count guard). */
+  def recover(dir: String): Unit = {
+    val live = new java.io.File(dir)
+    val bak = new java.io.File(dir + "_old")
+    if (!live.exists() && bak.exists()) bak.renameTo(live)
+    deleteRec(new java.io.File(dir + "_staged"))
   }
 
   /** Partitioned MERGE sink — the 100 TB shape. The reports table is

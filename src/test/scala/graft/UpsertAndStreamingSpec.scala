@@ -34,6 +34,26 @@ class UpsertSpec extends SparkSpec {
     val out = spark.read.parquet(dir).collect()
     assert(out.length == 1 && out.head.getAs[String]("version") == "v1")
   }
+
+  test("mergeInto recovers from every crash point of the dir swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val dir = base + "/reports"
+    val v1 = reports(("2024-01-01", 10.0, "v1", 5L))
+    ReportUpsert.mergeInto(dir, v1)
+    // crash between the two renames: live dir gone, backup stranded
+    new java.io.File(dir).renameTo(new java.io.File(dir + "_old"))
+    ReportUpsert.mergeInto(dir, reports(("2024-01-02", 3.0, "v2", 1L)))
+    val afterA = spark.read.parquet(dir).collect()
+      .map(_.getAs[String]("version")).sorted.toSeq
+    assert(afterA == Seq("v1", "v2"), s"backup not promoted: $afterA")
+    // crash mid staged write: stranded _staged must be discarded, not read
+    val staged = new java.io.File(dir + "_staged")
+    staged.mkdirs()
+    java.nio.file.Files.writeString(staged.toPath.resolve("garbage"), "not parquet")
+    ReportUpsert.mergeInto(dir, reports(("2024-01-03", 4.0, "v3", 1L)))
+    assert(!staged.exists())
+    assert(spark.read.parquet(dir).count() == 3)
+  }
 }
 
 class StreamingSpec extends SparkSpec {
