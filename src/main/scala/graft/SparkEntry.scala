@@ -92,6 +92,11 @@ object SparkEntry {
         .select(org.apache.spark.sql.functions.col("doc_id"),
                 org.apache.spark.sql.functions.col("n_chars"))),
     "q_simhash64" -> ((s, d) => Dedup.simhash64(Tables.documents(s, d))),
+    // banded simhash near-dup join: pigeonhole banding guarantees every
+    // pair within the Hamming budget, so the result EQUALS the oracle's
+    // brute-force all-pairs scan — the rare case where the scalable
+    // plan is oracle-exact by construction.
+    "q_simhash_neardup" -> ((s, d) => Dedup.simhash16NearDupPairs(Tables.documents(s, d))),
     // --- similarity search ---
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
@@ -100,6 +105,9 @@ object SparkEntry {
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),
+    "q_lsh_topk_multi" -> ((s, d) =>
+      Similarity.lshTopKMulti(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4, 4)),
     "q_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 16, 4)),
@@ -391,6 +399,12 @@ object SparkEntry {
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_simhash_neardup" ->
+      s"""WITH v AS ($simhash16Sql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3""".stripMargin,
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash16" -> simhash16Sql,
     "q_ann_topk" ->

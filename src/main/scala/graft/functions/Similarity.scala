@@ -113,6 +113,63 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"))
   }
 
+  /** Multi-table random-hyperplane LSH: `tables` independent
+    * hyperplane sets of `bits` each, one (tbl, bucket) row per vector
+    * per table. A candidate shares ANY table's bucket with the query —
+    * recall ≈ 1-(1-p^bits)^L versus a single table's p^bits, at L× the
+    * bucketing cost and still per-bucket joins (never all-pairs). All
+    * L×bits signed projections compute in ONE grouped pass over the
+    * posexploded dims (codegen'd; same long-form pathology note as
+    * lshBuckets). Table 0's hyperplanes coincide with
+    * `lshBuckets(bits)` (same seeds), so L=1 degenerates exactly. */
+  def lshBucketsMulti(embeddings: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val dims = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val projs = for { t <- 0 until tables; h <- 0 until bits } yield
+      sum(when(pmod(xxhash64(lit(t * 1000 + h), col("d")), lit(2)) === 0, col("x"))
+        .otherwise(-col("x"))).as(s"p_${t}_$h")
+    val projected = dims.groupBy(col("vec_id")).agg(projs.head, projs.tail: _*)
+    val bucketCols = (0 until tables).map { t =>
+      val bs = (0 until bits).map(h =>
+        when(col(s"p_${t}_$h") > 0, lit(1L << h)).otherwise(lit(0L))).reduce(_ + _)
+      struct(lit(t).as("tbl"), bs.as("bucket"))
+    }
+    projected.select(col("vec_id"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Multi-table LSH top-k: search the union of the query's buckets
+    * across all tables, then exact cosine + per-query top-k. Recall is
+    * tested against brute force alongside the single-table variant. */
+  def lshTopKMulti(embeddings: DataFrame, queryPred: Column, k: Int,
+                   bits: Int, tables: Int): DataFrame = {
+    val e = quantized(embeddings)
+    // (vec, tbl, bucket) is small (ids only); checkpoint so the probe
+    // and candidate sides share one bucketing pass.
+    val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
+    val probes = e.filter(queryPred)
+      .select(col("vec_id"), col("q").as("qv"), col("nq").as("qn"))
+      .join(buckets, Seq("vec_id"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"),
+        col("qv"), col("qn"))
+    val cands = e.select(col("vec_id"), col("q").as("cv"), col("nq").as("cn"))
+      .join(buckets, Seq("vec_id"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("cv"), col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(cands, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Lloyd's k-means over the embeddings (cosine assignment), for IVF
     * centroid training. Assignment dots and per-dimension means both
     * run long-form (posexplode + joins/groupBy — fully codegen);

@@ -165,6 +165,31 @@ class DedupSpec extends SparkSpec {
     val d13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
     assert(d12 < d13)
   }
+
+  test("banded simhash pairs EQUAL the brute-force all-pairs scan (pigeonhole)") {
+    // maxHamming=3 < bands=4 guarantees recall 1.0, so the banded join
+    // must reproduce the O(n²) scan exactly — on real corpus data.
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.simhash16(d).localCheckpoint()
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        Dedup.hamming(col("a.simhash16"), col("b.simhash16")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val banded = Dedup.simhash16NearDupPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should produce at least one near-dup pair")
+  }
+
+  test("simhashBandPairs rejects a hamming budget the bands cannot guarantee") {
+    val sh = Dedup.simhash16(docs((1L, near1), (2L, near2)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashBandPairs(sh, "simhash16", 16, 4, 4)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -192,6 +217,24 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, 5, 8, 2, trainIters = 2)
     val perQuery = out.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
     assert(perQuery == Set(5L))
+  }
+
+  test("multi-table LSH recall is monotone in table count") {
+    // candidates(L=1) ⊆ candidates(L=4) (table 0's hyperplanes are
+    // shared), so top-k from the larger candidate set cannot lose
+    // recall vs brute force.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, pred, 10))
+    val one = pairs(Similarity.lshTopKMulti(e, pred, 10, 4, 1))
+    val four = pairs(Similarity.lshTopKMulti(e, pred, 10, 4, 4))
+    def recall(a: Set[(Long, Long)]): Double =
+      if (brute.isEmpty) 1.0 else (a & brute).size.toDouble / brute.size
+    assert(recall(four) >= recall(one),
+      s"recall dropped with more tables: ${recall(four)} < ${recall(one)}")
+    assert(recall(four) > 0.0)
   }
 
   test("quantized cosine agrees with double cosine to 1e-5") {
