@@ -318,13 +318,16 @@ object Dedup {
     val banded = s.select(col("doc_id"), col("_h"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("_h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Hamming verify BEFORE the distinct: the filter is deterministic
+    // per pair, so de-duplicating multi-band hits after it is
+    // equivalent — and the distinct then runs on the surviving ~1%
+    // instead of every candidate row.
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x._h").as("_ha"), col("y._h").as("_hb"))
-      .distinct()
-      .withColumn("hamming", hamming(col("_ha"), col("_hb")).cast("long"))
+        hamming(col("x._h"), col("y._h")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

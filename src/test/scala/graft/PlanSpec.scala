@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), s"expected left-anti:\n$anti")
   }
 
+  test("profiler reads the table ONCE for all columns") {
+    // the staged projection is materialized at construction (one
+    // parquet scan); the per-column aggregates must all read the
+    // staging, never re-scan the table — so the final plan contains
+    // ZERO parquet scans
+    val p = plan(graft.functions.Profiler.profile(
+      Tables.lineitem(spark, sf), Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"profile must not re-scan the table per column, found $scans:\n$p")
+  }
+
   test("report hot path is whole-stage-codegen'd") {
     // codegen spans appear in the FINAL adaptive plan, post-execution
     val df = SpendingReport.globalSummary(Tables.transactions(spark, sf))
