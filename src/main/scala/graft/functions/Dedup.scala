@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Canonical form for exact duplicate detection. */
-  private def canonical(text: Column): Column =
+  /** Canonical form for exact duplicate detection (shared with the
+    * streaming dedup path). */
+  def canonical(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
   /** Exact dedup over documents: one surviving doc_id per distinct

@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     assert(scans == 0, s"profile must not re-scan the table per column, found $scans:\n$p")
   }
 
+  test("join on a partition column triggers dynamic partition pruning") {
+    // the 100 TB reports/fact layout is date-partitioned (DESIGN.md);
+    // a selective dim join must prune fact partitions at RUNTIME via
+    // DPP, not scan them all
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/txp"
+    Tables.transactions(spark, sf).write.partitionBy("txn_date").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.transactions(spark, sf)
+      .select(org.apache.spark.sql.functions.col("txn_date")).distinct()
+      .filter(org.apache.spark.sql.functions.dayofmonth(
+        org.apache.spark.sql.functions.col("txn_date")) === 1)
+    val joined = fact.join(dim, Seq("txn_date"))
+      .groupBy("category").count()
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$p")
+  }
+
   test("report hot path is whole-stage-codegen'd") {
     // codegen spans appear in the FINAL adaptive plan, post-execution
     val df = SpendingReport.globalSummary(Tables.transactions(spark, sf))

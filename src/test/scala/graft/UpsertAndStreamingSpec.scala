@@ -159,6 +159,47 @@ class StreamingSpec extends SparkSpec {
       s"late 99.0 must be dropped, got ${w10.head}")
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ck").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def land(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val data = rows.map { case (id, t, txt) =>
+        Row(id, java.sql.Timestamp.valueOf(t), txt) }
+      val stage = java.nio.file.Files.createTempDirectory("graft_sd_stage").toString + "/d"
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$name.parquet"))
+    }
+    land("b1", Seq(
+      (1L, "2024-06-01 10:00:00", "the quick brown fox"),
+      (2L, "2024-06-01 10:01:00", "something else entirely")))
+    val stream = spark.readStream.schema(schema).parquet(landing.toString)
+    val q = graft.streaming.StreamingDedup
+      .dedupStream(stream, "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_test")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // batch 2: a case/whitespace variant of doc 1 (canonical duplicate,
+    // different doc_id) within the watermark + one genuinely new doc
+    land("b2", Seq(
+      (3L, "2024-06-01 10:05:00", "  The  QUICK  brown fox "),
+      (4L, "2024-06-01 10:06:00", "brand new content")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sdedup_test").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(1L, 2L, 4L),
+      s"duplicate doc 3 must be suppressed, survivors wrong: $out")
+  }
+
   test("foreachBatch merge sink builds the reports table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/reports"
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
