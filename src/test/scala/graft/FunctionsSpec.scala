@@ -184,6 +184,13 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should produce at least one near-dup pair")
   }
 
+  test("shingleRows n=1 degenerates to the token stream; n=0 rejected") {
+    val d = docs((1L, "a b  c"))
+    val sh = Dedup.shingleRows(d, 1).collect().map(_.getString(1)).sorted.toSeq
+    assert(sh == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException](Dedup.shingleRows(d, 0))
+  }
+
   test("simhashBandPairs rejects a hamming budget the bands cannot guarantee") {
     val sh = Dedup.simhash16(docs((1L, near1), (2L, near2)))
     intercept[IllegalArgumentException] {

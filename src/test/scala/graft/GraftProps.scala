@@ -29,6 +29,22 @@ object GraftProps extends Properties("graft") {
     rows.toDF("dt", "category", "vendor", "amount")
       .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
 
+  property("globalRank equals the single-partition window rank") = forAll(genTx) {
+    rows =>
+      import org.apache.spark.sql.functions.col
+      val totals = toTx(rows).groupBy(col("category"))
+        .agg(org.apache.spark.sql.functions
+          .sum(col("amount").cast("decimal(14,2)")).cast("double").as("total"))
+      val ranked = SpendingReport.globalRank(
+        totals, Seq(col("total").asc, col("category").asc), "rank_asc")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      // reference: rank = position in the driver-side total sort
+      val expect = totals.collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy { case (k, t) => (t, k) }.zipWithIndex
+        .map { case ((k, _), i) => (k, i + 1L) }.toMap
+      Prop(ranked == expect) :| s"ranked=$ranked expect=$expect"
+  }
+
   property("keyTotals invariant under repartition") = forAll(genTx, Gen.choose(1, 13)) {
     (rows, parts) =>
       val tx = toTx(rows)
