@@ -23,8 +23,8 @@ object ReportUpsert {
     */
   def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val keys = Seq("begin_date", "end_date")
-    val payload = existing.columns.filterNot(keys.contains)
-    require(payload.sameElements(incoming.columns.filterNot(keys.contains)),
+    val payload = existing.columns.filterNot(keys.contains).toSeq
+    require(payload == incoming.columns.filterNot(keys.contains).toSeq,
       "existing/incoming schemas must match")
     val e = existing.select(col("begin_date"), col("end_date"),
       struct(payload.map(col): _*).as("_e"))

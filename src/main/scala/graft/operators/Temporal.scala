@@ -41,7 +41,7 @@ object Temporal {
       col(rightTs).as("_ts"),
       col(rightTs).as("_rts"),
       col(rightVal).as("_rv"))
-    val lCols = left.columns
+    val lCols = left.columns.toSeq
     // Align schemas: right side carries nulls for left payload columns.
     val rAligned = lCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
