@@ -102,6 +102,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10)),
     "q_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+    // unlabeled near-dup via LSH blocking (rows-only: recall is
+    // LSH-probabilistic; precision-1.0 verify is spec-proven)
+    "q_embedding_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4, 4, 4)),
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),

@@ -81,6 +81,36 @@ object Similarity {
       .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Unlabeled embedding near-dup pairs at scale: multi-table
+    * hyperplane LSH supplies the blocking (per-bucket self-joins,
+    * never all-pairs), exact quantized cosine verifies every
+    * candidate — so precision is 1.0 by construction and recall is
+    * the LSH union's (monotone in `tables`; near-identical vectors
+    * collide in every table with overwhelming probability, which is
+    * exactly the near-DUP regime this targets, unlike the harder
+    * nearest-NEIGHBOR regime). This is the 100 TB form of
+    * `nearDupPairs`, which needs a label column to block on. */
+  def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double,
+                      bits: Int, tables: Int): DataFrame = {
+    val e = quantized(embeddings)
+      .select(col("vec_id"), col("q"), col("nq"))
+    val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
+    val side = e.join(buckets, Seq("vec_id"))
+    val a = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("nq").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("qa"), col("na"), col("qb"), col("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine",
+        dotQ("qa", "qb").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Fast double-precision cosine fold (production path; not used by
     * oracle queries because double sum order is engine-dependent). */
   def doubleCosine(a: String, b: String): Column = {

@@ -244,6 +244,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(four) > 0.0)
   }
 
+  test("unlabeled LSH near-dup: perfect precision, recall monotone in tables") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val thresh = 0.4
+    // exact all-pairs reference (fixture-sized only)
+    val q = Similarity.quantized(e).select(col("vec_id"), col("q"), col("nq"))
+    val exact = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        graft.plans.DotI64.dot_i64(col("a.q"), col("b.q")).cast("double") /
+          sqrt(col("a.nq").cast("double") * col("b.nq").cast("double")))
+      .filter(col("cosine") >= thresh)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def found(tables: Int): Set[(Long, Long)] =
+      Similarity.nearDupPairsLsh(e, thresh, 4, tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = found(1)
+    val four = found(4)
+    assert(one.subsetOf(exact) && four.subsetOf(exact),
+      "verification must make precision 1.0")
+    assert(one.subsetOf(four), "candidates must grow with tables")
+    assert(exact.isEmpty || four.nonEmpty)
+  }
+
   test("quantized cosine agrees with double cosine to 1e-5") {
     val e = Similarity.quantized(
       Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50))
