@@ -99,6 +99,32 @@ class PlanSpec extends SparkSpec {
       s"expected dynamic partition pruning in:\n$p")
   }
 
+  test("selective fact-fact join injects a runtime bloom filter") {
+    // when neither side broadcasts, Spark can build a bloom filter
+    // from the selective side and push might_contain into the fact
+    // scan — row-level runtime pruning on a NON-partition column, the
+    // complement of DPP. Pin the feature works with our corpus/joins.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val ord = Tables.orders(spark, "/root/testdata/sf0.01")
+        .filter(col("o_totalprice") > 400000.0)
+      val p = plan(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q")))
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected runtime bloom filter in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("report hot path is whole-stage-codegen'd") {
     // codegen spans appear in the FINAL adaptive plan, post-execution
     val df = SpendingReport.globalSummary(Tables.transactions(spark, sf))
