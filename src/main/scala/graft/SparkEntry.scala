@@ -172,7 +172,9 @@ object SparkEntry {
     "q_sessions" -> ((s, d) =>
       Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
+    "q_moving_spend" -> ((s, d) => Temporal.movingDailySpend(tx(s, d), 3)),
     "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
+    "q_grouping_sets" -> ((s, d) => Temporal.groupingSetsSpend(tx(s, d))),
     "q_range_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, d)
@@ -192,6 +194,17 @@ object SparkEntry {
              expr("percentile(amount, 0.5)").as("q50"),
              expr("percentile(amount, 0.75)").as("q75"),
              count(lit(1)).as("n"))
+    }),
+    // approx-percentile scale toggle (rows-only like the HLL toggle:
+    // the sketch estimate is engine-specific; spec bounds it against
+    // the exact oracle-gated percentiles)
+    "q_approx_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      tx(s, d).groupBy(col("category"))
+        .agg(expr("approx_percentile(amount, array(0.25, 0.5, 0.75), 1000)").as("qs"),
+             count(lit(1)).as("n"))
+        .select(col("category"), col("qs").getItem(0).as("q25"),
+          col("qs").getItem(1).as("q50"), col("qs").getItem(2).as("q75"), col("n"))
     }),
     // SpaceSaving degenerates to exact counts while the vocabulary fits
     // the sketch capacity (this corpus: ~40 distinct tokens < 64 at
@@ -527,6 +540,21 @@ object SparkEntry {
          |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
          |       count(*) AS n
          |FROM ($txSql) GROUP BY CUBE(category, txn_date)""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT category, vendor,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       count(*) AS n
+         |FROM ($txSql)
+         |GROUP BY GROUPING SETS ((category), (vendor), (category, vendor), ())""".stripMargin,
+    "q_moving_spend" ->
+      s"""WITH d AS (SELECT category, txn_date,
+         |                  sum(cast(amount AS DECIMAL(14,2))) AS day_total
+         |           FROM ($txSql) GROUP BY category, txn_date)
+         |SELECT category, txn_date, cast(day_total AS double) AS day_total,
+         |       cast(sum(day_total) OVER (PARTITION BY category
+         |              ORDER BY datediff('day', DATE '1970-01-01', txn_date)
+         |              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS double) AS moving_total
+         |FROM d""".stripMargin,
     "q_json_roundtrip" ->
       s"""SELECT txn_date AS begin_date,
          |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,

@@ -118,6 +118,39 @@ object Temporal {
            sum(col("_n")).as("n"))
   }
 
+  /** Explicit GROUPING SETS — the full grouping-sets family alongside
+    * rollup/cube, same two-phase shape (Expand only ever multiplies
+    * the tiny pre-aggregate; decimal partial sums re-aggregate
+    * exactly). Sets: (category), (vendor), (category, vendor), (). */
+  def groupingSetsSpend(tx: DataFrame): DataFrame = {
+    val pre = tx.groupBy(col("category"), col("vendor"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("_ts"),
+           count(lit(1)).as("_n"))
+    pre.groupingSets(
+        Seq(Seq(col("category")), Seq(col("vendor")),
+          Seq(col("category"), col("vendor")), Seq.empty),
+        col("category"), col("vendor"))
+      .agg(sum(col("_ts")).cast("double").as("total_spent"),
+           sum(col("_n")).as("n"))
+  }
+
+  /** Moving k-day spend per category — a RANGE frame over the day
+    * offset (gaps in the calendar contribute nothing, unlike a ROWS
+    * frame which would span k previous PRESENT days). One shuffle on
+    * category; the frame arithmetic is engine-portable integer day
+    * offsets, sums decimal-exact. */
+  def movingDailySpend(tx: DataFrame, days: Int): DataFrame = {
+    val daily = tx.groupBy(col("category"), col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("day_total"))
+      .withColumn("_day", datediff(col("txn_date"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("category")).orderBy(col("_day"))
+      .rangeBetween(-(days - 1).toLong, 0)
+    daily
+      .withColumn("moving_total", sum(col("day_total")).over(w).cast("double"))
+      .withColumn("day_total", col("day_total").cast("double"))
+      .select(col("category"), col("txn_date"), col("day_total"), col("moving_total"))
+  }
+
   /** RANGE (interval) JOIN, bucketed: count points whose timestamp
     * falls inside each [start, end) interval — with NO equi key. The
     * naive plan is a BroadcastNestedLoop O(points × intervals); the

@@ -90,6 +90,20 @@ class SpendingReportSpec extends SparkSpec {
     assert(vals == Set(0.0))
   }
 
+  test("approx_percentile toggle stays within sketch error of exact percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    def byCat(name: String, col: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getAs[Double](col)).toMap
+    val exact = byCat("q_percentiles", "q50")
+    val approx = byCat("q_approx_percentiles", "q50")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (cat, q) =>
+      assert(math.abs(approx(cat) - q) <= math.max(1.0, math.abs(q)) * 0.05,
+        s"approx median for $cat too far: ${approx(cat)} vs $q")
+    }
+  }
+
   test("top5Asc returns the LOWEST-total keys (O3 as-implemented quirk)") {
     val vendors = SpendingReport.top5Asc(tx, "vendor").collect().map(_.getString(0))
     // v3(10) < v2(25) < v1(110): ascending, so v3 first

@@ -67,6 +67,34 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_points") == 2L)
   }
 
+  test("movingDailySpend: RANGE frame skips calendar gaps") {
+    // food has days 1, 2, 5: the 3-day window ending day 5 covers
+    // days 3..5 — only day 5 itself (days 1-2 are OUTSIDE the range,
+    // a ROWS frame would wrongly include them)
+    val tx = Seq(
+      ("2024-01-01", "food", 10.0), ("2024-01-02", "food", 5.0),
+      ("2024-01-05", "food", 1.0)
+    ).toDF("dt", "category", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "amount")
+    val out = Temporal.movingDailySpend(tx, 3)
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(out("2024-01-01") == 10.0)
+    assert(out("2024-01-02") == 15.0)   // days 1+2 within 3-day range
+    assert(out("2024-01-05") == 1.0)    // gap: days 3-4 empty, 1-2 out of range
+  }
+
+  test("groupingSetsSpend: named sets only, no unrequested combinations") {
+    val tx = Seq(
+      ("2024-01-01", "food", "v1", 10.0), ("2024-01-02", "rent", "v2", 5.0)
+    ).toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+    val out = Temporal.groupingSetsSpend(tx).collect()
+    // (category)x2 + (vendor)x2 + (category,vendor)x2 + grand = 7
+    assert(out.length == 7, s"got ${out.length}: ${out.toSeq}")
+    val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getDouble(2) == 15.0 && grand.getLong(3) == 2L)
+  }
+
   test("cubeSpend emits all grouping sets incl. grand total") {
     val tx = Seq(("2024-01-01", "food", 10.0), ("2024-01-02", "rent", 5.0))
       .toDF("dt", "category", "amount")
