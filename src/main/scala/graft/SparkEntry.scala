@@ -54,6 +54,22 @@ object SparkEntry {
       Relational.ordersWithoutItems(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_top10_orders" -> ((s, d) => Relational.topOrdersByPrice(Tables.orders(s, d), 10)),
     "q_top3_orders_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    // ranking-window family beyond row_number: quartile + dense rank
+    // per priority (deterministic tie-breaks; one shuffle on the
+    // partition key)
+    "q_order_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wd = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderstatus").asc)
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("status_rank", dense_rank().over(wd).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("quartile"), col("status_rank"))
+    }),
     "q_rollup_lineitem" -> ((s, d) => Relational.rollupQtyByFlagStatus(Tables.lineitem(s, d))),
     "q_union_nationkeys" -> ((s, d) =>
       Relational.activeNationKeys(Tables.supplier(s, d), Tables.customer(s, d))),
@@ -79,6 +95,7 @@ object SparkEntry {
     "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
     "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsInverted(Tables.documents(s, d), 3, 0.5)),
+    "q_ngram_containment" -> ((s, d) => Dedup.ngramContainmentPairs(Tables.documents(s, d), 3, 0.6)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
     "q_split_counts" -> ((s, d) => {
@@ -416,6 +433,23 @@ object SparkEntry {
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_ngram_containment" ->
+      s"""WITH s AS ($shinglesSql),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             cast(len(list_intersect(a.sh, b.sh)) AS bigint) AS inter,
+         |             cast(least(len(a.sh), len(b.sh)) AS bigint) AS min_size
+         |      FROM s a JOIN s b
+         |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, min_size,
+         |       cast(inter AS double) / min_size AS containment
+         |FROM p WHERE cast(inter AS double) / min_size >= 0.6""".stripMargin,
+    "q_order_quartiles" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_orderstatus ASC) AS BIGINT) AS status_rank
+        |FROM orders""".stripMargin,
     "q_simhash_neardup" ->
       s"""WITH v AS ($simhash16Sql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

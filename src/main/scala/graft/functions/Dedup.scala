@@ -162,6 +162,47 @@ object Dedup {
     pairs
   }
 
+  /** Containment near-dup pairs (Broder's containment coefficient
+    * C(A,B) = |A∩B| / min(|A|,|B|)): catches SUBSET duplication —
+    * a short document quoted inside a long one scores near 1.0 here
+    * but low on Jaccard (the union is dominated by the long side).
+    * Same capped-posting-list candidate generation + full-set verify
+    * as `ngramJaccardPairsInverted`; only the acceptance metric
+    * differs. */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
+                            maxDocFreq: Int = 1000): DataFrame = {
+    val sets = shingleRows(docs, n, Seq("lang", "source"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("lang"), col("source"), col("doc_id"),
+      explode(col("shs")).as("sh"))
+    val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("lang"), col("source"), col("sh"))
+    val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
+    val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
+        Seq("lang", "source", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("_rare_shared"))
+      .select(col("doc_a"), col("doc_b"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("min_size",
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("min_size"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("min_size"), col("containment"))
+    val pairs = out.localCheckpoint()
+    sets.unpersist()
+    pairs
+  }
+
   /** MinHash signatures (Broder, "On the resemblance and containment
     * of documents", SEQUENCES 1997) via Carter-Wegman combination: ONE
     * md5 per shingle yields two 32-bit integers (h1, h2 from hex substrings);

@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccardPairs(d, 3, 0.1)))
   }
 
+  test("containment catches subset duplication that jaccard misses") {
+    // doc 2 is doc 1's opening sentence verbatim: containment 1.0 (all
+    // of 2's shingles are in 1), jaccard well below 0.5 (1's union
+    // dominates). An unrelated doc pairs with neither.
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta"
+    val d = docs((1L, long), (2L, short), (3L, other))
+    val cont = Dedup.ngramContainmentPairs(d, 3, 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(cont.keySet == Set((1L, 2L)), s"containment pairs: $cont")
+    assert(cont((1L, 2L)) == 1.0)
+    val jac = Dedup.ngramJaccardPairsInverted(d, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(jac.isEmpty, s"jaccard should miss the subset pair: $jac")
+  }
+
   test("hot-shingle cap bounds candidates; survivors keep exact uncapped jaccard") {
     // docs 3..8 are identical (every shared shingle has df=6); docs 1,2
     // share rare (df=2) shingles. With maxDocFreq=2 the identical
