@@ -91,6 +91,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)),
     // --- dedup ---
     "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
     "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
@@ -425,6 +426,21 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_top_terms" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |             FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |       WHERE term NOT IN ('the','a','of','and','to','in','is','on')
+           |       GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |r AS (SELECT doc_id, term, tf,
+           |             row_number() OVER (PARTITION BY doc_id
+           |               ORDER BY tf DESC, term ASC) AS rnk
+           |      FROM tf)
+           |SELECT r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.term,
+           |       CAST(r.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
+           |FROM r JOIN df ON r.term = df.term WHERE r.rnk <= 3""".stripMargin,
     "q_exact_dedup_docs" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keeper_doc_id, count(*) AS n_dups

@@ -77,6 +77,30 @@ object TextAnalysis {
       .withColumn("agrees", (col("lang_pred") === col("lang")).cast("boolean"))
   }
 
+  /** Per-document keyword extraction: the top-k non-stopword terms by
+    * in-document frequency, with the term's corpus document frequency
+    * attached (the integer ingredients of tf-idf — ranking stays on
+    * exact integers with deterministic tie-breaks, so the output is
+    * engine-portable; multiplying in a float idf would not be).
+    * Shape: one explode + two hash aggregations + a window per doc —
+    * every shuffle keyed on doc_id or term, no all-pairs anything. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isInCollection(stopwords))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(df, Seq("term"))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * — the canonical-form hash used by exact dedup. (A rolling-hash
     * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the

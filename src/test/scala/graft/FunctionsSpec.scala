@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
   private val near2 = "the quick brown fox jumps over the lazy dog again and once"
   private val other = "completely different content with no shared shingles at all here"
 
+  test("topTerms: stopwords excluded, tf-desc term-asc tie-break, corpus df") {
+    val d = docs(
+      (1L, "the cat cat cat dog dog bird fish"),
+      (2L, "the dog dog zebra"))
+    val out = TextAnalysis.topTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1L)) == ("cat", 3L, 1L))  // 'the' excluded; cat tf=3
+    assert(out((1L, 2L)) == ("dog", 2L, 2L))  // dog df=2 (both docs)
+    assert(out((2L, 1L)) == ("dog", 2L, 2L))
+    assert(out((2L, 2L)) == ("zebra", 1L, 1L))
+  }
+
   test("exactDedupDocs groups case/space variants") {
     val out = Dedup.exactDedupDocs(docs((1L, "A  b"), (2L, "a b"), (3L, "c")))
     val dups = out.filter(col("n_dups") > 1).collect()
