@@ -52,6 +52,33 @@ object StreamingReport {
       .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
            count(lit(1)).as("total_transactions"))
 
+  /** Stream-stream attribution join: each purchase is joined to the
+    * same user's click events from the preceding `horizonHours` hours
+    * — the canonical watermarked interval join. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on each side is evicted once the other side's watermark
+    * passes the horizon: bounded state on unbounded streams (the
+    * requirement for running this join forever at 100 TB/day).
+    * `left`/`right` must share the events-stream schema of
+    * `transactionsStream`'s source (ts, user_id, event_type, value). */
+  def attributionJoin(events: DataFrame, horizonHours: Int,
+                      watermark: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      expr(s"""p_user_id = user_id AND
+              |click_ts <= purchase_ts AND
+              |click_ts >= purchase_ts - INTERVAL $horizonHours HOURS""".stripMargin))
+      .select(col("p_user_id").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"), col("click_value"))
+  }
+
   /** Incremental report maintenance: each micro-batch's daily reports
     * are MERGEd into the parquet reports table (exactly-once per the
     * reference's idempotence guard: replayed batches can only grow

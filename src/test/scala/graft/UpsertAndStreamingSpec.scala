@@ -200,6 +200,41 @@ class StreamingSpec extends SparkSpec {
       s"duplicate doc 3 must be suppressed, survivors wrong: $out")
   }
 
+  test("stream-stream attribution join matches only within the horizon") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_ss")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ck").toString
+    def nanos(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    val rows = Seq(
+      Row(1L, nanos("2024-06-01 11:30:00"), 1L, "click", 1.0, "{}"),    // in horizon
+      Row(2L, nanos("2024-06-01 10:30:00"), 1L, "click", 2.0, "{}"),    // too old
+      Row(3L, nanos("2024-06-01 11:45:00"), 2L, "click", 3.0, "{}"),    // other user
+      Row(4L, nanos("2024-06-01 12:00:00"), 1L, "purchase", 100.0, "{}"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ss_stage").toString + "/d"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      graft.streaming.StreamingReport.eventsSchema).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, landing.resolve("b1.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamingReport.eventsSchema)
+      .parquet(landing.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.StreamingReport.attributionJoin(stream, 1, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_test")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attr_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("click_value")))
+    assert(out.toSeq == Seq((1L, 1.0)),
+      s"only the in-horizon same-user click attributes: ${out.toSeq}")
+  }
+
   test("foreachBatch merge sink builds the reports table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/reports"
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
