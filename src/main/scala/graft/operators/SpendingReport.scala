@@ -247,7 +247,12 @@ object SpendingReport {
       "unique_categories", "unique_vendors", "spending_per_category",
       "pct_change_category", "avg_category", "spending_per_vendor",
       "pct_change_vendor", "avg_vendor", "top_5_vendors")
+    // details ships BOTH ways: the JSON string (engine-portable, what
+    // the oracle and fingerprints hash) and the true Spark 4 VARIANT
+    // (the literal analog of the reference's Snowflake VARIANT column,
+    // README.md:44-52 — typed extraction without re-parsing).
     row.withColumn("details", to_json(struct(detailCols.map(col): _*)))
+      .withColumn("details_variant", parse_json(to_json(struct(detailCols.map(col): _*))))
       .withColumn("id", expr("uuid()"))
       .withColumn("created_at", current_date())
   }

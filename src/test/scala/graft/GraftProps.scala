@@ -91,6 +91,37 @@ object GraftProps extends Properties("graft") {
       .selectExpr("to_date(dt) AS begin_date", "to_date(dt) AS end_date",
         "total_spent", s"'$tag' AS version", "total_transactions")
 
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, for {
+      a <- Gen.choose(1L, 15L)
+      b <- Gen.choose(1L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+  property("connectedComponents equals a union-find reference") =
+    forAll(genEdges) { edges =>
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical truth: node -> min node of its component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }.toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.functions.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == truth) :| s"got=$got truth=$truth"
+    }
+
   property("merge is idempotent: re-merging the same batch changes nothing") =
     forAll(genReports, genReports) { (e, i) =>
       val existing = toReports(e, "e")

@@ -117,6 +117,12 @@ class SpendingReportSpec extends SparkSpec {
     val details = r.select("details").head().getString(0)
     assert(details.contains("\"total_spent\""))
     assert(!details.contains("begin_date"))
+    // the VARIANT twin extracts typed values without re-parsing
+    assert(r.schema("details_variant").dataType
+      .isInstanceOf[org.apache.spark.sql.types.VariantType])
+    val vSpent = r.selectExpr("variant_get(details_variant, '$.total_spent', 'double')")
+      .head().getDouble(0)
+    assert(vSpent == 145.0)
     val enriched = SpendingReport.enriched(tx)
     assert(enriched.select("fi_summary").head().getString(0).nonEmpty)
   }
