@@ -187,6 +187,15 @@ object SparkEntry {
         .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pvalue"))
       Temporal.asOfJoin(left, purchases, "user_id", "ts", "ts", "pvalue")
     }),
+    "q_asof_join_forward" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pvalue"))
+      Temporal.asOfJoinForward(left, purchases, "user_id", "ts", "ts", "pvalue")
+    }),
     "q_sessions" -> ((s, d) =>
       Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
@@ -559,6 +568,13 @@ object SparkEntry {
         |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.pvalue AS asof_val
         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin,
+    "q_asof_join_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 = 0),
+        |p AS (SELECT user_id, ts, max(value) AS pvalue FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.pvalue AS asof_val
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts""".stripMargin,
     "q_sessions" ->
       """WITH s AS (SELECT user_id, ts, value,
         |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts

@@ -30,7 +30,21 @@ object Temporal {
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, leftTs: String, rightTs: String,
-               rightVal: String): DataFrame = {
+               rightVal: String): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightVal, forward = false)
+
+  /** Forward AS-OF JOIN: for each left row, the single right row with
+    * the SMALLEST `rightTs >= leftTs` for the same key (the "next
+    * quote/next event" lookup). Same union-tag-window shape scanned in
+    * descending time order — still ONE shuffle on the key. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      key: String, leftTs: String, rightTs: String,
+                      rightVal: String): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightVal, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       rightVal: String, forward: Boolean): DataFrame = {
     val l = left.withColumn("_tag", lit(0))
       .withColumn("_ts", col(leftTs))
       .withColumn("_rts", lit(null).cast(right.schema(rightTs).dataType))
@@ -50,9 +64,11 @@ object Temporal {
     val unioned = l.select((lCols.map(col) :+ col("_tag") :+ col("_ts") :+ col("_rts") :+ col("_rv")): _*)
       .unionByName(rAligned)
     // Window: right rows (tag 1) sort BEFORE left rows at equal ts so a
-    // right row at exactly leftTs is visible (<= semantics).
+    // right row at exactly leftTs is visible (<=/>= semantics). The
+    // forward variant scans time DESCENDING — "last right seen" then
+    // means "nearest right at-or-after".
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts").asc, col("_tag").desc)
+      .orderBy(if (forward) col("_ts").desc else col("_ts").asc, col("_tag").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("asof_ts", last(col("_rts"), ignoreNulls = true).over(w))

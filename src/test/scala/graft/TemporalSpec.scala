@@ -28,6 +28,21 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("asOfJoinForward: earliest at-or-after match; null when none follows") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
+                   (2L, 1L, ts("2024-01-01 12:00:00")),
+                   (3L, 2L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 5.0),   // == left 1 ts -> visible
+                    (1L, ts("2024-01-01 11:00:00"), 7.0))   // after left 1, before left 2
+      .toDF("user_id", "ts", "pvalue")
+    val out = Temporal.asOfJoinForward(left, right, "user_id", "ts", "ts", "pvalue")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.sql.Timestamp]("asof_ts")), Option(r.getAs[Double]("asof_val")))).toMap
+    assert(out(1L) == (Some(ts("2024-01-01 10:00:00")), Some(5.0)))  // at == ts, not 11:00
+    assert(out(2L) == (None, None))                                   // nothing follows
+    assert(out(3L) == (None, None))                                   // other user
+  }
+
   test("sessionize: gap over threshold starts a new session") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
