@@ -73,6 +73,25 @@ object SparkEntry {
     "q_rollup_lineitem" -> ((s, d) => Relational.rollupQtyByFlagStatus(Tables.lineitem(s, d))),
     "q_union_nationkeys" -> ((s, d) =>
       Relational.activeNationKeys(Tables.supplier(s, d), Tables.customer(s, d))),
+    "q_setops_nationkeys" -> ((s, d) =>
+      Relational.nationKeySetOps(Tables.supplier(s, d), Tables.customer(s, d))),
+    // exact-moment dispersion stats: decimal sums of x and x² are
+    // order-independent, and the double arithmetic on them is a fixed
+    // operand-order formula — so variance/stddev hash-match across
+    // engines (naive FP aggregation would not)
+    "q_spend_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val amt2 = col("amount").cast("decimal(14,2)")
+      tx(s, d).groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(amt2).as("_s"),
+             sum((amt2 * amt2).cast("decimal(30,4)")).as("_ssq"))
+        .select(col("category"), col("n"),
+          (col("_s").cast("double") / col("n").cast("double")).as("mean_amount"),
+          ((col("n").cast("double") * col("_ssq").cast("double")
+             - col("_s").cast("double") * col("_s").cast("double"))
+            / (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("var_amount"))
+        .withColumn("stddev_amount", sqrt(col("var_amount")))
+    }),
     "q_order_point_lookup" -> ((s, d) => Relational.orderPointLookup(Tables.orders(s, d))),
     // --- upsert / reports surface (SURVEY §2.1 S3-S6, §2.3 J1, §2.2 P5) ---
     "q_upsert_merge" -> ((s, d) => {
@@ -368,6 +387,26 @@ object SparkEntry {
     "q_order_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
+    "q_setops_nationkeys" ->
+      """WITH s AS (SELECT DISTINCT cast(s_nationkey AS bigint) AS nationkey FROM supplier),
+        |     c AS (SELECT DISTINCT cast(c_nationkey AS bigint) AS nationkey FROM customer)
+        |SELECT 'both' AS src, nationkey FROM (SELECT nationkey FROM s INTERSECT SELECT nationkey FROM c)
+        |UNION ALL
+        |SELECT 'supplier_only', nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        |UNION ALL
+        |SELECT 'customer_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)""".stripMargin,
+    "q_spend_stats" ->
+      s"""WITH t AS (SELECT category, count(*) AS n,
+         |                  sum(cast(amount AS DECIMAL(14,2))) AS s,
+         |                  sum(cast(cast(amount AS DECIMAL(14,2)) * cast(amount AS DECIMAL(14,2)) AS DECIMAL(30,4))) AS ssq
+         |           FROM ($txSql) GROUP BY category)
+         |SELECT category, n,
+         |       cast(s AS double) / cast(n AS double) AS mean_amount,
+         |       (cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |         / (cast(n AS double) * (cast(n AS double) - 1.0)) AS var_amount,
+         |       sqrt((cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |         / (cast(n AS double) * (cast(n AS double) - 1.0))) AS stddev_amount
+         |FROM t""".stripMargin,
     "q_upsert_merge" ->
       s"""WITH v1 AS (SELECT txn_date AS begin_date, txn_date AS end_date,
          |                   cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,

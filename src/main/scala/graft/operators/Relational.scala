@@ -121,6 +121,18 @@ object Relational {
       .union(customer.select(col("c_nationkey").cast("long").as("nationkey")))
       .distinct()
 
+  /** INTERSECT / EXCEPT — the rest of §2.7's set-operation family,
+    * tagged into one result set. Catalyst plans both as semi/anti
+    * joins over distincts (no custom work needed at any scale). */
+  def nationKeySetOps(supplier: DataFrame, customer: DataFrame): DataFrame = {
+    val s = supplier.select(col("s_nationkey").cast("long").as("nationkey"))
+    val c = customer.select(col("c_nationkey").cast("long").as("nationkey"))
+    s.intersect(c).withColumn("src", lit("both"))
+      .union(s.except(c).withColumn("src", lit("supplier_only")))
+      .union(c.except(s).withColumn("src", lit("customer_only")))
+      .select(col("src"), col("nationkey"))
+  }
+
   /** The SQL entry surface: register the corpus as temp views and run
     * ANSI SQL through Catalyst — the engine's spark.sql() parity path.
     * Used by the correlated-subquery and conditional-aggregation

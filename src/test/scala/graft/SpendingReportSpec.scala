@@ -90,6 +90,22 @@ class SpendingReportSpec extends SparkSpec {
     assert(vals == Set(0.0))
   }
 
+  test("exact-moment variance agrees with Spark's var_samp to FP tolerance") {
+    val sf = "/root/testdata/sf0.001"
+    val ours = SparkEntry.queries("q_spend_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("mean_amount"), r.getAs[Double]("var_amount"))).toMap
+    val builtin = Tables.transactions(spark, sf).groupBy($"category")
+      .agg(org.apache.spark.sql.functions.avg($"amount").as("m"),
+           org.apache.spark.sql.functions.var_samp($"amount").as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (cat, (m, v)) =>
+      val (bm, bv) = builtin(cat)
+      assert(math.abs(m - bm) < 1e-9 * math.max(1.0, math.abs(bm)), s"$cat mean: $m vs $bm")
+      assert(math.abs(v - bv) < 1e-6 * math.max(1.0, math.abs(bv)), s"$cat var: $v vs $bv")
+    }
+  }
+
   test("approx_percentile toggle stays within sketch error of exact percentiles") {
     val sf = "/root/testdata/sf0.001"
     def byCat(name: String, col: String) =
