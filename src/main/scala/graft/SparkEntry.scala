@@ -261,6 +261,39 @@ object SparkEntry {
     "q_pivot_wide" -> ((s, d) =>
       SpendingReport.pivotWide(tx(s, d), "category",
         Seq("click", "error", "purchase", "signup", "view"))),
+    "q_unpivot_long" -> ((s, d) =>
+      SpendingReport.unpivotWide(
+        SpendingReport.pivotWide(tx(s, d), "category",
+          Seq("click", "error", "purchase", "signup", "view")),
+        "category", Seq("click", "error", "purchase", "signup", "view"))),
+    // calendar-month rollup (F1/F2 date family over A5): date_trunc is
+    // engine-portable and the decimal sum exact
+    "q_monthly_spend" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      tx(s, d).groupBy(date_trunc("month", col("txn_date")).cast("date").as("month"),
+          col("category"))
+        .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+             count(lit(1)).as("n"))
+    }),
+    // exact-moment correlation over real fact columns (decimal
+    // Σx, Σy, Σxy, Σx², Σy² -> fixed-operand-order double Pearson)
+    "q_corr_lineitem" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val x = col("l_quantity").cast("decimal(14,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+             sum((x * y).cast("decimal(34,4)")).as("_sxy"),
+             sum((x * x).cast("decimal(30,4)")).as("_sxx"),
+             sum((y * y).cast("decimal(38,4)")).as("_syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("_sxy").cast("double")
+             - col("_sx").cast("double") * col("_sy").cast("double"))
+           / (sqrt(col("n").cast("double") * col("_sxx").cast("double")
+                - col("_sx").cast("double") * col("_sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("_syy").cast("double")
+                - col("_sy").cast("double") * col("_sy").cast("double")))).as("corr_qty_price"))
+    }),
     // --- sliding event-time windows (batch form of the streaming
     // windowed agg; each event lands in 2 overlapping windows) ---
     "q_sliding_window" -> ((s, d) => {
@@ -585,6 +618,33 @@ object SparkEntry {
          |       $cols
          |FROM ($txSql) GROUP BY txn_date""".stripMargin
     },
+    "q_unpivot_long" ->
+      s"""WITH s AS (SELECT txn_date, category,
+         |                  cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS amount
+         |           FROM ($txSql) GROUP BY txn_date, category),
+         |d AS (SELECT DISTINCT txn_date FROM ($txSql)),
+         |k AS (SELECT unnest(['click','error','purchase','signup','view']) AS category)
+         |SELECT d.txn_date, k.category, coalesce(s.amount, 0.0) AS amount
+         |FROM d CROSS JOIN k
+         |LEFT JOIN s ON s.txn_date = d.txn_date AND s.category = k.category""".stripMargin,
+    "q_monthly_spend" ->
+      s"""SELECT cast(date_trunc('month', txn_date) AS DATE) AS month, category,
+         |       cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
+         |       count(*) AS n
+         |FROM ($txSql) GROUP BY 1, 2""".stripMargin,
+    "q_corr_lineitem" ->
+      """WITH t AS (SELECT l_returnflag, count(*) AS n,
+        |                  sum(cast(l_quantity AS DECIMAL(14,2))) AS sx,
+        |                  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |                  sum(cast(cast(l_quantity AS DECIMAL(14,2)) * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(34,4))) AS sxy,
+        |                  sum(cast(cast(l_quantity AS DECIMAL(14,2)) * cast(l_quantity AS DECIMAL(14,2)) AS DECIMAL(30,4))) AS sxx,
+        |                  sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+        |         / (sqrt(cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+        |            * sqrt(cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double))) AS corr_qty_price
+        |FROM t""".stripMargin,
     "q_heavy_hitters" ->
       raw"""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
            |           FROM documents)

@@ -197,6 +197,18 @@ object SpendingReport {
       .agg(sum(amt2).cast("double"))
       .na.fill(0.0, values)
 
+  /** The inverse of `pivotWide` (J2): melt the wide date×category grid
+    * back to long form with Spark's native unpivot — round-trips with
+    * the pivot (spec-pinned), so wide intermediates are never a
+    * one-way door. Zero-filled cells survive as explicit rows, which
+    * is the pivot's information content. */
+  def unpivotWide(wide: DataFrame, key: String, values: Seq[String]): DataFrame =
+    wide.unpivot(
+      ids = Array(col("txn_date")),
+      values = values.map(col).toArray,
+      variableColumnName = key,
+      valueColumnName = "amount")
+
   /** O3: "top-5" vendors = first 5 of the value-ASCENDING sort — the
     * reference's as-implemented quirk (transformer.py:240 labels the 5
     * LOWEST-spend vendors `top_5_vendors`). Plans as

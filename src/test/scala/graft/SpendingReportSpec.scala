@@ -143,6 +143,18 @@ class SpendingReportSpec extends SparkSpec {
     assert(enriched.select("fi_summary").head().getString(0).nonEmpty)
   }
 
+  test("unpivot round-trips the pivot (dense grid preserved)") {
+    val cats = Seq("food", "rent", "toys")
+    val wide = SpendingReport.pivotWide(tx, "category", cats)
+    val long = SpendingReport.unpivotWide(wide, "category", cats)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    // dense: every (date, category) cell exists, absent cells are 0
+    assert(long.size == 9)  // 3 dates x 3 categories
+    assert(long(("2024-01-01", "food")) == 10.0)
+    assert(long(("2024-01-02", "rent")) == 0.0)  // zero-filled cell survives
+    assert(long(("2024-01-03", "toys")) == 10.0)
+  }
+
   test("aggregates are partition-count invariant (scale sanity)") {
     val many = tx.repartition(13)
     val a = SpendingReport.keyTotals(tx, "category").collect()
