@@ -38,9 +38,23 @@ object Formats {
     * co-partitioned — SortMergeJoin WITHOUT a shuffle Exchange on
     * either side. This is the at-rest co-location strategy for the
     * 100 TB fact-fact joins AQE cannot broadcast. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A stale warehouse directory from a previous session (fresh
+    // in-memory metastore has no entry for it) makes saveAsTable fail
+    // with locationAlreadyExists even in Overwrite mode — drop both
+    // the catalog entry and the orphaned location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.exists()) f.delete()
+    }
+    rm(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }

@@ -56,6 +56,18 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("round-2 operators on empty inputs") {
+    assert(Dedup.ngramContainmentPairs(emptyDocs, 3, 0.6).count() == 0)
+    assert(Dedup.simhash16NearDupPairs(emptyDocs).count() == 0)
+    assert(TextAnalysis.topTerms(emptyDocs, 3).count() == 0)
+    assert(Temporal.movingDailySpend(emptyTx, 3).count() == 0)
+    assert(Temporal.groupingSetsSpend(emptyTx).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.functions.Similarity.nearDupPairsLsh(emptyEmb, 0.4, 4, 2).count() == 0)
+    assert(graft.functions.Similarity.lshTopKMulti(
+      emptyEmb, col("vec_id") % 100 === 0, 5, 4, 2).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping
