@@ -111,14 +111,14 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Fast double-precision cosine fold (production path; not used by
-    * oracle queries because double sum order is engine-dependent). */
-  def doubleCosine(a: String, b: String): Column = {
-    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    val nb = expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    dot / sqrt(na * nb)
-  }
+  /** Fast double-precision cosine (production path; not used by oracle
+    * queries because double sum order is engine-dependent). Runs
+    * through the native fused `CosineF64` expression — dot and both
+    * norms in ONE codegen'd loop, replacing the three interpreted
+    * higher-order-function folds this used to spell. */
+  def doubleCosine(a: String, b: String): Column =
+    graft.plans.CosineF64.cosine_f64(
+      col(a).cast("array<double>"), col(b).cast("array<double>"))
 
   /** Random-hyperplane LSH bucketing: `bits` sign bits per vector,
     * where hyperplane h's component for dimension d is a deterministic

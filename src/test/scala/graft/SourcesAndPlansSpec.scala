@@ -67,4 +67,21 @@ class DotI64Spec extends SparkSpec {
     val df = Seq((Array(1.0), Array(1L))).toDF("a", "b")
     intercept[Exception] { df.select(DotI64.dot_i64(col("a"), col("b"))).head() }
   }
+
+  test("native fused cosine: known geometry, SQL registration, null") {
+    import graft.plans.CosineF64
+    val df = Seq(
+      (Array(1.0, 0.0), Some(Array(1.0, 0.0))),   // identical -> 1.0
+      (Array(1.0, 0.0), Some(Array(0.0, 1.0))),   // orthogonal -> 0.0
+      (Array(1.0, 0.0), Some(Array(-2.0, 0.0))),  // opposite -> -1.0
+      (Array(1.0, 0.0), Option.empty[Array[Double]])
+    ).toDF("a", "b")
+    val out = df.select(CosineF64.cosine_f64(col("a"), col("b")).as("c")).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).getDouble(0) == -1.0)
+    assert(out(3).isNullAt(0))
+    CosineF64.register(spark)
+    assert(df.limit(1).selectExpr("cosine_f64(a, b)").head().getDouble(0) == 1.0)
+  }
 }
