@@ -124,6 +124,16 @@ object SparkEntry {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // per-stratum sampling fractions (training-mix rebalancing):
+    // deterministic per-key rule, per-language percentages
+    "q_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.Sampling.stratifiedSampleByFractions(
+        Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 50, "es" -> 20, "fr" -> 10))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("bigint").as("sum_chars"))
+    }),
     "q_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -576,6 +586,14 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY lang, split""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s
+        |WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'fr' THEN 10 ELSE 0 END
+        |GROUP BY lang""".stripMargin,
     "q_range_join" ->
       """WITH i AS (SELECT user_id AS ival_id, min(ts) AS ival_start,
         |                  min(ts) + INTERVAL 1 DAY AS ival_end

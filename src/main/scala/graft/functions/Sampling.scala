@@ -39,4 +39,18 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        pct: Int): DataFrame =
     deterministicSample(df, keyCol, pct)
+
+  /** Per-stratum sampling fractions — the rebalancing primitive for
+    * training mixes (e.g. downsample the dominant language, keep all
+    * of a rare one). Same deterministic per-key rule; a stratum absent
+    * from `fractions` is dropped entirely (fraction 0). Single
+    * map-side filter, no shuffle, retry-stable, recomputable. */
+  def stratifiedSampleByFractions(df: DataFrame, keyCol: String,
+                                  strataCol: String,
+                                  fractions: Map[String, Int]): DataFrame = {
+    val pctCol = fractions.foldLeft(lit(0)) { case (acc, (stratum, pct)) =>
+      when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < pctCol)
+  }
 }

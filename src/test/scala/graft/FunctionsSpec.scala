@@ -80,6 +80,27 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(p10.subsetOf(p20))
   }
+
+  test("per-stratum fractions: rates respected, unlisted strata dropped, nested") {
+    val fr = Map("en" -> 50, "es" -> 20)
+    val out = Sampling.stratifiedSampleByFractions(docs, "doc_id", "lang", fr)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr"), s"unlisted stratum must drop: $byLang")
+    fr.foreach { case (lang, pct) =>
+      val rate = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(rate - pct / 100.0) < 0.15, s"$lang rate $rate !~ ${pct / 100.0}")
+    }
+    // nested within strata: lowering a fraction keeps a subset
+    val smaller = Sampling.stratifiedSampleByFractions(docs, "doc_id", "lang",
+      Map("en" -> 20, "es" -> 20))
+      .filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val bigger = out.filter($"lang" === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(bigger))
+  }
 }
 
 class DedupSpec extends SparkSpec {
