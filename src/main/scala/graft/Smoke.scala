@@ -24,6 +24,8 @@ object Smoke {
       df.write.format("noop").mode("overwrite").save()
       println(df.queryExecution.executedPlan.toString)
     }
+    else if (args.headOption.contains("audit")) auditProbe(spark,
+      args.lift(1).getOrElse("/root/testdata/sf0.01"))
     else {
       // typed Dataset[T] surface (graft.model)
       val ev = graft.model.Model.events(spark, "/root/testdata/sf0.001")
@@ -91,6 +93,38 @@ object Smoke {
 
   /** Time one query in isolation, repeated (rep 1 is cold after a
     * Bench-style warmup; later reps may hit plan-level caches). */
+  /** Plan audit over EVERY SparkEntry query: shuffle exchanges, scans,
+    * whole-stage-codegen spans, broadcast joins, and pushed filters —
+    * the per-query evidence behind the 100 TB shuffle-budget story.
+    * Counts come from the pre-execution physical plan (stable, not
+    * AQE-rewritten), so they are comparable across runs. */
+  private def auditProbe(spark: SparkSession, sfDir: String): Unit = {
+    println(f"${"query"}%-28s ${"exch"}%5s ${"bcast"}%5s ${"scan"}%5s ${"wscg"}%5s ${"pushed"}%6s")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // structural counts from the PRE-execution plan (stable, the
+        // same numbers ShuffleBudgetSpec pins)
+        val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+        val exch = lines.count(l => l.contains("Exchange hashpartitioning")
+          || l.contains("Exchange rangepartitioning") || l.contains("Exchange SinglePartition"))
+        val bcast = lines.count(_.contains("BroadcastExchange"))
+        val scan = lines.count(_.contains("Scan parquet"))
+        val pushed = lines.count(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        // codegen spans ("*(n)" prefixes) only annotate the FINAL
+        // adaptive plan — execute THIS df's QueryExecution (collect;
+        // a noop write would plan a separate one), then count spans
+        df.collect()
+        val wscg = df.queryExecution.executedPlan.toString.linesIterator
+          .flatMap(l => "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1)))
+          .toSeq.distinct.size
+        println(f"$name%-28s $exch%5d $bcast%5d $scan%5d $wscg%5d $pushed%6d")
+      } catch { case e: Throwable =>
+        println(f"$name%-28s FAILED ${e.toString.take(80)}")
+      }
+    }
+  }
+
   private def timeProbe(spark: SparkSession, name: String, sfDir: String, reps: Int): Unit = {
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()

@@ -1,0 +1,48 @@
+package graft
+
+/** Shuffle-budget contracts for the headline queries: upper bounds on
+  * data-moving Exchange operators in the PRE-execution physical plan
+  * (stable, not AQE-rewritten). A regression that adds a shuffle to one
+  * of these plans is a 100 TB incident even when local timings barely
+  * move — every extra exchange re-materializes the whole fact at scale.
+  * Broadcast exchanges are excluded (they move the SMALL side by
+  * design). Run `Smoke audit` for the full per-query table.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shuffles(name: String): Int =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning")
+        || l.contains("Exchange rangepartitioning")
+        || l.contains("Exchange SinglePartition"))
+
+  // (query, max data shuffles) — the plan-shape contract
+  private val budgets = Seq(
+    "q_global_summary" -> 1,          // one partial->final agg
+    "q_revenue_by_order" -> 1,        // filter pushed, one grouped agg
+    "q_revenue_type_supplier" -> 1,   // dims broadcast; fact shuffles once
+    "q_customers_by_region" -> 1,
+    "q_exact_dedup_docs" -> 1,        // one digest shuffle, never the text
+    "q_sessions" -> 1,                // one user_id shuffle feeds window+agg
+    "q_rollup_lineitem" -> 2,         // pre-agg + rollup of the tiny aggregate
+    "q_cube_spend" -> 2,
+    "q_grouping_sets" -> 2,
+    "q_asof_join" -> 2,               // union alignment + key window
+    "q_category_totals" -> 2,         // agg + range-partitioned rank
+    "q_top10_orders" -> 0,            // TakeOrderedAndProject: no exchange
+    "q_top3_orders_per_customer" -> 1,
+    "q_running_spend" -> 2,
+    "q_monthly_spend" -> 1,
+    "q_simhash16" -> 1,               // one doc_id vote aggregation
+    "q_heavy_hitters" -> 1)           // sketch partials, never the token stream
+
+  test("headline queries stay within their shuffle budgets") {
+    val over = budgets.flatMap { case (q, max) =>
+      val n = shuffles(q)
+      if (n > max) Some(s"$q: $n > $max") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+}
