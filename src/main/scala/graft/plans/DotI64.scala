@@ -91,8 +91,14 @@ object DotI64 {
   * term) with a single codegen'd pass over each array. This is the
   * production (float) sibling of DotI64's quantized path; not used by
   * oracle queries (double accumulation order is engine-specific), unit
-  * tested against the quantized cosine instead. Returns NULL if either
-  * array is NULL, NaN when either norm is 0 (matching the fold). */
+  * tested against the quantized cosine instead.
+  *
+  * Degenerate inputs yield NULL, matching the SQL fold this replaces
+  * (Spark's Divide returns NULL on a zero divisor with ANSI off, and
+  * zip_with pads mismatched lengths with NULL, nulling the sum):
+  * NULL array, length mismatch, a NULL element, or a zero-norm vector
+  * all produce NULL — never NaN, which Spark's nan-safe ordering would
+  * rank ABOVE every real cosine in a top-k. */
 case class CosineF64(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -108,20 +114,24 @@ case class CosineF64(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_f64"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,14 +144,22 @@ case class CosineF64(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

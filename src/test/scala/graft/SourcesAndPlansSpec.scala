@@ -84,4 +84,20 @@ class DotI64Spec extends SparkSpec {
     CosineF64.register(spark)
     assert(df.limit(1).selectExpr("cosine_f64(a, b)").head().getDouble(0) == 1.0)
   }
+
+  test("fused cosine degenerates to NULL, never NaN (zero norm, length mismatch)") {
+    import graft.plans.CosineF64
+    val df = Seq(
+      (Array(0.0, 0.0), Array(1.0, 0.0)),       // zero-norm left
+      (Array(1.0, 0.0), Array(0.0, 0.0)),       // zero-norm right
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0))   // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(CosineF64.cosine_f64(col("a"), col("b")).as("c")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0), s"row $i must be NULL (a NaN would outrank real cosines)")
+    }
+    // a zero vector must NOT survive a threshold filter or win a top-k
+    assert(df.select(CosineF64.cosine_f64(col("a"), col("b")).as("c"))
+      .filter(col("c") >= 0.0).count() == 0)
+  }
 }
