@@ -32,10 +32,18 @@ object Bench {
       materialize(Tables.documents(spark, sfDir).selectExpr("md5(text) AS h"))
     } catch { case _: Throwable => () }
 
+    // Optional isolation filter (comma-separated query names): run a
+    // subset back-to-back for regression triage without the full-suite
+    // cache/contention profile. Unset = all queries (the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // Failures are recorded, never swallowed: a query that cannot plan
     // or execute shows up in the "errors" map (and on stderr) instead
     // of silently inflating apparent coverage with a near-zero timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { materialize(fn(spark, sfDir)); None }
                 catch { case e: Throwable => Some(e.toString.replaceAll("\\s+", " ").take(300)) }

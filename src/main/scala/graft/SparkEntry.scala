@@ -82,14 +82,19 @@ object SparkEntry {
     "q_spend_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val amt2 = col("amount").cast("decimal(14,2)")
+      // n = 1 guard: Spark (non-ANSI) division yields NULL on the
+      // n*(n-1)=0 divisor while DuckDB's IEEE division yields Inf/NaN —
+      // an explicit CASE WHEN n > 1 in BOTH engines makes the
+      // degenerate stratum NULL everywhere.
       tx(s, d).groupBy(col("category"))
         .agg(count(lit(1)).as("n"), sum(amt2).as("_s"),
              sum((amt2 * amt2).cast("decimal(30,4)")).as("_ssq"))
         .select(col("category"), col("n"),
           (col("_s").cast("double") / col("n").cast("double")).as("mean_amount"),
-          ((col("n").cast("double") * col("_ssq").cast("double")
-             - col("_s").cast("double") * col("_s").cast("double"))
-            / (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("var_amount"))
+          when(col("n") > 1,
+            (col("n").cast("double") * col("_ssq").cast("double")
+               - col("_s").cast("double") * col("_s").cast("double"))
+              / (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("var_amount"))
         .withColumn("stddev_amount", sqrt(col("var_amount")))
     }),
     "q_order_point_lookup" -> ((s, d) => Relational.orderPointLookup(Tables.orders(s, d))),
@@ -144,6 +149,13 @@ object SparkEntry {
     // brute-force all-pairs scan — the rare case where the scalable
     // plan is oracle-exact by construction.
     "q_simhash_neardup" -> ((s, d) => Dedup.simhash16NearDupPairs(Tables.documents(s, d))),
+    // production-width 64-bit banded near-dup (4×16-bit bands, 65k
+    // buckets/band — the shape that holds at scale, where 16-bit
+    // banding's 16 buckets/band makes candidate lists fat by
+    // construction). Rows-only: DuckDB lacks xxhash64; the band==brute
+    // equivalence is spec-pinned on the corpus instead, and the
+    // oracle-exact 16-bit sibling above gates the shared banding logic.
+    "q_simhash64_neardup" -> ((s, d) => Dedup.simhash64NearDupPairs(Tables.documents(s, d))),
     // --- similarity search ---
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
@@ -162,6 +174,14 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 16, 4)),
+    // measured recall of every approximate ANN method against the
+    // oracle-gated brute-force top-k: one (method, n_hits, n_truth,
+    // recall) row each. Rows-only for the driver (LSH/IVF hashes aren't
+    // DuckDB-expressible) but the recall FLOORS are spec-pinned — the
+    // weakest rows>0 gates become measured numbers.
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)),
     // --- multimodal plumbing ---
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(
@@ -250,6 +270,20 @@ object SparkEntry {
              expr("percentile(amount, 0.5)").as("q50"),
              expr("percentile(amount, 0.75)").as("q75"),
              count(lit(1)).as("n"))
+    }),
+    // same exact percentiles through the engine's own
+    // TypedImperativeAggregate (custom partial/merge/eval lifecycle,
+    // Spark-interpolation-identical) — gated by the SAME DuckDB
+    // quantile_cont oracle as the built-in form above, plus a
+    // merge-under-repartition ScalaCheck property.
+    "q_percentiles_custom" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      tx(s, d).groupBy(col("category"))
+        .agg(graft.plans.ExactPercentiles.exact_percentiles(
+               col("amount").cast("double"), Seq(0.25, 0.5, 0.75)).as("qs"),
+             count(lit(1)).as("n"))
+        .select(col("category"), col("qs").getItem(0).as("q25"),
+          col("qs").getItem(1).as("q50"), col("qs").getItem(2).as("q75"), col("n"))
     }),
     // approx-percentile scale toggle (rows-only like the HLL toggle:
     // the sketch estimate is engine-specific; spec bounds it against
@@ -445,10 +479,12 @@ object SparkEntry {
          |           FROM ($txSql) GROUP BY category)
          |SELECT category, n,
          |       cast(s AS double) / cast(n AS double) AS mean_amount,
-         |       (cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
-         |         / (cast(n AS double) * (cast(n AS double) - 1.0)) AS var_amount,
-         |       sqrt((cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
-         |         / (cast(n AS double) * (cast(n AS double) - 1.0))) AS stddev_amount
+         |       CASE WHEN n > 1 THEN
+         |         (cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |           / (cast(n AS double) * (cast(n AS double) - 1.0)) END AS var_amount,
+         |       CASE WHEN n > 1 THEN
+         |         sqrt((cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |           / (cast(n AS double) * (cast(n AS double) - 1.0))) END AS stddev_amount
          |FROM t""".stripMargin,
     "q_upsert_merge" ->
       s"""WITH v1 AS (SELECT txn_date AS begin_date, txn_date AS end_date,
@@ -669,6 +705,13 @@ object SparkEntry {
            |SELECT term, count(*) AS count, CAST(0 AS BIGINT) AS max_error
            |FROM t GROUP BY term ORDER BY count DESC, term ASC LIMIT 20""".stripMargin,
     "q_percentiles" ->
+      s"""SELECT category,
+         |       quantile_cont(amount, 0.25) AS q25,
+         |       quantile_cont(amount, 0.5) AS q50,
+         |       quantile_cont(amount, 0.75) AS q75,
+         |       count(*) AS n
+         |FROM ($txSql) GROUP BY category""".stripMargin,
+    "q_percentiles_custom" ->
       s"""SELECT category,
          |       quantile_cont(amount, 0.25) AS q25,
          |       quantile_cont(amount, 0.5) AS q50,

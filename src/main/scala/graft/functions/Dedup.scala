@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count the hot (df-capped) shingles and surface a runtime signal
+    * when the cap binds: a qualifying pair is missed only if EVERY
+    * shingle it shares is hotter than the cap, and that regime starts
+    * silently once the corpus outgrows the cap — so the operator says
+    * so instead of quietly under-reporting. The count is one cheap job
+    * over the already-persisted shingle sets, and the checkpoint lets
+    * both sides of the candidate self-join reuse one materialization
+    * of the hot set instead of re-aggregating it per side. */
+  private def checkpointHot(hot: DataFrame, maxDocFreq: Int, op: String): DataFrame = {
+    val h = hot.localCheckpoint()
+    val nHot = h.count()
+    if (nHot > 0)
+      log.warn(s"$op: $nHot shingles with doc-frequency > $maxDocFreq excluded from " +
+        "candidate generation; pairs whose every shared shingle is hot will be missed " +
+        "(raise maxDocFreq for exactness, at quadratic posting-list cost)")
+    h
+  }
+
   /** Canonical form for exact duplicate detection (shared with the
     * streaming dedup path). */
   def canonical(text: Column): Column =
@@ -130,10 +150,12 @@ object Dedup {
     // over (lang,source,sh) — that would sort-shuffle the whole
     // posting table just to count). The hot set is tiny by
     // construction (heavy tail), so AQE broadcasts the anti-join.
-    val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("lang"), col("source"), col("sh"))
+    val hot = checkpointHot(
+      ex.groupBy(col("lang"), col("source"), col("sh"))
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDocFreq)
+        .select(col("lang"), col("source"), col("sh")),
+      maxDocFreq, "ngramJaccardPairsInverted")
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
@@ -177,10 +199,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("lang"), col("source"), col("doc_id"),
       explode(col("shs")).as("sh"))
-    val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("lang"), col("source"), col("sh"))
+    val hot = checkpointHot(
+      ex.groupBy(col("lang"), col("source"), col("sh"))
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDocFreq)
+        .select(col("lang"), col("source"), col("sh")),
+      maxDocFreq, "ngramContainmentPairs")
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
@@ -395,19 +419,29 @@ object Dedup {
     * iterative-Spark requirement). An empty pair set exits before any
     * iteration (the common case for a clean corpus). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          partitions: Int = 1): DataFrame = {
-    // The duplicate-pair graph is vanishingly small relative to the
-    // corpus (near-dup pairs, not documents): default to 1 partition so
-    // each iteration is a single task, not 32 near-empty ones. Raise
-    // `partitions` when the pair graph itself is large.
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+                          partitions: Int = 0): DataFrame = {
+    // `partitions` <= 0 sizes iteration parallelism from the measured
+    // edge count: the duplicate-pair graph is usually vanishingly small
+    // relative to the corpus, and 32 near-empty tasks per round cost
+    // more scheduling than they save — but a corpus-scale pair graph
+    // must not funnel through one task either, so target ~500k edges
+    // per task, capped at the cluster's parallelism.
+    val edgesAll = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(partitions)
       .localCheckpoint()
+    val nEdges = edgesAll.count()
+    if (nEdges == 0)
+      return edgesAll.select(col("doc_a").as("id"), col("doc_a").as("label"))
+    val p =
+      if (partitions > 0) partitions
+      else math.max(1L, math.min(
+        edgesAll.sparkSession.sparkContext.defaultParallelism.toLong,
+        (nEdges + 499999L) / 500000L)).toInt
+    // coalesce (narrow, no shuffle) down onto the checkpointed blocks.
+    val edges = edgesAll.coalesce(p)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    if (labels.isEmpty) return labels
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -423,11 +457,16 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // Pointer jump: labels are always node ids, so label(label) is
       // defined for every row; one extra tiny join halves the rounds.
+      // The checkpoint is LAZY: the labelSum action below materializes
+      // it and computes the convergence sum in ONE job per round, where
+      // the eager form paid a materialization job plus a sum job —
+      // driver-round overhead is the whole cost of this operator at
+      // fixture scale, so halving the job count halves the wall-clock.
       labels = stepped
         .join(stepped.select(col("id").as("_jid"), col("label").as("_jlabel")),
           col("label") === col("_jid"))
         .select(col("id"), col("_jlabel").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

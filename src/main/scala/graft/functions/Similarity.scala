@@ -64,21 +64,59 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
-    * corpus's natural partition), threshold on quantized cosine. */
-  def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    val e = quantized(embeddings)
+    * corpus's natural partition), threshold on quantized cosine.
+    *
+    * Hot-label guard: the per-label self-join is quadratic in the
+    * hottest label — fine for balanced corpora, a scale-killer if one
+    * label holds 10% of 100 TB. Labels with more than `maxLabelRows`
+    * rows are therefore routed through the LSH-blocked path
+    * (`nearDupPairsLsh` restricted to within-label pairs): per-bucket
+    * joins instead of a quadratic block, exact-cosine verification
+    * (precision 1.0), LSH-union recall. The default cap is far above
+    * the gated scale factors, so oracle-checked runs stay exact; at
+    * scale the cap is the documented contract — lower it deliberately
+    * and oversized labels degrade to probabilistic recall instead of
+    * quadratic cost. */
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double,
+                   maxLabelRows: Long = 1000000L,
+                   lshBits: Int = 4, lshTables: Int = 4): DataFrame = {
+    // Tiny by construction (labels over the cap); the eager checkpoint
+    // doubles as the driver-side routing decision.
+    val hotLabels = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxLabelRows)
+      .select(col("label"))
+      .localCheckpoint()
+    val hasHot = !hotLabels.isEmpty
+    val cold =
+      if (hasHot) embeddings.join(broadcast(hotLabels), Seq("label"), "left_anti")
+      else embeddings
+    val e = quantized(cold)
       .select(col("vec_id"), col("label"), col("q"), col("nq"))
     val a = e.select(col("label"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("nq").as("na"))
     val b = e.select(col("label"), col("vec_id").as("id_b"),
       col("q").as("qb"), col("nq").as("nb"))
-    a.join(b, Seq("label"))
+    val exact = a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", dotQ("qa", "qb"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cosine") >= minCosine)
       .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+    if (!hasHot) exact
+    else {
+      val hotRows = embeddings.join(broadcast(hotLabels), Seq("label"), "left_semi")
+      val lbl = hotRows.select(col("vec_id"), col("label"))
+      // LSH buckets can pair rows from two different hot labels; keep
+      // only within-label pairs to preserve the blocking semantics.
+      val viaLsh = nearDupPairsLsh(hotRows, minCosine, lshBits, lshTables)
+        .join(lbl.select(col("vec_id").as("id_a"), col("label").as("_la")), Seq("id_a"))
+        .join(lbl.select(col("vec_id").as("id_b"), col("label").as("_lb")), Seq("id_b"))
+        .filter(col("_la") === col("_lb"))
+        .select(col("_la").as("label"), col("id_a"), col("id_b"), col("cosine"))
+      exact.unionByName(viaLsh)
+    }
   }
 
   /** Unlabeled embedding near-dup pairs at scale: multi-table
@@ -92,8 +130,13 @@ object Similarity {
     * `nearDupPairs`, which needs a label column to block on. */
   def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double,
                       bits: Int, tables: Int): DataFrame = {
+    // Checkpoint the quantized vectors: both self-join sides consume
+    // them, and without the materialization barrier column pruning
+    // specializes the quantize+norm subtree per side and runs it twice
+    // (one full parquet scan + DotI64 norm pass each).
     val e = quantized(embeddings)
       .select(col("vec_id"), col("q"), col("nq"))
+      .localCheckpoint()
     val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
     val side = e.join(buckets, Seq("vec_id"))
     val a = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
@@ -301,6 +344,33 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Measured ANN recall: joins each approximate method's top-k against
+    * the brute-force top-k (the oracle-gated ground truth) and emits one
+    * (method, n_hits, n_truth, recall) row per method. This turns the
+    * rows-only ANN gate into a measured one: the driver sees the recall
+    * number itself, and specs pin per-method floors. Deterministic — all
+    * hash seeds are fixed, ties break on ids — so the rows are stable
+    * across runs and partitionings. */
+  def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
+                bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame = {
+    // Ground truth is consumed once per method; checkpoint so the
+    // brute-force pass runs once.
+    val truth = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nTruth = truth.count()
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          (col("n_hits").cast("double") / lit(nTruth.toDouble)).as("recall"))
+    recallOf("lsh", lshTopK(embeddings, queryPred, k, bits))
+      .unionByName(recallOf("lsh_multi", lshTopKMulti(embeddings, queryPred, k, bits, tables)))
+      .unionByName(recallOf("ivf", ivfTopK(embeddings, queryPred, k, nCells, nProbe)))
   }
 
   /** LSH-accelerated top-k: search only within the query's bucket plus

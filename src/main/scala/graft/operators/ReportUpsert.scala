@@ -51,7 +51,7 @@ object ReportUpsert {
     * leftover `_staged` from a crashed write is discarded — the merge
     * simply re-runs). The data itself is never in a partial state:
     * reads only ever see the old complete table or the new one. */
-  def mergeInto(dir: String, incoming: DataFrame): Unit = {
+  def mergeInto(dir: String, incoming: DataFrame): Unit = withWriterLock(dir) {
     recover(dir)
     val spark = incoming.sparkSession
     val target = new java.io.File(dir)
@@ -66,10 +66,43 @@ object ReportUpsert {
     if (old.exists()) {
       val bak = new java.io.File(dir + "_old")
       deleteRec(bak)
-      old.renameTo(bak)
-      new java.io.File(tmp).renameTo(old)
+      move(old, bak)
+      move(new java.io.File(tmp), old)
       deleteRec(bak)
-    } else new java.io.File(tmp).renameTo(old)
+    } else move(new java.io.File(tmp), old)
+  }
+
+  /** Directory rename that FAILS LOUDLY: a silently-ignored rename
+    * failure (cross-device target, open handle, permissions) would
+    * leave the live table stale or the swap half-done with readers
+    * none the wiser. ATOMIC_MOVE throws instead of degrading to
+    * copy+delete, so the swap invariant (readers see old-complete or
+    * new-complete, never partial) holds or the writer aborts — and a
+    * `recover` on the next run restores the directory layout. */
+  private def move(src: java.io.File, dst: java.io.File): Unit =
+    java.nio.file.Files.move(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  /** Single-writer contract for the parquet MERGE sinks. The staged-swap
+    * (`mergeInto`) and dynamic-partition-overwrite (`mergeIntoPartitioned`)
+    * sequences have no cross-process transaction — two concurrent
+    * writers on one reports dir could interleave renames or partition
+    * overwrites. Writers therefore take an exclusive lock file
+    * (`<dir>_lock`, atomic create) for the duration of the batch and a
+    * concurrent writer fails fast with a clear error instead of
+    * corrupting the swap. A crash leaves the lock behind by design —
+    * operator intervention (delete the lock after confirming no writer
+    * is alive) beats silently stealing a lock that may still be held.
+    * With a transactional table format (Delta/Iceberg — unavailable in
+    * this environment) the format's own commit protocol replaces this. */
+  private def withWriterLock[T](dir: String)(body: => T): T = {
+    val lock = new java.io.File(dir + "_lock")
+    Option(lock.getParentFile).foreach(_.mkdirs())
+    if (!lock.createNewFile())
+      throw new IllegalStateException(
+        s"reports MERGE sink at $dir is locked by another writer ($lock exists); " +
+          "the sink is single-writer — if no writer is alive, remove the stale lock")
+    try body finally lock.delete()
   }
 
   /** Restore the `mergeInto` directory invariant after a crash at any
@@ -80,7 +113,7 @@ object ReportUpsert {
   def recover(dir: String): Unit = {
     val live = new java.io.File(dir)
     val bak = new java.io.File(dir + "_old")
-    if (!live.exists() && bak.exists()) bak.renameTo(live)
+    if (!live.exists() && bak.exists()) move(bak, live)
     deleteRec(new java.io.File(dir + "_staged"))
   }
 
@@ -94,7 +127,7 @@ object ReportUpsert {
     *      rewritten.
     * Contrast `mergeInto`, which rewrites the whole table per batch.
     */
-  def mergeIntoPartitioned(dir: String, incoming: DataFrame): Unit = {
+  def mergeIntoPartitioned(dir: String, incoming: DataFrame): Unit = withWriterLock(dir) {
     val spark = incoming.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val target = new java.io.File(dir)

@@ -173,22 +173,32 @@ object Temporal {
     * scalable form maps both sides onto day buckets (an interval of
     * bounded length covers few buckets), equi-joins on the bucket, and
     * post-filters exact containment — O(points + intervals·buckets)
-    * with an ordinary hash join. `maxDays` is ENFORCED: intervals
-    * spanning >= maxDays are excluded (the bucket fan-out is one row
-    * per covered day, so an unbounded interval would silently explode
-    * the join input — callers wanting long intervals must raise the
-    * bound explicitly). Output: one row per qualifying interval with
-    * its contained-point count. */
+    * with an ordinary hash join. `maxDays` is ENFORCED, and the
+    * enforcement is VISIBLE: intervals spanning >= maxDays are not
+    * counted (the bucket fan-out is one row per covered day, so an
+    * unbounded interval would silently explode the join input) but
+    * they are still emitted, with `n_points = NULL` as the sentinel —
+    * callers see exactly which intervals exceeded the bound instead of
+    * silently receiving fewer rows. NULL cannot collide with a real
+    * count: zero-point intervals produce no row at all (inner join).
+    * Callers wanting long intervals counted must raise the bound
+    * explicitly. */
   def countPointsInIntervals(points: DataFrame, tsCol: String,
                              intervals: DataFrame, maxDays: Int): DataFrame = {
     val p = points.select(to_date(col(tsCol)).as("bucket"), col(tsCol).as("_pts"))
+    val span = datediff(to_date(col("ival_end")), to_date(col("ival_start")))
     val i = intervals
-      .filter(datediff(to_date(col("ival_end")), to_date(col("ival_start"))) < maxDays)
+      .filter(span < maxDays)
       .withColumn("bucket",
         explode(expr("sequence(to_date(ival_start), to_date(ival_end), interval 1 day)")))
-    i.join(p, Seq("bucket"))
+    val counted = i.join(p, Seq("bucket"))
       .filter(col("_pts") >= col("ival_start") && col("_pts") < col("ival_end"))
       .groupBy(col("ival_id"), col("ival_start"), col("ival_end"))
       .agg(count(lit(1)).as("n_points"))
+    val excluded = intervals
+      .filter(span >= maxDays)
+      .select(col("ival_id"), col("ival_start"), col("ival_end"),
+        lit(null).cast("long").as("n_points"))
+    counted.unionByName(excluded)
   }
 }

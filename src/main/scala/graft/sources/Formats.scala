@@ -39,19 +39,30 @@ object Formats {
     * either side. This is the at-rest co-location strategy for the
     * 100 TB fact-fact joins AQE cannot broadcast. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"table name must be a bare identifier (no path separators), got '$table'")
     val spark = df.sparkSession
     // A stale warehouse directory from a previous session (fresh
     // in-memory metastore has no entry for it) makes saveAsTable fail
     // with locationAlreadyExists even in Overwrite mode — drop both
     // the catalog entry and the orphaned location first.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    // Resolve the warehouse dir with Hadoop Path semantics (handles
+    // plain paths, file: URIs, AND unescaped characters like spaces
+    // that java.net.URI rejects), then delete ONLY the table's own
+    // subdirectory — guarded so a misconfigured warehouse value can
+    // never aim the recursive delete anywhere else.
+    val whDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val loc = new java.io.File(whDir, table)
+    val isTableDir =
+      loc.getCanonicalFile.getParentFile == new java.io.File(whDir).getCanonicalFile &&
+        loc.getCanonicalFile.getName == table
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       if (f.exists()) f.delete()
     }
-    rm(loc)
+    if (isTableDir) rm(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -247,6 +247,38 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashBandPairs(sh, "simhash16", 16, 4, 4)
     }
   }
+
+  test("64-bit banded simhash pairs EQUAL the brute-force all-pairs scan") {
+    // production width: 4×16-bit bands, 65k buckets/band. Same
+    // pigeonhole guarantee as the oracle-gated 16-bit sibling, asserted
+    // against the O(n²) scan on corpus data (includes exact-dup docs,
+    // whose hamming-0 pairs must all surface).
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.simhash64(d).localCheckpoint()
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        Dedup.hamming(col("a.simhash64"), col("b.simhash64")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val banded = Dedup.simhash64NearDupPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
+  }
+
+  test("connectedComponents: auto-sized and forced parallelism agree") {
+    // default (partitions <= 0) sizes iteration parallelism from the
+    // measured edge count — tiny graph -> 1 task per round; an explicit
+    // partition count must produce identical labels.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val auto = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val forced = Dedup.connectedComponents(pairs, partitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == expect && forced == expect, s"auto=$auto forced=$forced")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -292,6 +324,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(four) >= recall(one),
       s"recall dropped with more tables: ${recall(four)} < ${recall(one)}")
     assert(recall(four) > 0.0)
+  }
+
+  test("nearDupPairs hot-label guard: oversized labels route through LSH, not the quadratic block") {
+    // label 0 exceeds the cap (8 rows > maxLabelRows=5) and holds an
+    // identical-vector pair (ids 1,2) — identical vectors share every
+    // LSH bucket deterministically, so the guard's LSH branch must find
+    // them; label 1 is cold and stays on the exact path. With the cap
+    // binding, the result must equal exact-on-cold ∪ LSH-on-hot
+    // (within-label) — and on this fixture that equals the uncapped
+    // exact result, so the guard loses nothing here either.
+    val base = (0 until 64).map(i => (i % 7 + 1).toFloat)
+    def perturb(seed: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => if ((i * 31 + seed) % 5 == 0) -v else v * (seed + 2) }
+    val hotFill = (3L to 8L).map(i => (i, perturb(i.toInt), 0))
+    val e = emb(Seq(
+      (1L, base, 0), (2L, base, 0)) ++ hotFill ++ Seq(
+      (11L, base.map(_ * 2f), 1), (12L, base.map(_ * 2f), 1)): _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val guarded = pairSet(Similarity.nearDupPairs(e, 0.95, maxLabelRows = 5))
+    val uncapped = pairSet(Similarity.nearDupPairs(e, 0.95))
+    assert(guarded.contains((0, 1L, 2L)), "identical pair in the HOT label must surface via LSH")
+    assert(guarded.contains((1, 11L, 12L)), "cold label must stay on the exact path")
+    assert(guarded == uncapped, s"guarded=$guarded uncapped=$uncapped")
+    // routing really happened: the construction the guard must equal
+    val hotRows = e.filter(col("label") === 0)
+    val lshHot = Similarity.nearDupPairsLsh(hotRows, 0.95, 4, 4)
+      .collect().map(r => (0, r.getLong(0), r.getLong(1))).toSet
+    val exactCold = pairSet(Similarity.nearDupPairs(e.filter(col("label") =!= 0), 0.95))
+    assert(guarded == (lshHot ++ exactCold))
+  }
+
+  test("annRecall: measured per-method recall against brute force, with floors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("lsh", "lsh_multi", "ivf"))
+    val nTruth = out("lsh")._2
+    assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
+      "all methods score against the same ground truth")
+    out.foreach { case (m, (hits, n, rec)) =>
+      assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
+      assert(rec >= 0.1 && rec <= 1.0, s"$m recall $rec outside [0.1, 1.0] floor")
+    }
+    // multi-table candidates are a superset of single-table (shared
+    // table-0 hyperplanes) -> recall cannot drop
+    assert(out("lsh_multi")._3 >= out("lsh")._3)
   }
 
   test("unlabeled LSH near-dup: perfect precision, recall monotone in tables") {

@@ -140,4 +140,21 @@ object GraftProps extends Properties("graft") {
       val keys = merged.collect().map(_.getDate(0).toString).toSet
       Prop(keys == (e.map(_._1).toSet ++ i.map(_._1).toSet))
     }
+
+  property("exact_percentiles: merge-under-repartition invariant, equal to built-in") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000).map(_ / 100.0)),
+           Gen.choose(1, 13)) { (xs, parts) =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val df = xs.toDF("x")
+      val custom = df.repartition(parts)
+        .agg(graft.plans.ExactPercentiles.exact_percentiles(
+          col("x"), Seq(0.25, 0.5, 0.75)))
+        .head().getSeq[Double](0)
+      val builtin = df
+        .agg(expr("percentile(x, array(0.25, 0.5, 0.75))"))
+        .head().getSeq[Double](0)
+      // bit-equality: arbitrary partial/merge splits may not perturb
+      // a single ulp vs the single-partition built-in
+      Prop(custom == builtin) :| s"parts=$parts custom=$custom builtin=$builtin"
+    }
 }

@@ -82,6 +82,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_points") == 2L)
   }
 
+  test("range join: intervals exceeding maxDays surface as NULL-sentinel rows") {
+    val points = Seq(
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-03 12:00:00"))
+    ).toDF("event_id", "ts")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),  // 1 day: counted
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-06 00:00:00"))   // 5 days: excluded
+    ).toDF("ival_id", "ival_start", "ival_end")
+    val out = Temporal.countPointsInIntervals(points, "ts", intervals, 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // the oversized interval is NOT silently dropped: it appears with the
+    // NULL sentinel (a real zero-count interval produces no row at all,
+    // so NULL unambiguously means "excluded by the bound")
+    assert(out == Map(1L -> Some(1L), 2L -> None), s"got $out")
+  }
+
   test("movingDailySpend: RANGE frame skips calendar gaps") {
     // food has days 1, 2, 5: the 3-day window ending day 5 covers
     // days 3..5 — only day 5 itself (days 1-2 are OUTSIDE the range,

@@ -54,6 +54,27 @@ class UpsertSpec extends SparkSpec {
     assert(!staged.exists())
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("MERGE sinks are single-writer: held lock fails fast, released after a batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val dir = base + "/reports"
+    val lock = new java.io.File(dir + "_lock")
+    val v1 = reports(("2024-01-01", 10.0, "v1", 5L))
+    // a concurrent writer's lock blocks both sink forms, fast
+    assert(lock.createNewFile())
+    intercept[IllegalStateException](ReportUpsert.mergeInto(dir, v1))
+    intercept[IllegalStateException](ReportUpsert.mergeIntoPartitioned(dir, v1))
+    assert(lock.delete())
+    // an uncontended batch takes and RELEASES the lock
+    ReportUpsert.mergeInto(dir, v1)
+    assert(!lock.exists(), "lock must be released after a successful batch")
+    assert(spark.read.parquet(dir).count() == 1)
+    // released even when the batch fails (mismatched schema aborts merge)
+    intercept[Exception] {
+      ReportUpsert.mergeInto(dir, v1.drop("version"))
+    }
+    assert(!lock.exists(), "lock must be released after a failed batch")
+  }
 }
 
 class StreamingSpec extends SparkSpec {
