@@ -85,14 +85,17 @@ object SparkEntry {
       // n = 1 guard: Spark (non-ANSI) division yields NULL on the
       // n*(n-1)=0 divisor while DuckDB's IEEE division yields Inf/NaN —
       // an explicit CASE WHEN n > 1 in BOTH engines makes the
-      // degenerate stratum NULL everywhere.
+      // degenerate stratum NULL everywhere. The squared sum goes
+      // decimal -> string -> double (correctly-rounded IEEE parse in
+      // both engines) so the conversion stays bit-identical past 2^53
+      // — see q_corr_lineitem.
       tx(s, d).groupBy(col("category"))
         .agg(count(lit(1)).as("n"), sum(amt2).as("_s"),
              sum((amt2 * amt2).cast("decimal(30,4)")).as("_ssq"))
         .select(col("category"), col("n"),
           (col("_s").cast("double") / col("n").cast("double")).as("mean_amount"),
           when(col("n") > 1,
-            (col("n").cast("double") * col("_ssq").cast("double")
+            (col("n").cast("double") * col("_ssq").cast("string").cast("double")
                - col("_s").cast("double") * col("_s").cast("double"))
               / (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("var_amount"))
         .withColumn("stddev_amount", sqrt(col("var_amount")))
@@ -123,6 +126,19 @@ object SparkEntry {
     "q_ngram_containment" -> ((s, d) => Dedup.ngramContainmentPairs(Tables.documents(s, d), 3, 0.6)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
+    // benchmark decontamination: docs with doc_id % 50 == 0 stand in
+    // for a held-out eval set; every other doc reports its shared
+    // distinct-3-gram count against that set + the contamination flag
+    "q_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 3, 5L)
+    }),
+    // repetition/boilerplate quality filters (C4/Gopher-style
+    // duplicate-n-gram + most-common-token heuristics)
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_split_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.functions.Sampling.withSplit(Tables.documents(s, d), "doc_id", 10, 10)
@@ -320,23 +336,29 @@ object SparkEntry {
              count(lit(1)).as("n"))
     }),
     // exact-moment correlation over real fact columns (decimal
-    // Σx, Σy, Σxy, Σx², Σy² -> fixed-operand-order double Pearson)
+    // Σx, Σy, Σxy, Σx², Σy² -> fixed-operand-order double Pearson).
+    // The squared sums exceed 2^53, where direct decimal->double
+    // conversion rounds DIFFERENTLY across engines (observed 1-ulp
+    // divergence at sf0.001); routing decimal -> string -> double
+    // forces the correctly-rounded IEEE string parse in BOTH engines,
+    // making the doubles bit-identical at any magnitude.
     "q_corr_lineitem" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val x = col("l_quantity").cast("decimal(14,2)")
       val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d2(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
              sum((x * y).cast("decimal(34,4)")).as("_sxy"),
              sum((x * x).cast("decimal(30,4)")).as("_sxx"),
              sum((y * y).cast("decimal(38,4)")).as("_syy"))
         .select(col("l_returnflag"), col("n"),
-          ((col("n").cast("double") * col("_sxy").cast("double")
-             - col("_sx").cast("double") * col("_sy").cast("double"))
-           / (sqrt(col("n").cast("double") * col("_sxx").cast("double")
-                - col("_sx").cast("double") * col("_sx").cast("double"))
-              * sqrt(col("n").cast("double") * col("_syy").cast("double")
-                - col("_sy").cast("double") * col("_sy").cast("double")))).as("corr_qty_price"))
+          ((col("n").cast("double") * d2(col("_sxy"))
+             - d2(col("_sx")) * d2(col("_sy")))
+           / (sqrt(col("n").cast("double") * d2(col("_sxx"))
+                - d2(col("_sx")) * d2(col("_sx")))
+              * sqrt(col("n").cast("double") * d2(col("_syy"))
+                - d2(col("_sy")) * d2(col("_sy"))))).as("corr_qty_price"))
     }),
     // --- sliding event-time windows (batch form of the streaming
     // windowed agg; each event lands in 2 overlapping windows) ---
@@ -480,10 +502,10 @@ object SparkEntry {
          |SELECT category, n,
          |       cast(s AS double) / cast(n AS double) AS mean_amount,
          |       CASE WHEN n > 1 THEN
-         |         (cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |         (cast(n AS double) * cast(cast(ssq AS VARCHAR) AS double) - cast(s AS double) * cast(s AS double))
          |           / (cast(n AS double) * (cast(n AS double) - 1.0)) END AS var_amount,
          |       CASE WHEN n > 1 THEN
-         |         sqrt((cast(n AS double) * cast(ssq AS double) - cast(s AS double) * cast(s AS double))
+         |         sqrt((cast(n AS double) * cast(cast(ssq AS VARCHAR) AS double) - cast(s AS double) * cast(s AS double))
          |           / (cast(n AS double) * (cast(n AS double) - 1.0))) END AS stddev_amount
          |FROM t""".stripMargin,
     "q_upsert_merge" ->
@@ -576,6 +598,47 @@ object SparkEntry {
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_decontaminate" ->
+      s"""WITH s AS ($shinglesSql),
+         |tr AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id % 50 <> 0),
+         |be AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 50 = 0),
+         |c AS (SELECT tr.doc_id, count(*) AS n_shared FROM tr
+         |      JOIN be ON tr.sh = be.sh GROUP BY tr.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+         |       coalesce(c.n_shared, 0) >= 5 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin,
+    "q_repetition" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           |             FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+           |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |             count(*) AS n_distinct_tokens, max(c) AS max_tf
+           |      FROM tf GROUP BY doc_id),
+           |b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |      FROM documents),
+           |gr AS (SELECT doc_id,
+           |              unnest(list_transform(range(1, len(toks)),
+           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+           |       FROM b),
+           |gf AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+           |g2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           |              count(*) AS n_distinct_2grams
+           |       FROM gf GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+           |       CAST(t.max_tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_token_frac,
+           |       CAST(1.0 AS DOUBLE) - CAST(t.n_distinct_tokens AS DOUBLE)
+           |         / CAST(t.n_tokens AS DOUBLE) AS dup_token_ratio,
+           |       CAST(coalesce(g2.n_2grams, 0) AS BIGINT) AS n_2grams,
+           |       CAST(1.0 AS DOUBLE) - CAST(g2.n_distinct_2grams AS DOUBLE)
+           |         / CAST(g2.n_2grams AS DOUBLE) AS dup_2gram_frac,
+           |       (CAST(t.max_tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) <= 0.2)
+           |         AND coalesce(CAST(1.0 AS DOUBLE) - CAST(g2.n_distinct_2grams AS DOUBLE)
+           |                        / CAST(g2.n_2grams AS DOUBLE) <= 0.2, TRUE)
+           |         AS passes_repetition
+           |FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id""".stripMargin,
     "q_ngram_containment" ->
       s"""WITH s AS ($shinglesSql),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -695,9 +758,9 @@ object SparkEntry {
         |                  sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
         |           FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |       (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
-        |         / (sqrt(cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
-        |            * sqrt(cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double))) AS corr_qty_price
+        |       (cast(n AS double) * cast(cast(sxy AS VARCHAR) AS double) - cast(cast(sx AS VARCHAR) AS double) * cast(cast(sy AS VARCHAR) AS double))
+        |         / (sqrt(cast(n AS double) * cast(cast(sxx AS VARCHAR) AS double) - cast(cast(sx AS VARCHAR) AS double) * cast(cast(sx AS VARCHAR) AS double))
+        |            * sqrt(cast(n AS double) * cast(cast(syy AS VARCHAR) AS double) - cast(cast(sy AS VARCHAR) AS double) * cast(cast(sy AS VARCHAR) AS double))) AS corr_qty_price
         |FROM t""".stripMargin,
     "q_heavy_hitters" ->
       raw"""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

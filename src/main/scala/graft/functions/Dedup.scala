@@ -475,6 +475,35 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination — the standard eval-overlap filter for a
+    * training corpus (n-gram collision against a held-out benchmark
+    * set, the approach described publicly for GPT-3/PaLM-class corpus
+    * construction): a training document is CONTAMINATED when it shares
+    * at least `minShared` distinct word n-gram shingles with ANY
+    * benchmark document. Every training doc is emitted with its shared
+    * count (0-filled), so the filter decision is auditable, not just a
+    * drop.
+    *
+    * Scale shape: the benchmark side is tiny by definition (an eval
+    * set), so its distinct-shingle set BROADCASTS; the training side
+    * streams through one (doc, shingle)-keyed aggregation. No
+    * all-pairs, no shuffle of document text — the 100 TB cost is one
+    * pass over the training shingles. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    n: Int, minShared: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val train = shingleRows(docs, n).select(col("doc_id"), col("sh")).distinct()
+    val bench = shingleRows(benchmark, n).select(col("sh")).distinct()
+    val shared = train.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_n_shared"))
+    docs.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n_shared"), lit(0L)).as("n_shared_shingles"))
+      .withColumn("contaminated",
+        (col("n_shared_shingles") >= minShared).cast("boolean"))
+  }
+
   /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
     * connected components → keep the minimum doc_id per component.
     * Returns the surviving documents (non-duplicates plus one

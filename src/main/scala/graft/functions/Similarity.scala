@@ -355,9 +355,13 @@ object Similarity {
     * across runs and partitionings. */
   def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
                 bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame = {
+    // One materialization of the embeddings feeds the brute-force pass
+    // and all three approximate methods (each would otherwise re-scan
+    // the parquet + re-quantize independently).
+    val emb = embeddings.localCheckpoint()
     // Ground truth is consumed once per method; checkpoint so the
     // brute-force pass runs once.
-    val truth = bruteForceTopK(embeddings, queryPred, k)
+    val truth = bruteForceTopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val nTruth = truth.count()
@@ -368,9 +372,9 @@ object Similarity {
         .select(lit(name).as("method"), col("n_hits"),
           lit(nTruth).as("n_truth"),
           (col("n_hits").cast("double") / lit(nTruth.toDouble)).as("recall"))
-    recallOf("lsh", lshTopK(embeddings, queryPred, k, bits))
-      .unionByName(recallOf("lsh_multi", lshTopKMulti(embeddings, queryPred, k, bits, tables)))
-      .unionByName(recallOf("ivf", ivfTopK(embeddings, queryPred, k, nCells, nProbe)))
+    recallOf("lsh", lshTopK(emb, queryPred, k, bits))
+      .unionByName(recallOf("lsh_multi", lshTopKMulti(emb, queryPred, k, bits, tables)))
+      .unionByName(recallOf("ivf", ivfTopK(emb, queryPred, k, nCells, nProbe)))
   }
 
   /** LSH-accelerated top-k: search only within the query's bucket plus

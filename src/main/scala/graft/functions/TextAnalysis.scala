@@ -101,6 +101,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Repetition/boilerplate quality filters — the classic
+    * training-corpus heuristics (the duplicate-n-gram and
+    * most-common-word families popularized by the C4 and Gopher corpus
+    * papers, both public): per document,
+    *  - `top_token_frac`: frequency of the most common token / total
+    *    tokens (template/boilerplate pages score high);
+    *  - `dup_token_ratio`: 1 − distinct/total tokens;
+    *  - `dup_2gram_frac`: 1 − distinct/total 2-grams (repeated phrasing);
+    *  - `passes_repetition`: both fractions under their thresholds
+    *    (docs with no 2-grams pass that test vacuously).
+    * Shape: one posexplode + doc-keyed hash aggregations — every
+    * shuffle is on doc_id or (doc_id, token), nothing global, so the
+    * operator scales as an ordinary grouped aggregation. All ratios
+    * are double divisions of exact integers (engine-portable). */
+  def repetitionStats(docs: DataFrame,
+                      topTokenMax: Double = 0.2,
+                      dup2gramMax: Double = 0.2): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val t = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_distinct_tokens"),
+           max(col("c")).as("max_tf"))
+    val gf = Dedup.shingleRows(docs, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+    val g = gf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+           count(lit(1)).as("n_distinct_2grams"))
+    t.join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+        (col("max_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        (lit(1.0) - col("n_distinct_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("dup_token_ratio"),
+        coalesce(col("n_2grams"), lit(0L)).cast("long").as("n_2grams"),
+        (lit(1.0) - col("n_distinct_2grams").cast("double")
+          / col("n_2grams").cast("double")).as("dup_2gram_frac"))
+      .withColumn("passes_repetition",
+        (col("top_token_frac") <= topTokenMax &&
+          coalesce(col("dup_2gram_frac") <= dup2gramMax, lit(true))).cast("boolean"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * — the canonical-form hash used by exact dedup. (A rolling-hash
     * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the

@@ -248,6 +248,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: shared-shingle counts, 0-fill, threshold flag") {
+    // benchmark doc = "a b c d e"; training doc 1 contains its full
+    // 3-gram set (5 tokens -> 3 shingles), training doc 2 is disjoint
+    val bench = docs((100L, "a b c d e"))
+    val train = docs(
+      (1L, "x a b c d e y"),   // shares all 3 benchmark shingles
+      (2L, "p q r s t u v"))   // shares none
+    val out = Dedup.decontaminate(train, bench, 3, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((3L, true)), 2L -> ((0L, false))), s"got $out")
+  }
+
+  test("repetitionStats: boilerplate scores high and fails, varied text passes") {
+    val d = docs(
+      (1L, "spam spam spam spam spam"),               // 1 distinct token
+      (2L, "the quick brown fox jumps over dogs"))    // all distinct
+    val out = TextAnalysis.repetitionStats(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rep = out(1L)
+    assert(rep.getAs[Long]("n_tokens") == 5L && rep.getAs[Long]("n_distinct_tokens") == 1L)
+    assert(rep.getAs[Double]("top_token_frac") == 1.0)
+    assert(rep.getAs[Double]("dup_2gram_frac") == 0.75)   // 4 grams, 1 distinct
+    assert(!rep.getAs[Boolean]("passes_repetition"))
+    val ok = out(2L)
+    assert(ok.getAs[Double]("dup_token_ratio") == 0.0)
+    assert(ok.getAs[Double]("dup_2gram_frac") == 0.0)
+    // 7 distinct tokens of 7 -> top_token_frac = 1/7 < 0.2 -> passes
+    assert(ok.getAs[Boolean]("passes_repetition"))
+  }
+
   test("64-bit banded simhash pairs EQUAL the brute-force all-pairs scan") {
     // production width: 4×16-bit bands, 65k buckets/band. Same
     // pigeonhole guarantee as the oracle-gated 16-bit sibling, asserted

@@ -36,7 +36,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_running_spend" -> 2,
     "q_monthly_spend" -> 1,
     "q_simhash16" -> 1,               // one doc_id vote aggregation
-    "q_heavy_hitters" -> 1)           // sketch partials, never the token stream
+    "q_heavy_hitters" -> 1,           // sketch partials, never the token stream
+    "q_percentiles_custom" -> 1,      // custom agg partials -> one exchange
+    "q_simhash64_neardup" -> 2,       // vote agg feeds checkpoint; band join + distinct
+    "q_decontaminate" -> 4,           // train-shingle distinct+count keyed on doc_id; bench side broadcasts
+    "q_repetition" -> 5)              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
