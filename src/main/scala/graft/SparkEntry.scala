@@ -139,6 +139,19 @@ object SparkEntry {
     // repetition/boilerplate quality filters (C4/Gopher-style
     // duplicate-n-gram + most-common-token heuristics)
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // pre-training segmentation: 64-token sliding windows, 16-token
+    // overlap; chunk text emitted as md5 so the gate hashes content
+    "q_chunking" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d), 64, 16)),
+    // context-window packing audit: per-language greedy packing into
+    // 512-token bins (one partitioned window + one grouped agg)
+    "q_packing" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.Sampling.packSequences(
+        Tables.documents(s, d),
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(col("text"))).cast("long"),
+        "lang", "doc_id", 512L)
+    }),
     "q_split_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.functions.Sampling.withSplit(Tables.documents(s, d), "doc_id", 10, 10)
@@ -598,6 +611,29 @@ object SparkEntry {
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_chunking" ->
+      raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+           |c AS (SELECT doc_id, toks, n,
+           |             unnest(range(0, CASE WHEN n <= 64 THEN 1
+           |                                  ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_id
+           |      FROM n)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |       least(64, n - chunk_id * 48) AS n_chunk_tokens,
+           |       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+           |FROM c""".stripMargin,
+    "q_packing" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+           |                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+           |           FROM documents),
+           |c AS (SELECT lang, doc_id, n_toks,
+           |             coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM t)
+           |SELECT lang, cb // 512 AS bin_id, count(*) AS n_docs,
+           |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+           |FROM c GROUP BY lang, cb // 512""".stripMargin,
     "q_decontaminate" ->
       s"""WITH s AS ($shinglesSql),
          |tr AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id % 50 <> 0),

@@ -53,4 +53,31 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 100) < pctCol)
   }
+
+  /** Greedy sequential sequence packing — assign documents to training
+    * context windows of `seqLen` tokens: within each shard
+    * (`shardCol`), documents in `orderCol` order accumulate a running
+    * token count and a document lands in bin floor(tokens-before /
+    * seqLen). Deterministic (pure function of the ordering), so the
+    * packing is recomputable and retry-stable like the samplers above.
+    *
+    * Scale shape: ONE window partitioned by the shard — packing is
+    * per-shard by design (a global pack would serialize 100 TB through
+    * one ordering; per-language/per-source shards are how production
+    * packing runs anyway). Emits one row per (shard, bin) with the doc
+    * count and token total for batch-plan auditing; the per-doc bin
+    * assignment is the pre-aggregation interior. */
+  def packSequences(docs: DataFrame, tokenCount: Column, shardCol: String,
+                    orderCol: String, seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("_n_toks", tokenCount.cast("long"))
+      .withColumn("_before", coalesce(sum(col("_n_toks")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"_before DIV $seqLen"))
+      .groupBy(col(shardCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n_toks")).as("sum_tokens"))
+  }
 }

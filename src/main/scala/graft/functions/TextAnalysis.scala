@@ -146,6 +146,38 @@ object TextAnalysis {
           coalesce(col("dup_2gram_frac") <= dup2gramMax, lit(true))).cast("boolean"))
   }
 
+  /** Fixed-token document chunking with overlap — the pre-training
+    * segmentation step (long documents become sliding context windows;
+    * short documents one chunk). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens) with stride =
+    * chunkTokens − overlap; the count arithmetic is pure positive
+    * integer division, so it is engine-portable (no float ceil).
+    * Map-side: one tokenize + one explode per document, no shuffle —
+    * 100 TB cost is a single pass. Emits the chunk's md5 rather than
+    * its text so results stay small and oracle-hashable; production
+    * callers select the sliced tokens instead. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      // chunks-1 = ceil((n - chunk)/stride) via positive-only int div
+      .withColumn("_last", expr(
+        s"CASE WHEN _n <= $chunkTokens THEN CAST(0 AS BIGINT) " +
+          s"ELSE (_n - $chunkTokens + ${stride - 1}) DIV $stride END"))
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        explode(expr("sequence(CAST(0 AS BIGINT), _last)")).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(chunkTokens.toLong), col("_n") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"),
+        md5(expr(s"array_join(slice(_toks, chunk_id * $stride + 1, $chunkTokens), ' ')"))
+          .as("chunk_md5"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * — the canonical-form hash used by exact dedup. (A rolling-hash
     * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the

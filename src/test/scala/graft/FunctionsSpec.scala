@@ -38,6 +38,22 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("chunkDocs: sliding windows cover all tokens with the stated overlap") {
+    // 10 tokens, chunk=4, overlap=1 (stride 3): chunks start at token
+    // 0, 3, 6 — [t0..t3], [t3..t6], [t6..t9]; a 3-token doc is 1 chunk
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkDocs(docs((1L, toks10), (2L, "a b c")), 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out((1L, 0L)) == ((4L, m("t1 t2 t3 t4"))))
+    assert(out((1L, 1L)) == ((4L, m("t4 t5 t6 t7"))))
+    assert(out((1L, 2L)) == ((4L, m("t7 t8 t9 t10"))))
+    assert(out((2L, 0L)) == ((3L, m("a b c"))))
+    intercept[IllegalArgumentException](TextAnalysis.chunkDocs(docs((1L, "x")), 4, 4))
+  }
 }
 
 class ApproxDistinctSpec extends SparkSpec {
@@ -100,6 +116,20 @@ class SamplingSpec extends SparkSpec {
     val bigger = out.filter($"lang" === "en")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(bigger))
+  }
+
+  test("packSequences: per-shard greedy bins by cumulative token count") {
+    // shard a: 4 docs × 3 tokens into 5-token bins — tokens-before
+    // 0,3,6,9 -> bins 0,0,1,1; shard b independent
+    val docs = Seq(
+      (1L, "a", 3L), (2L, "a", 3L), (3L, "a", 3L), (4L, "a", 3L),
+      (10L, "b", 2L)
+    ).toDF("doc_id", "lang", "n_toks")
+    val out = Sampling.packSequences(docs, col("n_toks"), "lang", "doc_id", 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("a", 0L) -> ((2L, 6L)), ("a", 1L) -> ((2L, 6L)),
+      ("b", 0L) -> ((1L, 2L))), s"got $out")
   }
 }
 
