@@ -142,6 +142,9 @@ object SparkEntry {
     // pre-training segmentation: 64-token sliding windows, 16-token
     // overlap; chunk text emitted as md5 so the gate hashes content
     "q_chunking" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d), 64, 16)),
+    // PII redaction hygiene pass (emails/IPs/phones -> placeholders;
+    // identical regex subset in both engines)
+    "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     // context-window packing audit: per-language greedy packing into
     // 512-token bins (one partitioned window + one grouped agg)
     "q_packing" -> ((s, d) => {
@@ -611,6 +614,20 @@ object SparkEntry {
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_redact_pii" ->
+      raw"""WITH s1 AS (SELECT doc_id,
+           |              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           |              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           |            FROM documents),
+           |s2 AS (SELECT doc_id, n_emails,
+           |              CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           |              regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+           |       FROM s1),
+           |s3 AS (SELECT doc_id, n_emails, n_ips,
+           |              CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ()./-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           |              regexp_replace(t2, '\+[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g') AS t3
+           |       FROM s2)
+           |SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS redacted_md5 FROM s3""".stripMargin,
     "q_chunking" ->
       raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            |           FROM documents),

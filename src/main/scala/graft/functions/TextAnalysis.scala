@@ -146,6 +146,42 @@ object TextAnalysis {
           coalesce(col("dup_2gram_frac") <= dup2gramMax, lit(true))).cast("boolean"))
   }
 
+  /** PII redaction — training-corpus hygiene: emails, IPv4 addresses,
+    * and international-format phone numbers are replaced by typed
+    * placeholders, in that fixed order (each count is taken on the text
+    * the pattern actually saw, so counts equal replacements). The
+    * patterns stay inside the common subset of Java regex and RE2 —
+    * character classes, bounded repetition, \b — no backreferences or
+    * lookaround, so the DuckDB oracle applies the IDENTICAL patterns.
+    * Pure map-side (zero shuffle); emits the redacted text's md5 so
+    * gate results stay small — production callers select `redacted`
+    * via `redactPiiText`. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9][0-9 ()./-]{6,}[0-9]"
+
+  /** The redaction pipeline as columns: (n_emails, n_ips, n_phones,
+    * redacted). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipRe, "<IP>")
+    val t3 = regexp_replace(t2, phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(phoneRe)).cast("long").as("n_phones"),
+      md5(t3).as("redacted_md5"))
+  }
+
+  /** Redacted full text (the production projection; not the gate shape
+    * because hashing keeps oracle outputs small). */
+  def redactPiiText(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipRe, "<IP>")
+    docs.withColumn("redacted", regexp_replace(t2, phoneRe, "<PHONE>"))
+  }
+
   /** Fixed-token document chunking with overlap — the pre-training
     * segmentation step (long documents become sliding context windows;
     * short documents one chunk). Chunk i covers tokens

@@ -39,6 +39,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("redactPii: emails, IPs, phones replaced in order with matching counts") {
+    val d = docs(
+      (1L, "mail bob@example.com from 10.0.0.1 or call +1 (555) 123-4567 now"),
+      (2L, "no pii here at all"))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextAnalysis.redactPii(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L,
+      m("mail <EMAIL> from <IP> or call <PHONE> now"))), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, m("no pii here at all"))))
+    // production projection carries the full redacted text
+    val red = TextAnalysis.redactPiiText(d).filter(col("doc_id") === 1L)
+      .head().getAs[String]("redacted")
+    assert(red == "mail <EMAIL> from <IP> or call <PHONE> now")
+  }
+
   test("chunkDocs: sliding windows cover all tokens with the stated overlap") {
     // 10 tokens, chunk=4, overlap=1 (stride 3): chunks start at token
     // 0, 3, 6 — [t0..t3], [t3..t6], [t6..t9]; a 3-token doc is 1 chunk

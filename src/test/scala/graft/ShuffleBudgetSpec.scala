@@ -42,7 +42,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_decontaminate" -> 4,           // train-shingle distinct+count keyed on doc_id; bench side broadcasts
     "q_repetition" -> 5,              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
-    "q_packing" -> 2)                 // shard-partitioned window + grouped agg
+    "q_packing" -> 2,                 // shard-partitioned window + grouped agg
+    "q_redact_pii" -> 0)              // pure map-side regex pipeline
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
