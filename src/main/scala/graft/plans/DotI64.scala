@@ -191,5 +191,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineF64].getName, "cosine_f64"),
         (exprs: Seq[Expression]) => CosineF64(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("exact_percentiles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ExactPercentiles].getName, "exact_percentiles"),
+        ExactPercentiles.forSql _))
   }
 }

@@ -115,4 +115,37 @@ object ExactPercentiles {
   def exact_percentiles(c: Column, ps: Seq[Double]): Column =
     GraftSqlBridge.column(
       ExactPercentiles(GraftSqlBridge.expression(c), ps).toAggregateExpression())
+
+  /** SQL builder: `exact_percentiles(x, array(0.25, 0.5, 0.75))` — the
+    * percentage array must be a literal (the aggregate's shape is fixed
+    * at plan time). The analyzer wraps the returned AggregateFunction
+    * in its AggregateExpression during resolution, as for built-ins. */
+  def forSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "exact_percentiles(col, array(p, ...)) takes exactly two arguments")
+    val arr = exprs(1)
+    require(arr.foldable && arr.dataType.isInstanceOf[ArrayType],
+      "percentages must be a literal array")
+    val et = arr.dataType.asInstanceOf[ArrayType].elementType
+    val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ps = (0 until data.numElements()).map { i =>
+      et match {
+        case DoubleType => data.getDouble(i)
+        case t: org.apache.spark.sql.types.DecimalType =>
+          data.getDecimal(i, t.precision, t.scale).toDouble
+        case org.apache.spark.sql.types.FloatType => data.getFloat(i).toDouble
+        case org.apache.spark.sql.types.IntegerType => data.getInt(i).toDouble
+        case org.apache.spark.sql.types.LongType => data.getLong(i).toDouble
+        case other => throw new IllegalArgumentException(
+          s"unsupported percentage element type $other")
+      }
+    }
+    ExactPercentiles(exprs.head, ps)
+  }
+
+  /** Register `exact_percentiles` for SQL use in an existing session
+    * (session-extensions form lives in GraftExtensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "exact_percentiles", forSql, "built-in")
 }

@@ -68,6 +68,26 @@ class EmptyInputSpec extends SparkSpec {
       emptyEmb, col("vec_id") % 100 === 0, 5, 4, 2).count() == 0)
   }
 
+  test("round-3 operators on empty inputs") {
+    assert(TextAnalysis.repetitionStats(emptyDocs).count() == 0)
+    assert(TextAnalysis.chunkDocs(emptyDocs, 64, 16).count() == 0)
+    assert(TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(Dedup.decontaminate(emptyDocs, emptyDocs, 3, 5L).count() == 0)
+    // empty TRAINING side with a non-empty benchmark, and vice versa
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    assert(Dedup.decontaminate(emptyDocs, bench, 3, 5L).count() == 0)
+    val viaEmptyBench = Dedup.decontaminate(bench, emptyDocs, 3, 2L).collect()
+    assert(viaEmptyBench.length == 1 && viaEmptyBench.head.getLong(1) == 0L
+      && !viaEmptyBench.head.getBoolean(2))
+    assert(graft.functions.Sampling.packSequences(
+      emptyDocs.withColumn("n_toks", lit(1L)),
+      col("n_toks"), "lang", "doc_id", 512L).count() == 0)
+    val emptyEmb2 = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    // hot-label guard path on empty input (no labels -> no hot labels)
+    assert(graft.functions.Similarity.nearDupPairs(emptyEmb2, 0.4).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping

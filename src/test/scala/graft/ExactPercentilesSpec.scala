@@ -38,6 +38,15 @@ class ExactPercentilesSpec extends SparkSpec {
     assert(out("c") == null)                 // all-null group -> NULL
   }
 
+  test("exact_percentiles is SQL-callable after registration") {
+    graft.plans.ExactPercentiles.register(spark)
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("x").createOrReplaceTempView("ep_vals")
+    val got = spark.sql(
+      "SELECT exact_percentiles(CAST(x AS DOUBLE), array(0.5)) FROM ep_vals")
+      .head().getSeq[Double](0)
+    assert(got == Seq(2.5))
+  }
+
   test("exact_percentiles survives serialize/deserialize partial buffers") {
     // Forcing many input partitions exercises update -> serialize ->
     // deserialize -> merge -> eval across the exchange.

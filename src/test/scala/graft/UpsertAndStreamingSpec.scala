@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("map-side corpus hygiene composes into a stream (redaction + chunking)") {
+    // redactPiiText and chunkDocs are stateless map-side transforms, so
+    // they run unchanged over readStream in append mode — the streaming
+    // form of the corpus-hygiene pipeline.
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_docs")
+    import spark.implicits._
+    Seq((1L, "ping bob@example.com twice", "en", "s"),
+        (2L, "clean text only here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(landing.toString + "/batch0")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .parquet(landing.toString + "/batch0")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hyg").toString
+    val q = graft.functions.TextAnalysis.redactPiiText(stream)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("redacted"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hygiene")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("hygiene").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "ping <EMAIL> twice" && out(2L) == "clean text only here")
+  }
+
   test("streaming windowed agg over events matches batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
