@@ -42,11 +42,18 @@ object Similarity {
       .withColumn("q", quantize("embedding"))
       .withColumn("nq", normQ("q"))
 
+  /** Pass-through when the caller already quantized (and typically
+    * checkpointed) the embeddings — lets annRecall feed ONE quantized
+    * materialization to brute force + all three approximate methods
+    * instead of each re-running the quantize+norm subtree. */
+  private def ensureQuantized(embeddings: DataFrame): DataFrame =
+    if (embeddings.columns.contains("q")) embeddings else quantized(embeddings)
+
   /** Brute-force cosine top-k: for each query vector (`queryPred` picks
     * the query subset), the k nearest candidates by quantized cosine,
     * rank-deterministic via (cosine DESC, id ASC). */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val e = quantized(embeddings)
+    val e = ensureQuantized(embeddings)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
@@ -134,7 +141,7 @@ object Similarity {
     // them, and without the materialization barrier column pruning
     // specializes the quantize+norm subtree per side and runs it twice
     // (one full parquet scan + DotI64 norm pass each).
-    val e = quantized(embeddings)
+    val e = ensureQuantized(embeddings)
       .select(col("vec_id"), col("q"), col("nq"))
       .localCheckpoint()
     val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
@@ -216,7 +223,7 @@ object Similarity {
     * tested against brute force alongside the single-table variant. */
   def lshTopKMulti(embeddings: DataFrame, queryPred: Column, k: Int,
                    bits: Int, tables: Int): DataFrame = {
-    val e = quantized(embeddings)
+    val e = ensureQuantized(embeddings)
     // (vec, tbl, bucket) is small (ids only); checkpoint so the probe
     // and candidate sides share one bucketing pass.
     val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
@@ -293,7 +300,7 @@ object Similarity {
     * cosine). */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
-    val e = quantized(embeddings)
+    val e = ensureQuantized(embeddings)
     val centroids =
       if (trainIters == 0)
         e.orderBy(col("vec_id").asc).limit(nCells)
@@ -355,10 +362,12 @@ object Similarity {
     * across runs and partitionings. */
   def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
                 bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame = {
-    // One materialization of the embeddings feeds the brute-force pass
-    // and all three approximate methods (each would otherwise re-scan
-    // the parquet + re-quantize independently).
-    val emb = embeddings.localCheckpoint()
+    // One QUANTIZED materialization of the embeddings feeds the
+    // brute-force pass and all three approximate methods (each would
+    // otherwise re-scan the parquet and re-run the quantize+norm
+    // subtree independently — ensureQuantized passes the shared
+    // checkpoint through).
+    val emb = quantized(embeddings).localCheckpoint()
     // Ground truth is consumed once per method; checkpoint so the
     // brute-force pass runs once.
     val truth = bruteForceTopK(emb, queryPred, k)
@@ -380,8 +389,14 @@ object Similarity {
   /** LSH-accelerated top-k: search only within the query's bucket plus
     * buckets at Hamming distance 1 (probing), then exact cosine. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int, bits: Int): DataFrame = {
-    val bucketed = quantized(embeddings)
-      .join(lshBuckets(embeddings, bits).select(col("vec_id"), col("bucket")), Seq("vec_id"))
+    // (vec_id, bucket) is ids-only-small; checkpoint so the probe and
+    // candidate sides share ONE bucketing pass (the posexplode + grouped
+    // projection would otherwise run twice, once per join side — the
+    // same double-compute nearDupPairsLsh and lshTopKMulti already
+    // guard against).
+    val buckets = lshBuckets(embeddings, bits)
+      .select(col("vec_id"), col("bucket")).localCheckpoint()
+    val bucketed = ensureQuantized(embeddings).join(buckets, Seq("vec_id"))
     val probes = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"),
         explode(array((-1 +: (0 until bits).toSeq).map {
