@@ -139,6 +139,18 @@ object SparkEntry {
     // repetition/boilerplate quality filters (C4/Gopher-style
     // duplicate-n-gram + most-common-token heuristics)
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // incremental ingestion dedup: the doc_id % 5 "new batch" against
+    // the doc_id % 3 "already-ingested corpus" (text overlap at
+    // multiples of 15); bloom prefilter + exact broadcast verify, the
+    // corpus never shuffles
+    "q_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 5 === 0))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     // pre-training segmentation: 64-token sliding windows, 16-token
     // overlap; chunk text emitted as md5 so the gate hashes content
     "q_chunking" -> ((s, d) => TextAnalysis.chunkDocs(Tables.documents(s, d), 64, 16)),
@@ -613,6 +625,15 @@ object SparkEntry {
     "q_exact_dup_events" ->
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+    "q_incremental_dedup" ->
+      raw"""WITH fp AS (SELECT doc_id, lang, source, n_chars,
+           |              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           |            FROM documents)
+           |SELECT b.doc_id, b.lang, b.source, b.n_chars
+           |FROM fp b
+           |WHERE b.doc_id % 5 = 0
+           |  AND NOT EXISTS (SELECT 1 FROM fp c
+           |                  WHERE c.doc_id % 3 = 0 AND c.fp = b.fp)""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_redact_pii" ->
       raw"""WITH s1 AS (SELECT doc_id,

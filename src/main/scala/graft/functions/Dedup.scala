@@ -58,6 +58,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1)
 
+  /** Incremental ingestion dedup: the rows of `batch` whose canonical
+    * text digest is NOT already in `corpus` — the "only ingest what's
+    * new" step of a continuously-fed training corpus, EXACT output with
+    * a bloom-filter prefilter so the corpus never shuffles:
+    *
+    *  1. one aggregation pass folds the corpus digests into a bloom
+    *     sketch (bounded bytes to the driver regardless of corpus rows);
+    *  2. bloom-positive batch digests become the candidate set — true
+    *     duplicates plus ~fpp·|batch| false positives, so it's small
+    *     whenever the new batch is mostly new;
+    *  3. a broadcast semi-join of the candidate digests against the
+    *     corpus extracts the digests that are REALLY present (map-side
+    *     over the corpus scan — no corpus shuffle);
+    *  4. the batch anti-joins that exact matched set, broadcast again.
+    *
+    * Bloom false positives die in step 3; false negatives are
+    * impossible; so the result equals the plain digest anti-join while
+    * touching the corpus only with two map-side passes. At 100 TB the
+    * sketch would be built once and persisted across ingests — the
+    * probe + verify side (steps 2-4) is the per-batch cost.
+    *
+    * `expectedCorpusItems`/`fpp` size the sketch; candidates beyond
+    * `spark.sql.autoBroadcastJoinThreshold` mean the batch was mostly
+    * already-seen — at that overlap a full digest anti-join (what this
+    * degenerates to) is the honest cost. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       expectedCorpusItems: Long = 1L << 20,
+                       fpp: Double = 0.01): DataFrame = {
+    import graft.plans.Bloom
+    val fpOf = md5(canonical(col("text")))
+    val corpusFp = corpus.select(fpOf.as("fp"))
+    val bloomBin = corpusFp
+      .agg(Bloom.bloom_agg(xxhash64(col("fp")), expectedCorpusItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val b = batch.withColumn("fp", fpOf)
+    if (bloomBin == null) {
+      // Empty corpus aggregates to a NULL sketch: nothing to dedup
+      // against, the whole batch is new.
+      b.drop("fp")
+    } else {
+      val candidates = b
+        .filter(Bloom.might_contain(lit(bloomBin), xxhash64(col("fp"))))
+        .select(col("fp")).distinct()
+        .localCheckpoint()
+      val matched = corpusFp
+        .join(broadcast(candidates), Seq("fp"), "left_semi")
+        .distinct()
+        .localCheckpoint()
+      b.join(broadcast(matched), Seq("fp"), "left_anti").drop("fp")
+    }
+  }
+
   /** Distinct word n-gram shingle sets per document (array form — see
     * `shingleRows` for the hot path). */
   def shingles(docs: DataFrame, n: Int): DataFrame =

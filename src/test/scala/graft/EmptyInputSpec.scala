@@ -80,6 +80,10 @@ class EmptyInputSpec extends SparkSpec {
     val viaEmptyBench = Dedup.decontaminate(bench, emptyDocs, 3, 2L).collect()
     assert(viaEmptyBench.length == 1 && viaEmptyBench.head.getLong(1) == 0L
       && !viaEmptyBench.head.getBoolean(2))
+    // empty corpus -> the whole batch is new (NULL sketch fast-path);
+    // empty batch -> nothing to ingest
+    assert(Dedup.incrementalDedup(emptyDocs, bench).count() == 1)
+    assert(Dedup.incrementalDedup(bench, emptyDocs).count() == 0)
     assert(graft.functions.Sampling.packSequences(
       emptyDocs.withColumn("n_toks", lit(1L)),
       col("n_toks"), "lang", "doc_id", 512L).count() == 0)

@@ -345,6 +345,21 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
   }
 
+  test("incrementalDedup equals the plain digest anti-join, bloom FPs included") {
+    val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
+      3L -> "eta theta iota", 4L -> "kappa lambda mu")
+    val batch = docs(10L -> "Alpha  beta GAMMA", // canonical dup of 1
+      11L -> "nu xi omicron", 12L -> "delta epsilon zeta", // exact dup of 2
+      13L -> "pi rho sigma", 14L -> "tau upsilon phi")
+    // expectedItems=1 forces a tiny sketch -> many false positives; the
+    // exact verify must still produce the plain anti-join's answer.
+    Seq(1L << 20, 1L).foreach { items =>
+      val got = Dedup.incrementalDedup(corpus, batch, items, 0.5)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(11L, 13L, 14L))
+    }
+  }
+
   test("connectedComponents: auto-sized and forced parallelism agree") {
     // default (partitions <= 0) sizes iteration parallelism from the
     // measured edge count — tiny graph -> 1 task per round; an explicit

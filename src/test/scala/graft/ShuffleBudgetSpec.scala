@@ -43,7 +43,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_repetition" -> 5,              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
     "q_packing" -> 2,                 // shard-partitioned window + grouped agg
-    "q_redact_pii" -> 0)              // pure map-side regex pipeline
+    "q_redact_pii" -> 0,              // pure map-side regex pipeline
+    "q_incremental_dedup" -> 0)       // final pass = broadcast anti-join over
+                                      // the batch scan; the bloom/verify jobs
+                                      // ran eagerly and never shuffle either
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
