@@ -139,6 +139,9 @@ object SparkEntry {
     // repetition/boilerplate quality filters (C4/Gopher-style
     // duplicate-n-gram + most-common-token heuristics)
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // corpus-hygiene funnel: per-doc keep / first-failing-rule over
+    // length, language allowlist, repetition, and quality thresholds
+    "q_corpus_filter" -> ((s, d) => TextAnalysis.corpusFilter(Tables.documents(s, d))),
     // incremental ingestion dedup: the doc_id % 5 "new batch" against
     // the doc_id % 3 "already-ingested corpus" (text overlap at
     // multiples of 15); bloom prefilter + exact broadcast verify, the
@@ -625,6 +628,34 @@ object SparkEntry {
     "q_exact_dup_events" ->
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+    "q_corpus_filter" ->
+      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace
+           |           FROM documents),
+           |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |             cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
+           |               / cast(len(toks) AS double) * 0.4
+           |             + least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3
+           |             + least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3 AS quality_score
+           |      FROM t),
+           |gr AS (SELECT doc_id,
+           |              unnest(list_transform(range(1, len(toks)),
+           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+           |       FROM t),
+           |gf AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+           |g2 AS (SELECT doc_id,
+           |              CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE)
+           |                / CAST(sum(c) AS DOUBLE) AS dup_2gram_frac
+           |       FROM gf GROUP BY doc_id),
+           |j AS (SELECT q.doc_id, q.lang, q.n_tokens,
+           |             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+           |                  WHEN q.lang NOT IN ('en','fr','es','de') THEN 'lang'
+           |                  WHEN g2.dup_2gram_frac > 0.05 THEN 'repetition'
+           |                  WHEN q.quality_score < 0.30 THEN 'low_quality' END AS drop_reason
+           |      FROM q LEFT JOIN g2 ON q.doc_id = g2.doc_id)
+           |SELECT doc_id, lang, n_tokens, drop_reason,
+           |       drop_reason IS NULL AS keep
+           |FROM j""".stripMargin,
     "q_incremental_dedup" ->
       raw"""WITH fp AS (SELECT doc_id, lang, source, n_chars,
            |              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

@@ -146,6 +146,40 @@ object TextAnalysis {
           coalesce(col("dup_2gram_frac") <= dup2gramMax, lit(true))).cast("boolean"))
   }
 
+  /** Corpus-hygiene funnel: the composed keep/drop policy a training
+    * pipeline runs before tokenization, as ONE operator — each doc gets
+    * its FIRST failing rule (evaluation order: too_short, lang,
+    * repetition, low_quality) or keep=true. Emitting per-doc decisions
+    * rather than just counts keeps the whole funnel oracle-checkable
+    * and lets downstream stages anti-join the drops.
+    *
+    * All rule inputs are exact-integer ratios/composites shared with
+    * `qualityScore`/`repetitionStats` (bit-identical across engines);
+    * the plan is those operators' doc_id-keyed aggregations plus
+    * doc_id-keyed joins — nothing global, so the funnel scales exactly
+    * as its inputs do. A NULL `dup_2gram_frac` (doc with < 2 tokens)
+    * skips the repetition rule in both engines. */
+  def corpusFilter(docs: DataFrame,
+                   minTokens: Long = 20L,
+                   allowedLangs: Seq[String] = Seq("en", "fr", "es", "de"),
+                   maxDup2gram: Double = 0.05,
+                   minQuality: Double = 0.30): DataFrame = {
+    val q = qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val r = repetitionStats(docs)
+      .select(col("doc_id"), col("dup_2gram_frac"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(q, Seq("doc_id"))
+      .join(r, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(!col("lang").isInCollection(allowedLangs), lit("lang"))
+          .when(col("dup_2gram_frac") > maxDup2gram, lit("repetition"))
+          .when(col("quality_score") < minQuality, lit("low_quality"))
+          .as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   /** PII redaction — training-corpus hygiene: emails, IPv4 addresses,
     * and international-format phone numbers are replaced by typed
     * placeholders, in that fixed order (each count is taken on the text

@@ -57,6 +57,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red == "mail <EMAIL> from <IP> or call <PHONE> now")
   }
 
+  test("corpusFilter assigns the FIRST failing rule per doc") {
+    import spark.implicits._
+    // stopword-rich AND 2-gram-varied: interleave stopwords with unique words
+    val keepText = Seq.tabulate(15)(i =>
+      Seq("the", "of", "and", "is", "on")(i % 5) + s" word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny doc", "en"),                  // too_short (and would fail others)
+      (2L, keepText, "zh"),                    // long enough, lang not allowed
+      (3L, ("dup pair " * 20).trim, "en"),     // repeated 2-grams -> repetition
+      (4L, Seq.tabulate(25)(i => s"w$i").mkString(" "), "en"), // varied, no stopwords -> low_quality
+      (5L, keepText, "en"))                    // passes everything
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+    val got = TextAnalysis.corpusFilter(docs)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(3)), r.getBoolean(4))).toMap
+    assert(got(1L) == (Some("too_short"), false))
+    assert(got(2L) == (Some("lang"), false))
+    assert(got(3L) == (Some("repetition"), false))
+    assert(got(4L) == (Some("low_quality"), false))
+    assert(got(5L) == (None, true))
+  }
+
   test("chunkDocs: sliding windows cover all tokens with the stated overlap") {
     // 10 tokens, chunk=4, overlap=1 (stride 3): chunks start at token
     // 0, 3, 6 — [t0..t3], [t3..t6], [t6..t9]; a 3-token doc is 1 chunk

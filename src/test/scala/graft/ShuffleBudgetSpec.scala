@@ -44,9 +44,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
     "q_packing" -> 2,                 // shard-partitioned window + grouped agg
     "q_redact_pii" -> 0,              // pure map-side regex pipeline
-    "q_incremental_dedup" -> 0)       // final pass = broadcast anti-join over
+    "q_incremental_dedup" -> 0,       // final pass = broadcast anti-join over
                                       // the batch scan; the bloom/verify jobs
                                       // ran eagerly and never shuffle either
+    "q_corpus_filter" -> 7)           // repetition's doc-keyed aggs + quality
+                                      // join chain, all on doc_id — no global
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
