@@ -142,6 +142,9 @@ object SparkEntry {
     // corpus-hygiene funnel: per-doc keep / first-failing-rule over
     // length, language allowlist, repetition, and quality thresholds
     "q_corpus_filter" -> ((s, d) => TextAnalysis.corpusFilter(Tables.documents(s, d))),
+    // exact-substring dedup diagnostic: per-doc token positions covered
+    // by 5-grams shared with other docs (merged spans, true union)
+    "q_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), 5)),
     // incremental ingestion dedup: the doc_id % 5 "new batch" against
     // the doc_id % 3 "already-ingested corpus" (text overlap at
     // multiples of 15); bloom prefilter + exact broadcast verify, the
@@ -628,6 +631,35 @@ object SparkEntry {
     "q_exact_dup_events" ->
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+    "q_dup_spans" ->
+      raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+           |kg AS (SELECT doc_id, CAST(unnest(range(1, n - 5 + 2)) AS BIGINT) AS pos, toks
+           |       FROM n WHERE n >= 5),
+           |g AS (SELECT doc_id, pos,
+           |             md5(array_to_string(toks[pos : pos + 4], ' ')) AS m
+           |      FROM kg),
+           |hot AS (SELECT m FROM (SELECT m, count(DISTINCT doc_id) AS df
+           |                       FROM g GROUP BY m) WHERE df >= 2),
+           |sp AS (SELECT doc_id, pos AS s, pos + 4 AS e,
+           |              max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |       FROM g JOIN hot USING (m)),
+           |cov AS (SELECT doc_id,
+           |               CAST(sum(greatest(e - greatest(s - 1, coalesce(pmax, 0)), 0)) AS BIGINT)
+           |                 AS covered_tokens,
+           |               count(*) AS n_dup_kgrams
+           |        FROM sp GROUP BY doc_id),
+           |tot AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+           |               AS n_tokens
+           |        FROM documents)
+           |SELECT t.doc_id, t.n_tokens,
+           |       CAST(coalesce(c.n_dup_kgrams, 0) AS BIGINT) AS n_dup_kgrams,
+           |       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           |       CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+           |         AS dup_token_frac
+           |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin,
     "q_corpus_filter" ->
       raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks,
            |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace

@@ -144,6 +144,69 @@ object Dedup {
       .select(keep :+ col("sh"): _*)
   }
 
+  /** Positional shingles: (doc_id, pos [1-based], sh) — shingleRows
+    * keeping the start position, for span-level operators that need to
+    * know WHERE a duplicated n-gram sits, not just that it exists. */
+  def posShingleRows(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val base =
+      if (n == 1) toks.withColumn("sh", col("tok"))
+      else {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+        toks.withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
+          .withColumn("_last", leads.last)
+          .filter(col("_last").isNotNull)
+      }
+    base.select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("sh"))
+  }
+
+  /** Duplicated-span statistics (the exact-substring-dedup diagnostic
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): per doc, how many of its token positions are
+    * covered by a k-gram that also appears in at least `minDf` distinct
+    * docs. Span coverage merges overlapping duplicated k-grams with a
+    * running-max window (gaps-and-islands), so `covered_tokens` is the
+    * true union length, not k × count.
+    *
+    * Scale shape: positions checkpoint once and every shuffle is keyed
+    * on the md5 shingle digest (never the text) or doc_id — the
+    * big-big digest join is the inherent cost of EXACT substring-level
+    * dedup; the approximate family (MinHash/SimHash) exists for when
+    * even that is too much. Integer arithmetic throughout (the only
+    * double is the final ratio), so the output is engine-portable. */
+  def duplicatedSpans(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // consumed twice (df build + position join): one materialization
+    val pg = posShingleRows(docs, k)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("m"))
+      .localCheckpoint()
+    val hot = pg.select(col("m"), col("doc_id")).distinct()
+      .groupBy(col("m")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("m"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = pg.join(hot, Seq("m"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
+      .withColumn("pmax", max(col("e")).over(w))
+      .withColumn("newly",
+        greatest(col("e") - greatest(col("s") - 1, coalesce(col("pmax"), lit(0L))), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("newly")).as("covered_tokens"), count(lit(1)).as("n_dup_kgrams"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_kgrams"), lit(0L)).as("n_dup_kgrams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_token_frac"))
+  }
+
   /** n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
     * self-join is per-bucket, not all-pairs. Jaccard is exact integer
     * set arithmetic -> double division (engine-portable). */

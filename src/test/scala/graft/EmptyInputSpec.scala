@@ -74,6 +74,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.redactPii(emptyDocs).count() == 0)
     assert(TextAnalysis.corpusFilter(emptyDocs).count() == 0)
     assert(Dedup.decontaminate(emptyDocs, emptyDocs, 3, 5L).count() == 0)
+    assert(Dedup.duplicatedSpans(emptyDocs, 5).count() == 0)
     // empty TRAINING side with a non-empty benchmark, and vice versa
     val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))

@@ -366,6 +366,36 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
   }
 
+  test("duplicatedSpans merges overlapping shared k-grams into true coverage") {
+    // doc 1 and doc 2 share tokens 1..6 ("a b c d e f"): doc 1 has two
+    // overlapping shared 5-grams (pos 1, pos 2) whose union covers 6
+    // tokens, not 10. doc 3 shares nothing.
+    val d = docs(
+      1L -> "a b c d e f x1 x2 x3 x4",
+      2L -> "a b c d e f y1 y2 y3 y4",
+      3L -> "p q r s t u v w z0 z1")
+    val got = Dedup.duplicatedSpans(d, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (10L, 2L, 6L, 0.6))
+    assert(got(2L) == (10L, 2L, 6L, 0.6))
+    assert(got(3L) == (10L, 0L, 0L, 0.0))
+  }
+
+  test("duplicatedSpans: disjoint shared spans in one doc sum, short docs emit zeros") {
+    val d = docs(
+      1L -> "a b c d e m1 m2 m3 m4 m5 m6 p q r s t",  // shares head AND tail spans
+      2L -> "a b c d e k1 k2 k3 k4",                   // shares head span
+      3L -> "n1 n2 n3 n4 n5 n6 p q r s t",             // shares tail span
+      4L -> "too short")                               // < k tokens -> zeros
+    val got = Dedup.duplicatedSpans(d, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 10L)) // two disjoint 5-token spans
+    assert(got(2L) == (1L, 5L))
+    assert(got(3L) == (1L, 5L))
+    assert(got(4L) == (0L, 0L))
+  }
+
   test("incrementalDedup equals the plain digest anti-join, bloom FPs included") {
     val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
       3L -> "eta theta iota", 4L -> "kappa lambda mu")

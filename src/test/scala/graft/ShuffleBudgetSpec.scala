@@ -47,8 +47,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_incremental_dedup" -> 0,       // final pass = broadcast anti-join over
                                       // the batch scan; the bloom/verify jobs
                                       // ran eagerly and never shuffle either
-    "q_corpus_filter" -> 7)           // repetition's doc-keyed aggs + quality
+    "q_corpus_filter" -> 7,           // repetition's doc-keyed aggs + quality
                                       // join chain, all on doc_id — no global
+    "q_dup_spans" -> 7)               // digest-keyed df agg + semi join, then
+                                      // doc_id window/agg — never on raw text
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
