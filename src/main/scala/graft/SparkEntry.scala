@@ -46,6 +46,10 @@ object SparkEntry {
       Relational.revenueByOrder(Tables.lineitem(s, d), "1996-01-01", "1997-01-01")),
     "q_revenue_type_supplier" -> ((s, d) =>
       Relational.revenueByTypeAndSupplier(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    // deterministic salted fact-fact join (skew mechanism); result is
+    // oracle-gated to EQUAL the plain join's
+    "q_salted_join" -> ((s, d) =>
+      Relational.revenueByPrioritySalted(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_customers_by_region" -> ((s, d) =>
       Relational.customersByRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_semi_orders_big_items" -> ((s, d) =>
@@ -145,6 +149,9 @@ object SparkEntry {
     // exact-substring dedup diagnostic: per-doc token positions covered
     // by 5-grams shared with other docs (merged spans, true union)
     "q_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), 5)),
+    // sequence-length distribution for packing/max-seq-len tuning
+    "q_token_histogram" -> ((s, d) =>
+      TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
     // incremental ingestion dedup: the doc_id % 5 "new batch" against
     // the doc_id % 3 "already-ingested corpus" (text overlap at
     // multiples of 15); bloom prefilter + exact broadcast verify, the
@@ -476,6 +483,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_orderkey""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_revenue_type_supplier" ->
       """SELECT p_type, s_name,
         |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty,
@@ -631,6 +644,14 @@ object SparkEntry {
     "q_exact_dup_events" ->
       """SELECT user_id, event_type, value, count(*) AS n_occurrences
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+    "q_token_histogram" ->
+      raw"""WITH t AS (SELECT lang,
+           |             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+           |           FROM documents)
+           |SELECT lang, n_toks // 16 * 16 AS bucket_lo, count(*) AS n_docs,
+           |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           |       min(n_toks) AS min_tokens, max(n_toks) AS max_tokens
+           |FROM t GROUP BY lang, n_toks // 16 * 16""".stripMargin,
     "q_dup_spans" ->
       raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            |           FROM documents),

@@ -146,6 +146,22 @@ object TextAnalysis {
           coalesce(col("dup_2gram_frac") <= dup2gramMax, lit(true))).cast("boolean"))
   }
 
+  /** Token-length histogram per language: the length-distribution
+    * diagnostic that drives context-window packing and max-seq-len
+    * choices. Integer bucket floor (n_toks DIV width × width), one
+    * grouped aggregation — the output is #langs × #buckets rows no
+    * matter the corpus size. */
+  def tokenLengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("bucket_lo",
+        expr(s"n_toks DIV $bucketWidth") * bucketWidth)
+      .groupBy(col("lang"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+
   /** Corpus-hygiene funnel: the composed keep/drop policy a training
     * pipeline runs before tokenization, as ONE operator — each doc gets
     * its FIRST failing rule (evaluation order: too_short, lang,

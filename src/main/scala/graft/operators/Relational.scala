@@ -49,6 +49,21 @@ object Relational {
            exactSum(revenueTerm, 4).as("revenue"),
            count(lit(1)).as("n_items"))
 
+  /** Fact-fact join via the salted mechanism (Skew.saltedJoin): orders
+    * is too big to broadcast at scale, lineitem's key distribution can
+    * be skewed — the salt spreads each hot orderkey over `salt` tasks.
+    * Results are exactly the plain join's (oracle-gated); the salt
+    * column never leaves the join. */
+  def revenueByPrioritySalted(lineitem: DataFrame, orders: DataFrame,
+                              salt: Int = 8): DataFrame =
+    Skew.saltedJoin(
+        lineitem.select(col("l_orderkey"), revenueTerm.as("_rev")),
+        orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", salt)
+      .groupBy(col("o_orderpriority"))
+      .agg(exactSum(col("_rev"), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+
   /** Three-way dim chain customer ⋈ nation ⋈ region (J-chain depth). */
   def customersByRegion(customer: DataFrame, nation: DataFrame,
                         region: DataFrame): DataFrame =

@@ -24,6 +24,32 @@ object Skew {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** saltedJoin generalized over join type, deriving the salt from the
+    * WHOLE left row (no sibling column needed — still deterministic
+    * under retry/recompute, unlike rand()). Join types that iterate the
+    * RIGHT side's unmatched rows (right/full outer) are rejected:
+    * replication would duplicate them. inner / left / left_semi /
+    * left_anti are exact — a left row sees every right row of its key
+    * regardless of which sub-key it landed on. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
+                 joinType: String): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports $allowed (right/full outer would duplicate " +
+        s"unmatched right rows across salts), got $joinType")
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame =
+    saltedJoin(left, right, key, salts, "inner")
+
   /** Two-phase (partial -> final) aggregation for skewed group keys:
     * sum per (key, salt) first — splitting a hot key across reducers —
     * then re-sum per key. For algebraic aggregates this is

@@ -73,6 +73,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.chunkDocs(emptyDocs, 64, 16).count() == 0)
     assert(TextAnalysis.redactPii(emptyDocs).count() == 0)
     assert(TextAnalysis.corpusFilter(emptyDocs).count() == 0)
+    assert(TextAnalysis.tokenLengthHistogram(emptyDocs).count() == 0)
     assert(Dedup.decontaminate(emptyDocs, emptyDocs, 3, 5L).count() == 0)
     assert(Dedup.duplicatedSpans(emptyDocs, 5).count() == 0)
     // empty TRAINING side with a non-empty benchmark, and vice versa

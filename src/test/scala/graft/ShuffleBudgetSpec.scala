@@ -49,8 +49,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // ran eagerly and never shuffle either
     "q_corpus_filter" -> 7,           // repetition's doc-keyed aggs + quality
                                       // join chain, all on doc_id — no global
-    "q_dup_spans" -> 7)               // digest-keyed df agg + semi join, then
+    "q_dup_spans" -> 7,               // digest-keyed df agg + semi join, then
                                       // doc_id window/agg — never on raw text
+    "q_token_histogram" -> 1,         // one grouped agg, output is bucket-sized
+    "q_salted_join" -> 2)             // (key,salt) join shuffle + grouped agg;
+                                      // the salt splits hot keys, adds none
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
