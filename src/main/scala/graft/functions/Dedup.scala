@@ -86,19 +86,30 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
                        expectedCorpusItems: Long = 1L << 20,
                        fpp: Double = 0.01): DataFrame = {
-    import graft.plans.Bloom
     val fpOf = md5(canonical(col("text")))
-    val corpusFp = corpus.select(fpOf.as("fp"))
+    incrementalDedupFp(corpus.select(fpOf.as("fp")),
+      batch.withColumn("fp", fpOf), expectedCorpusItems, fpp).drop("fp")
+  }
+
+  /** Digest-level core of `incrementalDedup`: `corpusFp` is the
+    * corpus's digest column (`fp`) alone — what a persistent ingest
+    * store actually keeps — and `batchFp` must already carry its `fp`.
+    * Returns surviving batch rows WITH the digest, so a streaming sink
+    * can append them to both the corpus and the digest store without
+    * rehashing. */
+  def incrementalDedupFp(corpusFp: DataFrame, batchFp: DataFrame,
+                         expectedCorpusItems: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    import graft.plans.Bloom
     val bloomBin = corpusFp
       .agg(Bloom.bloom_agg(xxhash64(col("fp")), expectedCorpusItems, fpp).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val b = batch.withColumn("fp", fpOf)
     if (bloomBin == null) {
       // Empty corpus aggregates to a NULL sketch: nothing to dedup
       // against, the whole batch is new.
-      b.drop("fp")
+      batchFp
     } else {
-      val candidates = b
+      val candidates = batchFp
         .filter(Bloom.might_contain(lit(bloomBin), xxhash64(col("fp"))))
         .select(col("fp")).distinct()
         .localCheckpoint()
@@ -106,7 +117,7 @@ object Dedup {
         .join(broadcast(candidates), Seq("fp"), "left_semi")
         .distinct()
         .localCheckpoint()
-      b.join(broadcast(matched), Seq("fp"), "left_anti").drop("fp")
+      batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
     }
   }
 

@@ -119,6 +119,52 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L) == "ping <EMAIL> twice" && out(2L) == "clean text only here")
   }
 
+  test("streaming ingest dedups against the full landed corpus, idempotently") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def batchDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    // batch 0: in-batch canonical dup (2 of 1) collapses, lowest id wins
+    StreamingIngest.ingestBatch(
+      batchDf(1L -> "alpha beta", 2L -> "Alpha  BETA", 3L -> "gamma delta"), dir, 0L)
+    // batch 1: 10 duplicates batch 0's digest, 11 is new
+    val b1 = batchDf(10L -> "ALPHA beta", 11L -> "epsilon zeta")
+    StreamingIngest.ingestBatch(b1, dir, 1L)
+    def docIds = StreamingIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docIds == Seq(1L, 3L, 11L))
+    assert(StreamingIngest.digestStore(spark, dir).count() == 3)
+    // at-least-once replay of batch 1: rewrites itself, no duplicates
+    StreamingIngest.ingestBatch(b1, dir, 1L)
+    assert(docIds == Seq(1L, 3L, 11L))
+    assert(StreamingIngest.digestStore(spark, dir).count() == 3)
+    // a fresh checkpoint (ids reset to 0) against the landed store is
+    // rejected instead of silently overwriting batch 0
+    intercept[IllegalArgumentException] {
+      StreamingIngest.ingestBatch(b1, dir, 0L)
+    }
+    // end-to-end through a real stream in its own store: two file
+    // landings become two micro-batches of ONE query; the second
+    // batch's cross-batch dup is dropped
+    import org.apache.spark.sql.types._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    batchDf(20L -> "gamma delta", 21L -> "eta theta").coalesce(1)
+      .write.parquet(landing.toString + "/b")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val q = StreamingIngest.start(
+      spark.readStream.schema(schema).parquet(landing.toString + "/b"),
+      dir2, java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString)
+    q.processAllAvailable()
+    batchDf(30L -> "gamma  DELTA", 31L -> "iota kappa").coalesce(1)
+      .write.mode("append").parquet(landing.toString + "/b")
+    q.processAllAvailable(); q.stop()
+    assert(StreamingIngest.corpus(spark, dir2)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
+  }
+
   test("streaming windowed agg over events matches batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
