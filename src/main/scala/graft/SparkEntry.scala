@@ -152,6 +152,10 @@ object SparkEntry {
     // sequence-length distribution for packing/max-seq-len tuning
     "q_token_histogram" -> ((s, d) =>
       TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
+    // bigram collocation mining: top-50 by lift (log-free PMI; one
+    // fixed-order IEEE double expression, bit-identical both engines)
+    "q_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
     // incremental ingestion dedup: the doc_id % 5 "new batch" against
     // the doc_id % 3 "already-ingested corpus" (text overlap at
     // multiples of 15); bloom prefilter + exact broadcast verify, the
@@ -304,6 +308,10 @@ object SparkEntry {
     }),
     "q_sessions" -> ((s, d) =>
       Temporal.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)),
+    // weekly cohort retention matrix over events (single user-keyed
+    // shuffle; cohort sizes are the offset-0 cells broadcast back)
+    "q_retention_cohorts" -> ((s, d) =>
+      Temporal.retentionCohorts(Tables.events(s, d))),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
     "q_moving_spend" -> ((s, d) => Temporal.movingDailySpend(tx(s, d), 3)),
     "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
@@ -652,6 +660,28 @@ object SparkEntry {
            |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
            |       min(n_toks) AS min_tokens, max(n_toks) AS max_tokens
            |FROM t GROUP BY lang, n_toks // 16 * 16""".stripMargin,
+    "q_collocations" ->
+      raw"""WITH b AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |uni AS (SELECT tok, count(*) AS c
+           |        FROM (SELECT unnest(toks) AS tok FROM b) GROUP BY tok),
+           |big AS (SELECT sh, count(*) AS n_xy
+           |        FROM (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+           |                       i -> array_to_string(toks[i:i+1], ' '))) AS sh
+           |              FROM b)
+           |        GROUP BY sh),
+           |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni,
+           |               (SELECT sum(n_xy) FROM big) AS n_big),
+           |cand AS (SELECT string_split(sh, ' ')[1] AS w1,
+           |                string_split(sh, ' ')[2] AS w2, n_xy
+           |         FROM big WHERE n_xy >= 5)
+           |SELECT w1, w2, n_xy, ux.c AS n_x, uy.c AS n_y,
+           |       CAST(n_xy AS DOUBLE) * n_uni / ux.c * n_uni / uy.c / n_big AS lift
+           |FROM cand
+           |JOIN uni ux ON cand.w1 = ux.tok
+           |JOIN uni uy ON cand.w2 = uy.tok
+           |CROSS JOIN tot
+           |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_dup_spans" ->
       raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            |           FROM documents),
@@ -974,6 +1004,21 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS session_value
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |           FROM events),
+        |pu AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, pu.cohort_week, e.week
+        |      FROM e JOIN pu USING (user_id)),
+        |c AS (SELECT cohort_week,
+        |             CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+        |               AS week_offset,
+        |             count(*) AS n_active
+        |      FROM a GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+        |       CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+        |FROM c JOIN (SELECT cohort_week, n_active AS n_cohort
+        |             FROM c WHERE week_offset = 0) s USING (cohort_week)""".stripMargin,
     "q_running_spend" ->
       s"""WITH d AS (SELECT category, txn_date,
          |                  sum(cast(amount AS DECIMAL(14,2))) AS day_total

@@ -264,6 +264,48 @@ object TextAnalysis {
           .as("chunk_md5"))
   }
 
+  /** Corpus-wide bigram collocation mining — the phrase/boilerplate
+    * discovery pass a training pipeline runs to find terms that should
+    * be treated as units ("new york") and template phrasing that should
+    * be down-weighted. Scores each bigram by lift (pointwise mutual
+    * information without the log):
+    * p(xy) / (p(x)·p(y)) = n_xy·N_uni·N_uni / (n_x·n_y·N_big),
+    * computed as one fixed left-to-right double expression so the value
+    * is bit-identical across engines (IEEE mult/div are correctly
+    * rounded; only transcendentals diverge — hence no log). Ranking is
+    * total-ordered: (lift DESC, w1, w2) and (w1,w2) is the key.
+    *
+    * Shape: one tokenize pass feeding a unigram-count aggregation and a
+    * bigram-count aggregation (both vocab-sized, localCheckpointed once
+    * for their two consumers each), then word-keyed joins and a global
+    * top-k via TakeOrderedAndProject — no all-pairs work, every shuffle
+    * keyed on a token or bigram, so 100 TB cost is two counting passes
+    * over vocab-sized intermediates. `minCount` prunes the candidate
+    * set BEFORE the joins; totals are taken pre-prune so probabilities
+    * stay unconditional. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val big = Dedup.shingleRows(docs, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(big.agg(sum(col("n_xy")).as("n_big")))
+    val cand = big.filter(col("n_xy") >= minCount)
+      .select(split(col("sh"), " ").getItem(0).as("w1"),
+        split(col("sh"), " ").getItem(1).as("w2"), col("n_xy"))
+    cand
+      .join(uni.select(col("tok").as("w1"), col("c").as("n_x")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        (col("n_xy").cast("double") * col("n_uni") / col("n_x")
+          * col("n_uni") / col("n_y") / col("n_big")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * — the canonical-form hash used by exact dedup. (A rolling-hash
     * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the

@@ -201,4 +201,45 @@ object Temporal {
         lit(null).cast("long").as("n_points"))
     counted.unionByName(excluded)
   }
+
+  /** Weekly cohort retention — the activation/stickiness matrix every
+    * product-analytics surface computes over an events stream: users
+    * are cohorted by the ISO week (Monday-truncated in both Spark and
+    * DuckDB) of their FIRST event, and each (cohort_week, week_offset)
+    * cell counts the cohort's users active in that later week.
+    *
+    * Single user-keyed shuffle: one aggregation collects each user's
+    * first week AND distinct active-week set together (the set is
+    * bounded by the calendar, not the event count), one explode turns
+    * the set into (cohort, offset) rows, and one aggregation over the
+    * calendar-sized cell space counts them. The naive 3-shuffle form
+    * (min-per-user, distinct user-weeks, re-join on user) shuffles the
+    * events twice; this shuffles them once. Cohort sizes are the
+    * offset-0 cells themselves (every user is active in their own first
+    * week by construction), broadcast back onto the matrix — no second
+    * pass over events. Offsets are exact integer division of
+    * day-differences between week starts; retention is a single double
+    * division of exact integers (engine-portable). */
+  def retentionCohorts(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val cells = events
+      .select(col(userCol).as("_u"), week.as("_week"))
+      .groupBy(col("_u"))
+      .agg(min(col("_week")).as("cohort_week"),
+           collect_set(col("_week")).as("_weeks"))
+      .select(col("cohort_week"), explode(col("_weeks")).as("_week"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(_week, cohort_week) DIV 7 AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint()  // calendar² rows; two consumers below
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
 }

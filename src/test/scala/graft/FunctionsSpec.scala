@@ -93,6 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 0L)) == ((3L, m("a b c"))))
     intercept[IllegalArgumentException](TextAnalysis.chunkDocs(docs((1L, "x")), 4, 4))
   }
+
+  test("collocations: hand-computed lift, minCount prune, lift-then-lex order") {
+    // corpus: "a b a b" + "a c" -> unigrams a:3 b:2 c:1 (N=6),
+    // bigrams ab:2 ba:1 ac:1 (N=4)
+    val d = docs(1L -> "a b a b", 2L -> "a c")
+    // minCount=2 keeps only ab: lift = p(ab)/(p(a)p(b)) = (2/4)/((3/6)(2/6)) = 3.0
+    val only = TextAnalysis.collocations(d, minCount = 2L, topK = 10).collect()
+    assert(only.length == 1)
+    val r = only.head
+    assert((r.getString(0), r.getString(1)) == ("a", "b"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 3L, 2L)))
+    assert(r.getDouble(5) == 3.0)
+    // minCount=1: ac ties ab at lift 3.0 -> lex order breaks the tie; ba (1.5) last
+    val all = TextAnalysis.collocations(d, minCount = 1L, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(5)))
+    assert(all.toSeq == Seq(("a", "b", 3.0), ("a", "c", 3.0), ("b", "a", 1.5)))
+  }
 }
 
 class ApproxDistinctSpec extends SparkSpec {

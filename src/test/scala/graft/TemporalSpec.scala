@@ -137,4 +137,27 @@ class TemporalSpec extends SparkSpec {
     val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
     assert(grand.getDouble(2) == 15.0 && grand.getLong(3) == 2L)
   }
+
+  test("retentionCohorts: first-week cohorts, gap weeks, no double-count") {
+    // Mondays: 2024-01-01 (w0), 01-08 (w1), 01-15 (w2)
+    // u1: two events in w0 (counted once), then w1, w2
+    // u2: w0 and w2 only (gap at w1)
+    // u3: first seen w1 -> its own cohort
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")), (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-17 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(
+      ("2024-01-01", 0L), ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-08", 0L)))
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1L)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-01", 2L)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
+  }
 }
