@@ -312,6 +312,10 @@ object SparkEntry {
     // shuffle; cohort sizes are the offset-0 cells broadcast back)
     "q_retention_cohorts" -> ((s, d) =>
       Temporal.retentionCohorts(Tables.events(s, d))),
+    // strict-sequencing conversion funnel (chained running-min windows
+    // over ONE user-keyed sort; steps add no exchange)
+    "q_funnel" -> ((s, d) =>
+      Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     "q_running_spend" -> ((s, d) => Temporal.runningDailySpend(tx(s, d))),
     "q_moving_spend" -> ((s, d) => Temporal.movingDailySpend(tx(s, d), 3)),
     "q_cube_spend" -> ((s, d) => Temporal.cubeSpend(tx(s, d))),
@@ -336,6 +340,10 @@ object SparkEntry {
              expr("percentile(amount, 0.75)").as("q75"),
              count(lit(1)).as("n"))
     }),
+    // outlier-robust per-category mean over the [p05,p95] band (exact
+    // interpolated bounds broadcast back; decimal-space kept-range sum)
+    "q_trimmed_mean" -> ((s, d) =>
+      SpendingReport.trimmedMean(tx(s, d))),
     // same exact percentiles through the engine's own
     // TypedImperativeAggregate (custom partial/merge/eval lifecycle,
     // Spark-interpolation-identical) — gated by the SAME DuckDB
@@ -962,6 +970,19 @@ object SparkEntry {
          |       quantile_cont(amount, 0.75) AS q75,
          |       count(*) AS n
          |FROM ($txSql) GROUP BY category""".stripMargin,
+    "q_trimmed_mean" ->
+      s"""WITH b AS (SELECT category,
+         |                  quantile_cont(amount, 0.05) AS lo,
+         |                  quantile_cont(amount, 0.95) AS hi
+         |           FROM ($txSql) GROUP BY category),
+         |k AS (SELECT t.category, count(*) AS n_kept,
+         |             sum(cast(amount AS DECIMAL(14,2))) AS s
+         |      FROM ($txSql) t JOIN b ON t.category = b.category
+         |      WHERE amount >= lo AND amount <= hi
+         |      GROUP BY t.category)
+         |SELECT k.category, b.lo, b.hi, k.n_kept,
+         |       CAST(k.s AS DOUBLE) / k.n_kept AS trimmed_mean
+         |FROM k JOIN b ON k.category = b.category""".stripMargin,
     "q_percentiles_custom" ->
       s"""SELECT category,
          |       quantile_cont(amount, 0.25) AS q25,
@@ -1004,6 +1025,34 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS session_value
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "q_funnel" ->
+      """WITH r0 AS (SELECT user_id, ts, event_type,
+        |                   min(CASE WHEN event_type = 'view' THEN ts END)
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                           ROWS UNBOUNDED PRECEDING) AS _r0
+        |            FROM events),
+        |r1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |                          AND _r0 IS NOT NULL THEN ts END)
+        |                   OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                         ROWS UNBOUNDED PRECEDING) AS _r1
+        |       FROM r0),
+        |r2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |                          AND _r1 IS NOT NULL THEN ts END)
+        |                   OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                         ROWS UNBOUNDED PRECEDING) AS _r2
+        |       FROM r1),
+        |u AS (SELECT user_id, min(_r0) AS t0, min(_r1) AS t1, min(_r2) AS t2
+        |      FROM r2 GROUP BY user_id),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, n0 AS n_users,
+        |       CAST(n0 AS DOUBLE) / n0 AS frac_of_first,
+        |       CAST(1.0 AS DOUBLE) AS frac_of_prev FROM c
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'click', n1,
+        |       CAST(n1 AS DOUBLE) / n0, CAST(n1 AS DOUBLE) / n0 FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'purchase', n2,
+        |       CAST(n2 AS DOUBLE) / n0, CAST(n2 AS DOUBLE) / n1 FROM c""".stripMargin,
     "q_retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
         |           FROM events),

@@ -286,6 +286,33 @@ object SpendingReport {
       topCategories = row.getSeq[String](4))
     r.withColumn("fi_summary", lit(summarize(fields)))
   }
+
+  /** Robust per-key stats: the mean of values inside the key's own
+    * [loQ, hiQ] quantile band — the outlier-resistant aggregate a
+    * spend/metrics surface reports next to the raw mean. Two grouped
+    * passes over the input (quantile bounds, then the trimmed sum) with
+    * the key-sized bounds broadcast between them — no sort of the full
+    * data, no per-key collect. Quantiles use the exact interpolated
+    * `percentile` (bit-matching DuckDB's quantile_cont, proven by
+    * q_percentiles); the kept-range sum runs in DECIMAL space so the
+    * mean is one IEEE double division of exact quantities. */
+  def trimmedMean(tx: DataFrame, key: String = "category",
+                  valCol: String = "amount",
+                  loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0, s"need 0<=lo<hi<=1, got $loQ,$hiQ")
+    val bounds = tx.groupBy(col(key))
+      .agg(expr(s"percentile($valCol, $loQ)").as("lo"),
+           expr(s"percentile($valCol, $hiQ)").as("hi"))
+      .localCheckpoint()  // key-sized; joined below and projected out
+    tx.join(broadcast(bounds), Seq(key))
+      .filter(col(valCol) >= col("lo") && col(valCol) <= col("hi"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col(valCol).cast("decimal(14,2)")).as("_sum"))
+      .join(broadcast(bounds), Seq(key))
+      .select(col(key), col("lo"), col("hi"), col("n_kept"),
+        (col("_sum").cast("double") / col("n_kept")).as("trimmed_mean"))
+  }
 }
 
 /** The collected report fields handed to the enrichment step. */

@@ -202,6 +202,54 @@ object Temporal {
     counted.unionByName(excluded)
   }
 
+  /** Ordered event funnel — sequential step conversion: a user reaches
+    * step i only via a step-i event that happens AFTER a completed
+    * step-(i-1) chain (strict sequencing, not per-step minima — a
+    * purchase before any view does not count a purchase-step user).
+    *
+    * Single user-keyed shuffle: chained running-min window columns over
+    * one (user, ts)-sorted pass — `_r(i)` at a row is the earliest
+    * completion of the step-i chain at-or-before that row, and each
+    * step-i event qualifies iff `_r(i-1)` is already non-null. Spark
+    * plans the chain as stacked Window operators over the SAME
+    * partitioning and sort, so adding steps adds no exchange. Ties at
+    * identical timestamps resolve by (ts, type) order — deterministic
+    * and mirrored by the oracle. Output: one row per step with user
+    * counts and conversion fractions (double divisions of exact
+    * integers; step-0's frac_of_prev is literal 1.0). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id",
+             tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(typeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s && col(s"_r${i - 1}").isNotNull
+      df = df.withColumn(s"_r$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val perUser = df.groupBy(col(userCol))
+      .agg(min(col("_r0")).as("_t0"),
+        steps.indices.tail.map(i => min(col(s"_r$i")).as(s"_t$i")): _*)
+    val counts = perUser
+      .agg(count(col("_t0")).as("n0"),
+        steps.indices.tail.map(i => count(col(s"_t$i")).as(s"n$i")): _*)
+      .localCheckpoint()  // one row; consumed once per step below
+    steps.zipWithIndex.map { case (s, i) =>
+      counts.select(
+        lit(i.toLong).as("step_idx"), lit(s).as("step"),
+        col(s"n$i").as("n_users"),
+        (col(s"n$i").cast("double") / col("n0")).as("frac_of_first"),
+        (if (i == 0) lit(1.0)
+         else col(s"n$i").cast("double") / col(s"n${i - 1}")).as("frac_of_prev"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention — the activation/stickiness matrix every
     * product-analytics surface computes over an events stream: users
     * are cohorted by the ISO week (Monday-truncated in both Spark and

@@ -164,5 +164,22 @@ class SpendingReportSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("trimmedMean: per-key quantile band, inclusive bounds, degenerate key") {
+    // "a": 1..20 -> p05 = 1 + 0.05*19 (the FP double, not exact 1.95),
+    // p95 = 19.05, keeps 2..19 (mean 10.5)
+    // "b": constant 5s -> lo = hi = 5, everything kept (inclusive bounds)
+    val rows = (1 to 20).map(i => ("2024-01-01", "a", "v", i.toDouble)) ++
+      Seq(("2024-01-01", "b", "v", 5.0), ("2024-01-02", "b", "v", 5.0))
+    val df = rows.toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+    val out = SpendingReport.trimmedMean(df).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((1.0 + 0.05 * 19, 19.05, 18L, 10.5)))
+    assert(out("b") == ((5.0, 5.0, 2L, 5.0)))
+    intercept[IllegalArgumentException](
+      SpendingReport.trimmedMean(df, loQ = 0.9, hiQ = 0.1))
+  }
+
   private def lit(x: Date) = org.apache.spark.sql.functions.lit(x)
 }

@@ -138,6 +138,33 @@ class TemporalSpec extends SparkSpec {
     assert(grand.getDouble(2) == 15.0 && grand.getLong(3) == 2L)
   }
 
+  test("funnel: strict sequencing — out-of-order steps do not count") {
+    // u1 completes view->click->purchase in order
+    // u2 purchases BEFORE clicking: reaches view+click, not purchase
+    // u3 clicks before viewing, views later, never clicks again:
+    //    reaches view only (the early click precedes its chain)
+    // u4 only errors: reaches nothing
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-02 09:00:00"), "view"),
+      (2L, ts("2024-01-02 09:30:00"), "purchase"),
+      (2L, ts("2024-01-02 10:00:00"), "click"),
+      (3L, ts("2024-01-03 08:00:00"), "click"),
+      (3L, ts("2024-01-03 09:00:00"), "view"),
+      (4L, ts("2024-01-04 07:00:00"), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("view") == ((0L, 3L, 1.0, 1.0)))
+    assert(out("click") == ((1L, 2L, 2.0 / 3.0, 2.0 / 3.0)))
+    assert(out("purchase") == ((2L, 1L, 1.0 / 3.0, 0.5)))
+    intercept[IllegalArgumentException](Temporal.funnel(ev, Seq("view")))
+    intercept[IllegalArgumentException](Temporal.funnel(ev, Seq("view", "view")))
+  }
+
   test("retentionCohorts: first-week cohorts, gap weeks, no double-count") {
     // Mondays: 2024-01-01 (w0), 01-08 (w1), 01-15 (w2)
     // u1: two events in w0 (counted once), then w1, w2
