@@ -200,6 +200,17 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("bigint").as("sum_chars"))
     }),
+    // exact-k deterministic sample: 50 lowest md5(doc_id) rows via
+    // TakeOrderedAndProject (zero full shuffles at any scale)
+    "q_bottomk_sample" -> ((s, d) =>
+      graft.functions.Sampling.bottomK(Tables.documents(s, d), "doc_id", 50)
+        .select("doc_id", "lang", "n_chars")),
+    // balanced eval carve-out: exactly 20 docs per language by the
+    // same per-key rule (one stratum-keyed rank window)
+    "q_eval_sample" -> ((s, d) =>
+      graft.functions.Sampling.bottomKPerStratum(
+        Tables.documents(s, d), "doc_id", "lang", 20)
+        .select("doc_id", "lang", "n_chars")),
     "q_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -889,6 +900,15 @@ object SparkEntry {
         |FROM s
         |WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'fr' THEN 10 ELSE 0 END
         |GROUP BY lang""".stripMargin,
+    "q_bottomk_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50""".stripMargin,
+    "q_eval_sample" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20""".stripMargin,
     "q_range_join" ->
       """WITH i AS (SELECT user_id AS ival_id, min(ts) AS ival_start,
         |                  min(ts) + INTERVAL 1 DAY AS ival_end

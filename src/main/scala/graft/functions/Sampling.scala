@@ -54,6 +54,39 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < pctCol)
   }
 
+  /** Deterministic EXACT-k sample: the k rows whose md5(key) sorts
+    * lowest — a "bottom-k sketch". Unlike the pct samplers above this
+    * returns exactly k rows (eval sets, golden sets, benchmark
+    * carve-outs are fixed-size), yet keeps every determinism property:
+    * pure function of the key, engine-portable, retry-stable, and
+    * STABLE UNDER GROWTH in a precise sense — a row leaves the sample
+    * only when a new row hashes below the current k-th, so consecutive
+    * corpus snapshots share most of their sample. Plan: global
+    * TakeOrderedAndProject (per-partition top-k, k-sized merge on the
+    * driver side of the exchange) — zero full shuffles at any scale. */
+  def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("_rank_key", md5(col(keyCol).cast("string")))
+      .orderBy(col("_rank_key"))
+      .limit(k)
+      .drop("_rank_key")
+  }
+
+  /** Per-stratum exact-k: the bottom-k rule applied inside every
+    * stratum (balanced eval sets — the same k docs per language no
+    * matter how skewed the corpus). One stratum-keyed shuffle feeding
+    * a rank window; strata with fewer than k rows keep them all. */
+  def bottomKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Greedy sequential sequence packing — assign documents to training
     * context windows of `seqLen` tokens: within each shard
     * (`shardCol`), documents in `orderCol` order accumulate a running

@@ -153,6 +153,40 @@ class SamplingSpec extends SparkSpec {
     assert(p10.subsetOf(p20))
   }
 
+  test("bottomK: exactly k, the md5-lowest keys, stable under growth") {
+    def m(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.sortBy(m).take(7).toSet
+    val got = Sampling.bottomK(docs, "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // growth stability: the (k+1)-corpus sample differs from the
+    // k-corpus sample only by rows that hash below the old k-th
+    val half = docs.filter($"doc_id" < 250)
+    val sHalf = Sampling.bottomK(half, "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sFull = got
+    assert((sFull -- sHalf).forall(id => id >= 250 ||
+      sHalf.exists(h => m(h) > m(id))))
+    intercept[IllegalArgumentException](Sampling.bottomK(docs, "doc_id", 0))
+  }
+
+  test("bottomKPerStratum: exactly k per big stratum, all of small ones") {
+    val out = Sampling.bottomKPerStratum(docs, "doc_id", "lang", 5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      assert(byLang(lang) == math.min(5L, n), s"$lang: ${byLang(lang)} of $n")
+    }
+    // deterministic: same membership on a re-run
+    val again = Sampling.bottomKPerStratum(docs, "doc_id", "lang", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("per-stratum fractions: rates respected, unlisted strata dropped, nested") {
     val fr = Map("en" -> 50, "es" -> 20)
     val out = Sampling.stratifiedSampleByFractions(docs, "doc_id", "lang", fr)

@@ -52,8 +52,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dup_spans" -> 7,               // digest-keyed df agg + semi join, then
                                       // doc_id window/agg — never on raw text
     "q_token_histogram" -> 1,         // one grouped agg, output is bucket-sized
-    "q_salted_join" -> 2)             // (key,salt) join shuffle + grouped agg;
+    "q_salted_join" -> 2,             // (key,salt) join shuffle + grouped agg;
                                       // the salt splits hot keys, adds none
+    "q_collocations" -> 2,            // vocab totals (2 scalar aggs over the
+                                      // checkpointed counts); word joins
+                                      // broadcast, top-k is TakeOrdered
+    "q_funnel" -> 0,                  // single user-keyed sort ran in the
+                                      // eager checkpoint job; emitted plan
+                                      // unions the 1-row counts
+    "q_retention_cohorts" -> 0,       // user-keyed agg ran in the eager
+                                      // checkpoint; sizes broadcast back
+    "q_trimmed_mean" -> 1)            // bounds broadcast onto the scan;
+                                      // one kept-range agg shuffle
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
