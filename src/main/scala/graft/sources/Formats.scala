@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Source/sink format breadth beyond the corpus's parquet: CSV and ORC
   * read/write with schema-stable roundtrips, and bucketed tables for
@@ -67,5 +68,50 @@ object Formats {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Morton (Z-order) value of two bucketized non-negative ints: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure bitwise
+    * column expressions — codegen'd, map-side. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def bucketize(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val range = (mx - mn).cast("double")
+    when(range === 0.0, lit(0L))
+      .otherwise(((c - mn).cast("double") / range * ((1L << bits) - 1)).cast("long"))
+  }
+
+  /** Z-order layout: cluster rows so that per-file min/max statistics
+    * prune scans on EITHER of two columns — the multi-dimensional
+    * data-skipping layout (Delta/Iceberg's OPTIMIZE ZORDER, public
+    * semantics) that a single-column sort cannot give. Each column is
+    * scaled onto a 2^bits grid between its own min and max (one
+    * broadcast stats row), the Morton interleave of the two grid
+    * coordinates becomes the clustering key, and rows are
+    * range-partitioned + locally sorted by it — so every output
+    * partition covers a compact tile of the (a, b) plane and a range
+    * predicate on either column overlaps only the tiles it crosses.
+    * Write the result with any sink above; at 100 TB this is the
+    * difference between scanning a row-group strip and scanning the
+    * table for the second column's predicates. */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+               partitions: Int, bits: Int = 16): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val stats = df.agg(
+      min(col(colA)).as("_mna"), max(col(colA)).as("_mxa"),
+      min(col(colB)).as("_mnb"), max(col(colB)).as("_mxb"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", zValue(
+        bucketize(col(colA), col("_mna"), col("_mxa"), bits),
+        bucketize(col(colB), col("_mnb"), col("_mxb"), bits), bits))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_mna", "_mxa", "_mnb", "_mxb")
   }
 }

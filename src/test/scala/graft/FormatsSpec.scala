@@ -47,4 +47,33 @@ class FormatsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("zValue interleaves bits; zOrdered tiles prune BOTH columns' predicates") {
+    import spark.implicits._
+    // zValue: a=0b101, b=0b011 -> z = a bits at even, b bits at odd
+    //   positions = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Formats.zValue(col("a"), col("b"), 3)).head().getLong(0)
+    assert(z == 27L)
+    // 64x64 uniform grid, 16 partitions. Z-order tiles the plane, so a
+    // strip predicate on EITHER axis overlaps few partitions; an
+    // a-sorted layout prunes only a-predicates.
+    val grid = spark.range(4096)
+      .selectExpr("id % 64 AS a", "id DIV 64 AS b", "id")
+    def overlapping(df: org.apache.spark.sql.DataFrame,
+                    c: String, lo: Long, hi: Long): Int =
+      df.groupBy(spark_partition_id().as("p"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count().toInt
+    val zed = Formats.zOrdered(grid, "a", "b", 16, bits = 6)
+      .localCheckpoint()
+    val aSorted = grid.repartitionByRange(16, col("a")).localCheckpoint()
+    // a-sorted: perfect on a, useless on b (every partition spans all b)
+    assert(overlapping(aSorted, "a", 0, 15) <= 5)
+    assert(overlapping(aSorted, "b", 0, 15) == 16)
+    // z-ordered: compact tiles — BOTH axes prune to a fraction
+    assert(overlapping(zed, "a", 0, 15) <= 8)
+    assert(overlapping(zed, "b", 0, 15) <= 8)
+  }
 }
