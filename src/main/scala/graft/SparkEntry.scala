@@ -215,6 +215,22 @@ object SparkEntry {
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
                 org.apache.spark.sql.functions.col("n_chars"))),
+    // quality-aware survivor rule: per cluster keep the LONGEST copy
+    // (ties -> lowest id) instead of the minimum id
+    "q_dedup_corpus_by" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dedupCorpusBy(Tables.documents(s, d), 3, 8, 4, 0.5,
+        col("n_chars")).select(col("doc_id"), col("n_chars"))
+    }),
+    // snapshot diff between the %3 "old" and %5 "new" corpus versions:
+    // per-digest added/removed/kept with occurrence counts
+    "q_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.corpusDiff(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "q_simhash64" -> ((s, d) => Dedup.simhash64(Tables.documents(s, d))),
     // banded simhash near-dup join: pigeonhole banding guarantees every
     // pair within the Hamming budget, so the result EQUALS the oracle's
@@ -758,6 +774,20 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens, drop_reason,
            |       drop_reason IS NULL AS keep
            |FROM j""".stripMargin,
+    "q_corpus_diff" ->
+      raw"""WITH oc AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           |                   count(*) AS n_old
+           |            FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+           |nc AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           |              count(*) AS n_new
+           |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1)
+           |SELECT coalesce(oc.fp, nc.fp) AS fp,
+           |       CASE WHEN oc.fp IS NULL THEN 'added'
+           |            WHEN nc.fp IS NULL THEN 'removed'
+           |            ELSE 'kept' END AS status,
+           |       coalesce(n_old, 0) AS n_old,
+           |       coalesce(n_new, 0) AS n_new
+           |FROM oc FULL OUTER JOIN nc ON oc.fp = nc.fp""".stripMargin,
     "q_incremental_dedup" ->
       raw"""WITH fp AS (SELECT doc_id, lang, source, n_chars,
            |              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

@@ -630,12 +630,10 @@ object Dedup {
         (col("n_shared_shingles") >= minShared).cast("boolean"))
   }
 
-  /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
-    * connected components → keep the minimum doc_id per component.
-    * Returns the surviving documents (non-duplicates plus one
-    * representative per duplicate cluster). */
-  def dedupCorpus(docs: DataFrame, n: Int, k: Int, bands: Int,
-                  minJaccard: Double): DataFrame = {
+  /** Exact + MinHash-LSH duplicate pairs — the shared pair graph the
+    * APPLY steps below resolve. */
+  private def dupPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+                       minJaccard: Double): DataFrame = {
     val exactPairs = docs
       .select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
       .groupBy(col("fp"))
@@ -644,9 +642,61 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
     val nearPairs = minhashLshPairs(docs, n, k, bands, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val losers = connectedComponents(exactPairs.union(nearPairs))
+    exactPairs.union(nearPairs)
+  }
+
+  /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
+    * connected components → keep the minimum doc_id per component.
+    * Returns the surviving documents (non-duplicates plus one
+    * representative per duplicate cluster). */
+  def dedupCorpus(docs: DataFrame, n: Int, k: Int, bands: Int,
+                  minJaccard: Double): DataFrame = {
+    val losers = connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Quality-aware dedup APPLY: same pair graph and components, but the
+    * survivor per cluster is the row MAXIMIZING `keep` (ties → lowest
+    * doc_id) instead of an arbitrary minimum id — "keep the best copy",
+    * the rule production corpus dedup actually wants (longest text,
+    * highest quality score, freshest crawl). `keep` is any column
+    * expression over `docs`. One extra label-keyed rank window over the
+    * CLUSTERED docs only (duplicate clusters, a vanishing fraction of
+    * the corpus) — the full corpus still only anti-joins the loser
+    * ids. */
+  def dedupCorpusBy(docs: DataFrame, n: Int, k: Int, bands: Int,
+                    minJaccard: Double, keep: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
+    val scored = docs.select(col("doc_id"), keep.as("_keep"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("_keep").desc, col("doc_id").asc)
+    val losers = cc.join(scored, cc("id") === scored("doc_id"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus snapshot diff — the ingest diagnostic between two corpus
+    * versions: per canonical-text digest, whether it was `added`
+    * (new only), `removed` (old only), or `kept` (both), with the
+    * occurrence counts on each side. One digest-keyed aggregation per
+    * side plus a digest-keyed full-outer join — text never shuffles,
+    * output is digest-cardinality. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(md5(canonical(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as(as))
+    counts(oldDocs, "n_old")
+      .join(counts(newDocs, "n_new"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
   }
 }

@@ -328,6 +328,28 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(1L, 3L, 4L))
   }
 
+  test("dedupCorpusBy keeps the best-scoring copy; ties fall back to min id") {
+    val d = docs(
+      (1L, near1), (2L, near2),        // cluster {1,2}: 2 scores higher
+      (3L, other),
+      (4L, "A  B"), (5L, "a b"))       // cluster {4,5}: equal scores -> min id
+      .withColumn("q", when(col("doc_id") === 2L, 9.0).otherwise(1.0))
+    val survivors = Dedup.dedupCorpusBy(d, 3, 8, 4, 0.5, col("q"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(2L, 3L, 4L))
+  }
+
+  test("corpusDiff: added/removed/kept by canonical digest with counts") {
+    val old = docs((1L, "alpha beta"), (2L, "gamma delta"), (3L, "Gamma  DELTA"))
+    val neu = docs((10L, "GAMMA delta"), (11L, "epsilon zeta"))
+    val out = Dedup.corpusDiff(old, neu).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "removed" -> ((1L, 0L)),   // alpha beta: old only
+      "kept" -> ((2L, 1L)),      // gamma delta: 2 old variants, 1 new
+      "added" -> ((0L, 1L))))    // epsilon zeta: new only
+  }
+
   test("simhash64: near-dups land within small hamming distance") {
     val h = Dedup.simhash64(docs((1L, near1), (2L, near2), (3L, other)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
