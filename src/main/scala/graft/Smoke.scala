@@ -19,6 +19,7 @@ object Smoke {
       args.lift(2).getOrElse("/root/testdata/sf0.1"), args.lift(3).map(_.toInt).getOrElse(3))
     else if (args.headOption.contains("uploads")) uploadsProbe(spark)
     else if (args.headOption.contains("formats")) formatsProbe(spark)
+    else if (args.headOption.contains("ingest")) ingestProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -39,6 +40,39 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Drive the full-history streaming ingest sink end-to-end on real
+    * corpus data: land sf0.001 documents in two waves (the second wave
+    * re-lands half of wave one), run ONE file-source stream through
+    * `StreamingIngest.start`, and print the landed corpus + digest
+    * counts — duplicates across micro-batches must not survive. */
+  private def ingestProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingIngest
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_probe")
+    val landing = base.toString + "/landing"
+    val store = base.toString + "/store"
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(landing)
+    val q = StreamingIngest.start(
+      spark.readStream.schema(docs.schema).parquet(landing),
+      store, base.toString + "/ck")
+    q.processAllAvailable()
+    val afterWave1 = StreamingIngest.corpus(spark, store).count()
+    // wave 2: docs 125..374 — the first half duplicates wave 1 rows
+    docs.filter(col("doc_id") >= 125 && col("doc_id") < 375)
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable(); q.stop()
+    val corpus = StreamingIngest.corpus(spark, store)
+    val n = corpus.count()
+    val distinctFp = corpus
+      .select(org.apache.spark.sql.functions.md5(
+        graft.functions.Dedup.canonical(col("text"))).as("fp"))
+      .distinct().count()
+    println(s"INGEST_WAVE1=$afterWave1 INGEST_TOTAL=$n DISTINCT_FP=$distinctFp " +
+      s"DIGEST_STORE=${StreamingIngest.digestStore(spark, store).count()}")
   }
 
   /** Drive the format breadth: CSV/ORC roundtrips of lineitem and a

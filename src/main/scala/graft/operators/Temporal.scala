@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,13 +240,18 @@ object Temporal {
       .agg(count(col("_t0")).as("n0"),
         steps.indices.tail.map(i => count(col(s"_t$i")).as(s"n$i")): _*)
       .localCheckpoint()  // one row; consumed once per step below
+    // 0/0 (an empty funnel) must be NaN like DuckDB's double division,
+    // not an ANSI DIVIDE_BY_ZERO throw; counts satisfy n_i <= n_{i-1},
+    // so a zero divisor always means a zero dividend.
+    def frac(num: Column, den: Column): Column =
+      when(den === 0L, lit(Double.NaN)).otherwise(num.cast("double") / den)
     steps.zipWithIndex.map { case (s, i) =>
       counts.select(
         lit(i.toLong).as("step_idx"), lit(s).as("step"),
         col(s"n$i").as("n_users"),
-        (col(s"n$i").cast("double") / col("n0")).as("frac_of_first"),
+        frac(col(s"n$i"), col("n0")).as("frac_of_first"),
         (if (i == 0) lit(1.0)
-         else col(s"n$i").cast("double") / col(s"n${i - 1}")).as("frac_of_prev"))
+         else frac(col(s"n$i"), col(s"n${i - 1}"))).as("frac_of_prev"))
     }.reduce(_.unionByName(_))
   }
 

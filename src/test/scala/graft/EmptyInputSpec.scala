@@ -95,6 +95,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.functions.Similarity.nearDupPairs(emptyEmb2, 0.4).count() == 0)
   }
 
+  test("late round-3 operators on empty inputs") {
+    // funnel over zero events still emits one row per step (counts 0;
+    // fractions are 0/0 = NaN doubles, never a throw)
+    val e = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val f = Temporal.funnel(e, Seq("view", "click", "purchase")).collect()
+    assert(f.length == 3 && f.forall(_.getLong(2) == 0L))
+    assert(f.forall(r => r.getDouble(3).isNaN))
+    assert(Temporal.retentionCohorts(e).count() == 0)
+    assert(TextAnalysis.collocations(emptyDocs).count() == 0)
+    assert(SpendingReport.trimmedMean(emptyTx).count() == 0)
+    assert(graft.functions.Sampling.bottomK(emptyDocs, "doc_id", 5).count() == 0)
+    assert(graft.functions.Sampling.bottomKPerStratum(
+      emptyDocs, "doc_id", "lang", 5).count() == 0)
+    assert(Dedup.corpusDiff(emptyDocs, emptyDocs).count() == 0)
+    // one-sided diffs classify everything added / removed
+    val one = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    assert(Dedup.corpusDiff(emptyDocs, one).head().getString(1) == "added")
+    assert(Dedup.corpusDiff(one, emptyDocs).head().getString(1) == "removed")
+    assert(Dedup.dedupCorpusBy(one, 3, 8, 4, 0.5, length(col("text"))).count() == 1)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping

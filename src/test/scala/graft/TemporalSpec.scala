@@ -165,6 +165,20 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Temporal.funnel(ev, Seq("view", "view")))
   }
 
+  test("funnel and retentionCohorts are partition-count invariant") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    def fcanon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(fcanon(Temporal.funnel(ev, Seq("view", "click", "purchase"))) ==
+      fcanon(Temporal.funnel(ev.repartition(13), Seq("view", "click", "purchase"))))
+    def rcanon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(rcanon(Temporal.retentionCohorts(ev)) ==
+      rcanon(Temporal.retentionCohorts(ev.repartition(17))))
+  }
+
   test("retentionCohorts: first-week cohorts, gap weeks, no double-count") {
     // Mondays: 2024-01-01 (w0), 01-08 (w1), 01-15 (w2)
     // u1: two events in w0 (counted once), then w1, w2
