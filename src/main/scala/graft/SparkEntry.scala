@@ -222,6 +222,10 @@ object SparkEntry {
       Dedup.dedupCorpusBy(Tables.documents(s, d), 3, 8, 4, 0.5,
         col("n_chars")).select(col("doc_id"), col("n_chars"))
     }),
+    // entity resolution: fuzzy vendor variants within edit distance 1
+    // (length-band blocked, exact levenshtein verify)
+    "q_fuzzy_vendors" -> ((s, d) =>
+      Dedup.editDistancePairs(tx(s, d), "vendor", 1)),
     // snapshot diff between the %3 "old" and %5 "new" corpus versions:
     // per-digest added/removed/kept with occurrence counts
     "q_corpus_diff" -> ((s, d) => {
@@ -774,6 +778,13 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens, drop_reason,
            |       drop_reason IS NULL AS keep
            |FROM j""".stripMargin,
+    "q_fuzzy_vendors" ->
+      s"""WITH v AS (SELECT DISTINCT vendor AS s FROM ($txSql))
+         |SELECT a.s AS s_a, b.s AS s_b,
+         |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         |FROM v a JOIN v b
+         |  ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+         |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_corpus_diff" ->
       raw"""WITH oc AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
            |                   count(*) AS n_old

@@ -680,6 +680,33 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Edit-distance fuzzy matching — the entity-resolution primitive
+    * (vendor/name/SKU variants) as a BLOCKED pair join, never all-pairs:
+    * levenshtein(a, b) <= d implies |len(a) - len(b)| <= d, so each
+    * distinct string joins only the length band [len-d, len+d] (one
+    * explode of 2d+1 block keys per string) and candidates verify with
+    * the exact engine-native levenshtein. Distinct values are the join
+    * input — the blocking is over the VALUE dictionary, which is what
+    * bounds this at scale (attribute dictionaries are vocab-sized; for
+    * uniform-length dictionaries add a q-gram prefilter upstream — the
+    * length band alone is the correctness guarantee, not the
+    * selectivity). */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val s = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .localCheckpoint()  // value dictionary; both join sides below
+    val a = s.select(col("s").as("s_a"),
+      explode(sequence(length(col("s")) - maxDist,
+        length(col("s")) + maxDist)).as("blk"))
+    val b = s.select(col("s").as("s_b"), length(col("s")).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("s_a") < col("s_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("s_a"), col("s_b"), col("dist"))
+  }
+
   /** Corpus snapshot diff — the ingest diagnostic between two corpus
     * versions: per canonical-text digest, whether it was `added`
     * (new only), `removed` (old only), or `kept` (both), with the

@@ -339,6 +339,26 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(2L, 3L, 4L))
   }
 
+  test("editDistancePairs: length-band blocked join EQUALS the brute-force scan") {
+    val names = Seq("kitten", "sitten", "sittin", "sitting", "cat",
+      "cats", "dog", "dgo", "kitte", "mittens", "mitten")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val blocked = canon(Dedup.editDistancePairs(df, "name", 2).collect())
+    val v = df.select(col("name")).distinct()
+    val brute = canon(v.select(col("name").as("s_a"))
+      .crossJoin(v.select(col("name").as("s_b")))
+      .filter(col("s_a") < col("s_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 2).collect())
+    assert(blocked == brute && blocked.nonEmpty)
+    assert(blocked.contains(("kitten", "sitten", 1L)))
+    assert(blocked.contains(("kitten", "mitten", 1L)))
+    assert(!blocked.exists { case (a, b, _) => a == "kitten" && b == "sitting" })
+  }
+
   test("corpusDiff: added/removed/kept by canonical digest with counts") {
     val old = docs((1L, "alpha beta"), (2L, "gamma delta"), (3L, "Gamma  DELTA"))
     val neu = docs((10L, "GAMMA delta"), (11L, "epsilon zeta"))
