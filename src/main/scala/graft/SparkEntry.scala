@@ -375,6 +375,17 @@ object SparkEntry {
     // interpolated bounds broadcast back; decimal-space kept-range sum)
     "q_trimmed_mean" -> ((s, d) =>
       SpendingReport.trimmedMean(tx(s, d))),
+    // robust spread: median absolute deviation per category
+    "q_mad" -> ((s, d) => SpendingReport.madByKey(tx(s, d))),
+    // SCD Type-2 dimension versioning: per-user daily-last value ->
+    // validity episodes with change suppression
+    "q_scd2_users" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max_by(col("value"), col("ts")).as("value"))
+      Relational.scd2(daily, "user_id", "day", "value")
+    }),
     // same exact percentiles through the engine's own
     // TypedImperativeAggregate (custom partial/merge/eval lifecycle,
     // Spark-interpolation-identical) — gated by the SAME DuckDB
@@ -1044,6 +1055,29 @@ object SparkEntry {
          |SELECT k.category, b.lo, b.hi, k.n_kept,
          |       CAST(k.s AS DOUBLE) / k.n_kept AS trimmed_mean
          |FROM k JOIN b ON k.category = b.category""".stripMargin,
+    "q_mad" ->
+      s"""WITH m AS (SELECT category, quantile_cont(amount, 0.5) AS med
+         |           FROM ($txSql) GROUP BY category)
+         |SELECT t.category, m.med,
+         |       quantile_cont(abs(amount - med), 0.5) AS mad,
+         |       count(*) AS n
+         |FROM ($txSql) t JOIN m ON t.category = m.category
+         |GROUP BY t.category, m.med""".stripMargin,
+    "q_scd2_users" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                  arg_max(value, ts) AS value
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, day, value,
+        |             lag(value) OVER (PARTITION BY user_id ORDER BY day) AS pv,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM d),
+        |f AS (SELECT user_id, day, value FROM s
+        |      WHERE rn = 1 OR pv IS DISTINCT FROM value)
+        |SELECT user_id, value, day AS valid_from,
+        |       lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+        |       lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+        |         AS is_current
+        |FROM f""".stripMargin,
     "q_percentiles_custom" ->
       s"""SELECT category,
          |       quantile_cont(amount, 0.25) AS q25,

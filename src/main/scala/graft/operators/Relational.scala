@@ -187,6 +187,34 @@ object Relational {
       |       cast(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS double) AS sum_price
       |FROM part WHERE p_type LIKE '%M%' GROUP BY p_brand""".stripMargin
 
+  /** SCD Type-2 apply — the warehouse dimension-versioning operator:
+    * from a change stream (key, ordering column, tracked value), emit
+    * one validity row per VALUE EPISODE — consecutive same-value
+    * changes collapse (null-safe compare), `valid_from` is the
+    * episode's first ordering value, `valid_to` the next episode's
+    * start (exclusive; NULL = open), `is_current` flags the open row.
+    *
+    * One key-partitioned sort feeds BOTH windows: the change-suppression
+    * lag and the post-filter lead share the same partitioning and
+    * ordering, so Catalyst plans a single exchange (the filter between
+    * them preserves distribution and order). Output is
+    * episode-cardinality, not change-cardinality. */
+  def scd2(changes: DataFrame, key: String, ord: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    changes
+      .select(col(key), col(ord), col(value))
+      .withColumn("_prev", lag(col(value), 1).over(w))
+      // row_number, not _prev IS NULL: a NULL-valued predecessor must
+      // still collapse a NULL -> NULL no-op (<=> is the null-safe compare)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(value)))
+      .withColumn("valid_from", col(ord))
+      .withColumn("valid_to", lead(col(ord), 1).over(w))
+      .select(col(key), col(value),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Point lookup (S3/P3/O5): single-row fetch by key. The key is the
     * min orderkey so the query is scale-factor independent; the scalar
     * prefetch is one tiny parquet-footer-driven agg. */

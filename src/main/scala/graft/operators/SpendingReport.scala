@@ -313,6 +313,24 @@ object SpendingReport {
       .select(col(key), col("lo"), col("hi"), col("n_kept"),
         (col("_sum").cast("double") / col("n_kept")).as("trimmed_mean"))
   }
+
+  /** Median absolute deviation per key — the robust spread companion to
+    * `trimmedMean`'s robust center: mad = median(|x − median(x)|).
+    * Same two-pass shape (key-sized medians broadcast back onto the
+    * data); both medians are the exact interpolated `percentile`, and
+    * |x − m| is a single IEEE subtraction of doubles, so the result is
+    * bit-identical across engines. */
+  def madByKey(tx: DataFrame, key: String = "category",
+               valCol: String = "amount"): DataFrame = {
+    val med = tx.groupBy(col(key))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+      .localCheckpoint()  // key-sized; broadcast below, kept in output
+    tx.join(broadcast(med), Seq(key))
+      .groupBy(col(key), col("med"))
+      .agg(expr(s"percentile(abs($valCol - med), 0.5)").as("mad"),
+           count(lit(1)).as("n"))
+      .select(col(key), col("med"), col("mad"), col("n"))
+  }
 }
 
 /** The collected report fields handed to the enrichment step. */

@@ -181,5 +181,18 @@ class SpendingReportSpec extends SparkSpec {
       SpendingReport.trimmedMean(df, loQ = 0.9, hiQ = 0.1))
   }
 
+  test("madByKey: hand-computed median absolute deviation") {
+    // "a": 1..5 -> med 3, |x-3| = {2,1,0,1,2} -> mad 1; "b": {7} -> mad 0
+    val rows = (1 to 5).map(i => ("2024-01-01", "a", "v", i.toDouble)) :+
+      (("2024-01-01", "b", "v", 7.0))
+    val df = rows.toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+    val out = SpendingReport.madByKey(df).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("a") == ((3.0, 1.0, 5L)))
+    assert(out("b") == ((7.0, 0.0, 1L)))
+  }
+
   private def lit(x: Date) = org.apache.spark.sql.functions.lit(x)
 }

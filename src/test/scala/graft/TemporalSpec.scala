@@ -165,6 +165,31 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Temporal.funnel(ev, Seq("view", "view")))
   }
 
+  test("scd2: episodes collapse no-op changes, null-safe, open current row") {
+    import graft.operators.Relational
+    val ch = Seq(
+      (1L, "2024-01-01", Some(10.0)),
+      (1L, "2024-01-02", Some(10.0)),   // no-op change -> collapsed
+      (1L, "2024-01-03", Some(20.0)),   // new episode
+      (1L, "2024-01-04", None),         // change to NULL = new episode
+      (1L, "2024-01-05", None),         // null -> null is a no-op (null-safe)
+      (2L, "2024-01-01", Some(5.0))     // single-episode key
+    ).toDF("user_id", "dt", "value")
+      .selectExpr("user_id", "to_date(dt) AS day", "value")
+    val out = Relational.scd2(ch, "user_id", "day", "value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, Some(10.0), "2024-01-01", Some("2024-01-03"), false),
+      (1L, Some(20.0), "2024-01-03", Some("2024-01-04"), false),
+      (1L, None, "2024-01-04", None, true),
+      (2L, Some(5.0), "2024-01-01", None, true)))
+    // the two windows share one exchange (filter preserves the sort)
+    val plan = Relational.scd2(ch, "user_id", "day", "value")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
   test("funnel and retentionCohorts are partition-count invariant") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     def fcanon(df: org.apache.spark.sql.DataFrame) = df.collect()
