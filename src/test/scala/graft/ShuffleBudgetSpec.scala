@@ -62,8 +62,19 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // unions the 1-row counts
     "q_retention_cohorts" -> 0,       // user-keyed agg ran in the eager
                                       // checkpoint; sizes broadcast back
-    "q_trimmed_mean" -> 1)            // bounds broadcast onto the scan;
+    "q_trimmed_mean" -> 1,            // bounds broadcast onto the scan;
                                       // one kept-range agg shuffle
+    "q_mad" -> 1,                     // medians checkpointed + broadcast;
+                                      // one |x-med| percentile agg
+    "q_fuzzy_vendors" -> 0,           // value dictionary checkpointed;
+                                      // band join broadcasts
+    "q_corpus_diff" -> 2,             // one digest agg per side; the
+                                      // full-outer join is co-partitioned
+    "q_scd2_users" -> 2,              // (user,day) combine agg + user
+                                      // window; combine-before-shuffle
+                                      // beats 1 raw-row exchange at scale
+    "q_dedup_corpus_by" -> 3)         // CC labels join + cluster rank
+                                      // window + loser anti-join
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
