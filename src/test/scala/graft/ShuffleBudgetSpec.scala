@@ -73,8 +73,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_scd2_users" -> 2,              // (user,day) combine agg + user
                                       // window; combine-before-shuffle
                                       // beats 1 raw-row exchange at scale
-    "q_dedup_corpus_by" -> 3)         // CC labels join + cluster rank
+    "q_dedup_corpus_by" -> 3,         // CC labels join + cluster rank
                                       // window + loser anti-join
+    "q_table_checksum" -> 1,          // map-side lane partials, one scalar
+                                      // per partition crosses the wire
+    "q_checksum_groups" -> 1,         // one group-key agg exchange
+    "q_checksum_diff" -> 4)           // grouped agg per side + bounds
+                                      // scalar; join reuses key partitioning
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
