@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{DataQuality, Dedup, Similarity, TextAnalysis}
 import graft.operators.{Relational, ReportUpsert, SpendingReport, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -510,6 +510,11 @@ object SparkEntry {
       graft.functions.Checksum
         .compareChecksums(grouped(o), grouped(right), "order_year")
     }),
+    // --- corpus-health diagnostics (DataQuality.scala) ---
+    "q_outliers" -> ((s, d) => DataQuality.outliers(tx(s, d), "category", "amount", 2.0)),
+    "q_drift" -> ((s, d) => DataQuality.categoricalDrift(tx(s, d), "txn_date", "category")),
+    "q_dup_rate" -> ((s, d) => DataQuality.dupRate(Tables.documents(s, d), Seq("lang", "source"), "text")),
+    "q_date_gaps" -> ((s, d) => DataQuality.dateGaps(tx(s, d), "txn_date", "vendor")),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -1293,6 +1298,49 @@ object SparkEntry {
          |            WHEN l_rows = r_rows AND l_a = r_a AND l_b = r_b THEN 'match'
          |            ELSE 'mismatch' END AS status
          |FROM lc FULL OUTER JOIN rc ON lc.order_year = rc.order_year""".stripMargin,
+    "q_outliers" ->
+      s"""WITH t AS (SELECT category, count(*) AS n,
+         |                  sum(cast(amount AS DECIMAL(14,2))) AS s,
+         |                  sum(cast(cast(amount AS DECIMAL(14,2)) * cast(amount AS DECIMAL(14,2)) AS DECIMAL(30,4))) AS ssq
+         |           FROM ($txSql) GROUP BY category),
+         |st AS (SELECT category,
+         |              cast(s AS double) / cast(n AS double) AS mean,
+         |              CASE WHEN n > 1 THEN
+         |                sqrt((cast(n AS double) * cast(cast(ssq AS VARCHAR) AS double) - cast(s AS double) * cast(s AS double))
+         |                  / (cast(n AS double) * (cast(n AS double) - 1.0))) END AS stddev
+         |       FROM t)
+         |SELECT x.category, x.amount, (x.amount - st.mean) / st.stddev AS z
+         |FROM ($txSql) x JOIN st ON x.category = st.category
+         |WHERE st.stddev > 0.0 AND abs((x.amount - st.mean) / st.stddev) > 2.0""".stripMargin,
+    "q_drift" ->
+      s"""WITH b AS (SELECT min(txn_date) + CAST(floor(datediff('day', min(txn_date), max(txn_date)) / 2) AS INTEGER) AS cutoff
+         |           FROM ($txSql)),
+         |c AS (SELECT category,
+         |             sum(CASE WHEN txn_date <= (SELECT cutoff FROM b) THEN 1 ELSE 0 END) AS n_early,
+         |             sum(CASE WHEN txn_date <= (SELECT cutoff FROM b) THEN 0 ELSE 1 END) AS n_late
+         |      FROM ($txSql) GROUP BY category)
+         |SELECT category, cast(n_early AS BIGINT) AS n_early, cast(n_late AS BIGINT) AS n_late,
+         |       cast(n_early AS double) / cast((SELECT sum(n_early) FROM c) AS double) AS share_early,
+         |       cast(n_late AS double) / cast((SELECT sum(n_late) FROM c) AS double) AS share_late,
+         |       abs(cast(n_early AS double) / cast((SELECT sum(n_early) FROM c) AS double)
+         |           - cast(n_late AS double) / cast((SELECT sum(n_late) FROM c) AS double)) AS abs_diff
+         |FROM c""".stripMargin,
+    "q_dup_rate" ->
+      """SELECT lang, source, count(*) AS n_rows,
+        |       count(DISTINCT md5(text)) AS n_distinct,
+        |       1.0 - cast(count(DISTINCT md5(text)) AS double) / cast(count(*) AS double) AS dup_rate
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q_date_gaps" ->
+      s"""WITH sp AS (SELECT min(txn_date) AS d0, max(txn_date) AS d1 FROM ($txSql)),
+         |k AS (SELECT DISTINCT vendor FROM ($txSql)),
+         |e AS (SELECT k.vendor, CAST(unnest(generate_series((SELECT d0 FROM sp), (SELECT d1 FROM sp), INTERVAL 1 DAY)) AS DATE) AS day
+         |      FROM k),
+         |o AS (SELECT DISTINCT vendor, txn_date AS day FROM ($txSql))
+         |SELECT e.vendor, count(*) AS n_missing,
+         |       min(e.day) AS first_missing, max(e.day) AS last_missing
+         |FROM e LEFT JOIN o ON e.vendor = o.vendor AND e.day = o.day
+         |WHERE o.vendor IS NULL
+         |GROUP BY e.vendor""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-health diagnostics — the monitoring queries a training-data
+  * pipeline runs on every snapshot before it ships: value-outlier
+  * detection, categorical distribution drift between time slices,
+  * per-source duplication rates, and per-key coverage gaps.
+  *
+  * All four are oracle-gated, which constrains the arithmetic:
+  * moments are summed exactly in DECIMAL space (order-independent),
+  * every double expression is a fixed left-to-right combination of
+  * exact operands (IEEE +,-,*,/,sqrt are correctly rounded in both
+  * engines, so identical operands give identical bits), and scores are
+  * log-free by design (transcendentals diverge cross-engine — same
+  * rationale as Collocations' lift).
+  */
+object DataQuality {
+
+  /** Z-score outliers per group: rows whose value sits more than
+    * `zThreshold` sample standard deviations from their group mean.
+    * Two passes over the fact: one grouped moment aggregation
+    * (decimal Σx, Σx² — tiny output, broadcast back), one map-side
+    * filter. No window, no sort; at 100 TB the stats side is
+    * KB-sized and the flagging pass is embarrassingly parallel.
+    * Degenerate groups (n<2 or zero variance) flag nothing. */
+  def outliers(tx: DataFrame, groupCol: String, valueCol: String,
+               zThreshold: Double): DataFrame = {
+    // q_spend_stats' exact-moment discipline, same operand order in
+    // both engines: (n*ssq - s*s) / (n*(n-1)); ssq goes decimal ->
+    // string -> double so the conversion stays bit-identical past 2^53.
+    val x = col(valueCol).cast("decimal(14,2)")
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssqD = col("ssq").cast("string").cast("double")
+    val stats = tx.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("s"),
+      sum((x * x).cast("decimal(30,4)")).as("ssq"))
+      .withColumn("mean", sD / nD)
+      .withColumn("stddev",
+        when(col("n") > 1,
+          sqrt((nD * ssqD - sD * sD) / (nD * (nD - 1.0)))))
+      .select(col(groupCol), col("mean"), col("stddev"))
+    tx.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", (col(valueCol) - col("mean")) / col("stddev"))
+      .filter(col("stddev") > 0.0 && abs(col("z")) > zThreshold)
+      .select(col(groupCol), col(valueCol), col("z"))
+  }
+
+  /** Categorical distribution drift between two halves of a time
+    * range: per key, the share in the early half vs the late half and
+    * the absolute share difference (summing abs_diff across keys gives
+    * total-variation distance ×2 — kept per-key so the output names
+    * WHICH categories moved). Cutoff = midpoint day of the observed
+    * range, so the query is scale- and window-agnostic. Log-free on
+    * purpose: KL/PMI-style scores are not oracle-gateable.
+    * Keys absent from a half get share 0.0 (a key appearing/vanishing
+    * IS drift, not an error). One grouped agg + a scalar broadcast. */
+  def categoricalDrift(tx: DataFrame, dateCol: String,
+                       keyCol: String): DataFrame = {
+    val bounds = tx.agg(
+      min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+      .withColumn("cutoff",
+        // floor, not cast: cast(14.5 AS INT) truncates in Spark but
+        // ROUNDS in DuckDB — floor is identical in both
+        date_add(col("d0"),
+          floor(datediff(col("d1"), col("d0")) / 2).cast("int")))
+      .select("cutoff")
+    val tagged = tx.join(broadcast(bounds))
+      .withColumn("is_early", col(dateCol) <= col("cutoff"))
+    val counts = tagged.groupBy(col(keyCol)).agg(
+      sum(when(col("is_early"), 1L).otherwise(0L)).as("n_early"),
+      sum(when(col("is_early"), 0L).otherwise(1L)).as("n_late"))
+    val totals = counts.agg(
+      sum(col("n_early")).as("tot_early"), sum(col("n_late")).as("tot_late"))
+    counts.join(broadcast(totals))
+      .withColumn("share_early",
+        col("n_early").cast("double") / col("tot_early"))
+      .withColumn("share_late",
+        col("n_late").cast("double") / col("tot_late"))
+      .withColumn("abs_diff", abs(col("share_early") - col("share_late")))
+      .select(col(keyCol), col("n_early"), col("n_late"),
+        col("share_early"), col("share_late"), col("abs_diff"))
+  }
+
+  /** Duplication rate per corpus slice: fraction of rows whose exact
+    * content digest appears earlier in the same slice (1 - distinct
+    * digests / rows). The digest (md5 of the content) is computed
+    * map-side so the heavy text column never shuffles — the grouped
+    * count-distinct moves 16-byte digests only. */
+  def dupRate(docs: DataFrame, sliceCols: Seq[String],
+              contentCol: String): DataFrame = {
+    val slice = sliceCols.map(col)
+    docs
+      .select(slice :+ md5(col(contentCol)).as("digest"): _*)
+      .groupBy(slice: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_rows"))
+  }
+
+  /** Coverage gaps: for each key, the calendar days inside the
+    * table's GLOBAL [min,max] date range with no row for that key,
+    * as (key, n_missing, first_missing, last_missing). The expected
+    * grid is dimension-sized (keys × days — never fact-sized), built
+    * with sequence+explode and anti-joined against the observed
+    * (key, day) pairs; keys with full coverage emit no row. */
+  def dateGaps(tx: DataFrame, dateCol: String, keyCol: String): DataFrame = {
+    val span = tx.agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+    val keys = tx.select(col(keyCol)).distinct()
+    val expected = keys.join(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val observed = tx.select(col(keyCol), col(dateCol).as("day")).distinct()
+    expected.join(observed, Seq(keyCol, "day"), "left_anti")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_missing"),
+        min(col("day")).as("first_missing"),
+        max(col("day")).as("last_missing"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def txOf(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("dt", "category", "amount")
+      .select(to_date(col("dt")).as("txn_date"), col("category"),
+        col("amount"))
+
+  test("outliers flags the planted point and nothing in degenerate groups") {
+    // 'a': tight cluster + one far point; 'b': n=1; 'c': zero variance
+    val tx = txOf(
+      ("2024-01-01", "a", 10.0), ("2024-01-02", "a", 10.5),
+      ("2024-01-03", "a", 9.5), ("2024-01-04", "a", 10.2),
+      ("2024-01-05", "a", 9.8), ("2024-01-06", "a", 100.0),
+      ("2024-01-01", "b", 5.0),
+      ("2024-01-01", "c", 7.0), ("2024-01-02", "c", 7.0))
+    val out = DataQuality.outliers(tx, "category", "amount", 2.0)
+      .select("category", "amount").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("a", 100.0)))
+  }
+
+  test("drift: vanished key keeps share 0 in the late half") {
+    // 4 days: cutoff = d0 + floor(3/2) = day 2 -> early = days 1-2
+    val tx = txOf(
+      ("2024-01-01", "x", 1.0), ("2024-01-02", "x", 1.0),
+      ("2024-01-03", "y", 1.0), ("2024-01-04", "y", 1.0),
+      ("2024-01-01", "y", 1.0))
+    val d = DataQuality.categoricalDrift(tx, "txn_date", "category")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(d("x")._2 == 2 && d("x")._3 == 0 && d("x")._5 == 0.0)
+    assert(d("y")._2 == 1 && d("y")._3 == 2)
+    assert(math.abs(d("x")._6 - (2.0 / 3.0)) < 1e-15)
+  }
+
+  test("dupRate: exact duplicates counted per slice, clean slice is 0") {
+    val docs = Seq(
+      (1L, "en", "web", "same text"), (2L, "en", "web", "same text"),
+      (3L, "en", "web", "other"), (4L, "fr", "web", "unique a"),
+      (5L, "fr", "web", "unique b")
+    ).toDF("doc_id", "lang", "source", "text")
+    val r = DataQuality.dupRate(docs, Seq("lang", "source"), "text")
+      .select("lang", "n_rows", "n_distinct", "dup_rate")
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("en")._2 == 3 && r("en")._3 == 2 && math.abs(r("en")._4 - 1.0 / 3.0) < 1e-15)
+    assert(r("fr")._4 == 0.0)
+  }
+
+  test("dateGaps finds interior and boundary holes, skips full keys") {
+    // global range 01-01..01-04; u1 full; u2 missing 01-02 and 01-04
+    val tx = txOf(
+      ("2024-01-01", "u1", 1.0), ("2024-01-02", "u1", 1.0),
+      ("2024-01-03", "u1", 1.0), ("2024-01-04", "u1", 1.0),
+      ("2024-01-01", "u2", 1.0), ("2024-01-03", "u2", 1.0))
+      .withColumnRenamed("category", "vendor")
+    val g = DataQuality.dateGaps(tx, "txn_date", "vendor")
+      .as[(String, Long, java.sql.Date, java.sql.Date)].collect()
+    assert(g.length == 1)
+    val (v, n, first, last) = g.head
+    assert(v == "u2" && n == 2 &&
+      first.toString == "2024-01-02" && last.toString == "2024-01-04")
+  }
+
+  test("all four handle empty input") {
+    val empty = txOf().withColumnRenamed("category", "vendor")
+      .withColumn("category", col("vendor"))
+    assert(DataQuality.outliers(empty, "category", "amount", 2.0).count() == 0)
+    assert(DataQuality.categoricalDrift(empty, "txn_date", "category").count() == 0)
+    assert(DataQuality.dateGaps(empty, "txn_date", "vendor").count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(DataQuality.dupRate(emptyDocs, Seq("lang", "source"), "text").count() == 0)
+  }
+}
