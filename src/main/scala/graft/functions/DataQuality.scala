@@ -70,9 +70,13 @@ object DataQuality {
       .select("cutoff")
     val tagged = tx.join(broadcast(bounds))
       .withColumn("is_early", col(dateCol) <= col("cutoff"))
+    // key-cardinality-sized; checkpointed because BOTH the totals agg
+    // and the final join consume it — without this the fact is scanned
+    // and aggregated twice (once per consumer subtree)
     val counts = tagged.groupBy(col(keyCol)).agg(
       sum(when(col("is_early"), 1L).otherwise(0L)).as("n_early"),
       sum(when(col("is_early"), 0L).otherwise(1L)).as("n_late"))
+      .localCheckpoint()
     val totals = counts.agg(
       sum(col("n_early")).as("tot_early"), sum(col("n_late")).as("tot_late"))
     counts.join(broadcast(totals))

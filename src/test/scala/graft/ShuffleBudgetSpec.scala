@@ -78,7 +78,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_table_checksum" -> 1,          // map-side lane partials, one scalar
                                       // per partition crosses the wire
     "q_checksum_groups" -> 1,         // one group-key agg exchange
-    "q_checksum_diff" -> 4)           // grouped agg per side + bounds
+    "q_checksum_diff" -> 4,           // grouped agg per side + bounds
+    "q_outliers" -> 1,                // one moment agg; stats broadcast back
+    "q_drift" -> 1,                   // key counts ran in the eager
+                                      // checkpoint; only totals' scalar
+                                      // agg remains in the final plan
+    "q_dup_rate" -> 2,                // two-phase distinct: (slice,digest)
+                                      // partial then slice final — digests
+                                      // shuffle, the text never does
+    "q_date_gaps" -> 3)               // keys+observed distincts + final
+                                      // agg; the calendar grid is generated,
+                                      // span broadcast
                                       // scalar; join reuses key partitioning
 
   test("headline queries stay within their shuffle budgets") {
