@@ -123,6 +123,7 @@ object SparkEntry {
     "q_language_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)),
+    "q_doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     // --- dedup ---
     "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
     "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
@@ -740,6 +741,19 @@ object SparkEntry {
            |SELECT r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.term,
            |       CAST(r.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
            |FROM r JOIN df ON r.term = df.term WHERE r.rnk <= 3""".stripMargin,
+    "q_doc_rarity" ->
+      raw"""WITH tok AS (SELECT DISTINCT doc_id, term FROM
+           |               (SELECT doc_id,
+           |                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |                FROM documents)
+           |             WHERE term NOT IN ('the','a','of','and','to','in','is','on')),
+           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
+           |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |       CAST(sum(1000000 // df.df) AS BIGINT) AS rarity_score,
+           |       CAST(CAST(sum(1000000 // df.df) AS BIGINT) AS double)
+           |         / CAST(count(*) AS double) AS rarity_per_term
+           |FROM tok JOIN df ON tok.term = df.term
+           |GROUP BY tok.doc_id""".stripMargin,
     "q_exact_dedup_docs" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keeper_doc_id, count(*) AS n_dups

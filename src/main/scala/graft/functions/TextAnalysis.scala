@@ -101,6 +101,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Rarity-weighted document scoring — the corpus-level importance
+    * weight a pipeline attaches to each document before quality-aware
+    * sampling: documents dense in rare vocabulary score high, documents
+    * made of ubiquitous terms score low. Classic idf would be
+    * `log(N/df)`, but transcendentals are not oracle-gateable, so each
+    * distinct term contributes the INTEGER weight `scale div df`
+    * (truncating division — `//` in DuckDB) and the per-document score
+    * is an exact BIGINT sum: order-independent, engine-portable, and
+    * monotone in the same direction as idf. `rarity_per_term`
+    * (score/n_terms, one IEEE division on exact operands) normalizes
+    * away document length.
+    *
+    * Shape: distinct (doc,term) pairs, a term-partitioned window to
+    * attach df (one term shuffle, no vocab join), one doc_id
+    * aggregation — three keyed exchanges, nothing global, the text
+    * column dropped before the first shuffle. */
+  def docRarity(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isInCollection(stopwords))
+      .distinct()
+    terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr(s"CAST($scale AS BIGINT) div df")).as("rarity_score"))
+      .withColumn("rarity_per_term",
+        col("rarity_score").cast("double") / col("n_terms").cast("double"))
+  }
+
   /** Repetition/boilerplate quality filters — the classic
     * training-corpus heuristics (the duplicate-n-gram and
     * most-common-word families popularized by the C4 and Gopher corpus

@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramContainmentPairs(emptyDocs, 3, 0.6).count() == 0)
     assert(Dedup.simhash16NearDupPairs(emptyDocs).count() == 0)
     assert(TextAnalysis.topTerms(emptyDocs, 3).count() == 0)
+    assert(TextAnalysis.docRarity(emptyDocs).count() == 0)
     assert(Temporal.movingDailySpend(emptyTx, 3).count() == 0)
     assert(Temporal.groupingSetsSpend(emptyTx).count() == 0)
     val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")

@@ -246,6 +246,17 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 2L)) == ("zebra", 1L, 1L))
   }
 
+  test("docRarity: integer rarity weights, distinct terms only, length-normalized") {
+    val d = docs(
+      (1L, "the cat cat cat dog dog bird fish"),
+      (2L, "the dog dog zebra"))
+    // dfs: cat/bird/fish/zebra=1 (weight 1000000), dog=2 (weight 500000)
+    val out = TextAnalysis.docRarity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 3500000L, 875000.0)))
+    assert(out(2L) == ((2L, 1500000L, 750000.0)))
+  }
+
   test("exactDedupDocs groups case/space variants") {
     val out = Dedup.exactDedupDocs(docs((1L, "A  b"), (2L, "a b"), (3L, "c")))
     val dups = out.filter(col("n_dups") > 1).collect()

@@ -86,9 +86,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dup_rate" -> 2,                // two-phase distinct: (slice,digest)
                                       // partial then slice final — digests
                                       // shuffle, the text never does
-    "q_date_gaps" -> 3)               // keys+observed distincts + final
+    "q_date_gaps" -> 3,               // keys+observed distincts + final
                                       // agg; the calendar grid is generated,
                                       // span broadcast
+    "q_doc_rarity" -> 3)              // (doc,term) distinct, term-keyed
+                                      // df window, doc_id agg — text
+                                      // dropped before the first shuffle
                                       // scalar; join reuses key partitioning
 
   test("headline queries stay within their shuffle budgets") {
