@@ -129,6 +129,7 @@ object SparkEntry {
     "q_exact_dup_events" -> ((s, d) => Dedup.exactDupEvents(Tables.events(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairsInverted(Tables.documents(s, d), 3, 0.5)),
     "q_ngram_containment" -> ((s, d) => Dedup.ngramContainmentPairs(Tables.documents(s, d), 3, 0.6)),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(Tables.documents(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 8, 4, 0.5)),
     "q_simhash16" -> ((s, d) => Dedup.simhash16(Tables.documents(s, d))),
     // benchmark decontamination: docs with doc_id % 50 == 0 stand in
@@ -879,6 +880,7 @@ object SparkEntry {
            |  AND NOT EXISTS (SELECT 1 FROM fp c
            |                  WHERE c.doc_id % 3 = 0 AND c.fp = b.fp)""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_redact_pii" ->
       raw"""WITH s1 AS (SELECT doc_id,
            |              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -1388,6 +1390,27 @@ object SparkEntry {
       |FROM (SELECT doc_id, lang, source,
       |             string_split_regex(trim(lower(text)), '\s+') AS toks
       |      FROM documents)""".stripMargin
+
+  private val sourceOverlapSql =
+    raw"""WITH tok AS (SELECT source,
+         |               string_split_regex(trim(lower(text)), '\s+') AS toks
+         |             FROM documents),
+         |sh0 AS (SELECT source,
+         |          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |        FROM tok),
+         |sh AS (SELECT DISTINCT source, sh FROM sh0),
+         |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared,
+         |       CAST(any_value(sa.n_sh) AS BIGINT) AS n_a,
+         |       CAST(any_value(sb.n_sh) AS BIGINT) AS n_b,
+         |       CAST(count(*) AS double)
+         |         / CAST(any_value(sa.n_sh) + any_value(sb.n_sh) - count(*) AS double) AS jaccard
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |JOIN sz sa ON sa.source = a.source
+         |JOIN sz sb ON sb.source = b.source
+         |GROUP BY a.source, b.source""".stripMargin
 
   private val ngramJaccardSql =
     s"""WITH s AS ($shinglesSql),

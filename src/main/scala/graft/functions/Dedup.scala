@@ -310,6 +310,42 @@ object Dedup {
     pairs
   }
 
+  /** Cross-source overlap matrix — the corpus-governance view of
+    * duplication: for every pair of sources, how much n-gram content
+    * they share (distinct-shingle intersection, per-source set sizes,
+    * Jaccard). This is the "which providers are reselling each other's
+    * crawl" / "is the eval vendor's data inside the training feed"
+    * question, asked at SOURCE granularity rather than doc pairs.
+    *
+    * Scale shape: the (source, shingle) distinct set is the unit of
+    * work — a shingle present in k sources fans out to k(k-1)/2 pair
+    * rows, and k is bounded by the NUMBER OF SOURCES (tens), not by
+    * document count, so the self-join cannot go quadratic in the
+    * corpus the way doc-pair joins can. Everything shuffles on the
+    * shingle or the source pair; raw text never moves. The distinct
+    * set is checkpointed once (three consumers: sizes + both join
+    * sides). Jaccard's denominator |A∪B| = n_a + n_b - shared ≥ 1
+    * whenever a pair emits, so the division is ANSI-safe. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, n, Seq("source"))
+      .select(col("source"), col("sh")).distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint()
+    val a = sh.select(col("source").as("src_a"), col("sh"))
+    val b = sh.select(col("source").as("src_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Containment near-dup pairs (Broder's containment coefficient
     * C(A,B) = |A∩B| / min(|A|,|B|)): catches SUBSET duplication —
     * a short document quoted inside a long one scores near 1.0 here

@@ -61,6 +61,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhash16NearDupPairs(emptyDocs).count() == 0)
     assert(TextAnalysis.topTerms(emptyDocs, 3).count() == 0)
     assert(TextAnalysis.docRarity(emptyDocs).count() == 0)
+    assert(Dedup.sourceOverlap(emptyDocs).count() == 0)
     assert(Temporal.movingDailySpend(emptyTx, 3).count() == 0)
     assert(Temporal.groupingSetsSpend(emptyTx).count() == 0)
     val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")

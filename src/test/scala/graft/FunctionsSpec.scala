@@ -257,6 +257,19 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1500000L, 750000.0)))
   }
 
+  test("sourceOverlap: shared shingles counted once per source pair") {
+    val d = Seq(
+      (1L, "s1", "w1 w2 w3 w4"),   // shingles: {w1 w2 w3, w2 w3 w4}
+      (2L, "s2", "w2 w3 w4 w5"),   // shingles: {w2 w3 w4, w3 w4 w5}
+      (3L, "s3", "x y z"))         // shingles: {x y z} — no overlap
+      .toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+    val out = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size == 1)
+    assert(out(("s1", "s2")) == ((1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
   test("exactDedupDocs groups case/space variants") {
     val out = Dedup.exactDedupDocs(docs((1L, "A  b"), (2L, "a b"), (3L, "c")))
     val dups = out.filter(col("n_dups") > 1).collect()

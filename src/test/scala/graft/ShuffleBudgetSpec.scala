@@ -89,9 +89,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_date_gaps" -> 3,               // keys+observed distincts + final
                                       // agg; the calendar grid is generated,
                                       // span broadcast
-    "q_doc_rarity" -> 3)              // (doc,term) distinct, term-keyed
+    "q_doc_rarity" -> 3,              // (doc,term) distinct, term-keyed
                                       // df window, doc_id agg — text
                                       // dropped before the first shuffle
+    "q_source_overlap" -> 3)          // (source,shingle) distinct ran in
+                                      // the eager checkpoint; shingle-keyed
+                                      // self-join + source-pair agg remain
                                       // scalar; join reuses key partitioning
 
   test("headline queries stay within their shuffle budgets") {
