@@ -157,4 +157,38 @@ object GraftProps extends Properties("graft") {
       // a single ulp vs the single-partition built-in
       Prop(custom == builtin) :| s"parts=$parts custom=$custom builtin=$builtin"
     }
+
+  private val genDocRows: Gen[List[(String, String)]] =
+    Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("sA", "sB", "sC")
+      nw <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(nw, Gen.oneOf("w1", "w2", "w3", "w4", "w5", "the", "a"))
+    } yield (src, ws.mkString(" ")))
+
+  private def toDocs(rows: List[(String, String)]) = {
+    import org.apache.spark.sql.functions.lit
+    rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+  }
+
+  property("docRarity invariant under repartition (exact integer weights)") =
+    forAll(genDocRows, Gen.choose(1, 13)) { (rows, parts) =>
+      val d = toDocs(rows)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.TextAnalysis.docRarity(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      Prop(run(d) == run(d.repartition(parts))) :| s"parts=$parts"
+    }
+
+  property("sourceOverlap invariant under repartition, jaccard in (0,1]") =
+    forAll(genDocRows, Gen.choose(1, 13)) { (rows, parts) =>
+      val d = toDocs(rows)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.Dedup.sourceOverlap(df).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val a = run(d)
+      Prop(a == run(d.repartition(parts)) &&
+        a.forall(t => t._6 > 0.0 && t._6 <= 1.0)) :| s"parts=$parts"
+    }
 }
