@@ -517,6 +517,8 @@ object SparkEntry {
     "q_drift" -> ((s, d) => DataQuality.categoricalDrift(tx(s, d), "txn_date", "category")),
     "q_dup_rate" -> ((s, d) => DataQuality.dupRate(Tables.documents(s, d), Seq("lang", "source"), "text")),
     "q_date_gaps" -> ((s, d) => DataQuality.dateGaps(tx(s, d), "txn_date", "vendor")),
+    "q_rate_spikes" -> ((s, d) =>
+      DataQuality.rateSpikes(Tables.events(s, d), "event_type", "ts")),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -1314,6 +1316,22 @@ object SparkEntry {
          |            WHEN l_rows = r_rows AND l_a = r_a AND l_b = r_b THEN 'match'
          |            ELSE 'mismatch' END AS status
          |FROM lc FULL OUTER JOIN rc ON lc.order_year = rc.order_year""".stripMargin,
+    "q_rate_spikes" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |             sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_sum,
+        |             count(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_days
+        |      FROM d)
+        |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(trailing_sum AS BIGINT) AS trailing_sum,
+        |       CAST(trailing_days AS BIGINT) AS trailing_days,
+        |       CAST(n_events * trailing_days AS double)
+        |         / CAST(trailing_sum AS double) AS rate_ratio
+        |FROM w WHERE trailing_days >= 3 AND trailing_sum > 0""".stripMargin,
     "q_outliers" ->
       s"""WITH t AS (SELECT category, count(*) AS n,
          |                  sum(cast(amount AS DECIMAL(14,2))) AS s,

@@ -106,6 +106,38 @@ object DataQuality {
         lit(1.0) - col("n_distinct").cast("double") / col("n_rows"))
   }
 
+  /** Event-rate spike detection: per (type, day), today's event count
+    * against the mean of the trailing `trailingDays` OBSERVED days
+    * (rows-based frame — calendar gaps are `dateGaps`' job, not
+    * this one's). `rate_ratio` = n · trailing_days / trailing_sum is
+    * a single IEEE division over exact integer operands, so the output
+    * is engine-portable; a z-score over so few points would not be
+    * robust and a Poisson tail needs transcendentals. Days with fewer
+    * than `minTrailingDays` of history emit no row (a ratio against
+    * one noisy day is a false alarm, not a baseline).
+    *
+    * Shape: one (type, day) count aggregation, one type-partitioned
+    * window — two keyed exchanges, both over the DAILY GRID (types ×
+    * days), never over raw events. At 100 TB the grid is KB-sized. */
+  def rateSpikes(events: DataFrame, typeCol: String, tsCol: String,
+                 trailingDays: Int = 7, minTrailingDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-trailingDays, -1)
+    daily
+      .withColumn("trailing_sum", sum(col("n_events")).over(w))
+      .withColumn("trailing_days", count(col("n_events")).over(w))
+      .filter(col("trailing_days") >= minTrailingDays && col("trailing_sum") > 0)
+      .withColumn("rate_ratio",
+        (col("n_events") * col("trailing_days")).cast("double")
+          / col("trailing_sum").cast("double"))
+      .select(col(typeCol), col("day"), col("n_events"),
+        col("trailing_sum"), col("trailing_days"), col("rate_ratio"))
+  }
+
   /** Coverage gaps: for each key, the calendar days inside the
     * table's GLOBAL [min,max] date range with no row for that key,
     * as (key, n_missing, first_missing, last_missing). The expected

@@ -67,6 +67,26 @@ class DataQualitySpec extends SparkSpec {
       first.toString == "2024-01-02" && last.toString == "2024-01-04")
   }
 
+  test("rateSpikes: planted spike flagged, short history excluded") {
+    val ev = (Seq.fill(1)("2024-01-01") ++ Seq.fill(1)("2024-01-02") ++
+      Seq.fill(1)("2024-01-03") ++ Seq.fill(1)("2024-01-04") ++
+      Seq.fill(9)("2024-01-05"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, s"$d 12:00:00", "login") }
+      .toDF("event_id", "ts_s", "event_type")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val out = DataQuality.rateSpikes(ev, "event_type", "ts",
+        trailingDays = 7, minTrailingDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // days 1-2 lack 2 trailing days; day3: 1*2/2=1.0; day4: 1*3/3=1.0;
+    // day5 spike: 9*4/4=9.0
+    assert(out.toSeq == Seq(
+      ("2024-01-03", 1L, 2L, 2L, 1.0),
+      ("2024-01-04", 1L, 3L, 3L, 1.0),
+      ("2024-01-05", 9L, 4L, 4L, 9.0)))
+  }
+
   test("all four handle empty input") {
     val empty = txOf().withColumnRenamed("category", "vendor")
       .withColumn("category", col("vendor"))
@@ -76,5 +96,8 @@ class DataQualitySpec extends SparkSpec {
     val emptyDocs = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "lang", "source", "text")
     assert(DataQuality.dupRate(emptyDocs, Seq("lang", "source"), "text").count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    assert(DataQuality.rateSpikes(emptyEv, "event_type", "ts").count() == 0)
   }
 }

@@ -92,9 +92,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_doc_rarity" -> 3,              // (doc,term) distinct, term-keyed
                                       // df window, doc_id agg — text
                                       // dropped before the first shuffle
-    "q_source_overlap" -> 3)          // (source,shingle) distinct ran in
+    "q_source_overlap" -> 3,          // (source,shingle) distinct ran in
                                       // the eager checkpoint; shingle-keyed
                                       // self-join + source-pair agg remain
+    "q_rate_spikes" -> 2)             // (type,day) count agg + type
+                                      // window — both over the daily
+                                      // grid, never raw events
                                       // scalar; join reuses key partitioning
 
   test("headline queries stay within their shuffle budgets") {
