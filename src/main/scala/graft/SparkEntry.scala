@@ -917,7 +917,7 @@ object SparkEntry {
            |             coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
            |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
            |      FROM t)
-           |SELECT lang, cb // 512 AS bin_id, count(*) AS n_docs,
+           |SELECT lang, CAST(cb // 512 AS BIGINT) AS bin_id, count(*) AS n_docs,
            |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
            |FROM c GROUP BY lang, cb // 512""".stripMargin,
     "q_decontaminate" ->

@@ -20,11 +20,31 @@ def canon(v):
         return canon(v.tolist())
     return v
 
+def kind_of(t):
+    """Coarse dtype class mirroring how the driver's pandas hash treats values:
+    ints and floats hash differently (3 vs 3.0), so int-vs-float divergence
+    between Spark and DuckDB is a real gate failure even when values compare
+    equal in Python. HUGEINT (int128) lands in pandas as float64 -> 'f'."""
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "i"
+    if pt.is_floating(t):
+        return "f"
+    if pt.is_decimal(t):
+        return "dec"
+    if str(t) in ("int128", "uint128"):
+        return "f"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return "list<" + kind_of(t.value_type) + ">"
+    return "o"
+
 def rows_of(tbl):
-    cols = sorted(tbl.column_names)
+    order = sorted(range(len(tbl.column_names)), key=lambda i: tbl.column_names[i])
+    cols = [tbl.column_names[i] for i in order]
+    kinds = [kind_of(tbl.schema.types[i]) for i in order]
     data = [tbl.column(c).to_pylist() for c in cols]
     rows = [tuple(canon(data[j][i]) for j in range(len(cols))) for i in range(tbl.num_rows)]
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    return cols, kinds, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
@@ -62,10 +82,14 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        gc, gr = rows_of(got)
-        ec, er = rows_of(exp)
+        gc, gk, gr = rows_of(got)
+        ec, ek, er = rows_of(exp)
         if gc != ec:
             results[name] = f"COLS got={gc} exp={ec}"
+        elif gk != ek and any(
+            {a, b} == {"i", "f"} for a, b in zip(gk, ek)
+        ):
+            results[name] = f"DTYPE got={list(zip(gc, gk))} exp={list(zip(ec, ek))}"
         elif len(gr) != len(er):
             results[name] = f"NROWS got={len(gr)} exp={len(er)}"
         else:
