@@ -986,6 +986,13 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3""".stripMargin,
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash16" -> simhash16Sql,
+    "q_simhash64" -> simhash64Sql,
+    "q_simhash64_neardup" ->
+      s"""WITH v AS ($simhash64Sql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3""".stripMargin,
     "q_ann_topk" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
@@ -1482,6 +1489,35 @@ object SparkEntry {
        |       $votes
        |      FROM e GROUP BY doc_id)
        |SELECT doc_id, cast($bits AS bigint) AS simhash16 FROM v""".stripMargin
+  }
+
+  /** Production-width 64-bit SimHash oracle, mirroring
+    * `Dedup.simhash64`'s md5-portable bit layout: vote bit j reads hex
+    * nibble (j%32)+1 of md5(tok) — the nibble's TOP bit (value 8..f)
+    * for j<32, its BIT 1 (value in {2,3,6,7,a,b,e,f}) for j>=32. The
+    * signature is assembled in HUGEINT (bit 63 overflows BIGINT) and
+    * wrapped to signed 64-bit to match Spark's LongType two's
+    * complement exactly. */
+  private val simhash64Sql = {
+    val votes = (0 until 64).map { j =>
+      val digits =
+        if (j < 32) "('8','9','a','b','c','d','e','f')"
+        else "('2','3','6','7','a','b','e','f')"
+      s"sum(CASE WHEN substring(md5(tok), ${(j % 32) + 1}, 1) IN $digits THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n       ")
+    val bits = (0 until 64).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    raw"""WITH e AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+       |           FROM documents),
+       |v AS (SELECT doc_id,
+       |       $votes
+       |      FROM e GROUP BY doc_id),
+       |u AS (SELECT doc_id, $bits AS s FROM v)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |                 THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash64
+       |FROM u""".stripMargin
   }
 
   /** W1/W2 oracle: dense date×key grid, 0-imputed, lag pct-change of the

@@ -469,8 +469,8 @@ object Dedup {
     * techniques from rounding algorithms", STOC 2002): per token, md5's 16 hex nibbles vote
     * ±1 by their top bit ('8'..'f'); the document's bit j is the sign
     * of the vote sum. One grouped aggregation -> 16 sums. (The
-    * production-width 64-bit variant, simhash64, uses xxhash64 and is
-    * unit-tested; DuckDB lacks xxhash64 so the oracle gates this one.) */
+    * production-width 64-bit variant, simhash64, uses the same
+    * md5-portable playbook and is oracle-gated at full width.) */
   def simhash16(docs: DataFrame): DataFrame = {
     // Parse the first 16 hex nibbles as TWO 32-bit ints once per token
     // row, then read each nibble's top bit with integer shifts — the
@@ -495,19 +495,35 @@ object Dedup {
       .select(col("doc_id"), col("simhash16"))
   }
 
-  /** Production 64-bit SimHash on xxhash64 (not oracle-portable; unit
-    * tested). Same shape: explode -> 64 vote sums -> sign bits. */
+  /** Production 64-bit SimHash, md5-portable so the cross-engine oracle
+    * can gate the production width (not just the 16-bit demo). The
+    * per-token 64-bit hash is built from md5's 128 bits: vote bit j for
+    * j in 0..31 is the TOP bit (bit 3) of hex nibble j+1, and for j in
+    * 32..63 it is BIT 1 of nibble (j-32)+1 — 64 independent uniform
+    * bits, reproducible in any engine with md5 + substring. Same shape
+    * as simhash16: explode -> 64 vote sums -> sign bits, with the four
+    * 8-hex-char words parsed to ints ONCE per token row so the per-bit
+    * reads are integer shifts, not 64 string ops (the simhash16
+    * optimization, cf. its ~9s-at-sf0.1 note). */
   def simhash64(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("w0", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("w1", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      .withColumn("w2", conv(substring(col("h"), 17, 8), 16, 10).cast("long"))
+      .withColumn("w3", conv(substring(col("h"), 25, 8), 16, 10).cast("long"))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
+      val n = j % 32                       // nibble index 0..31
+      val word = col(s"w${n / 8}")         // 8 nibbles per 32-bit word
+      val nibbleBit = if (j < 32) 3 else 1 // top bit vs bit 1 of the nibble
+      val bit = (7 - (n % 8)) * 4 + nibbleBit
+      sum(when(shiftright(word, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
     }
     tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .withColumn("simhash64",
         (0 until 64).map(j =>
-          when(col(s"v$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L)))
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select(col("doc_id"), col("simhash64"))
   }
