@@ -362,28 +362,103 @@ object Similarity {
     * across runs and partitionings. */
   def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
                 bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame = {
-    // One QUANTIZED materialization of the embeddings feeds the
-    // brute-force pass and all three approximate methods (each would
-    // otherwise re-scan the parquet and re-run the quantize+norm
-    // subtree independently — ensureQuantized passes the shared
-    // checkpoint through).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // One QUANTIZED materialization of the embeddings feeds everything.
     val emb = quantized(embeddings).localCheckpoint()
-    // Ground truth is consumed once per method; checkpoint so the
-    // brute-force pass runs once.
-    val truth = bruteForceTopK(emb, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
+    // Score EVERY (query, candidate) pair ONCE. The brute-force ground
+    // truth needs the full query×corpus cross product anyway, so that
+    // pass doubles as a shared cosine store: each approximate method's
+    // candidate set is then generated as an ids-only bucket join and
+    // looks its cosines up here by id, instead of re-running its own
+    // DotI64 scoring + top-k plan (the r3 shape: three independent
+    // top-k plans, 23 exchanges / 36 codegen spans / ~6s for 3 rows).
+    // truth_rnk <= k IS the ground-truth membership test, so the
+    // former per-method left_semi against a truth table collapses into
+    // a predicate on a column that is already on the row.
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val allScored = emb
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ("qv", "cv").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("truth_rnk", row_number().over(wt).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("truth_rnk"))
       .localCheckpoint()
-    val nTruth = truth.count()
-    def recallOf(name: String, approx: DataFrame): DataFrame =
-      approx.select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("method"), col("n_hits"),
-          lit(nTruth).as("n_truth"),
-          (col("n_hits").cast("double") / lit(nTruth.toDouble)).as("recall"))
-    recallOf("lsh", lshTopK(emb, queryPred, k, bits))
-      .unionByName(recallOf("lsh_multi", lshTopKMulti(emb, queryPred, k, bits, tables)))
-      .unionByName(recallOf("ivf", ivfTopK(emb, queryPred, k, nCells, nProbe)))
+    val nTruth = allScored.filter(col("truth_rnk") <= k).count()
+    val qIds = emb.filter(queryPred).select(col("vec_id"))
+    // One multi-table bucketing pass serves BOTH LSH methods: table 0's
+    // hyperplane seeds coincide with lshBuckets(bits) by construction
+    // (xxhash64(t*1000+h, d) with t=0), so the single-table method is a
+    // filter, not a second projection pass.
+    val buckets = lshBucketsMulti(emb, bits, tables).localCheckpoint()
+    val t0 = buckets.filter(col("tbl") === 0).select(col("vec_id"), col("bucket"))
+    // lsh: query bucket plus every Hamming-1 flip (lshTopK's probing).
+    // Probe buckets are pairwise distinct and a candidate has exactly
+    // one table-0 bucket, so pairs need no dedup.
+    val lshPairs = qIds.join(t0, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        explode(array((-1 +: (0 until bits).toSeq).map {
+          case -1 => col("bucket")
+          case j  => col("bucket").bitwiseXOR(lit(1L << j))
+        }: _*)).as("bucket"))
+      .join(t0.select(col("bucket"), col("vec_id").as("neighbor_id")), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+    // lsh_multi: share ANY table's bucket (lshTopKMulti's union), so a
+    // pair can surface through several tables — dedup is required.
+    val multiPairs = qIds.join(buckets, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id")),
+        Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // ivf, trainIters = 0 form — centroid choice, assignment argmax and
+    // probe-cell window replicate ivfTopK exactly (groupBy-argmax on the
+    // corpus side, row_number only over the tiny query×cells side).
+    val centroids = emb.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("q").as("cv"), col("nq").as("cn"))
+    def cellSims(vecs: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("_sim", dotQ("q", "cv").cast("double") /
+          sqrt(col("nq").cast("double") * col("cn").cast("double")))
+    val assigned = cellSims(emb)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell_id"),
+        struct(col("_sim"), (-col("cell_id")).as("_nc"))).as("cell_id"))
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("_sim").desc, col("cell_id").asc)
+    val probeCells = cellSims(emb.filter(queryPred))
+      .withColumn("_rn", row_number().over(wc))
+      .filter(col("_rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell_id"))
+    // A query probes nProbe DISTINCT cells and a candidate lives in
+    // exactly one, so ivf pairs need no dedup either.
+    val ivfPairs = probeCells.join(assigned, Seq("cell_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = lshPairs.withColumn("method", lit("lsh"))
+      .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
+      .unionByName(ivfPairs.withColumn("method", lit("ivf")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .localCheckpoint()
+    val wm = Window.partitionBy(col("method"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val hits = cand.join(allScored, Seq("query_id", "neighbor_id"))
+      .withColumn("rnk", row_number().over(wm))
+      .filter(col("rnk") <= k)
+      .groupBy(col("method"))
+      .agg(sum(when(col("truth_rnk") <= k, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+    // Left-join from a literal method list so a method with an empty
+    // candidate set still emits its (zero-recall) row, as the old
+    // union-of-aggregates shape did.
+    Seq("lsh", "lsh_multi", "ivf").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .select(col("method"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(nTruth).as("n_truth"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(nTruth.toDouble)).as("recall"))
   }
 
   /** LSH-accelerated top-k: search only within the query's bucket plus

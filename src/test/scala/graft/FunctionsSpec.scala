@@ -634,6 +634,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out("lsh_multi")._3 >= out("lsh")._3)
   }
 
+  test("annRecall: shared-scoring fold equals recall of the standalone method top-ks") {
+    // Pins the r4 refactor (one scored cross product + ids-only
+    // candidate joins) to the semantics it replaced: per-method recall
+    // computed the slow way, from each standalone top-k's overlap with
+    // bruteForceTopK.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val (k, bits, tables, nCells, nProbe) = (10, 4, 4, 16, 4)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = ids(Similarity.bruteForceTopK(e, pred, k))
+    val slow = Map(
+      "lsh" -> ids(Similarity.lshTopK(e, pred, k, bits)),
+      "lsh_multi" -> ids(Similarity.lshTopKMulti(e, pred, k, bits, tables)),
+      "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)))
+    val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    slow.foreach { case (m, topk) =>
+      assert(fast(m) == ((topk.intersect(truth).size.toLong, truth.size.toLong)),
+        s"$m: shared-scoring hits/truth must match the standalone top-k overlap")
+    }
+  }
+
   test("unlabeled LSH near-dup: perfect precision, recall monotone in tables") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val thresh = 0.4
