@@ -28,6 +28,22 @@ object Dedup {
     * over the already-persisted shingle sets, and the checkpoint lets
     * both sides of the candidate self-join reuse one materialization
     * of the hot set instead of re-aggregating it per side. */
+  /** Auto-sized posting-list df cap: max(floor, ceil(c·√nDocs)).
+    *
+    * The √N term is the predictable-degradation contract the fixed
+    * default lacked: a shingle admitted at the cap fans out to at most
+    * cap² ≈ c²·N candidate pairs — LINEAR in the corpus by
+    * construction, no matter how the shingle-df distribution shifts as
+    * the corpus grows. The floor keeps small corpora (every gated
+    * fixture) uncapped — df can never exceed nDocs, so nDocs ≤ floor
+    * means exactness is unconditional and the hot-cap warn stays
+    * silent. */
+  def autoDocFreqCap(nDocs: Long, floor: Int = 1000, c: Double = 4.0): Int = {
+    require(nDocs >= 0 && floor > 0 && c > 0)
+    math.max(floor.toLong, math.ceil(c * math.sqrt(nDocs.toDouble)).toLong)
+      .min(Int.MaxValue).toInt
+  }
+
   private def checkpointHot(hot: DataFrame, maxDocFreq: Int, op: String): DataFrame = {
     val h = hot.localCheckpoint()
     val nHot = h.count()
@@ -257,12 +273,14 @@ object Dedup {
     * (near-dup signal lives in rare shingles); candidates are then
     * verified with EXACT Jaccard over the FULL shingle sets, so
     * reported inter/uni/jaccard are uncapped. A qualifying pair is
-    * missed only if every shingle it shares is hotter than the cap —
-    * pick the cap ≥ corpus size (default 1000 ≥ the sf0.01/sf0.1
-    * fixtures) to make the cap non-binding where exactness is gated,
-    * and bind it deliberately at scale. */
+    * missed only if every shingle it shares is hotter than the cap.
+    * `maxDocFreq` <= 0 (the default) auto-sizes the cap from the
+    * measured corpus size via `autoDocFreqCap` — never binding below
+    * the floor (every gated fixture stays exact), degrading along the
+    * √N contract above it; pass an explicit cap to bind it
+    * deliberately at scale. */
   def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
-                                maxDocFreq: Int = 1000): DataFrame = {
+                                maxDocFreq: Int = 0): DataFrame = {
     // One aggregation pass builds the full per-doc shingle sets; the
     // persist is a sharing barrier (pruning would otherwise re-run the
     // shingling pipeline for each of the 3 consumers below).
@@ -270,6 +288,9 @@ object Dedup {
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(collect_set(col("sh")).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The count both materializes the persist and supplies the corpus
+    // size the auto cap is derived from — no extra pass.
+    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(sets.count())
     val ex = sets.select(col("lang"), col("source"), col("doc_id"),
       explode(col("shs")).as("sh"))
     // Hot-shingle set via hash aggregation + anti-join (NOT a window
@@ -279,9 +300,9 @@ object Dedup {
     val hot = checkpointHot(
       ex.groupBy(col("lang"), col("source"), col("sh"))
         .agg(count(lit(1)).as("_df"))
-        .filter(col("_df") > maxDocFreq)
+        .filter(col("_df") > cap)
         .select(col("lang"), col("source"), col("sh")),
-      maxDocFreq, "ngramJaccardPairsInverted")
+      cap, "ngramJaccardPairsInverted")
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
@@ -354,19 +375,22 @@ object Dedup {
     * as `ngramJaccardPairsInverted`; only the acceptance metric
     * differs. */
   def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
-                            maxDocFreq: Int = 1000): DataFrame = {
+                            maxDocFreq: Int = 0): DataFrame = {
     val sets = shingleRows(docs, n, Seq("lang", "source"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(collect_set(col("sh")).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same auto-cap contract as ngramJaccardPairsInverted: the persist-
+    // materializing count doubles as the corpus-size measurement.
+    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(sets.count())
     val ex = sets.select(col("lang"), col("source"), col("doc_id"),
       explode(col("shs")).as("sh"))
     val hot = checkpointHot(
       ex.groupBy(col("lang"), col("source"), col("sh"))
         .agg(count(lit(1)).as("_df"))
-        .filter(col("_df") > maxDocFreq)
+        .filter(col("_df") > cap)
         .select(col("lang"), col("source"), col("sh")),
-      maxDocFreq, "ngramContainmentPairs")
+      cap, "ngramContainmentPairs")
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
@@ -597,7 +621,7 @@ object Dedup {
     * iterative-Spark requirement). An empty pair set exits before any
     * iteration (the common case for a clean corpus). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          partitions: Int = 0): DataFrame = {
+                          partitions: Int = 0, roundsPerCheck: Int = 2): DataFrame = {
     // `partitions` <= 0 sizes iteration parallelism from the measured
     // edge count: the duplicate-pair graph is usually vanishingly small
     // relative to the corpus, and 32 near-empty tasks per round cost
@@ -626,29 +650,42 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // Pointer jump: labels are always node ids, so label(label) is
-      // defined for every row; one extra tiny join halves the rounds.
-      // The checkpoint is LAZY: the labelSum action below materializes
-      // it and computes the convergence sum in ONE job per round, where
-      // the eager form paid a materialization job plus a sum job —
-      // driver-round overhead is the whole cost of this operator at
-      // fixture scale, so halving the job count halves the wall-clock.
-      labels = stepped
-        .join(stepped.select(col("id").as("_jid"), col("label").as("_jlabel")),
-          col("label") === col("_jid"))
-        .select(col("id"), col("_jlabel").as("label"))
-        .localCheckpoint(eager = false)
+      // `roundsPerCheck` propagate+jump rounds share ONE lineage
+      // truncation + convergence action: the per-round fixed cost
+      // (driver round-trip, job scheduling) is the whole cost of this
+      // operator at fixture scale and dominates long chains at 100 TB,
+      // so batching rounds divides it. The un-checkpointed inner
+      // lineage repeats subtrees, but every repeat sits behind a
+      // deterministic shuffle, which ReuseExchange collapses at
+      // execution. Labels only ever decrease, so a label sum stable
+      // across a BATCH of rounds is stable across each round in it —
+      // batching cannot miss convergence, it can only run up to
+      // roundsPerCheck-1 no-op rounds past the fixpoint.
+      var cur = labels
+      val steps = math.max(1, math.min(roundsPerCheck, maxIter - i))
+      (1 to steps).foreach { _ =>
+        val nbrMin = edges
+          .join(cur.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
+          .groupBy(col("doc_a").as("id"))
+          .agg(min(col("label")).as("nbr_label"))
+        val stepped = cur.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        // Pointer jump: labels are always node ids, so label(label) is
+        // defined for every row; one extra tiny join roughly squares
+        // the propagation distance per round.
+        cur = stepped
+          .join(stepped.select(col("id").as("_jid"), col("label").as("_jlabel")),
+            col("label") === col("_jid"))
+          .select(col("id"), col("_jlabel").as("label"))
+      }
+      // LAZY checkpoint: the labelSum action below materializes the
+      // batch and computes the convergence sum in ONE job.
+      labels = cur.localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
-      i += 1
+      i += steps
     }
     labels
   }

@@ -528,6 +528,81 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("autoDocFreqCap: floored for fixture-scale corpora, √N contract above it") {
+    // Below the floor the cap is the floor — and df <= nDocs <= floor
+    // means it can NEVER bind there: every gated fixture stays exact
+    // and the hot-cap warn stays silent.
+    assert(Dedup.autoDocFreqCap(0) == 1000)
+    assert(Dedup.autoDocFreqCap(500) == 1000)
+    assert(Dedup.autoDocFreqCap(62500) == 1000)   // 4·√62500 = 1000 exactly
+    // Above the floor the cap GROWS with the corpus (the fixed default
+    // froze at 1000 forever) and tracks c·√N, so the hottest admitted
+    // shingle's pair fan-out cap² ≈ c²·N stays linear in the corpus.
+    assert(Dedup.autoDocFreqCap(1000000) == 4000)
+    assert(Dedup.autoDocFreqCap(100000000) == 40000)
+    val n1 = 1L << 30
+    val c1 = Dedup.autoDocFreqCap(n1).toLong
+    val c4 = Dedup.autoDocFreqCap(4 * n1).toLong
+    assert(c4 == 2 * c1, "quadrupling the corpus doubles the cap (√N)")
+    // Auto mode (default) equals an explicitly-uncapped run on a
+    // fixture corpus: the cap did not bind.
+    val d = docs((1L, near1), (2L, near2), (3L, other))
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.ngramJaccardPairsInverted(d, 3, 0.5)) ==
+      pairs(Dedup.ngramJaccardPairsInverted(d, 3, 0.5, maxDocFreq = Int.MaxValue)))
+    assert(pairs(Dedup.ngramContainmentPairs(d, 3, 0.5)) ==
+      pairs(Dedup.ngramContainmentPairs(d, 3, 0.5, maxDocFreq = Int.MaxValue)))
+  }
+
+  test("connectedComponents: batched convergence checks match per-round, fewer driver actions") {
+    // chain 1..6 (diameter 5) + a separate pair; pointer jumping with
+    // roundsPerCheck=2 must produce identical labels to per-round
+    // checking while issuing fewer driver ACTIONS (the per-fixpoint
+    // fixed cost: each convergence check is a blocking round-trip —
+    // total shuffle work is round-count-bound either way, so actions,
+    // not AQE stage-jobs, are what batching saves).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 10L -> 10L, 11L -> 10L)
+    @volatile var actions = 0
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        actions += 1
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def drainAndRead(): Int = {
+      // listener events are delivered async; wait until the count is
+      // stable for a beat (bounded, deterministic on an idle session)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        if (actions == last) stable += 1 else { stable = 0; last = actions }
+      }
+      actions
+    }
+    def run(rpc: Int): (Map[Long, Long], Int) = {
+      actions = 0
+      spark.listenerManager.register(ql)
+      try {
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+            roundsPerCheck = rpc)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (got, drainAndRead())
+      } finally spark.listenerManager.unregister(ql)
+    }
+    val (perRound, actsPerRound) = run(1)
+    val (batched, actsBatched) = run(2)
+    val (tripled, _) = run(3)
+    assert(perRound == expect && batched == expect && tripled == expect)
+    assert(actsBatched < actsPerRound,
+      s"batched=$actsBatched per-round=$actsPerRound: batching must cut driver actions")
+  }
+
   test("connectedComponents: auto-sized and forced parallelism agree") {
     // default (partitions <= 0) sizes iteration parallelism from the
     // measured edge count — tiny graph -> 1 task per round; an explicit
