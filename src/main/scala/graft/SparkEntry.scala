@@ -519,6 +519,40 @@ object SparkEntry {
     "q_date_gaps" -> ((s, d) => DataQuality.dateGaps(tx(s, d), "txn_date", "vendor")),
     "q_rate_spikes" -> ((s, d) =>
       DataQuality.rateSpikes(Tables.events(s, d), "event_type", "ts")),
+    // --- round-4 additions ---
+    // batch form of the streaming dedup: drop events whose identical
+    // (user, type, value) predecessor is within 2 days
+    "q_event_dedup_window" -> ((s, d) =>
+      Dedup.windowedEventDedup(Tables.events(s, d), 2)),
+    // corpus-health: near-dup degree histogram over the banded simhash
+    // pair graph (0-degree docs restored from the corpus)
+    "q_dup_degree_hist" -> ((s, d) =>
+      Dedup.nearDupDegreeHistogram(Tables.documents(s, d))),
+    // incremental near-dup: batch (doc_id%5==0) probed against the
+    // corpus index (doc_id%3==0) — candidate cost scales with the
+    // batch, not the corpus; %15 overlap guarantees exact hits
+    "q_minhash_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.minhashProbePairs(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 5 === 0), 3, 8, 4, 0.5)
+    }),
+    // LOCF gap-fill over the dense category x calendar grid
+    "q_locf_spend" -> ((s, d) => Temporal.locfDailySpend(tx(s, d))),
+    // ABC/Pareto cumulative contribution, distributed prefix sums
+    "q_pareto_vendors" -> ((s, d) =>
+      SpendingReport.paretoContribution(tx(s, d), "vendor")),
+    // metadata-filtered vector search: top-k among even-label rows only
+    "q_ann_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, col("label") % 2 === 0)
+    }),
+    // per-label centroid cells (long form: exact integer sums, one
+    // double division per cell)
+    "q_embedding_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -1382,6 +1416,73 @@ object SparkEntry {
          |FROM e LEFT JOIN o ON e.vendor = o.vendor AND e.day = o.day
          |WHERE o.vendor IS NULL
          |GROUP BY e.vendor""".stripMargin,
+    // --- round-4 additions ---
+    "q_event_dedup_window" ->
+      """WITH l AS (SELECT event_id, ts, user_id, event_type, value,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type, value
+        |                                          ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM l WHERE prev IS NULL OR epoch_us(ts) - prev > 172800000000""".stripMargin,
+    "q_dup_degree_hist" ->
+      s"""WITH v AS ($simhash16Sql),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3),
+         |deg0 AS (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM deg0 GROUP BY doc_id)
+         |SELECT CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+         |       count(*) AS n_docs
+         |FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
+    "q_minhash_probe" -> minhashProbeSql,
+    "q_locf_spend" ->
+      s"""WITH t AS ($txSql),
+         |d AS (SELECT category, txn_date, sum(cast(amount AS DECIMAL(14,2))) AS day
+         |      FROM t GROUP BY category, txn_date),
+         |sp AS (SELECT min(txn_date) AS mn, max(txn_date) AS mx FROM t),
+         |days AS (SELECT CAST(unnest(generate_series((SELECT mn FROM sp), (SELECT mx FROM sp), INTERVAL 1 DAY)) AS DATE) AS txn_date),
+         |g AS (SELECT c.category, dd.txn_date
+         |      FROM days dd CROSS JOIN (SELECT DISTINCT category FROM t) c)
+         |SELECT g.category, g.txn_date,
+         |       CAST(d.day AS DOUBLE) AS day_total,
+         |       CAST(last_value(d.day IGNORE NULLS) OVER (
+         |              PARTITION BY g.category ORDER BY g.txn_date
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_total
+         |FROM g LEFT JOIN d ON d.category = g.category AND d.txn_date = g.txn_date""".stripMargin,
+    "q_pareto_vendors" ->
+      s"""WITH t AS ($txSql),
+         |tot AS (SELECT vendor, sum(cast(amount AS DECIMAL(14,2))) AS total
+         |        FROM t GROUP BY vendor)
+         |SELECT vendor,
+         |       CAST(total AS DOUBLE) AS total_spent,
+         |       CAST(sum(total) OVER w AS DOUBLE) AS cum_spent,
+         |       CAST(sum(total) OVER w AS DOUBLE)
+         |         / CAST((SELECT sum(total) FROM tot) AS DOUBLE) AS cum_share
+         |FROM tot
+         |WINDOW w AS (ORDER BY total DESC, vendor ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ann_filtered" ->
+      s"""WITH n AS ($quantizedSql),
+         |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM n qq, n cc
+         |      WHERE qq.vec_id % 100 = 0 AND cc.vec_id <> qq.vec_id AND cc.label % 2 = 0),
+         |r AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM p)
+         |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_embedding_centroids" ->
+      s"""WITH n AS ($quantizedSql),
+         |e AS (SELECT label, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x FROM n)
+         |SELECT label, CAST(d AS BIGINT) AS d,
+         |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
+         |       count(*) AS n
+         |FROM e GROUP BY label, d""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side
@@ -1474,6 +1575,41 @@ object SparkEntry {
        |      JOIN s sa ON sa.doc_id = c.doc_a
        |      JOIN s sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, cast(inter AS double) / uni AS jaccard
+       |FROM v WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+  }
+
+  /** Incremental MinHash probe oracle: same signature pipeline as
+    * `minhashLshSql` (per-doc signatures depend only on the doc's own
+    * shingles, so computing them over the full table before splitting
+    * is equivalent to the engine's per-side computation), with the
+    * band self-join restricted to batch (doc_id%5=0) x corpus
+    * (doc_id%3=0). */
+  private val minhashProbeSql = {
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n      UNION ALL ")
+    s"""WITH s AS ($shinglesSql),
+       |e AS (SELECT doc_id,
+       |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |        FROM e GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey
+       |         WHERE x.doc_id % 5 = 0 AND y.doc_id % 3 = 0),
+       |v AS (SELECT c.batch_doc, c.corpus_doc,
+       |             cast(len(list_intersect(sa.sh, sb.sh)) AS bigint) AS inter,
+       |             cast(len(sa.sh) + len(sb.sh) AS bigint)
+       |               - cast(len(list_intersect(sa.sh, sb.sh)) AS bigint) AS uni
+       |      FROM cand c
+       |      JOIN s sa ON sa.doc_id = c.batch_doc
+       |      JOIN s sb ON sb.doc_id = c.corpus_doc)
+       |SELECT batch_doc, corpus_doc, cast(inter AS double) / uni AS jaccard
        |FROM v WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
   }
 

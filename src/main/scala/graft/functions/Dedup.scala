@@ -610,6 +610,96 @@ object Dedup {
   def simhash64NearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashBandPairs(simhash64(docs), "simhash64", 64, 4, maxHamming)
 
+  /** Trailing-window event dedup — the batch form of the streaming
+    * dedup (`streaming/StreamingDedup`): an event row is a duplicate
+    * when an identical (user_id, event_type, value) event occurred
+    * within the previous `withinDays` days, measured against the
+    * immediately preceding occurrence (lag-based — the same contract a
+    * state-store TTL enforces in the streaming sibling). One shuffle
+    * on the identity key; timestamps compared as exact microsecond
+    * integers, no rounding. */
+  def windowedEventDedup(events: DataFrame, withinDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(withinDays >= 1, s"window must be >= 1 day, got $withinDays")
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val us = unix_micros(col("ts"))
+    events
+      .withColumn("_prev", lag(us, 1).over(w))
+      .filter(col("_prev").isNull ||
+        us - col("_prev") > lit(withinDays.toLong * 86400L * 1000000L))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Near-dup degree histogram — the corpus-health view of the simhash
+    * pair graph: how many documents have 0, 1, 2, … near-duplicates.
+    * Degrees come from the banded (never all-pairs) pigeonhole join;
+    * zero-degree docs are restored with a left join from the corpus so
+    * the histogram covers every document. Output is degree-cardinality
+    * (tiny). */
+  def nearDupDegreeHistogram(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhash16NearDupPairs(docs, maxHamming)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Incremental MinHash-LSH probe — the per-ingest form of
+    * `minhashLshPairs`: instead of re-pairing the whole corpus every
+    * ingest, the corpus's banded signature index is built once (in
+    * production: persisted and reused across batches — the signature
+    * table IS the index), and a new batch computes only ITS OWN
+    * signatures and band-joins them against the index. Candidate
+    * generation cost scales with the BATCH, not the corpus; corpus
+    * shingle sets are touched only to verify the (tiny) candidate set,
+    * broadcast-joined. Returns (batch_doc, corpus_doc, jaccard) — the
+    * near-dup analog of `incrementalDedupFp`'s exact-digest path. */
+  def minhashProbePairs(corpus: DataFrame, batch: DataFrame, n: Int, k: Int,
+                        bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    def sigOf(docs: DataFrame): DataFrame = {
+      val exploded = shingleRows(docs, n)
+        .withColumn("m", md5(col("sh")))
+        .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+      val mins = (0 until k).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+      exploded.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shs"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
+        struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+      }
+      sig.select(col("doc_id").as(idCol), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val csig = sigOf(corpus)
+    val bsig = sigOf(batch)
+    val cand = bandsOf(bsig, "batch_doc")
+      .join(bandsOf(csig, "corpus_doc"), Seq("band", "key"))
+      .select(col("batch_doc"), col("corpus_doc")).distinct()
+    val out = broadcast(cand)
+      .join(bsig.select(col("doc_id").as("batch_doc"), col("shs").as("sh_a")), Seq("batch_doc"))
+      .join(csig.select(col("doc_id").as("corpus_doc"), col("shs").as("sh_b")), Seq("corpus_doc"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+    val pairs = out.localCheckpoint()
+    csig.unpersist(); bsig.unpersist()
+    pairs
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation WITH pointer jumping: each round every node adopts the
     * minimum label in its neighborhood, then compresses one pointer hop

@@ -51,12 +51,19 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (`queryPred` picks
     * the query subset), the k nearest candidates by quantized cosine,
-    * rank-deterministic via (cosine DESC, id ASC). */
-  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    * rank-deterministic via (cosine DESC, id ASC). `candPred` restricts
+    * the SEARCHED side — metadata-filtered vector search ("top-k among
+    * rows matching a predicate", the filtered-search mode every vector
+    * store exposes): the filter applies to the candidate SCAN before
+    * any scoring (pushed to parquet when it is a plain column
+    * predicate), never post-filtering an unfiltered top-k. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                     candPred: Column = lit(true)): DataFrame = {
     val e = ensureQuantized(embeddings)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+    val c = e.filter(candPred)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // Broadcast the tiny query set against the candidate scan: the
@@ -160,6 +167,23 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Per-label centroid of the quantized embeddings, LONG FORM
+    * (label, d, centroid, n) — the cluster-quality diagnostic for a
+    * labeled embedding corpus. Exact integer dimension sums feed ONE
+    * double division per cell, so every value is engine-portable and
+    * the whole result oracle-gateable (array-valued centroids would
+    * compare on list rendering instead). One posexplode + one
+    * (label, d) hash aggregation — map-side partials do the heavy
+    * lifting; output is |labels| × dims, dictionary-sized. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("_sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("d").cast("long").as("d"),
+        (col("_sx").cast("double") / col("n").cast("double")).as("centroid"),
+        col("n"))
 
   /** Fast double-precision cosine (production path; not used by oracle
     * queries because double sum order is engine-dependent). Runs

@@ -93,6 +93,42 @@ object SpendingReport {
       .drop("_pid", "_rn", "_offset")
   }
 
+  /** Pareto / cumulative-contribution over key totals — the ABC
+    * "top vendors cover X% of spend" analysis: keys ordered by total
+    * DESC with the running cumulative total and its share of the grand
+    * total. Distributed like `globalRank`: range partition on the
+    * (total DESC, key ASC) total order, per-partition prefix sums, and
+    * per-partition DECIMAL offsets (a metadata-sized driver step — one
+    * decimal per partition). All sums are exact decimal; the ONE
+    * double division per row happens off exact operands, so the output
+    * is engine-portable. */
+  def paretoContribution(tx: DataFrame, key: String): DataFrame = {
+    val spark = tx.sparkSession
+    import spark.implicits._
+    val sortCols = Seq(col("total").desc, col(key).asc)
+    val parted = tx.groupBy(col(key)).agg(sum(amt2).as("total"))
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = parted.groupBy(col("_pid")).agg(sum(col("total")).as("_ptot"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = parts.map { case (pid, t) => val o = acc; acc = acc.add(t); (pid, o) }
+    val grand = acc
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+      .select(col("_pid"), col("_off").cast("decimal(30,2)").as("_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("_run", sum(col("total")).over(w))
+      .join(broadcast(offDf), Seq("_pid"))
+      .select(col(key),
+        col("total").cast("double").as("total_spent"),
+        (col("_off") + col("_run")).cast("double").as("cum_spent"),
+        ((col("_off") + col("_run")).cast("double")
+          / lit(grand.doubleValue)).as("cum_share"))
+  }
+
   /** A7/A8 + O4: distinct keys, one row per key (row-form of the sorted
     * distinct list; transformer.py:153-154,232-233). */
   def distinctKeys(tx: DataFrame, key: String): DataFrame =

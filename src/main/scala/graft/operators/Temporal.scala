@@ -167,6 +167,33 @@ object Temporal {
       .select(col("category"), col("txn_date"), col("day_total"), col("moving_total"))
   }
 
+  /** LOCF gap-fill — time-series regularization: per (category, day)
+    * over the corpus's full [min, max] date span, the daily spend with
+    * missing days filled by the last observed day's total
+    * (last-observation-carried-forward). The dense grid is
+    * calendar × category dictionary — metadata-sized relative to the
+    * fact table — so the crossJoin is a broadcast of two tiny sides;
+    * the fact table contributes one grouped aggregation and the
+    * carry-forward is a per-category ordered window (one shuffle on
+    * the dictionary key). Sums stay in DECIMAL until the final cast;
+    * days before a category's first observation stay NULL (there is
+    * nothing to carry). */
+  def locfDailySpend(tx: DataFrame): DataFrame = {
+    val daily = tx.groupBy(col("category"), col("txn_date"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("_day"))
+    val span = tx.agg(min(col("txn_date")).as("_mn"), max(col("txn_date")).as("_mx"))
+    val days = span.select(explode(expr("sequence(_mn, _mx, interval 1 day)")).as("txn_date"))
+    val cats = tx.select(col("category")).distinct()
+    val w = Window.partitionBy(col("category")).orderBy(col("txn_date").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.crossJoin(cats)
+      .join(daily, Seq("category", "txn_date"), "left")
+      .withColumn("_filled", last(col("_day"), ignoreNulls = true).over(w))
+      .select(col("category"), col("txn_date"),
+        col("_day").cast("double").as("day_total"),
+        col("_filled").cast("double").as("filled_total"))
+  }
+
   /** RANGE (interval) JOIN, bucketed: count points whose timestamp
     * falls inside each [start, end) interval — with NO equi key. The
     * naive plan is a BroadcastNestedLoop O(points × intervals); the

@@ -120,6 +120,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupCorpusBy(one, 3, 8, 4, 0.5, length(col("text"))).count() == 1)
   }
 
+  test("round-4 operators on empty inputs") {
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Dedup.windowedEventDedup(emptyEv, 2).count() == 0)
+    // empty corpus: histogram over zero docs is empty (no degree-0 row
+    // to hang a count on)
+    assert(Dedup.nearDupDegreeHistogram(emptyDocs).count() == 0)
+    assert(Dedup.minhashProbePairs(emptyDocs, emptyDocs, 3, 8, 4, 0.5).count() == 0)
+    val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    assert(Dedup.minhashProbePairs(one, emptyDocs, 3, 8, 4, 0.5).count() == 0)
+    assert(Dedup.minhashProbePairs(emptyDocs, one, 3, 8, 4, 0.5).count() == 0)
+    assert(Temporal.locfDailySpend(emptyTx).count() == 0)
+    assert(SpendingReport.paretoContribution(emptyTx, "vendor").count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.functions.Similarity.labelCentroids(emptyEmb).count() == 0)
+    assert(graft.functions.Similarity.bruteForceTopK(
+      emptyEmb, col("vec_id") === 0, 3, col("label") % 2 === 0).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping

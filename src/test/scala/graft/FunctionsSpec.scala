@@ -528,6 +528,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("windowedEventDedup: in-window repeats drop, out-of-window and distinct keep") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 5.0),  // first -> keep
+      (2L, t("2024-01-02 10:00:00"), 1L, "a", 5.0),  // +1d, within 2d -> drop
+      (3L, t("2024-01-05 10:00:00"), 1L, "a", 5.0),  // +3d after PREVIOUS (lag) -> keep
+      (4L, t("2024-01-01 11:00:00"), 1L, "a", 6.0),  // different value -> keep
+      (5L, t("2024-01-01 12:00:00"), 2L, "a", 5.0),  // different user -> keep
+      (6L, t("2024-01-03 10:00:00"), 1L, "b", 5.0)   // different type -> keep
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = Dedup.windowedEventDedup(ev, 2).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("nearDupDegreeHistogram: degrees from banded pairs, zero-degree docs counted") {
+    // 1,2 near-dup (degree 1 each); 3 unrelated (degree 0); 4,5 exact
+    // text dups of each other AND near 1,2? keep them distinct-cluster:
+    val d = docs((1L, near1), (2L, near2), (3L, other))
+    val out = Dedup.nearDupDegreeHistogram(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L, "docs 1 and 2 each have one near-dup")
+    assert(out(0L) == 1L, "doc 3 has none and must still be counted")
+  }
+
+  test("minhashProbePairs: batch finds corpus near-dups; corpus never pairs with itself") {
+    val corpus = docs((3L, near1), (6L, other))
+    val batch = docs((10L, near2), (20L, "nothing in common with either side at all"))
+    val out = Dedup.minhashProbePairs(corpus, batch, 3, 8, 4, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 3L)), s"got $out")
+    // identical doc in both sides -> jaccard 1.0 hit (the re-ingest case)
+    val again = Dedup.minhashProbePairs(corpus, docs((30L, near1)), 3, 8, 4, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(again(((30L, 3L))) == 1.0)
+  }
+
   test("autoDocFreqCap: floored for fixture-scale corpora, √N contract above it") {
     // Below the floor the cap is the floor — and df <= nDocs <= floor
     // means it can NEVER bind there: every gated fixture stays exact
@@ -632,6 +668,37 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("bruteForceTopK candPred: filtered search excludes non-matching candidates") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 1),   // closest but ODD label -> excluded
+      (2L, Seq(0.5f, 0.5f), 2),
+      (3L, Seq(0f, 1f), 4))
+    val out = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3,
+        col("label") % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 3L)),
+      "vec 1 (odd label) must not appear; ranks renumber over the filtered set")
+    // filtered result == brute force over the pre-filtered corpus
+    val ref = Similarity.bruteForceTopK(e.filter(col("label") % 2 === 0),
+        col("vec_id") === 0, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == ref.toSeq)
+  }
+
+  test("labelCentroids: exact per-dimension means in long form") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(3f, 2f), 0),
+      (2L, Seq(10f, -4f), 1))
+    val out = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((0, 0L)) == ((2000000.0, 2L)))   // (1e6 + 3e6)/2
+    assert(out((0, 1L)) == ((1000000.0, 2L)))   // (0 + 2e6)/2
+    assert(out((1, 0L)) == ((10000000.0, 1L)))
+    assert(out((1, 1L)) == ((-4000000.0, 1L)))
   }
 
   test("kmeans centroids: k cells, full dimensionality, usable by IVF") {

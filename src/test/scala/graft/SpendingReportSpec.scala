@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Date
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
 import graft.operators.SpendingReport
 
 /** Per-operator semantics from SURVEY.md §2 over tiny literal frames,
@@ -40,6 +41,33 @@ class SpendingReportSpec extends SparkSpec {
     assert(m("food") == (30.0, 2L))   // rank 2: toys(15) < food(30) < rent(100)
     assert(m("toys") == (15.0, 1L))
     assert(m("rent") == (100.0, 3L))
+  }
+
+  test("paretoContribution: desc order, exact cumulative sums, share hits 1.0") {
+    // totals: rent 100, food 30, toys 15 (grand 145)
+    val rows = SpendingReport.paretoContribution(tx, "category").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("rent") == ((100.0, 100.0, 100.0 / 145.0)))
+    assert(rows("food") == ((30.0, 130.0, 130.0 / 145.0)))
+    assert(rows("toys") == ((15.0, 145.0, 1.0)), "last key's share must be exactly 1.0")
+    // distributed prefix sums equal a plain single-window reference
+    val many = (1 to 200).map(i => ("2024-01-01", s"c$i", "v", i.toDouble))
+      .toDF("dt", "category", "vendor", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+    val dist = SpendingReport.paretoContribution(many, "category").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col("category").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = many.groupBy(col("category"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).as("total"))
+      .withColumn("cum", sum(col("total")).over(w))
+      .select(col("category"), col("total").cast("double"),
+        col("cum").cast("double"),
+        col("cum").cast("double") / org.apache.spark.sql.functions.lit(200 * 201 / 2.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(dist == ref, "range-partitioned prefix sums must equal the single-window reference")
   }
 
   test("zeroImputedMean divides by ALL file dates, not per-key count (A9)") {

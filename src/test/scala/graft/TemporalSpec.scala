@@ -28,6 +28,27 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("locfDailySpend: gaps carry the last observed total; leading days stay null") {
+    val tx = Seq(
+      ("2024-01-01", "food", 10.0),
+      ("2024-01-01", "food", 2.5),     // same-day rows aggregate first
+      ("2024-01-04", "food", 7.0),     // days 2-3 are gaps -> carry 12.5
+      ("2024-01-02", "rent", 100.0)    // rent starts day 2 -> day 1 null
+    ).toDF("dt", "category", "amount")
+      .selectExpr("to_date(dt) AS txn_date", "category", "amount")
+    val out = Temporal.locfDailySpend(tx).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((Option(r.getAs[java.lang.Double]("day_total")),
+          Option(r.getAs[java.lang.Double]("filled_total"))))).toMap
+    assert(out.size == 8, "dense grid: 4 days x 2 categories")
+    assert(out(("food", "2024-01-01")) == ((Some(12.5), Some(12.5))))
+    assert(out(("food", "2024-01-02")) == ((None, Some(12.5))), "gap carries forward")
+    assert(out(("food", "2024-01-03")) == ((None, Some(12.5))))
+    assert(out(("food", "2024-01-04")) == ((Some(7.0), Some(7.0))), "new observation resets")
+    assert(out(("rent", "2024-01-01")) == ((None, None)), "before first observation: nothing to carry")
+    assert(out(("rent", "2024-01-04")) == ((None, Some(100.0))))
+  }
+
   test("asOfJoinForward: earliest at-or-after match; null when none follows") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
                    (2L, 1L, ts("2024-01-01 12:00:00")),
