@@ -553,6 +553,19 @@ object SparkEntry {
     // double division per cell)
     "q_embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // batch sibling of streaming/StreamingReport.sessionizedSpend: the
+    // built-in session_window (merge at diff <= gap — spec-pinned edge;
+    // end = last event + gap), gated against a DuckDB islands oracle
+    "q_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"),
+             count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("total_value"), col("n_events"))
+    }),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -1425,10 +1438,10 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type, value
         |FROM l WHERE prev IS NULL OR epoch_us(ts) - prev > 172800000000""".stripMargin,
     "q_dup_degree_hist" ->
-      s"""WITH v AS ($simhash16Sql),
+      s"""WITH v AS ($simhash64Sql),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |      FROM v a JOIN v b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3),
+         |      WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3),
          |deg0 AS (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p),
          |deg AS (SELECT doc_id, count(*) AS degree FROM deg0 GROUP BY doc_id)
          |SELECT CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
@@ -1483,6 +1496,26 @@ object SparkEntry {
          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
          |       count(*) AS n
          |FROM e GROUP BY label, d""".stripMargin,
+    // islands form of session_window: break only when diff > gap
+    // (exact-gap events merge — spec-pinned against the Spark
+    // operator); session end = last event + gap. Equal timestamps
+    // cannot break a session, so the lag order is tie-stable.
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |                       THEN 1 ELSE 0 END AS brk
+        |           FROM events),
+        |g AS (SELECT user_id, ts, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT min(ts) AS s_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |       user_id,
+        |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_value,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

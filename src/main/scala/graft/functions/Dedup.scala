@@ -633,12 +633,14 @@ object Dedup {
 
   /** Near-dup degree histogram — the corpus-health view of the simhash
     * pair graph: how many documents have 0, 1, 2, … near-duplicates.
-    * Degrees come from the banded (never all-pairs) pigeonhole join;
-    * zero-degree docs are restored with a left join from the corpus so
-    * the histogram covers every document. Output is degree-cardinality
-    * (tiny). */
+    * Degrees come from the PRODUCTION-width 64-bit banded join
+    * (65k buckets/band — the md5-portable simhash64 keeps even this
+    * oracle-gateable, and it runs ~4x cheaper than the 16-bucket
+    * 16-bit demo width); zero-degree docs are restored with a left
+    * join from the corpus so the histogram covers every document.
+    * Output is degree-cardinality (tiny). */
   def nearDupDegreeHistogram(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val pairs = simhash16NearDupPairs(docs, maxHamming)
+    val pairs = simhash64NearDupPairs(docs, maxHamming)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))

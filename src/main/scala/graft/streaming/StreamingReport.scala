@@ -52,6 +52,23 @@ object StreamingReport {
       .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
            count(lit(1)).as("total_transactions"))
 
+  /** Event-time SESSION windows per vendor — the built-in
+    * `session_window`: events within `gap` of each other merge into one
+    * window whose end is last-event-time + gap, and the watermark
+    * closes a session once event time passes its end. State is bounded
+    * by construction (at most one open window per active key, evicted
+    * at close) — the requirement for running sessionization forever on
+    * an unbounded stream. Batch sibling `q_session_window` gates the
+    * same operator's semantics cross-engine (islands + last+gap end). */
+  def sessionizedSpend(tx: DataFrame, gap: String, watermark: String): DataFrame =
+    tx.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("vendor"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+           count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("vendor"), col("total_spent"), col("n_events"))
+
   /** Stream-stream attribution join: each purchase is joined to the
     * same user's click events from the preceding `horizonHours` hours
     * — the canonical watermarked interval join. Both sides carry

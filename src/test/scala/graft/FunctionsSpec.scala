@@ -543,9 +543,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("nearDupDegreeHistogram: degrees from banded pairs, zero-degree docs counted") {
-    // 1,2 near-dup (degree 1 each); 3 unrelated (degree 0); 4,5 exact
-    // text dups of each other AND near 1,2? keep them distinct-cluster:
-    val d = docs((1L, near1), (2L, near2), (3L, other))
+    // 1,2 differ only in case/spacing -> identical token stream ->
+    // 64-bit hamming 0 (degree 1 each); 3 unrelated (degree 0)
+    val d = docs((1L, near1), (2L, near1.toUpperCase + "  "), (3L, other))
     val out = Dedup.nearDupDegreeHistogram(d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == 2L, "docs 1 and 2 each have one near-dup")

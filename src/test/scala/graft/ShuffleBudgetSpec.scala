@@ -95,10 +95,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_source_overlap" -> 3,          // (source,shingle) distinct ran in
                                       // the eager checkpoint; shingle-keyed
                                       // self-join + source-pair agg remain
-    "q_rate_spikes" -> 2)             // (type,day) count agg + type
+    "q_rate_spikes" -> 2,             // (type,day) count agg + type
                                       // window — both over the daily
                                       // grid, never raw events
                                       // scalar; join reuses key partitioning
+    "q_event_dedup_window" -> 1,      // one identity-key window shuffle
+    "q_dup_degree_hist" -> 5,         // sig checkpointed; band join +
+                                      // distinct + degree agg + doc join
+                                      // + histogram agg — all id-keyed
+    "q_minhash_probe" -> 0,           // final plan reads the verified-
+                                      // pair checkpoint; probe jobs ran
+                                      // eagerly, batch-sized
+    "q_locf_spend" -> 3,              // daily agg + grid join + category
+                                      // window; grid sides broadcast
+    "q_pareto_vendors" -> 1,          // totals range-partitioned in the
+                                      // checkpoint; one _pid window
+    "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
+                                      // one per-query top-k window
+    "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_session_window" -> 1)          // one user-keyed session-merge agg
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>

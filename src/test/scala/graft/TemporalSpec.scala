@@ -28,6 +28,26 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("session_window batch semantics: merge under gap, break at exactly gap") {
+    // pins the exact-gap edge the q_session_window oracle must mirror
+    // (measured, not assumed): an event EXACTLY `gap` after the
+    // previous one still MERGES — windows [t, t+gap] coalesce when
+    // they touch, so a session breaks only when diff > gap
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:29:59")),   // < gap -> same session
+      (3L, ts("2024-01-01 10:59:59")),   // chained: still same session
+      (4L, ts("2024-01-01 11:29:59")),   // EXACTLY gap after #3 -> still merges
+      (5L, ts("2024-01-01 13:00:00"))    // > gap -> new session
+    ).toDF("event_id", "ts").withColumn("user_id", lit(7L))
+    val out = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().select(col("session_window.start").cast("string"), col("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "2024-01-01 10:00:00" -> 4L,
+      "2024-01-01 13:00:00" -> 1L), s"got $out")
+  }
+
   test("locfDailySpend: gaps carry the last observed total; leading days stay null") {
     val tx = Seq(
       ("2024-01-01", "food", 10.0),

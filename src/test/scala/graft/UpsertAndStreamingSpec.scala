@@ -186,6 +186,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming session windows equal the batch session_window operator") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val stx = StreamingReport.transactionsStream(spark, eventsDir)
+    val q = StreamingReport.sessionizedSpend(stx, "30 minutes", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_spend")
+      .option("checkpointLocation", tmp + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val streamed = canon(spark.table("sess_spend"))
+    // batch reference straight from events (the batch transactions
+    // view drops ts; the stream keeps it)
+    val batchTx = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"),
+        concat(lit("u"), col("user_id").cast("string")).as("vendor"),
+        col("value").as("amount"))
+    val batch = canon(batchTx
+      .groupBy(session_window(col("ts"), "30 minutes"), col("vendor"))
+      .agg(sum(col("amount").cast("decimal(14,2)")).cast("double").as("total_spent"),
+           count(lit(1)).as("n_events"))
+      .select(col("session_window.start"), col("session_window.end"),
+        col("vendor"), col("total_spent"), col("n_events")))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful running vendor spend accumulates across batches") {
     import graft.streaming.StatefulSpend
     val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
