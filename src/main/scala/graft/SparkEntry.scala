@@ -553,6 +553,9 @@ object SparkEntry {
     // double division per cell)
     "q_embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // unicode/control hygiene pass: md5-gated normalized text + counters
+    "q_normalize_text" -> ((s, d) =>
+      TextAnalysis.normalizeText(Tables.documents(s, d))),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1496,6 +1499,18 @@ object SparkEntry {
          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
          |       count(*) AS n
          |FROM e GROUP BY label, d""".stripMargin,
+    "q_normalize_text" ->
+      raw"""WITH n AS (SELECT doc_id, text,
+           |    trim(regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(text, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+           |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           |      '\s+', ' ', 'g')) AS t
+           |  FROM documents)
+           |SELECT doc_id, md5(t) AS norm_md5,
+           |       CAST(length(t) AS BIGINT) AS n_chars_norm,
+           |       CAST(length(text) - length(t) AS BIGINT) AS n_removed
+           |FROM n""".stripMargin,
     // islands form of session_window: break only when diff > gap
     // (exact-gap events merge — spec-pinned against the Spark
     // operator); session end = last event + gap. Equal timestamps

@@ -662,19 +662,40 @@ object Dedup {
     * near-dup analog of `incrementalDedupFp`'s exact-digest path. */
   def minhashProbePairs(corpus: DataFrame, batch: DataFrame, n: Int, k: Int,
                         bands: Int, minJaccard: Double): DataFrame = {
+    val csig = minhashSigTable(corpus, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsig = minhashSigTable(batch, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashProbeSigs(csig, bsig, k, bands, minJaccard).localCheckpoint()
+    csig.unpersist(); bsig.unpersist()
+    pairs
+  }
+
+  /** MinHash signature table (doc_id, s0..s{k-1}, shs): the PERSISTED
+    * index of the incremental near-dup path — production appends each
+    * ingest batch's rows to this table on disk and never recomputes
+    * corpus signatures (`streaming/StreamingNearDupIngest` does exactly
+    * that). Signatures depend only on a doc's own shingles, so a table
+    * built incrementally equals one built in a single pass. */
+  def minhashSigTable(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val exploded = shingleRows(docs, n)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shs"): _*)
+  }
+
+  /** Probe one signature table against another: band-join candidates
+    * (batch side x corpus side — never a self-join of the corpus),
+    * broadcast exact-Jaccard verify on the stored shingle sets. Both
+    * inputs must come from `minhashSigTable` with the same n/k. */
+  def minhashProbeSigs(corpusSig: DataFrame, batchSig: DataFrame, k: Int,
+                       bands: Int, minJaccard: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    def sigOf(docs: DataFrame): DataFrame = {
-      val exploded = shingleRows(docs, n)
-        .withColumn("m", md5(col("sh")))
-        .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-        .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-      val mins = (0 until k).map(i =>
-        min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
-      exploded.groupBy(col("doc_id"))
-        .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shs"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
     def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
       val bandCols = (0 until bands).map { b =>
         val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
@@ -683,23 +704,18 @@ object Dedup {
       sig.select(col("doc_id").as(idCol), explode(array(bandCols: _*)).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
     }
-    val csig = sigOf(corpus)
-    val bsig = sigOf(batch)
-    val cand = bandsOf(bsig, "batch_doc")
-      .join(bandsOf(csig, "corpus_doc"), Seq("band", "key"))
+    val cand = bandsOf(batchSig, "batch_doc")
+      .join(bandsOf(corpusSig, "corpus_doc"), Seq("band", "key"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
-    val out = broadcast(cand)
-      .join(bsig.select(col("doc_id").as("batch_doc"), col("shs").as("sh_a")), Seq("batch_doc"))
-      .join(csig.select(col("doc_id").as("corpus_doc"), col("shs").as("sh_b")), Seq("corpus_doc"))
+    broadcast(cand)
+      .join(batchSig.select(col("doc_id").as("batch_doc"), col("shs").as("sh_a")), Seq("batch_doc"))
+      .join(corpusSig.select(col("doc_id").as("corpus_doc"), col("shs").as("sh_b")), Seq("corpus_doc"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
-    val pairs = out.localCheckpoint()
-    csig.unpersist(); bsig.unpersist()
-    pairs
   }
 
   /** Connected components over near-dup pairs by iterative min-label

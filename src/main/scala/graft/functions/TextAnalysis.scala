@@ -243,6 +243,33 @@ object TextAnalysis {
 
   /** The redaction pipeline as columns: (n_emails, n_ips, n_phones,
     * redacted). */
+  /** Unicode/control hygiene normalization — the first map-side pass of
+    * any text-ingest pipeline: strip zero-width code points
+    * (ZWSP/ZWNJ/ZWJ/BOM), strip C0 control characters and DEL (the
+    * whitespace controls \t \n \r etc. survive to the collapse step),
+    * collapse every whitespace run to one space, trim. Pure codegen'd
+    * regexp chain — 0 shuffles, no UDF — and every class is in the
+    * Java-regex/RE2 common subset, so the normalized text is
+    * oracle-gated byte-for-byte via md5. Emits the hygiene counters a
+    * corpus report wants alongside the digest. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val noZw = regexp_replace(col("text"), "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val norm = trim(regexp_replace(noCtl, "\\s+", " "))
+    docs.select(col("doc_id"),
+      md5(norm).as("norm_md5"),
+      length(norm).cast("long").as("n_chars_norm"),
+      (length(col("text")) - length(norm)).cast("long").as("n_removed"))
+  }
+
+  /** Normalized full text (the production projection; `normalizeText`
+    * is the gate shape — md5 + counters). */
+  def normalizeTextFull(docs: DataFrame): DataFrame = {
+    val noZw = regexp_replace(col("text"), "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    docs.withColumn("text", trim(regexp_replace(noCtl, "\\s+", " ")))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
     val t2 = regexp_replace(t1, ipRe, "<IP>")

@@ -94,4 +94,50 @@ object Multimodal {
     media.select(col("id"), col("modality"),
       length(col("content")).cast("long").as("n_bytes"),
       md5(col("content")).as("content_md5"))
+
+  /** Perceptual hash (aHash analog) over the decode stub: a 64-bin byte
+    * histogram per payload, bit j set iff bin j's mass exceeds the mean
+    * bin mass. Near-identical payloads (re-encodes, small corruptions)
+    * produce near-identical histograms and therefore small Hamming
+    * distance — the property a real pHash gives for images. Runs in
+    * the same batched `mapPartitions` shape as `extractFeatures` (a
+    * real implementation swaps the histogram for DCT-of-decoded-pixels;
+    * the banding join downstream is unchanged). */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val bins = new Array[Long](64)
+          var i = 0
+          while (i < bytes.length) { bins((bytes(i) & 0xff) >> 2) += 1L; i += 1 }
+          val mean = if (bytes.isEmpty) 0.0 else bytes.length / 64.0
+          var h = 0L
+          var j = 0
+          while (j < 64) { if (bins(j) > mean) h |= (1L << j); j += 1 }
+          (id, h)
+        }
+      }.toDF("id", "phash")
+  }
+
+  /** Media near-duplicate pairs: banded Hamming join over the 64-bit
+    * perceptual hash — the SAME pigeonhole plan as the text simhash
+    * family (`Dedup.simhashBandPairs`: maxHamming < bands ⟹ recall 1.0
+    * by construction, per-bucket equi-joins, never all-pairs), so the
+    * shape that survives 100 TB of text survives 100 TB of media too.
+    * Spec-gated (the decode stub is not SQL-expressible); the exact
+    * metadata sibling `mediaMeta` carries the oracle gate for this
+    * family. NOT exposed as a gate query on the text-derived demo
+    * media: same-language text bytes share one byte-distribution
+    * fingerprint, so an aHash there identifies the LANGUAGE, not the
+    * document (every pair collides — a degenerate input, not an
+    * operator property; the spec drives it on realistic concentrated
+    * distributions instead). */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.functions.Dedup.simhashBandPairs(
+        perceptualHash(media).select(col("id").as("doc_id"), col("phash")),
+        "phash", 64, 4, maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.Dedup
+
+/** Streaming NEAR-dup corpus ingestion — the fuzzy sibling of
+  * `StreamingIngest` (exact digests): each micro-batch is first
+  * deduplicated within itself (exact + MinHash-LSH pairs → connected
+  * components → one representative per cluster), then its survivors are
+  * PROBED against the on-disk MinHash signature index of everything
+  * already landed (`Dedup.minhashProbeSigs` — band-keyed joins against
+  * the store, never a corpus self-join), and only docs with no
+  * near-duplicate in the corpus land. The signature table IS the
+  * persistent state: each batch appends its survivors' signature rows,
+  * so corpus signatures are computed exactly once, at ingest time —
+  * per-batch cost scales with the batch, never with corpus history.
+  *
+  * Idempotence and replay safety mirror `StreamingIngest`: `batch=<id>`
+  * overwrite subdirectories, a frontier guard against fresh-checkpoint
+  * id resets, and replays exclude the replayed batch's own rows from
+  * the index they probe. */
+object StreamingNearDupIngest {
+
+  /** Layout: `<corpusDir>/docs/batch=<id>` (landed rows) and
+    * `<corpusDir>/sigs/batch=<id>` (their MinHash signature rows). */
+  def start(docs: DataFrame, corpusDir: String, checkpointDir: String,
+            n: Int = 3, k: Int = 8, bands: Int = 4,
+            minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch, corpusDir, batchId, n, k, bands, minJaccard))
+      .start()
+
+  def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
+                  n: Int, k: Int, bands: Int, minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val frontier = maxLandedBatch(corpusDir)
+    require(frontier <= batchId,
+      s"ingest batch id $batchId is behind the store frontier $frontier at " +
+        s"$corpusDir — this sink is single-writer per checkpoint; a new " +
+        "checkpoint needs a new corpusDir")
+    // 1. WITHIN-batch near-dup resolution: one representative per
+    //    exact/near-dup cluster (min doc_id — deterministic under
+    //    replay), so a batch cannot land two copies of one document.
+    val survivors = Dedup.dedupCorpus(batch, n, k, bands, minJaccard)
+      .localCheckpoint()
+    // 2. Probe survivors against the landed signature index. Replays
+    //    must not see their own first run's rows: only batches BEFORE
+    //    this one count as the corpus.
+    val bsig = survivors
+      .transform(Dedup.minhashSigTable(_, n, k))
+      .localCheckpoint()
+    val index = sigStore(spark, corpusDir, k)
+      .filter(col("batch") < batchId).drop("batch")
+    val dupIds = Dedup.minhashProbeSigs(index, bsig, k, bands, minJaccard)
+      .select(col("batch_doc").as("doc_id")).distinct()
+    val freshSig = bsig.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val fresh = survivors.join(freshSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // 3. Idempotent writes: a replayed batch rewrites its own output.
+    fresh.write.mode("overwrite").parquet(s"$corpusDir/docs/batch=$batchId")
+    freshSig.write.mode("overwrite").parquet(s"$corpusDir/sigs/batch=$batchId")
+  }
+
+  /** Highest batch id already landed in the signature store (-1 if none). */
+  def maxLandedBatch(corpusDir: String): Long = {
+    val d = new java.io.File(s"$corpusDir/sigs")
+    if (!d.exists()) -1L
+    else d.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The signature store with its `batch` partition column; an
+    * empty frame of the right shape when nothing has landed yet. */
+  def sigStore(spark: SparkSession, corpusDir: String, k: Int): DataFrame =
+    if (new java.io.File(s"$corpusDir/sigs").exists())
+      spark.read.parquet(s"$corpusDir/sigs")
+    else {
+      val sigCols = (0 until k).map(i => lit(0L).as(s"s$i"))
+      spark.range(0).select(
+        (col("id").as("doc_id") +: sigCols :+
+          array().cast("array<string>").as("shs") :+
+          lit(0L).as("batch")): _*)
+    }
+
+  /** The landed corpus (all surviving docs across batches). */
+  def corpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(s"$corpusDir/docs")
+}

@@ -112,6 +112,28 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class NormalizeTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("normalizeText: zero-width/control strip + whitespace collapse, digest-stable") {
+    val dirty = "hello​ world   foo\t\nbar "
+    val clean = "hello world foo bar"
+    val out = TextAnalysis.normalizeText(docs((1L, dirty), (2L, clean))).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == out(2L)._1, "dirty doc must normalize to the clean doc's digest")
+    assert(out(1L)._2 == clean.length.toLong && out(2L)._2 == clean.length.toLong)
+    assert(out(1L)._3 == (dirty.length - clean.length).toLong)
+    assert(out(2L)._3 == 0L, "already-clean text removes nothing")
+    // full-text projection agrees with the digest shape
+    val full = TextAnalysis.normalizeTextFull(docs((1L, dirty)))
+      .collect().head.getAs[String]("text")
+    assert(full == clean)
+  }
+}
+
 class ApproxDistinctSpec extends SparkSpec {
   test("HLL approx distinct within configured 2% tolerance at sf0.01") {
     val r = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.01").head()
@@ -862,5 +884,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() > 0)
     val widths = frames.selectExpr("length(frame) AS w").collect().map(_.getInt(0)).toSet
     assert(widths.forall(_ <= 16))
+  }
+
+  test("mediaNearDupPairs: re-encodes collide, small corruption stays close, unrelated apart") {
+    import spark.implicits._
+    // concentrated byte distributions (a handful of heavy bins, the
+    // rest empty — the shape real media has); a uniform distribution
+    // would park EVERY bin at the mean, the aHash degenerate case
+    val base = Array.tabulate(4096)(i => ((i % 7) * 3 + 100).toByte)
+    val corrupted = base.clone(); (0 until 8).foreach(i => corrupted(i * 500) = 0.toByte)
+    val unrelated = Array.tabulate(4096)(i => ((i % 5) * 4 + 200).toByte)
+    val m = Seq(
+      (1L, base), (2L, base.clone()),      // identical payloads -> hamming 0
+      (3L, corrupted),                      // 8 flipped bytes of 4096
+      (4L, unrelated)
+    ).toDF("id", "content")
+    val pairs = Multimodal.mediaNearDupPairs(m, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs(((1L, 2L))) == 0L, "identical payloads hash identically")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "mild corruption must stay within the hamming budget")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated byte distribution must not pair")
+    // phash semantic: exact per-bin histogram-vs-mean bits
+    val h = Multimodal.perceptualHash(m.filter(col("id") === 1L))
+      .collect().head.getLong(1)
+    val bins = new Array[Long](64)
+    base.foreach(b => bins((b & 0xff) >> 2) += 1L)
+    val expected = (0 until 64).map(j =>
+      if (bins(j) > base.length / 64.0) 1L << j else 0L).sum
+    assert(h == expected)
   }
 }

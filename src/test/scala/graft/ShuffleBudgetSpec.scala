@@ -113,7 +113,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
-    "q_session_window" -> 1)          // one user-keyed session-merge agg
+    "q_session_window" -> 1,          // one user-keyed session-merge agg
+    "q_normalize_text" -> 0)          // pure map-side regexp chain
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>

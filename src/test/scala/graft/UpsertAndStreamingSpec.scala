@@ -165,6 +165,53 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
   }
 
+  test("streaming NEAR-dup ingest probes the landed signature index, idempotently") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDupIngest
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val other = "completely different content with no shared shingles at all here"
+    val fresh = "some entirely new material about streaming signature indexes landing"
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_ingest").toString
+    def batchDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingNearDupIngest.ingestBatch(batchDf(rows: _*), dir, id, 3, 8, 4, 0.5)
+    // batch 0: 2 is an in-batch near-dup of 1 -> collapses to 1
+    ingest(0L, 1L -> near1, 2L -> near2, 3L -> other)
+    def docIds = StreamingNearDupIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docIds == Seq(1L, 3L))
+    // batch 1: 10 is a near-dup of landed 1 (probe hit -> dropped),
+    // 11 is genuinely new
+    ingest(1L, 10L -> near2, 11L -> fresh)
+    assert(docIds == Seq(1L, 3L, 11L))
+    // signature store grew by exactly the landed docs
+    assert(StreamingNearDupIngest.sigStore(spark, dir, 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
+    // at-least-once replay of batch 1: rewrites itself, no duplicates
+    ingest(1L, 10L -> near2, 11L -> fresh)
+    assert(docIds == Seq(1L, 3L, 11L))
+    // fresh-checkpoint id reset is rejected
+    intercept[IllegalArgumentException] { ingest(0L, 99L -> fresh) }
+    // end-to-end through a real file stream in its own store
+    import org.apache.spark.sql.types._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_neardup2").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_neardup_src")
+    batchDf(20L -> near1, 21L -> other).coalesce(1)
+      .write.parquet(landing.toString + "/b")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = StreamingNearDupIngest.start(
+      spark.readStream.schema(schema).parquet(landing.toString + "/b"),
+      dir2, java.nio.file.Files.createTempDirectory("graft_neardup_ck").toString)
+    q.processAllAvailable()
+    batchDf(30L -> near2, 31L -> fresh).coalesce(1)
+      .write.mode("append").parquet(landing.toString + "/b")
+    q.processAllAvailable(); q.stop()
+    assert(StreamingNearDupIngest.corpus(spark, dir2)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
+  }
+
   test("streaming windowed agg over events matches batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
