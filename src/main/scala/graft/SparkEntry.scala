@@ -556,6 +556,21 @@ object SparkEntry {
     // unicode/control hygiene pass: md5-gated normalized text + counters
     "q_normalize_text" -> ((s, d) =>
       TextAnalysis.normalizeText(Tables.documents(s, d))),
+    // TPC-H Q3/Q5/Q10 shapes: multi-dim broadcast joins, one fact-fact
+    // shuffle each, decimal-exact revenue, TakeOrdered top-k
+    "q_tpch_q1" -> ((s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d), "1998-09-02")),
+    "q_tpch_q3" -> ((s, d) =>
+      Relational.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", "1997-06-15", 10)),
+    "q_tpch_q5" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), "ASIA", "1996-01-01", "1997-01-01")),
+    "q_tpch_q10" -> ((s, d) =>
+      Relational.returnedItemReport(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d),
+        "1996-04-01", "1996-07-01", 20)),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1499,6 +1514,52 @@ object SparkEntry {
          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
          |       count(*) AS n
          |FROM e GROUP BY label, d""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty,
+        |       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double) AS sum_base_price,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS sum_disc_price,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS double) AS sum_charge,
+        |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) / cast(count(*) AS double) AS avg_qty,
+        |       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double) / cast(count(*) AS double) AS avg_price,
+        |       cast(sum(cast(l_discount AS DECIMAL(18,2))) AS double) / cast(count(*) AS double) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS revenue,
+        |       o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-15'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-04-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_normalize_text" ->
       raw"""WITH n AS (SELECT doc_id, text,
            |    trim(regexp_replace(

@@ -110,6 +110,111 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
+    * orders for one market segment, top-k by revenue. Plan: the
+    * segment-filtered customer dim BROADCASTS onto orders (pushed date
+    * filter), the surviving orders join lineitem on the orderkey (the
+    * one fact-fact shuffle), one grouped aggregation, then a
+    * TakeOrderedAndProject top-k — no global sort materializes.
+    * Deterministic tie-break (revenue DESC, orderkey ASC). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String, k: Int): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(exactSum(revenueTerm, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  /** TPC-H Q1 shape — pricing summary: the canonical scan-heavy
+    * aggregate (one pushed date filter, one grouped agg over a
+    * 2×2-cardinality key). All sums are decimal-exact: the disc-price
+    * and charge products are fixed-order IEEE double expressions whose
+    * inputs are 2dp, so 4dp/6dp decimal casts recover the exact
+    * values; every avg is ONE double division of exact operands. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    val discPrice = revenueTerm
+    val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity"), 2).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSum(discPrice, 4).as("sum_disc_price"),
+        sum(charge.cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double").as("sum_charge"),
+        (exactSum(col("l_quantity"), 2) / count(lit(1)).cast("double")).as("avg_qty"),
+        (exactSum(col("l_extendedprice"), 2) / count(lit(1)).cast("double")).as("avg_price"),
+        (exactSum(col("l_discount"), 2) / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q5 shape — local supplier volume: revenue per nation from
+    * lineitems where the CUSTOMER and SUPPLIER share the nation, one
+    * region, one order-date year. All four dims (customer, supplier,
+    * nation⋈region) broadcast; the only data-sized shuffles are the
+    * orders⋈lineitem orderkey join and the final per-nation
+    * aggregation (nation-cardinality output). */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String, fromDate: String,
+                          toDate: String): DataFrame = {
+    val nat = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+              col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(revenueTerm, 4).as("revenue"))
+  }
+
+  /** TPC-H Q10 shape — returned-item report: top-k customers by
+    * revenue lost to returns in a date window. customer+nation
+    * broadcast; orderkey join + custkey aggregation are the two fact
+    * shuffles; TakeOrderedAndProject top-k, custkey tie-break. */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         fromDate: String, toDate: String, k: Int): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+              col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(exactSum(revenueTerm, 4).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(k)
+      .select(col("o_custkey").as("c_custkey"), col("c_name"),
+        col("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
   /** ROLLUP grouping sets (the multi-client generalization the reference
     * notes as future work — transformer.py:137-141).
     *

@@ -114,7 +114,15 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one per-query top-k window
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
     "q_session_window" -> 1,          // one user-keyed session-merge agg
-    "q_normalize_text" -> 0)          // pure map-side regexp chain
+    "q_normalize_text" -> 0,          // pure map-side regexp chain
+    "q_tpch_q1" -> 1,                 // the canonical scan + one agg
+    "q_tpch_q3" -> 2,                 // dims broadcast; orderkey join
+                                      // (agg reuses its partitioning),
+                                      // top-k is TakeOrdered
+    "q_tpch_q5" -> 3,                 // orderkey join both sides + the
+                                      // nation-cardinality agg
+    "q_tpch_q10" -> 2)                // orderkey join + custkey agg;
+                                      // customer/nation broadcast
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
