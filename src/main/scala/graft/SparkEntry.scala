@@ -255,8 +255,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10)),
     "q_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
-    // unlabeled near-dup via LSH blocking (rows-only: recall is
-    // LSH-probabilistic; precision-1.0 verify is spec-proven)
+    // unlabeled near-dup via LSH blocking — oracle-gated since the
+    // hyperplanes went md5-portable (DuckDB reproduces the buckets);
+    // the precision-1.0 verify remains spec-proven
     "q_embedding_neardup_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4, 4, 4)),
     "q_lsh_topk" -> ((s, d) =>
@@ -270,9 +271,11 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 16, 4)),
     // measured recall of every approximate ANN method against the
     // oracle-gated brute-force top-k: one (method, n_hits, n_truth,
-    // recall) row each. Rows-only for the driver (LSH/IVF hashes aren't
-    // DuckDB-expressible) but the recall FLOORS are spec-pinned — the
-    // weakest rows>0 gates become measured numbers.
+    // recall) row each. Rows-only by design: every COMPONENT is now
+    // individually oracle-gated (brute force, lsh, lsh_multi, ivf) —
+    // this row is their composition, and the recall FLOORS are
+    // spec-pinned alongside a spec equating it to the standalone
+    // top-ks' overlap.
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)),
@@ -1514,6 +1517,85 @@ object SparkEntry {
          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
          |       count(*) AS n
          |FROM e GROUP BY label, d""".stripMargin,
+    "q_dedup_corpus" ->
+      s"""$dedupCorpusBaseSql,
+         |losers AS (SELECT id AS doc_id FROM reach WHERE label < id)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    "q_dedup_corpus_by" ->
+      s"""$dedupCorpusBaseSql,
+         |ranked AS (SELECT re.id AS doc_id,
+         |                  row_number() OVER (PARTITION BY re.label
+         |                    ORDER BY d.n_chars DESC, re.id ASC) AS rk
+         |           FROM reach re JOIN documents d ON d.doc_id = re.id),
+         |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    "q_lsh_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |${lshBucketsSql(4, 1)},
+         |probes AS (SELECT vec_id AS query_id,
+         |                  unnest([b_0, ${(0 until 4).map(j => s"xor(b_0, ${1L << j})").mkString(", ")}]) AS b
+         |           FROM bkt WHERE vec_id % 100 = 0),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+         |         FROM probes p JOIN bkt c ON c.b_0 = p.b
+         |         WHERE c.vec_id <> p.query_id),
+         |$lshTopKTailSql""".stripMargin,
+    "q_lsh_topk_multi" ->
+      s"""WITH n AS ($quantizedSql),
+         |${lshBucketsSql(4, 4)},
+         |qb AS (SELECT vec_id AS query_id, t, b FROM (
+         |         SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt)
+         |       WHERE vec_id % 100 = 0),
+         |cb AS (SELECT vec_id AS neighbor_id, t, b FROM (
+         |         SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt)),
+         |cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+         |         FROM qb q JOIN cb c ON c.t = q.t AND c.b = q.b
+         |         WHERE c.neighbor_id <> q.query_id),
+         |$lshTopKTailSql""".stripMargin,
+    "q_embedding_neardup_lsh" ->
+      s"""WITH n AS ($quantizedSql),
+         |${lshBucketsSql(4, 4)},
+         |tb AS (SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM tb x JOIN tb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+         |pr AS (SELECT c.id_a, c.id_b,
+         |             CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             a.nq AS na, b.nq AS nb
+         |       FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b,
+         |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+         |FROM pr
+         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |cent AS (SELECT vec_id AS cell_id, q AS cv, nq AS cn FROM n ORDER BY vec_id ASC LIMIT 16),
+         |scored AS (SELECT n.vec_id, c.cell_id,
+         |             CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+         |               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
+         |           FROM n, cent c),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |             SELECT vec_id, cell_id,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
+         |             FROM scored) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell_id FROM (
+         |             SELECT vec_id, cell_id,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
+         |             FROM scored WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+         |         WHERE a.vec_id <> p.query_id),
+         |pr AS (SELECT c.query_id, c.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |       FROM cand c JOIN n qq ON qq.vec_id = c.query_id JOIN n cc ON cc.vec_id = c.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM pr)
+         |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty,
@@ -1615,6 +1697,54 @@ object SparkEntry {
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
       |         z -> z * z)) AS BIGINT) AS nq
       |FROM embeddings""".stripMargin
+
+  /** md5-hyperplane LSH bucket CTEs (mirror of `Similarity.planeSign`
+    * / `lshBucketsMulti`): plane j's ±1 for dimension d reads md5(d)'s
+    * nibble (j%32)+1 — its top bit for j<32, its bit 1 for j>=32 —
+    * identical to the engine's codegen'd integer-shift reads. Emits
+    * `bkt(vec_id, b_0..b_{tables-1})`. */
+  private def lshBucketsSql(bits: Int, tables: Int): String = {
+    def signExpr(j: Int): String = {
+      val n = j % 32
+      val digits =
+        if (j < 32) "('8','9','a','b','c','d','e','f')"
+        else "('2','3','6','7','a','b','e','f')"
+      s"substring(md5(CAST(d.d AS VARCHAR)), ${n + 1}, 1) IN $digits"
+    }
+    val projs = (for { t <- 0 until tables; h <- 0 until bits } yield
+      s"sum(CASE WHEN ${signExpr(t * bits + h)} THEN d.x ELSE -d.x END) AS p_${t}_$h")
+      .mkString(",\n       ")
+    val bcols = (0 until tables).map { t =>
+      "(" + (0 until bits).map(h =>
+        s"(CASE WHEN p_${t}_$h > 0 THEN ${1L << h} ELSE 0 END)").mkString(" + ") +
+        s") AS b_$t"
+    }.mkString(",\n       ")
+    s"""dims AS (SELECT e.vec_id,
+       |                generate_subscripts(e.embedding, 1) - 1 AS d,
+       |                CAST(unnest(e.embedding) AS DOUBLE) AS x
+       |         FROM embeddings e),
+       |proj AS (SELECT d.vec_id,
+       |       $projs
+       |        FROM dims d GROUP BY d.vec_id),
+       |bkt AS (SELECT vec_id,
+       |       $bcols
+       |        FROM proj)""".stripMargin
+  }
+
+  /** Exact-cosine scoring + per-query top-k tail shared by the LSH
+    * top-k oracles (identical to the ann_topk ranking discipline). */
+  private val lshTopKTailSql =
+    """pr AS (SELECT c.query_id, c.neighbor_id,
+      |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+      |             qq.nq AS qn, cc.nq AS cn
+      |       FROM cand c JOIN n qq ON qq.vec_id = c.query_id JOIN n cc ON cc.vec_id = c.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+      |                        neighbor_id ASC) AS rnk
+      |      FROM pr)
+      |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin
 
   /** Distinct word-3-gram shingle sets per document (mirror of
     * Dedup.shingles(n=3)). */
@@ -1720,6 +1850,52 @@ object SparkEntry {
        |      JOIN s sb ON sb.doc_id = c.corpus_doc)
        |SELECT batch_doc, corpus_doc, cast(inter AS double) / uni AS jaccard
        |FROM v WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+  }
+
+  /** Shared CTE chain for the dedup-corpus oracles: exact-dup star
+    * edges (per canonical digest, min id to each other id) + verified
+    * MinHash-LSH near-dup edges (same signature/banding pipeline as
+    * `minhashLshSql`), symmetrized, then connected components as a
+    * RECURSIVE transitive closure — label(v) = min(u reachable from v).
+    * The recursion's working set is closure-of-the-DUP-GRAPH-sized
+    * (vanishing next to the corpus), which is exactly why the engine's
+    * pointer-jumping CC is gateable this way: the oracle pays O(n²)
+    * closure on a tiny graph to certify the scalable fixpoint. */
+  private val dedupCorpusBaseSql = {
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n      UNION ALL ")
+    raw"""WITH s AS ($shinglesSql),
+       |e AS (SELECT doc_id,
+       |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |        FROM e GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |candn AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |nearp AS (SELECT c.doc_a, c.doc_b
+       |          FROM candn c
+       |          JOIN s sa ON sa.doc_id = c.doc_a
+       |          JOIN s sb ON sb.doc_id = c.doc_b
+       |          WHERE cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+       |                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+       |exactp AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
+       |             SELECT doc_id,
+       |                    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS mn
+       |             FROM documents) WHERE doc_id > mn),
+       |edges AS (SELECT doc_a, doc_b FROM nearp UNION SELECT doc_a, doc_b FROM exactp
+       |          UNION SELECT doc_b, doc_a FROM nearp UNION SELECT doc_b, doc_a FROM exactp),
+       |reach AS (
+       |  WITH RECURSIVE r(id, m) AS (
+       |    SELECT doc_a AS id, doc_a AS m FROM edges
+       |    UNION
+       |    SELECT e.doc_a, r.m FROM edges e JOIN r ON r.id = e.doc_b
+       |  ) SELECT id, min(m) AS label FROM r GROUP BY id)""".stripMargin
   }
 
   private val simhash16Sql = {

@@ -141,7 +141,10 @@ object Similarity {
     * collide in every table with overwhelming probability, which is
     * exactly the near-DUP regime this targets, unlike the harder
     * nearest-NEIGHBOR regime). This is the 100 TB form of
-    * `nearDupPairs`, which needs a label column to block on. */
+    * `nearDupPairs`, which needs a label column to block on.
+    * Oracle-gated (`q_embedding_neardup_lsh`): the md5-portable
+    * hyperplanes let DuckDB reproduce the buckets, so the banded plan
+    * is hash-checked against a cross-engine mirror, not just rows>0. */
   def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double,
                       bits: Int, tables: Int): DataFrame = {
     // Checkpoint the quantized vectors: both self-join sides consume
@@ -194,21 +197,46 @@ object Similarity {
     graft.plans.CosineF64.cosine_f64(
       col(a).cast("array<double>"), col(b).cast("array<double>"))
 
+  /** Hyperplane sign for plane index `j` (0..63) at an exploded
+    * dimension row carrying md5(d) parsed into four 32-bit words
+    * `w0..w3`: the simhash64 bit layout (nibble (j%32)+1, its top bit
+    * for j<32, its bit 1 for j>=32) — 64 independent uniform ±1
+    * components from ONE md5 per dimension row, reproducible in any
+    * engine with md5 + substring (the engine's portable-hash playbook;
+    * the xxhash64 parity this replaced kept the whole LSH family
+    * rows-only). */
+  private def planeSign(j: Int): Column = {
+    require(j >= 0 && j < 64, s"plane index out of range: $j")
+    val n = j % 32
+    val word = col(s"_w${n / 8}")
+    val nibbleBit = if (j < 32) 3 else 1
+    val bit = (7 - (n % 8)) * 4 + nibbleBit
+    shiftright(word, bit).bitwiseAND(lit(1L)) === 1L
+  }
+
+  private def withPlaneWords(dims: DataFrame): DataFrame =
+    dims.withColumn("_h", md5(col("d").cast("string")))
+      .withColumn("_w0", conv(substring(col("_h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_w1", conv(substring(col("_h"), 9, 8), 16, 10).cast("long"))
+      .withColumn("_w2", conv(substring(col("_h"), 17, 8), 16, 10).cast("long"))
+      .withColumn("_w3", conv(substring(col("_h"), 25, 8), 16, 10).cast("long"))
+
   /** Random-hyperplane LSH bucketing: `bits` sign bits per vector,
     * where hyperplane h's component for dimension d is a deterministic
-    * ±1 from xxhash64(h, d). Vectors sharing a bucket are candidate
-    * neighbors — the scale path for ANN (per-bucket joins instead of
-    * all-pairs). Recall vs brute force is covered by tests. */
+    * ±1 read from md5(d) (see `planeSign` — engine-portable, so the
+    * LSH query family is oracle-gateable). Vectors sharing a bucket
+    * are candidate neighbors — the scale path for ANN (per-bucket
+    * joins instead of all-pairs). Recall vs brute force is covered by
+    * tests. */
   def lshBuckets(embeddings: DataFrame, bits: Int): DataFrame = {
     // Long-form projection: posexplode dims once, then `bits` signed
     // sums in ONE grouped aggregation. All codegen'd — the equivalent
     // higher-order-function fold executes interpreted and measures ~4x
     // slower (same pathology as Dedup.shingleRows).
-    val dims = embeddings.select(col("vec_id"), col("label"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val dims = withPlaneWords(embeddings.select(col("vec_id"), col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x"))))
     val projs = (0 until bits).map { h =>
-      sum(when(pmod(xxhash64(lit(h), col("d")), lit(2)) === 0, col("x"))
-        .otherwise(-col("x"))).as(s"p$h")
+      sum(when(planeSign(h), col("x")).otherwise(-col("x"))).as(s"p$h")
     }
     val projected = dims.groupBy(col("vec_id"), col("label")).agg(projs.head, projs.tail: _*)
     val bucketBits = (0 until bits).map(h =>
@@ -224,13 +252,18 @@ object Similarity {
     * bucketing cost and still per-bucket joins (never all-pairs). All
     * L×bits signed projections compute in ONE grouped pass over the
     * posexploded dims (codegen'd; same long-form pathology note as
-    * lshBuckets). Table 0's hyperplanes coincide with
-    * `lshBuckets(bits)` (same seeds), so L=1 degenerates exactly. */
+    * lshBuckets). Plane (t, h) reads bit t·bits+h of md5(d) via
+    * `planeSign` — table 0's hyperplanes coincide with
+    * `lshBuckets(bits)` (plane indices 0..bits-1), so L=1 degenerates
+    * exactly; t·bits+h must stay < 64 (plenty at production settings:
+    * 4×16 or 8×8). */
   def lshBucketsMulti(embeddings: DataFrame, bits: Int, tables: Int): DataFrame = {
-    val dims = embeddings.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    require(tables * bits <= 64,
+      s"tables*bits must be <= 64 md5-derived planes, got ${tables * bits}")
+    val dims = withPlaneWords(embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x"))))
     val projs = for { t <- 0 until tables; h <- 0 until bits } yield
-      sum(when(pmod(xxhash64(lit(t * 1000 + h), col("d")), lit(2)) === 0, col("x"))
+      sum(when(planeSign(t * bits + h), col("x"))
         .otherwise(-col("x"))).as(s"p_${t}_$h")
     val projected = dims.groupBy(col("vec_id")).agg(projs.head, projs.tail: _*)
     val bucketCols = (0 until tables).map { t =>
