@@ -574,6 +574,11 @@ object SparkEntry {
       Relational.returnedItemReport(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d),
         "1996-04-01", "1996-07-01", 20)),
+    "q_tpch_q6" -> ((s, d) =>
+      Relational.forecastRevenue(Tables.lineitem(s, d), "1996-01-01", "1997-01-01")),
+    "q_tpch_q18" -> ((s, d) =>
+      Relational.largeVolumeCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), 150.0, 10)),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1642,6 +1647,20 @@ object SparkEntry {
         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT cast(sum(cast(l_extendedprice * l_discount AS DECIMAL(18,4))) AS double) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |                    cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_normalize_text" ->
       raw"""WITH n AS (SELECT doc_id, text,
            |    trim(regexp_replace(

@@ -159,6 +159,46 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q6 shape — forecast revenue change: a pure filter + scalar
+    * aggregate (every predicate pushed to the scan; the 2dp×2dp
+    * discount product recovered into a 4dp decimal). The simplest
+    * query in the family and the best pushdown probe: the scan must
+    * read exactly 4 columns with 3 pushed predicates. */
+  def forecastRevenue(lineitem: DataFrame, fromDate: String,
+                      toDate: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") < lit(toDate).cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24.0)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+
+  /** TPC-H Q18 shape — large-volume customers: orders whose total
+    * quantity exceeds a threshold, with customer context, top-k by
+    * order value. The HAVING subquery is a self-contained aggregation
+    * over lineitem whose survivors (a vanishing fraction) drive
+    * SEMI-join-shaped pruning of the second lineitem pass; orders and
+    * customer broadcast onto the survivors. */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, minQty: Double,
+                           k: Int): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("_sq"))
+      .filter(col("_sq") > minQty)
+      .select(col("l_orderkey"), col("_sq").cast("double").as("total_qty"))
+    big
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
   /** TPC-H Q5 shape — local supplier volume: revenue per nation from
     * lineitems where the CUSTOMER and SUPPLIER share the nation, one
     * region, one order-date year. All four dims (customer, supplier,

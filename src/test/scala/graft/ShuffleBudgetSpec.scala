@@ -121,8 +121,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // top-k is TakeOrdered
     "q_tpch_q5" -> 3,                 // orderkey join both sides + the
                                       // nation-cardinality agg
-    "q_tpch_q10" -> 2)                // orderkey join + custkey agg;
+    "q_tpch_q10" -> 2,                // orderkey join + custkey agg;
                                       // customer/nation broadcast
+    "q_tpch_q6" -> 1,                 // pushed filters + scalar agg
+    "q_tpch_q18" -> 2)                // HAVING agg; survivor joins
+                                      // broadcast or reuse its key
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
