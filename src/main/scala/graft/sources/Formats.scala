@@ -70,6 +70,45 @@ object Formats {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction — the table-maintenance pass a parquet lake
+    * runs continuously at 100 TB: rewrite a directory into files of
+    * roughly `targetBytes`, sized from the MEASURED input bytes so the
+    * output file count tracks data volume, not the historical write
+    * pattern (a streaming sink's thousand 100 KB files become a
+    * handful of right-sized ones; scans stop paying per-file open +
+    * footer cost). `repartition(n)` balances bytes across the output
+    * files — `coalesce` would be shuffle-free but inherits the input's
+    * skew, which is the problem being fixed. The rewrite is staged and
+    * swapped with the backup discipline of the MERGE sinks
+    * (ATOMIC_MOVE renames that THROW on failure; a leftover `_old`
+    * means the swap crashed mid-way and holds the complete pre-compact
+    * table). Returns the output file count. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val live = new java.io.File(dir)
+    val total = parquetFiles(live).map(_.length()).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val staged = dir + "_compacting"
+    val bak = new java.io.File(dir + "_old")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    def mv(src: java.io.File, dst: java.io.File): Unit =
+      java.nio.file.Files.move(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec)
+      if (f.exists()) f.delete()
+    }
+    rmRec(bak)
+    mv(live, bak)
+    mv(new java.io.File(staged), live)
+    rmRec(bak)
+    parquetFiles(live).size
+  }
+
   /** Morton (Z-order) value of two bucketized non-negative ints: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure bitwise
     * column expressions — codegen'd, map-side. */

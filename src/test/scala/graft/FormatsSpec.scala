@@ -48,6 +48,32 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("compact: many small files become few sized ones, content byte-identical") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate a streaming sink's fragmentation: 64 tiny files
+    li.repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val checksumBefore = graft.functions.Checksum.tableChecksum(
+      li.sparkSession.read.parquet(dir), li.columns.map(org.apache.spark.sql.functions.col).toSeq)
+      .head().toSeq
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val after = graft.sources.Formats.compact(spark, dir, targetBytes = totalBytes / 4 + 1)
+    assert(after <= 4, s"expected <= 4 files, got $after")
+    assert(after == new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet")))
+    // order-independent checksum proves content identity, not just counts
+    val checksumAfter = graft.functions.Checksum.tableChecksum(
+      spark.read.parquet(dir), li.columns.map(org.apache.spark.sql.functions.col).toSeq)
+      .head().toSeq
+    assert(checksumAfter == checksumBefore)
+    assert(!new java.io.File(dir + "_old").exists() &&
+      !new java.io.File(dir + "_compacting").exists(), "staging cleaned up")
+  }
+
   test("zValue interleaves bits; zOrdered tiles prune BOTH columns' predicates") {
     import spark.implicits._
     // zValue: a=0b101, b=0b011 -> z = a bits at even, b bits at odd
