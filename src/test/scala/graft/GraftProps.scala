@@ -29,6 +29,53 @@ object GraftProps extends Properties("graft") {
     rows.toDF("dt", "category", "vendor", "amount")
       .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
 
+  property("paretoContribution is partition-invariant and ends at share 1.0") = forAll(genTx) {
+    rows =>
+      import org.apache.spark.sql.functions.col
+      val tx = toTx(rows)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        SpendingReport.paretoContribution(df, "category")
+          .collect().map(r => (r.getString(0), r.getDouble(1),
+            r.getDouble(2), r.getDouble(3))).toSet
+      val a = run(tx.repartition(1))
+      val b = run(tx.repartition(7))
+      // cumulative share of the LAST key (max cum_spent) is exactly 1.0:
+      // exact decimal prefix sums mean grand/grand, never 0.999...
+      val last = a.maxBy(_._3)
+      Prop(a == b && math.abs(last._4 - 1.0) == 0.0) :|
+        s"a=$a b=$b last=$last"
+  }
+
+  property("windowedEventDedup equals a driver-side reference") = {
+    val genEv = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 500L)
+      dayUs <- Gen.choose(0L, 6L * 86400000000L)
+      user <- Gen.choose(1L, 3L)
+      typ <- Gen.oneOf("a", "b")
+      v <- Gen.oneOf(1.0, 2.0)
+    } yield (id, dayUs, user, typ, v))
+    forAll(genEv) { rows0 =>
+      // distinct ids; ts from epoch micros
+      val rows = rows0.distinctBy(_._1)
+      val ev = rows.map { case (id, us, u, t, v) =>
+        (id, new java.sql.Timestamp(us / 1000), u, t, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.functions.Dedup.windowedEventDedup(ev, 2)
+        .collect().map(_.getLong(0)).toSet
+      // reference: per identity key, keep rows whose predecessor (by
+      // (ts, id) order) is > 2 days away
+      val ref = rows.groupBy(r => (r._3, r._4, r._5)).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2 / 1000 * 1000, r._1)) // µs->ms truncation like Timestamp
+        sorted.zip(None +: sorted.map(Some(_))).collect {
+          case (cur, None) => cur._1
+          case (cur, Some(prev))
+            if (cur._2 / 1000 - prev._2 / 1000) * 1000 > 2L * 86400000000L => cur._1
+        }
+      }.toSet
+      Prop(got == ref) :| s"got=$got ref=$ref"
+    }
+  }
+
   property("globalRank equals the single-partition window rank") = forAll(genTx) {
     rows =>
       import org.apache.spark.sql.functions.col

@@ -24,6 +24,21 @@ class PlanSpec extends SparkSpec {
       && !readSchema.contains("l_returnflag"), s"column pruning failed: $readSchema")
   }
 
+  test("tpch q6 (the pushdown probe): all three predicates pushed, 4-column scan") {
+    val p = plan(Relational.forecastRevenue(
+      Tables.lineitem(spark, sf), "1996-01-01", "1997-01-01"))
+    // the rendered PushedFilters list is TRUNCATED in plan strings;
+    // the per-column IsNotNull triple (derived from the three
+    // predicates) plus the shipdate range prefix is the visible proof
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"q6 predicates not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount")
+      && !readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"q6 column pruning failed: $readSchema")
+  }
+
   test("dimension joins broadcast; the fact side never shuffles for the join") {
     val p = plan(Relational.revenueByTypeAndSupplier(
       Tables.lineitem(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf)))
