@@ -541,6 +541,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 5 === 0), 3, 8, 4, 0.5)
     }),
+    // graph analytics over the dup graph: triangles = tight template
+    // clusters (all-pairwise near-dups), vs CC's chains
+    "q_dup_triangles" -> ((s, d) =>
+      Dedup.nearDupTriangles(Tables.documents(s, d))),
     // LOCF gap-fill over the dense category x calendar grid
     "q_locf_spend" -> ((s, d) => Temporal.locfDailySpend(tx(s, d))),
     // ABC/Pareto cumulative contribution, distributed prefix sums
@@ -1475,6 +1479,14 @@ object SparkEntry {
          |FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin,
     "q_minhash_probe" -> minhashProbeSql,
+    "q_dup_triangles" ->
+      s"""WITH v AS ($simhash64Sql),
+         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3)
+         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+         |FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
+         |JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b""".stripMargin,
     "q_locf_spend" ->
       s"""WITH t AS ($txSql),
          |d AS (SELECT category, txn_date, sum(cast(amount AS DECIMAL(14,2))) AS day

@@ -650,6 +650,28 @@ object Dedup {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Triangles in the 64-bit banded near-dup graph — the
+    * cluster-density diagnostic graph analytics adds on top of
+    * connected components: a triangle means three documents that are
+    * ALL pairwise near-duplicates (a tight template cluster), where a
+    * mere CC chain can be a drift of pairwise-similar but
+    * transitively-divergent docs. Standard edge-edge-join triangle
+    * enumeration with the a<b<c orientation (each triangle emitted
+    * once); the join input is the dup-pair graph — vanishing next to
+    * the corpus — and the pair generation itself is the banded
+    * (never all-pairs) join. */
+  def nearDupTriangles(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val e = simhash64NearDupPairs(docs, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    e.as("ab")
+      .join(e.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+      .join(e.as("ac"),
+        col("ac.doc_a") === col("ab.doc_a") && col("ac.doc_b") === col("bc.doc_b"))
+      .select(col("ab.doc_a").as("doc_a"), col("ab.doc_b").as("doc_b"),
+        col("bc.doc_b").as("doc_c"))
+  }
+
   /** Incremental MinHash-LSH probe — the per-ingest form of
     * `minhashLshPairs`: instead of re-pairing the whole corpus every
     * ingest, the corpus's banded signature index is built once (in

@@ -139,6 +139,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.functions.Similarity.bruteForceTopK(
       emptyEmb, col("vec_id") === 0, 3, col("label") % 2 === 0).count() == 0)
     assert(TextAnalysis.normalizeText(emptyDocs).count() == 0)
+    assert(Dedup.nearDupTriangles(emptyDocs).count() == 0)
     val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("id", "content")
     assert(graft.multimodal.Multimodal.mediaNearDupPairs(emptyMedia).count() == 0)
     // zero-byte payload: histogram all-zero, mean 0 -> phash 0, no throw

@@ -574,6 +574,18 @@ class DedupSpec extends SparkSpec {
     assert(out(0L) == 1L, "doc 3 has none and must still be counted")
   }
 
+  test("nearDupTriangles: a 3-clique emits once oriented a<b<c; a bare pair emits none") {
+    // 1,2,3 are token-identical (case/space variants) -> pairwise
+    // hamming 0 -> one triangle; 4,5 are a pair only; 6 is unrelated
+    val d = docs(
+      (1L, near1), (2L, near1.toUpperCase), (3L, "  " + near1 + "  "),
+      (4L, other), (5L, other.toUpperCase),
+      (6L, "some text with entirely distinct vocabulary throughout here now"))
+    val tri = Dedup.nearDupTriangles(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri == Seq((1L, 2L, 3L)), s"got $tri")
+  }
+
   test("minhashProbePairs: batch finds corpus near-dups; corpus never pairs with itself") {
     val corpus = docs((3L, near1), (6L, other))
     val batch = docs((10L, near2), (20L, "nothing in common with either side at all"))

@@ -123,6 +123,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // nation-cardinality agg
     "q_tpch_q10" -> 2,                // orderkey join + custkey agg;
                                       // customer/nation broadcast
+    "q_dup_triangles" -> 4,           // checkpointed edge list; two
+                                      // edge-edge joins over the tiny
+                                      // dup graph
     "q_tpch_q6" -> 1,                 // pushed filters + scalar agg
     "q_tpch_q18" -> 2)                // HAVING agg; survivor joins
                                       // broadcast or reuse its key
