@@ -583,6 +583,9 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, d) =>
       Relational.largeVolumeCustomers(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 150.0, 10)),
+    "q_tpch_q14" -> ((s, d) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
+        "PROMO", "1996-03-01", "1996-04-01")),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1673,6 +1676,14 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+        |                             THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |                             ELSE cast(0 AS DECIMAL(18,4)) END) AS double)
+        |         / cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS promo_revenue_pct,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS double) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "q_normalize_text" ->
       raw"""WITH n AS (SELECT doc_id, text,
            |    trim(regexp_replace(

@@ -173,6 +173,29 @@ object Relational {
               col("l_quantity") < 24.0)
       .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
 
+  /** TPC-H Q14 shape — promotion effect: promo revenue as a share of
+    * total revenue in a month. One broadcast dim join + one scalar
+    * aggregate; the output is ONE division of two decimal-exact sums,
+    * so the percentage is engine-portable (the same
+    * single-division-off-exact-operands discipline as every gated
+    * ratio). */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        promoType: String, fromDate: String,
+                        toDate: String): DataFrame = {
+    val rev = revenueTerm.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === promoType, rev)
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+          .cast("double")
+          / sum(rev).cast("double")).as("promo_revenue_pct"),
+        sum(rev).cast("double").as("total_revenue"))
+  }
+
   /** TPC-H Q18 shape — large-volume customers: orders whose total
     * quantity exceeds a threshold, with customer context, top-k by
     * order value. The HAVING subquery is a self-contained aggregation

@@ -127,6 +127,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // edge-edge joins over the tiny
                                       // dup graph
     "q_tpch_q6" -> 1,                 // pushed filters + scalar agg
+    "q_tpch_q14" -> 1,                // part broadcast; one scalar agg
     "q_tpch_q18" -> 2)                // HAVING agg; survivor joins
                                       // broadcast or reuse its key
 
