@@ -31,19 +31,32 @@ object GraftProps extends Properties("graft") {
 
   property("paretoContribution is partition-invariant and ends at share 1.0") = forAll(genTx) {
     rows =>
-      import org.apache.spark.sql.functions.col
       val tx = toTx(rows)
+      // render doubles to bits so a NaN share (grand total exactly 0 —
+      // negative amounts make that reachable) still compares equal
+      // across partitionings
       def run(df: org.apache.spark.sql.DataFrame) =
         SpendingReport.paretoContribution(df, "category")
-          .collect().map(r => (r.getString(0), r.getDouble(1),
-            r.getDouble(2), r.getDouble(3))).toSet
+          .collect().map(r => (r.getString(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
       val a = run(tx.repartition(1))
       val b = run(tx.repartition(7))
-      // cumulative share of the LAST key (max cum_spent) is exactly 1.0:
-      // exact decimal prefix sums mean grand/grand, never 0.999...
-      val last = a.maxBy(_._3)
-      Prop(a == b && math.abs(last._4 - 1.0) == 0.0) :|
-        s"a=$a b=$b last=$last"
+      // driver-side reference: the key LAST in (total DESC, key ASC)
+      // order carries cum == grand, so its share is EXACTLY 1.0
+      // (decimal prefix sums; never 0.999...) whenever grand != 0 —
+      // with negative totals that final key need NOT have the maximum
+      // cumulative value, so it is identified by order, not by maxBy
+      val totals = rows.groupBy(_._2).map { case (k, rs) =>
+        k -> rs.map(r => Math.round(r._4 * 100)).sum
+      }
+      val grand = totals.values.sum
+      val lastKey = totals.toSeq.sortBy { case (k, t) => (-t, k) }.last._1
+      val one = java.lang.Double.doubleToLongBits(1.0)
+      val shareOk = grand == 0L ||
+        a.exists(r => r._1 == lastKey && r._4 == one)
+      Prop(a == b && shareOk) :| s"a=$a b=$b lastKey=$lastKey grand=$grand"
   }
 
   property("windowedEventDedup equals a driver-side reference") = {
