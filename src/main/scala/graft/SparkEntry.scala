@@ -586,6 +586,14 @@ object SparkEntry {
     "q_tpch_q14" -> ((s, d) =>
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
         "PROMO", "1996-03-01", "1996-04-01")),
+    // irregular-sampling mean: value held until the next event, exact
+    // µs durations weight it
+    "q_time_weighted_value" -> ((s, d) =>
+      Temporal.timeWeightedValue(Tables.events(s, d), "user_id", "ts", "value")),
+    // spend concentration across vendors (rank-form Gini off exact
+    // decimal sums, distributed rank)
+    "q_gini_vendors" -> ((s, d) =>
+      SpendingReport.giniConcentration(tx(s, d), "vendor")),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1676,6 +1684,27 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_time_weighted_value" ->
+      """WITH d AS (SELECT user_id, value,
+        |                  (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) - epoch_us(ts)) // 1000 AS dur
+        |           FROM events)
+        |SELECT user_id,
+        |       cast(sum(cast(value AS DECIMAL(14,2)) * dur) AS double)
+        |         / cast(sum(dur) AS double) AS tw_avg,
+        |       count(*) AS n_intervals
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+    "q_gini_vendors" ->
+      s"""WITH tot AS (SELECT vendor, sum(cast(amount AS DECIMAL(14,2))) AS total
+         |             FROM ($txSql) GROUP BY vendor),
+         |r AS (SELECT vendor, total,
+         |             row_number() OVER (ORDER BY total ASC, vendor ASC) AS rk
+         |      FROM tot)
+         |SELECT count(*) AS n_keys,
+         |       cast(2 * sum(total * rk) - (count(*) + 1) * sum(total) AS double)
+         |         / cast(count(*) * sum(total) AS double) AS gini
+         |FROM r""".stripMargin,
     "q_tpch_q14" ->
       """SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
         |                             THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))

@@ -129,6 +129,27 @@ object SpendingReport {
           / lit(grand.doubleValue)).as("cum_share"))
   }
 
+  /** Gini concentration coefficient of per-key totals — "how
+    * concentrated is spend across vendors": 0 = perfectly even,
+    * →1 = one key holds everything. Uses the rank formulation
+    * G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x ranked ascending;
+    * tied totals get consecutive ranks whose group contribution is
+    * order-independent, so the result is deterministic under any
+    * partitioning. Ranks come from the distributed `globalRank` (no
+    * single-partition window); Σrx and Σx stay in exact decimal and
+    * the ONE double division happens off exact operands. */
+  def giniConcentration(tx: DataFrame, key: String): DataFrame = {
+    val totals = tx.groupBy(col(key)).agg(sum(amt2).as("total"))
+    val ranked = globalRank(totals, Seq(col("total").asc, col(key).asc), "_r")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("total")).as("_s"),
+        sum(col("total") * col("_r")).as("_a"))
+      .select(col("n_keys"),
+        ((lit(2) * col("_a") - (col("n_keys") + 1) * col("_s")).cast("double")
+          / (col("n_keys") * col("_s")).cast("double")).as("gini"))
+  }
+
   /** A7/A8 + O4: distinct keys, one row per key (row-form of the sorted
     * distinct list; transformer.py:153-154,232-233). */
   def distinctKeys(tx: DataFrame, key: String): DataFrame =

@@ -167,6 +167,39 @@ object Temporal {
       .select(col("category"), col("txn_date"), col("day_total"), col("moving_total"))
   }
 
+  /** Time-weighted average value per key — the irregular-sampling mean
+    * a plain avg() gets wrong: each observation holds until the NEXT
+    * one, so it is weighted by its holding duration (lead(ts) - ts in
+    * exact microseconds). Keys with fewer than two events emit no row
+    * (no holding interval exists). One key-partitioned sort feeds the
+    * lead window and the aggregation; value×duration products stay in
+    * exact DECIMAL×BIGINT arithmetic and the ONE double division per
+    * key happens off exact operands (engine-portable). Durations are
+    * MILLISECONDS via integer division of the µs delta: µs-scale
+    * products push the weighted sums past 2^53, where decimal→double
+    * casts stop being exactly representable and the engines' cast
+    * roundings diverge (the known 2^53 gate class) — ms keeps every
+    * sum exactly representable at any fixture scale. */
+  def timeWeightedValue(events: DataFrame, key: String, tsCol: String,
+                        valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol).asc, col("event_id").asc)
+    val us = unix_micros(col(tsCol))
+    events
+      // floor((µs delta)/1000) == the integer // : deltas are exact
+      // doubles far below 2^53 and non-multiples of 1000 sit ≥0.001
+      // from the next integer (≫ one ulp), multiples divide exactly
+      .withColumn("_dur", floor((lead(us, 1).over(w) - us) / lit(1000)).cast("long"))
+      .filter(col("_dur").isNotNull)
+      .groupBy(col(key))
+      .agg(
+        sum(col(valCol).cast("decimal(14,2)") * col("_dur")).as("_wsum"),
+        sum(col("_dur")).as("_dsum"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(key),
+        (col("_wsum").cast("double") / col("_dsum").cast("double")).as("tw_avg"),
+        col("n_intervals"))
+  }
+
   /** LOCF gap-fill — time-series regularization: per (category, day)
     * over the corpus's full [min, max] date span, the daily spend with
     * missing days filled by the last observed day's total

@@ -140,6 +140,12 @@ class EmptyInputSpec extends SparkSpec {
       emptyEmb, col("vec_id") === 0, 3, col("label") % 2 === 0).count() == 0)
     assert(TextAnalysis.normalizeText(emptyDocs).count() == 0)
     assert(Dedup.nearDupTriangles(emptyDocs).count() == 0)
+    val emptyEv2 = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(Temporal.timeWeightedValue(emptyEv2, "user_id", "ts", "value").count() == 0)
+    // global agg over zero keys: one row, n_keys 0, gini NULL (0/NULL)
+    val g = SpendingReport.giniConcentration(emptyTx, "vendor").head()
+    assert(g.getLong(0) == 0L && g.isNullAt(1))
     val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("id", "content")
     assert(graft.multimodal.Multimodal.mediaNearDupPairs(emptyMedia).count() == 0)
     // zero-byte payload: histogram all-zero, mean 0 -> phash 0, no throw

@@ -128,6 +128,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // dup graph
     "q_tpch_q6" -> 1,                 // pushed filters + scalar agg
     "q_tpch_q14" -> 1,                // part broadcast; one scalar agg
+    "q_time_weighted_value" -> 1,     // one key sort feeds lead + agg
+    "q_gini_vendors" -> 2,            // totals agg + range-partitioned
+                                      // rank; final agg is scalar
     "q_tpch_q18" -> 2)                // HAVING agg; survivor joins
                                       // broadcast or reuse its key
 

@@ -70,6 +70,20 @@ class SpendingReportSpec extends SparkSpec {
     assert(dist == ref, "range-partitioned prefix sums must equal the single-window reference")
   }
 
+  test("giniConcentration: 0 for equal totals, 1-1/n when one key holds all") {
+    def g(rows: (String, Double)*): (Long, Double) = {
+      val t = rows.zipWithIndex.map { case ((k, a), i) => ("2024-01-01", k, s"v$i", a) }
+        .toDF("dt", "category", "vendor", "amount")
+        .selectExpr("to_date(dt) AS txn_date", "category", "vendor", "amount")
+      val r = SpendingReport.giniConcentration(t, "category").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(g(("a", 10.0), ("b", 10.0), ("c", 10.0)) == ((3L, 0.0)),
+      "perfect equality is exactly 0 (decimal numerator cancels, no FP residue)")
+    assert(g(("a", 0.0), ("b", 0.0), ("c", 30.0)) == ((3L, 2.0 / 3.0)),
+      "one holder reaches the n-key maximum 1 - 1/n")
+  }
+
   test("zeroImputedMean divides by ALL file dates, not per-key count (A9)") {
     val m = SpendingReport.zeroImputedMean(tx, "category").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

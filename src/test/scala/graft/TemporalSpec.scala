@@ -48,6 +48,19 @@ class TemporalSpec extends SparkSpec {
       "2024-01-01 13:00:00" -> 1L), s"got $out")
   }
 
+  test("timeWeightedValue: duration-weighted mean, single-event keys emit nothing") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),  // held 1s
+      (2L, ts("2024-01-01 10:00:01"), 1L, 20.0),  // held 3s
+      (3L, ts("2024-01-01 10:00:04"), 1L, 99.0),  // last: no interval
+      (4L, ts("2024-01-01 12:00:00"), 2L, 5.0)    // lone event: no row
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Temporal.timeWeightedValue(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // (10*1000 + 20*3000) / 4000 ms = 17.5, over 2 intervals
+    assert(out == Map(1L -> ((17.5, 2L))))
+  }
+
   test("locfDailySpend: gaps carry the last observed total; leading days stay null") {
     val tx = Seq(
       ("2024-01-01", "food", 10.0),
