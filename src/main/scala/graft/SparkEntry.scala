@@ -594,6 +594,12 @@ object SparkEntry {
     // decimal sums, distributed rank)
     "q_gini_vendors" -> ((s, d) =>
       SpendingReport.giniConcentration(tx(s, d), "vendor")),
+    // growth curve: running ever-seen distinct users per day via the
+    // first-seen identity (no windowed COUNT DISTINCT exists; this is
+    // the scalable form). Output is day-cardinality; the running-sum
+    // window is over that tiny frame, documented single-partition.
+    "q_cumulative_users" -> ((s, d) =>
+      Temporal.cumulativeDistinct(Tables.events(s, d), "user_id", "ts")),
     // batch sibling of streaming/StreamingReport.sessionizedSpend: the
     // built-in session_window (merge at diff <= gap — spec-pinned edge;
     // end = last event + gap), gated against a DuckDB islands oracle
@@ -1684,6 +1690,14 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT first_day, count(*) AS n_new FROM f GROUP BY first_day)
+        |SELECT first_day, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY first_day ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
+        |FROM d""".stripMargin,
     "q_time_weighted_value" ->
       """WITH d AS (SELECT user_id, value,
         |                  (lead(epoch_us(ts)) OVER (PARTITION BY user_id

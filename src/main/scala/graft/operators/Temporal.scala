@@ -167,6 +167,25 @@ object Temporal {
       .select(col("category"), col("txn_date"), col("day_total"), col("moving_total"))
   }
 
+  /** Running distinct-entity count per day — "how many unique users
+    * have we EVER seen, by day": windowed COUNT(DISTINCT) is
+    * unsupported and would be quadratic anyway; the scalable identity
+    * is first-seen day per entity (one key-keyed min) → per-day
+    * first-seen counts → a running sum over the day-cardinality
+    * frame. Integer arithmetic throughout. Days with no first-seens
+    * emit no row (the cumulative count is carried by later rows). */
+  def cumulativeDistinct(events: DataFrame, key: String, tsCol: String): DataFrame = {
+    val firstSeen = events
+      .groupBy(col(key))
+      .agg(min(to_date(col(tsCol))).as("first_day"))
+    val w = Window.orderBy(col("first_day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cumulative", sum(col("n_new")).over(w).cast("long"))
+      .select(col("first_day"), col("n_new"), col("n_cumulative"))
+  }
+
   /** Time-weighted average value per key — the irregular-sampling mean
     * a plain avg() gets wrong: each observation holds until the NEXT
     * one, so it is weighted by its holding duration (lead(ts) - ts in

@@ -143,6 +143,7 @@ class EmptyInputSpec extends SparkSpec {
     val emptyEv2 = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
       .toDF("event_id", "ts", "user_id", "value")
     assert(Temporal.timeWeightedValue(emptyEv2, "user_id", "ts", "value").count() == 0)
+    assert(Temporal.cumulativeDistinct(emptyEv2, "user_id", "ts").count() == 0)
     // global agg over zero keys: one row, n_keys 0, gini NULL (0/NULL)
     val g = SpendingReport.giniConcentration(emptyTx, "vendor").head()
     assert(g.getLong(0) == 0L && g.isNullAt(1))

@@ -48,6 +48,20 @@ class TemporalSpec extends SparkSpec {
       "2024-01-01 13:00:00" -> 1L), s"got $out")
   }
 
+  test("cumulativeDistinct: first-seen identity, repeat visits never recount") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-03 10:00:00"), 1L),   // repeat: not a new user
+      (3L, ts("2024-01-01 11:00:00"), 2L),
+      (4L, ts("2024-01-04 10:00:00"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Temporal.cumulativeDistinct(ev, "user_id", "ts").collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L)),   // users 1,2 first seen
+      "2024-01-04" -> ((1L, 3L))))  // user 3; day 3's repeat emits no row
+  }
+
   test("timeWeightedValue: duration-weighted mean, single-event keys emit nothing") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),  // held 1s
