@@ -594,6 +594,12 @@ object SparkEntry {
     // decimal sums, distributed rank)
     "q_gini_vendors" -> ((s, d) =>
       SpendingReport.giniConcentration(tx(s, d), "vendor")),
+    // multilingual training-mix rebalance (alpha=0.5 temperature
+    // sampling): per-language keep fraction sqrt(n_min/n_l), md5
+    // membership — the mix report is the gate shape
+    "q_temperature_mix" -> ((s, d) =>
+      graft.functions.Sampling.temperatureMixStats(
+        Tables.documents(s, d), "doc_id", "lang")),
     // growth curve: running ever-seen distinct users per day via the
     // first-seen identity (no windowed COUNT DISTINCT exists; this is
     // the scalable form). Output is day-cardinality; the running-sum
@@ -1690,6 +1696,21 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_before) AS nmin FROM c),
+        |p AS (SELECT lang, n_before,
+        |             sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / CAST(n_before AS DOUBLE)) AS frac
+        |      FROM c),
+        |kept AS (SELECT d.lang, count(*) AS n_after
+        |         FROM documents d JOIN p ON p.lang = d.lang
+        |         WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |                 < p.frac * 4294967296.0
+        |         GROUP BY d.lang)
+        |SELECT p.lang, p.n_before,
+        |       CAST(COALESCE(kept.n_after, 0) AS BIGINT) AS n_after,
+        |       p.frac
+        |FROM p LEFT JOIN kept ON kept.lang = p.lang""".stripMargin,
     "q_cumulative_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
         |           FROM events GROUP BY user_id),

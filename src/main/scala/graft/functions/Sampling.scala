@@ -33,6 +33,47 @@ object Sampling {
         .when(hashBucket(col(keyCol), 100) < valPct + testPct, lit("test"))
         .otherwise(lit("train")))
 
+  /** Temperature (α = 0.5) resampling across strata — the multilingual
+    * training-mix rebalancer (the α-sampling used publicly for
+    * mT5/XLM-R-class corpora): stratum l keeps fraction
+    * √(n_min / n_l), so the kept counts are proportional to √n_l —
+    * big languages are downsampled toward the small ones without
+    * discarding the size signal entirely. Engine-portable BY
+    * CONSTRUCTION: each fraction is ONE division of two exact counts
+    * followed by ONE sqrt (both correctly rounded IEEE ops — unlike a
+    * sum-normalized weight, which would hang cross-engine exactness
+    * on double addition order), and membership is the deterministic
+    * md5-bucket rule against frac·2³². Returns the kept rows; the
+    * stats form below is the gate shape. Stratum counts are
+    * dictionary-sized and broadcast back. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n"))).head().getLong(0)
+    val frac = sqrt(lit(nMin.toDouble) / col("_n").cast("double"))
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts.withColumn("_frac", frac)), Seq(strataCol))
+      .filter(bucket.cast("double") < col("_frac") * lit(4294967296.0))
+      .drop("_n", "_frac")
+  }
+
+  /** Gate shape of `temperatureSample`: per stratum, the before/after
+    * counts and the applied fraction — the mix report a data-builder
+    * reviews before committing a resample. */
+  def temperatureMixStats(df: DataFrame, keyCol: String,
+                          strataCol: String): DataFrame = {
+    val after = temperatureSample(df, keyCol, strataCol)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_after"))
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
+    val nMin = counts.agg(min(col("n_before"))).head().getLong(0)
+    counts
+      .join(after, Seq(strataCol), "left")
+      .select(col(strataCol),
+        col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        sqrt(lit(nMin.toDouble) / col("n_before").cast("double")).as("frac"))
+  }
+
   /** Stratified deterministic sample: the SAME per-key rule inside
     * every stratum — stratum sizes stay proportional without a
     * per-stratum pass (keys are uniform within strata). */

@@ -151,6 +151,41 @@ class SamplingSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
+  test("temperatureSample: smallest stratum fully kept, others downsampled by sqrt(nmin/n)") {
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang")
+    val stats = Sampling.temperatureMixStats(docs, "doc_id", "lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val nMin = stats.values.map(_._1).min
+    // exact driver-side reference of the md5 membership rule — no
+    // statistical assumptions (a small stratum at frac near 1 can
+    // legitimately keep every row)
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expectedAfter = langOf.groupBy(_._2).map { case (l, ids) =>
+      val frac = math.sqrt(nMin.toDouble / ids.length.toDouble)
+      l -> ids.count { case (id, _) => bucket(id).toDouble < frac * 4294967296.0 }.toLong
+    }
+    stats.foreach { case (lang, (before, after, frac)) =>
+      assert(frac == math.sqrt(nMin.toDouble / before.toDouble))
+      assert(after == expectedAfter(lang), s"$lang: md5-rule reference mismatch")
+      if (before == nMin) assert(after == before, s"$lang: smallest stratum keeps all")
+    }
+    assert(stats.values.map(_._2).sum < stats.values.map(_._1).sum,
+      "the corpus as a whole must shrink")
+    // stats agree with the actual sample; membership deterministic
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.forall { case (l, (_, after, _)) => byLang.getOrElse(l, 0L) == after })
+    val again = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("deterministic sample: identical membership across runs, ~pct size") {
     val a = Sampling.deterministicSample(docs, "doc_id", 30)
       .select("doc_id").collect().map(_.getLong(0)).toSet

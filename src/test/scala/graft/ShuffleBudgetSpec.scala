@@ -129,6 +129,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q6" -> 1,                 // pushed filters + scalar agg
     "q_tpch_q14" -> 1,                // part broadcast; one scalar agg
     "q_time_weighted_value" -> 1,     // one key sort feeds lead + agg
+    "q_temperature_mix" -> 3,         // stratum counts + kept counts;
+                                      // fractions broadcast back
     "q_cumulative_users" -> 3,        // user min + day agg; the running
                                       // window is over the DAY frame
                                       // (calendar-sized, documented)
