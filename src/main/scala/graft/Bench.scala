@@ -58,7 +58,22 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures a bounded tail of stdout; at 128 queries the
+    // per-query map pushed the single JSON line past that window and the
+    // leading "metric":"total" was cut off (BENCH_r02..r04 all parsed
+    // null). stdout therefore carries ONE compact, guaranteed-short line
+    // with the headline total; the full per-query map goes to stderr and
+    // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
+    // bench_detail.json) for anyone who wants the breakdown.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    System.err.println("[bench] detail: " + full)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

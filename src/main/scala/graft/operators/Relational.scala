@@ -36,14 +36,20 @@ object Relational {
       .agg(exactSum(revenueTerm, 4).as("revenue"),
            count(lit(1)).as("n_items"))
 
-  /** Fact ⋈ two small dims: both dims broadcast (no shuffle of the
-    * fact), then one shuffle on the (p_type, s_name) grouping key with
-    * map-side partial aggregation. */
+  /** Fact ⋈ two dims, then one shuffle on the (p_type, s_name) grouping
+    * key with map-side partial aggregation. No broadcast HINT on the
+    * dims: part and supplier scale WITH the scale factor (multi-billion
+    * rows at the 100 TB north star), so a hard hint is an eventual OOM,
+    * not a plan choice. Size-based planning + AQE broadcast them while
+    * they fit under autoBroadcastJoinThreshold and degrade to a shuffle
+    * join beyond it — BroadcastDegradationSpec pins both regimes. Only
+    * fixed-cardinality dims (nation 25 / region 5 rows) carry
+    * unconditional hints anywhere in this file. */
   def revenueByTypeAndSupplier(lineitem: DataFrame, part: DataFrame,
                                supplier: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_type"), col("s_name"))
       .agg(exactSum(col("l_quantity"), 2).as("sum_qty"),
            exactSum(revenueTerm, 4).as("revenue"),
@@ -112,18 +118,20 @@ object Relational {
 
   /** TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
     * orders for one market segment, top-k by revenue. Plan: the
-    * segment-filtered customer dim BROADCASTS onto orders (pushed date
-    * filter), the surviving orders join lineitem on the orderkey (the
-    * one fact-fact shuffle), one grouped aggregation, then a
-    * TakeOrderedAndProject top-k — no global sort materializes.
-    * Deterministic tie-break (revenue DESC, orderkey ASC). */
+    * segment-filtered customer dim joins onto orders (pushed date
+    * filter; customer is SF-scaled, so broadcast-vs-shuffle is left to
+    * size-based planning/AQE — see revenueByTypeAndSupplier), the
+    * surviving orders join lineitem on the orderkey (the one fact-fact
+    * shuffle), one grouped aggregation, then a TakeOrderedAndProject
+    * top-k — no global sort materializes. Deterministic tie-break
+    * (revenue DESC, orderkey ASC). */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, segment: String,
                        cutoff: String, k: Int): DataFrame = {
     val cust = customer.filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"))
     val ord = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
     lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -174,7 +182,8 @@ object Relational {
       .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
 
   /** TPC-H Q14 shape — promotion effect: promo revenue as a share of
-    * total revenue in a month. One broadcast dim join + one scalar
+    * total revenue in a month. One dim join (part is SF-scaled — join
+    * strategy left to size-based planning/AQE) + one scalar
     * aggregate; the output is ONE division of two decimal-exact sums,
     * so the percentage is engine-portable (the same
     * single-division-off-exact-operands discipline as every gated
@@ -186,7 +195,7 @@ object Relational {
     lineitem
       .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
               col("l_shipdate") < lit(toDate).cast("timestamp"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+      .join(part.select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === promoType, rev)
@@ -201,7 +210,8 @@ object Relational {
     * order value. The HAVING subquery is a self-contained aggregation
     * over lineitem whose survivors (a vanishing fraction) drive
     * SEMI-join-shaped pruning of the second lineitem pass; orders and
-    * customer broadcast onto the survivors. */
+    * customer join onto the survivors (customer is SF-scaled — no hard
+    * broadcast hint; the planner/AQE picks from measured sizes). */
   def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
                            lineitem: DataFrame, minQty: Double,
                            k: Int): DataFrame = {
@@ -214,7 +224,7 @@ object Relational {
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+      .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(k)
@@ -224,10 +234,11 @@ object Relational {
 
   /** TPC-H Q5 shape — local supplier volume: revenue per nation from
     * lineitems where the CUSTOMER and SUPPLIER share the nation, one
-    * region, one order-date year. All four dims (customer, supplier,
-    * nation⋈region) broadcast; the only data-sized shuffles are the
-    * orders⋈lineitem orderkey join and the final per-nation
-    * aggregation (nation-cardinality output). */
+    * region, one order-date year. nation⋈region (fixed cardinality)
+    * broadcasts unconditionally; customer and supplier are SF-scaled so
+    * their join strategy is left to size-based planning/AQE. The only
+    * unavoidable data-sized shuffles are the orders⋈lineitem orderkey
+    * join and the final per-nation aggregation. */
   def localSupplierVolume(customer: DataFrame, orders: DataFrame,
                           lineitem: DataFrame, supplier: DataFrame,
                           nation: DataFrame, region: DataFrame,
@@ -240,11 +251,11 @@ object Relational {
     val ord = orders
       .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
               col("o_orderdate") < lit(toDate).cast("timestamp"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     lineitem
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey") &&
         col("c_nationkey") === col("s_nationkey"))
@@ -254,8 +265,9 @@ object Relational {
   }
 
   /** TPC-H Q10 shape — returned-item report: top-k customers by
-    * revenue lost to returns in a date window. customer+nation
-    * broadcast; orderkey join + custkey aggregation are the two fact
+    * revenue lost to returns in a date window. nation broadcasts
+    * (fixed 25 rows); customer is SF-scaled so its join strategy is
+    * size-based. orderkey join + custkey aggregation are the two fact
     * shuffles; TakeOrderedAndProject top-k, custkey tie-break. */
   def returnedItemReport(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, nation: DataFrame,
@@ -271,7 +283,7 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(exactSum(revenueTerm, 4).as("revenue"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(k)
       .select(col("o_custkey").as("c_custkey"), col("c_name"),

@@ -40,10 +40,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dimension joins broadcast; the fact side never shuffles for the join") {
+    // No broadcast() HINT exists on part/supplier (they scale with SF);
+    // this asserts SIZE-BASED planning broadcasts them while they fit.
     val p = plan(Relational.revenueByTypeAndSupplier(
       Tables.lineitem(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf)))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"fact should not sort-merge:\n$p")
+  }
+
+  test("SF-scaled dim joins degrade to shuffle joins when the dim outgrows memory") {
+    // The 100 TB safety contract behind removing hard broadcast() hints
+    // from part/supplier/customer: when the dim no longer fits under
+    // autoBroadcastJoinThreshold (simulated here by disabling it), the
+    // SAME query plans a shuffle join — a slower plan, never an OOM —
+    // and the result is unchanged.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Relational.revenueByTypeAndSupplier(
+        Tables.lineitem(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf))
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected shuffle join with broadcast disabled:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"no broadcast must remain:\n$p")
+      assert(df.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {

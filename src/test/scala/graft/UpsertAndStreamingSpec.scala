@@ -261,6 +261,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("micro-batch latency is recorded and bounded for the windowed/session sinks") {
+    // The round-5 streaming perf probe: per-batch triggerExecution
+    // timings must be observable (so a streaming regression shows up
+    // as a number, not a feeling) and each micro-batch of the sf0.001
+    // fixture must close well under the loose 120s bound — an order
+    // of magnitude above quiet-machine cost, tight enough to catch a
+    // stuck or quadratic state store.
+    def drive(name: String,
+              sink: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lat").toString
+      val q = sink.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.batchId -> p.durationMs.get("triggerExecution").longValue())
+    }
+    val stx1 = StreamingReport.transactionsStream(spark, eventsDir)
+    val win = drive("lat_windowed",
+      StreamingReport.windowedCategorySpend(stx1, "1 day", "1 hour"))
+    val stx2 = StreamingReport.transactionsStream(spark, eventsDir)
+    val sess = drive("lat_session",
+      StreamingReport.sessionizedSpend(stx2, "30 minutes", "1 hour"))
+    (win.map("windowed" -> _) ++ sess.map("session" -> _)).foreach {
+      case (probe, (batch, ms)) => info(f"STREAM_LATENCY[$probe][batch=$batch] $ms%d ms")
+    }
+    assert(win.nonEmpty && sess.nonEmpty, "no data-carrying batch recorded progress")
+    assert((win ++ sess).forall(_._2 < 120000L),
+      s"micro-batch exceeded the latency bound: windowed=$win session=$sess")
+  }
+
   test("stateful running vendor spend accumulates across batches") {
     import graft.streaming.StatefulSpend
     val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
