@@ -183,10 +183,21 @@ object Smoke {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       landing.resolve("batch0.parquet"))
-    def runOnce(): Unit = {
+    // Per-batch latency: triggerExecution covers the whole micro-batch
+    // (plan + state + sink) — printed per probe so a streaming perf
+    // regression is a visible number in the smoke log, mirroring the
+    // bound asserted in StreamingSpec's latency test.
+    def printLatency(tag: String,
+                     q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+        println(s"STREAM_BATCH_MS[$tag][batch=${p.batchId}] " +
+          p.durationMs.get("triggerExecution"))
+      }
+    def runOnce(tag: String): Unit = {
       val q = StreamingReport.reportMergeSink(
         StreamingReport.transactionsStream(spark, landing.toString), reports).start()
       q.awaitTermination()
+      printLatency(tag, q)
     }
     // stateful op over the same landing stream
     val stTmp = java.nio.file.Files.createTempDirectory("graft_state").toString
@@ -195,9 +206,10 @@ object Smoke {
       .writeStream.outputMode("update").format("memory").queryName("smoke_state")
       .option("checkpointLocation", stTmp).start()
     sq.processAllAvailable(); sq.stop()
+    printLatency("stateful", sq)
     println("STATEFUL_VENDORS=" + spark.table("smoke_state")
       .select("vendor").distinct().count())
-    runOnce()
+    runOnce("merge_initial")
     val t1 = spark.read.parquet(reports)
     println("STREAM_REPORT_ROWS=" + t1.count() +
       " TXN_TOTAL=" + t1.agg(org.apache.spark.sql.functions.sum("total_transactions")).head().getLong(0))
@@ -205,7 +217,7 @@ object Smoke {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       landing.resolve("batch1.parquet"))
-    runOnce()
+    runOnce("merge_replay")
     val t2 = spark.read.parquet(reports)
     println("AFTER_REPLAY_ROWS=" + t2.count() +
       " TXN_TOTAL=" + t2.agg(org.apache.spark.sql.functions.sum("total_transactions")).head().getLong(0) +

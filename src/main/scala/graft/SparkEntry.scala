@@ -586,6 +586,35 @@ object SparkEntry {
     "q_tpch_q14" -> ((s, d) =>
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
         "PROMO", "1996-03-01", "1996-04-01")),
+    // TPC-H Q13: LEFT OUTER customer⟕orders + count-including-zeros
+    // histogram — the outer-join count-distribution shape (the 0-orders
+    // bucket is the subtlety the outer join exists for)
+    "q_tpch_q13" -> ((s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), "1-URGENT")),
+    // TPC-H Q4: EXISTS with a date window — semi join with a residual
+    // lateness inequality (l_shipdate > o_orderdate + 60 days)
+    "q_tpch_q4" -> ((s, d) =>
+      Relational.latePriorityOrders(Tables.orders(s, d), Tables.lineitem(s, d),
+        "1996-01-01", "1996-07-01", 60)),
+    // TPC-H Q2-lite: correlated min over a join, decorrelated by
+    // Catalyst into an aggregate + equality join
+    "q_min_price_supplier" -> ((s, d) =>
+      Relational.sql(s, d, Relational.minPriceSupplierSql,
+        Seq("part", "lineitem", "supplier"))),
+    // TPC-H Q12: conditional (CASE) counters after a fact-fact join
+    "q_tpch_q12" -> ((s, d) =>
+      Relational.priorityLineCounts(Tables.orders(s, d), Tables.lineitem(s, d),
+        "1996-01-01", "1997-01-01")),
+    // TPC-H Q22-lite: scalar avg subquery (multiply-form) + NOT EXISTS
+    // with a date window, per-nation rollup
+    "q_tpch_q22" -> ((s, d) =>
+      Relational.sql(s, d, Relational.inactiveHighBalanceSql,
+        Seq("customer", "nation", "orders"))),
+    // training-mix sizing: per-language token budget -> epochs plan
+    "q_token_budget_mix" -> ((s, d) =>
+      graft.functions.Sampling.tokenBudgetMix(Tables.documents(s, d), "lang",
+        Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1), 1000000L)),
     // irregular-sampling mean: value held until the next event, exact
     // µs durations weight it
     "q_time_weighted_value" -> ((s, d) =>
@@ -1696,6 +1725,50 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_min_price_supplier" -> Relational.minPriceSupplierSql,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_tpch_q22" -> Relational.inactiveHighBalanceSql,
+    "q_token_budget_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM (SELECT lang,
+        |               len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+        |        FROM documents)
+        |  GROUP BY lang),
+        |w AS (SELECT lang, CAST(weight AS DOUBLE) AS weight
+        |      FROM (VALUES ('en', 0.5), ('es', 0.2), ('fr', 0.2),
+        |                   ('de', 0.1)) AS t(lang, weight))
+        |SELECT c.lang, c.n_tokens, w.weight,
+        |       w.weight * 1000000.0 AS target_tokens,
+        |       (w.weight * 1000000.0) / CAST(c.n_tokens AS DOUBLE) AS epochs
+        |FROM counts c JOIN w ON w.lang = c.lang""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
         |m AS (SELECT min(n_before) AS nmin FROM c),
@@ -1729,7 +1802,8 @@ object SparkEntry {
         |         / cast(sum(dur) AS double) AS tw_avg,
         |       count(*) AS n_intervals
         |FROM d WHERE dur IS NOT NULL
-        |GROUP BY user_id""".stripMargin,
+        |GROUP BY user_id
+        |HAVING sum(dur) > 0""".stripMargin,
     "q_gini_vendors" ->
       s"""WITH tot AS (SELECT vendor, sum(cast(amount AS DECIMAL(14,2))) AS total
          |             FROM ($txSql) GROUP BY vendor),
@@ -1807,8 +1881,12 @@ object SparkEntry {
   /** md5-hyperplane LSH bucket CTEs (mirror of `Similarity.planeSign`
     * / `lshBucketsMulti`): plane j's ±1 for dimension d reads md5(d)'s
     * nibble (j%32)+1 — its top bit for j<32, its bit 1 for j>=32 —
-    * identical to the engine's codegen'd integer-shift reads. Emits
-    * `bkt(vec_id, b_0..b_{tables-1})`. */
+    * identical to the engine's codegen'd integer-shift reads. The
+    * projected components are the QUANTIZED bigint elements (mirror of
+    * `Similarity.quantize`): ±int64 sums are exact in both engines
+    * regardless of addition order, so the sign bits agree BY
+    * CONSTRUCTION (a raw-double projection could flip near zero).
+    * Emits `bkt(vec_id, b_0..b_{tables-1})`. */
   private def lshBucketsSql(bits: Int, tables: Int): String = {
     def signExpr(j: Int): String = {
       val n = j % 32
@@ -1827,7 +1905,7 @@ object SparkEntry {
     }.mkString(",\n       ")
     s"""dims AS (SELECT e.vec_id,
        |                generate_subscripts(e.embedding, 1) - 1 AS d,
-       |                CAST(unnest(e.embedding) AS DOUBLE) AS x
+       |                CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
        |         FROM embeddings e),
        |proj AS (SELECT d.vec_id,
        |       $projs

@@ -864,13 +864,48 @@ object Dedup {
     exactPairs.union(nearPairs)
   }
 
+  /** Session-scoped memo of the CC fixpoint keyed on (session, input
+    * plan, params): `dedupCorpus` and `dedupCorpusBy` resolve the SAME
+    * pair graph and components and differ only in the survivor rule,
+    * so when both run in one session over one corpus (the Verify/Bench
+    * shape — and any real pipeline comparing survivor policies), the
+    * iterative fixpoint runs ONCE. Entries hold only localCheckpointed
+    * label frames (pair-graph-sized, vanishingly small next to the
+    * corpus); the list is capped, and a plan mismatch (`sameResult`)
+    * or new session just recomputes — the cache is an optimization,
+    * never a correctness dependency. */
+  private var ccMemo: List[(org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (Int, Int, Int, Double), DataFrame)] = Nil
+  /** Observable for the sharing spec: total memo hits this JVM. */
+  private[graft] var ccMemoHits = 0L
+
+  private def componentsFor(docs: DataFrame, n: Int, k: Int, bands: Int,
+                            minJaccard: Double): DataFrame = synchronized {
+    val sess = docs.sparkSession
+    val plan = docs.queryExecution.analyzed
+    val params = (n, k, bands, minJaccard)
+    ccMemo.find { case (s2, p2, k2, _) =>
+      (s2 eq sess) && k2 == params && p2.sameResult(plan)
+    } match {
+      case Some((_, _, _, cached)) =>
+        ccMemoHits += 1
+        cached
+      case None =>
+        val cc = connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
+          .localCheckpoint()
+        ccMemo = ((sess, plan, params, cc) :: ccMemo).take(4)
+        cc
+    }
+  }
+
   /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
     * connected components → keep the minimum doc_id per component.
     * Returns the surviving documents (non-duplicates plus one
     * representative per duplicate cluster). */
   def dedupCorpus(docs: DataFrame, n: Int, k: Int, bands: Int,
                   minJaccard: Double): DataFrame = {
-    val losers = connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
+    val losers = componentsFor(docs, n, k, bands, minJaccard)
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
@@ -888,7 +923,7 @@ object Dedup {
   def dedupCorpusBy(docs: DataFrame, n: Int, k: Int, bands: Int,
                     minJaccard: Double, keep: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
+    val cc = componentsFor(docs, n, k, bands, minJaccard)
     val scored = docs.select(col("doc_id"), keep.as("_keep"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("_keep").desc, col("doc_id").asc)

@@ -48,7 +48,11 @@ object Sampling {
     * dictionary-sized and broadcast back. */
   def temperatureSample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
-    val nMin = counts.agg(min(col("_n"))).head().getLong(0)
+    // empty input: min(_n) is NULL — there is no reference stratum, so
+    // the resample of nothing is nothing (not an NPE)
+    val nMinRow = counts.agg(min(col("_n"))).head()
+    if (nMinRow.isNullAt(0)) return df.limit(0)
+    val nMin = nMinRow.getLong(0)
     val frac = sqrt(lit(nMin.toDouble) / col("_n").cast("double"))
     val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
@@ -65,7 +69,13 @@ object Sampling {
     val after = temperatureSample(df, keyCol, strataCol)
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n_after"))
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
-    val nMin = counts.agg(min(col("n_before"))).head().getLong(0)
+    // same NULL-min guard as temperatureSample: zero strata -> an empty
+    // report with the right schema
+    val nMinRow = counts.agg(min(col("n_before"))).head()
+    if (nMinRow.isNullAt(0))
+      return counts.select(col(strataCol), col("n_before"),
+        col("n_before").as("n_after"), lit(0.0).as("frac")).limit(0)
+    val nMin = nMinRow.getLong(0)
     counts
       .join(after, Seq(strataCol), "left")
       .select(col(strataCol),
@@ -93,6 +103,36 @@ object Sampling {
       when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
     }
     df.filter(hashBucket(col(keyCol), 100) < pctCol)
+  }
+
+  /** Token-budget mixture planner — the data-mix sizing step a
+    * training run does before sampling (the public DoReMi/llama-style
+    * recipe: fix per-source WEIGHTS, then derive how much of each
+    * source to take): for each stratum present in `weights`, its exact
+    * corpus token count, the target token allocation
+    * (weight · budget), and the implied `epochs` repeat factor
+    * (target / available — >1 means the source must repeat, <1 means
+    * downsample, feeding `stratifiedSampleByFractions` or
+    * `temperatureSample`). Strata absent from `weights` are excluded
+    * from the plan by construction. Engine-portable: token counts are
+    * exact BIGINT sums of the shared `TextAnalysis.tokens` rule, and
+    * target/epochs are ONE multiply and ONE divide off exact operands.
+    * One stratum-keyed agg over map-side token counts; the weight
+    * table is literal-sized and broadcast. */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String,
+                     weights: Map[String, Double], budget: Long): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val counts = docs
+      .select(col(strataCol),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_nt"))
+      .groupBy(col(strataCol)).agg(sum(col("_nt")).as("n_tokens"))
+    val w = weights.toSeq.toDF(strataCol, "weight")
+    counts.join(broadcast(w), Seq(strataCol))
+      .select(col(strataCol), col("n_tokens"), col("weight"),
+        (col("weight") * lit(budget.toDouble)).as("target_tokens"),
+        ((col("weight") * lit(budget.toDouble)) / col("n_tokens").cast("double"))
+          .as("epochs"))
   }
 
   /** Deterministic EXACT-k sample: the k rows whose md5(key) sorts

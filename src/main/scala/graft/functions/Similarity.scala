@@ -232,9 +232,14 @@ object Similarity {
     // Long-form projection: posexplode dims once, then `bits` signed
     // sums in ONE grouped aggregation. All codegen'd — the equivalent
     // higher-order-function fold executes interpreted and measures ~4x
-    // slower (same pathology as Dedup.shingleRows).
+    // slower (same pathology as Dedup.shingleRows). The projected
+    // components are the QUANTIZED bigint elements, not the raw
+    // doubles: a sum of ±int64 is exact and addition-order-free, so a
+    // bucket bit can never flip between Spark's partial-aggregate
+    // order and the oracle's scan order (double addition near zero
+    // could — the bits are portable by construction, not empirically).
     val dims = withPlaneWords(embeddings.select(col("vec_id"), col("label"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x"))))
+      posexplode(quantize("embedding")).as(Seq("d", "x"))))
     val projs = (0 until bits).map { h =>
       sum(when(planeSign(h), col("x")).otherwise(-col("x"))).as(s"p$h")
     }
@@ -255,13 +260,20 @@ object Similarity {
     * lshBuckets). Plane (t, h) reads bit t·bits+h of md5(d) via
     * `planeSign` — table 0's hyperplanes coincide with
     * `lshBuckets(bits)` (plane indices 0..bits-1), so L=1 degenerates
-    * exactly; t·bits+h must stay < 64 (plenty at production settings:
-    * 4×16 or 8×8). */
+    * exactly. Projections sum the QUANTIZED bigint elements (exact,
+    * order-free — see lshBuckets). CEILING: t·bits+h must stay < 64 —
+    * all tables share the 64 plane signs one md5(d) supplies, so e.g.
+    * 16 bits × 8 tables is out of range (production settings 4×16 /
+    * 8×8 sit at the limit). If more planes are ever needed, extend
+    * `planeSign` with a SECOND hash word family (md5(d || '#2') gives
+    * 64 more independent signs, mirrored identically in the oracle
+    * CTE) rather than lowering bits or tables. */
   def lshBucketsMulti(embeddings: DataFrame, bits: Int, tables: Int): DataFrame = {
     require(tables * bits <= 64,
-      s"tables*bits must be <= 64 md5-derived planes, got ${tables * bits}")
+      s"tables*bits must be <= 64 md5-derived planes, got ${tables * bits}" +
+        " (extend planeSign with a second md5 word family to go higher)")
     val dims = withPlaneWords(embeddings.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x"))))
+      posexplode(quantize("embedding")).as(Seq("d", "x"))))
     val projs = for { t <- 0 until tables; h <- 0 until bits } yield
       sum(when(planeSign(t * bits + h), col("x"))
         .otherwise(-col("x"))).as(s"p_${t}_$h")
@@ -447,10 +459,10 @@ object Similarity {
       .localCheckpoint()
     val nTruth = allScored.filter(col("truth_rnk") <= k).count()
     val qIds = emb.filter(queryPred).select(col("vec_id"))
-    // One multi-table bucketing pass serves BOTH LSH methods: table 0's
-    // hyperplane seeds coincide with lshBuckets(bits) by construction
-    // (xxhash64(t*1000+h, d) with t=0), so the single-table method is a
-    // filter, not a second projection pass.
+    // One multi-table bucketing pass serves BOTH LSH methods: table 0
+    // of lshBucketsMulti reads planeSign plane indices 0..bits-1 —
+    // exactly lshBuckets(bits)'s planes — so the single-table method
+    // is a filter, not a second projection pass.
     val buckets = lshBucketsMulti(emb, bits, tables).localCheckpoint()
     val t0 = buckets.filter(col("tbl") === 0).select(col("vec_id"), col("bucket"))
     // lsh: query bucket plus every Hamming-1 flip (lshTopK's probing).

@@ -290,6 +290,113 @@ object Relational {
         col("revenue"), col("c_acctbal"), col("n_name"))
   }
 
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed 0, 1, 2, … orders. The canonical OUTER-join
+    * aggregate: customer LEFT OUTER orders (orders pre-filtered by an
+    * order-priority analog of Q13's comment filter — the synthetic
+    * schema carries no o_comment), then count(o_orderkey) per customer
+    * — counting the JOIN-SIDE key keeps customers with no surviving
+    * orders at 0 instead of dropping them — then the tiny
+    * count-of-counts histogram. Plan: one custkey shuffle feeds both
+    * the outer join and the first aggregation (same key, one
+    * exchange); the histogram aggregation is over customer-cardinality
+    * rows of a 2-column projection, and its output is
+    * max-order-count-cardinality. No dim broadcast hint (customer and
+    * orders both scale with SF — same discipline as the rest of this
+    * file). */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriority: String): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q4 shape — order-priority checking: orders in a date window
+    * having at least one LATE lineitem (shipped more than `lateDays`
+    * after the order date — the l_commitdate/l_receiptdate analog this
+    * schema supports), counted per priority. The EXISTS is a LEFT SEMI
+    * join on the orderkey with the lateness inequality as a residual
+    * join condition (PlanSpec asserts the LeftSemi plan); the date
+    * window pushes into the orders scan. Each order counts ONCE no
+    * matter how many late items it has — the semi join's guarantee,
+    * where an inner join would need a distinct. */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+                         fromDate: String, toDate: String,
+                         lateDays: Int): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+              col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q2-lite — minimum-price supplier per part (correlated min
+    * over a join): for each part in a size class, the supplier rows
+    * selling it at the minimum observed lineitem price. Runs through
+    * the SQL surface so Catalyst's decorrelation does the rewrite: the
+    * correlated scalar `min` becomes a partkey-grouped aggregate
+    * joined back on (partkey, price) — per-part re-execution never
+    * happens. Exactness: the predicate is EQUALITY on stored doubles
+    * plus a min SELECTION (no arithmetic), so every engine picks the
+    * identical rows. */
+  val minPriceSupplierSql: String =
+    """SELECT p_partkey, p_name, s_name,
+      |       CAST(l_extendedprice AS DOUBLE) AS min_price
+      |FROM part, lineitem, supplier
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND p_size = 25
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q12 shape — shipping-priority line counts: conditional
+    * aggregation AFTER a fact-fact join (l_returnflag stands in for
+    * the schema's missing l_shipmode). One orderkey join shuffle with
+    * the date window pushed to the lineitem scan, then one tiny
+    * grouped agg whose CASE counters are exact integer sums. */
+  def priorityLineCounts(orders: DataFrame, lineitem: DataFrame,
+                         fromDate: String, toDate: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).cast("bigint").as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).cast("bigint").as("low_line_count"))
+  }
+
+  /** TPC-H Q22 shape — global-customer-relationship lite: customers
+    * with an ABOVE-AVERAGE balance (scalar subquery) and NO order
+    * since a cutoff (NOT EXISTS with a pushed date filter), grouped by
+    * nation. The average comparison is multiplication-form
+    * (balance · n > sum — exact decimal, never an FP-average
+    * boundary, same discipline as aboveNationAvgSql); Catalyst plans
+    * the NOT EXISTS as a left-anti join and the scalar subqueries as
+    * one-row broadcasts. */
+  val inactiveHighBalanceSql: String =
+    """SELECT n_name, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, nation
+      |WHERE c_nationkey = n_nationkey
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+      |         WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY n_name""".stripMargin
+
   /** ROLLUP grouping sets (the multi-client generalization the reference
     * notes as future work — transformer.py:137-141).
     *

@@ -198,7 +198,11 @@ object Temporal {
     * products push the weighted sums past 2^53, where decimal→double
     * casts stop being exactly representable and the engines' cast
     * roundings diverge (the known 2^53 gate class) — ms keeps every
-    * sum exactly representable at any fixture scale. */
+    * sum exactly representable at any fixture scale. A key with ≥2
+    * events that ALL share one timestamp has zero total holding time:
+    * no time-weighted mean exists (0/0), so the key emits no row —
+    * the same contract as <2 events, and it keeps NaN (a cross-engine
+    * rendering hazard) out of the gated output. */
   def timeWeightedValue(events: DataFrame, key: String, tsCol: String,
                         valCol: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol).asc, col("event_id").asc)
@@ -214,6 +218,7 @@ object Temporal {
         sum(col(valCol).cast("decimal(14,2)") * col("_dur")).as("_wsum"),
         sum(col("_dur")).as("_dsum"),
         count(lit(1)).as("n_intervals"))
+      .filter(col("_dsum") > 0)
       .select(col(key),
         (col("_wsum").cast("double") / col("_dsum").cast("double")).as("tw_avg"),
         col("n_intervals"))

@@ -155,6 +155,49 @@ class EmptyInputSpec extends SparkSpec {
       .collect().head.getLong(1) == 0L)
   }
 
+  test("round-5 operators on empty inputs") {
+    // temperatureSample/temperatureMixStats read min(count) off the
+    // driver — the ADVICE_r4 NPE site: an empty input has a NULL min
+    // and must short-circuit to an empty result, not throw
+    assert(graft.functions.Sampling.temperatureSample(
+      emptyDocs, "doc_id", "lang").count() == 0)
+    assert(graft.functions.Sampling.temperatureMixStats(
+      emptyDocs, "doc_id", "lang").count() == 0)
+    // a key whose events all share one timestamp has zero total holding
+    // time: no tw_avg is defined (0/0) — the row is filtered, not NaN
+    val sameTs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 8L, 3.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 8L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val twa = Temporal.timeWeightedValue(sameTs, "user_id", "ts", "value").collect()
+    assert(twa.length == 1 && twa.head.getLong(0) == 8L,
+      s"degenerate all-one-timestamp key must emit no row: ${twa.mkString(",")}")
+    assert(!twa.head.getDouble(1).isNaN)
+    // Q13 shape on empty orders: every customer lands in the 0 bucket
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val emptyOrd = Seq.empty[(Long, Long, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val dist = graft.operators.Relational.customerOrderDistribution(
+      cust, emptyOrd, "1-URGENT").collect()
+    assert(dist.length == 1 && dist.head.getLong(0) == 0L
+      && dist.head.getLong(1) == 2L)
+    val emptyEv3 = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_custkey", "o_orderpriority", "o_totalprice")
+    assert(graft.operators.Relational.latePriorityOrders(
+      emptyEv3.limit(0),
+      Seq.empty[(Long, java.sql.Timestamp)].toDF("l_orderkey", "l_shipdate"),
+      "1996-01-01", "1996-07-01", 60).count() == 0)
+    assert(graft.operators.Relational.priorityLineCounts(
+      emptyEv3,
+      Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("l_orderkey", "l_shipdate", "l_returnflag"),
+      "1996-01-01", "1997-01-01").count() == 0)
+    assert(graft.functions.Sampling.tokenBudgetMix(
+      emptyDocs, "lang", Map("en" -> 1.0), 1000L).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping

@@ -420,6 +420,27 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(2L, 3L, 4L))
   }
 
+  test("dedupCorpus and dedupCorpusBy share one CC fixpoint per (input, params)") {
+    val d = docs(
+      (1L, near1), (2L, near2),
+      (3L, other),
+      (4L, "A  B"), (5L, "a b"))
+      .withColumn("q", when(col("doc_id") === 2L, 9.0).otherwise(1.0))
+    val hits0 = Dedup.ccMemoHits
+    val minId = Dedup.dedupCorpus(d, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val best = Dedup.dedupCorpusBy(d, 3, 8, 4, 0.5, col("q"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // both survivor rules correct AND the second call reused the memo
+    assert(minId == Seq(1L, 3L, 4L) && best == Seq(2L, 3L, 4L))
+    assert(Dedup.ccMemoHits > hits0,
+      s"second dedup call must hit the CC memo (hits $hits0 -> ${Dedup.ccMemoHits})")
+    // different params must NOT share (a 2-band run is a different graph)
+    val hits1 = Dedup.ccMemoHits
+    Dedup.dedupCorpus(d, 3, 8, 2, 0.5).collect()
+    assert(Dedup.ccMemoHits == hits1, "different params must miss the memo")
+  }
+
   test("editDistancePairs: length-band blocked join EQUALS the brute-force scan") {
     val names = Seq("kitten", "sitten", "sittin", "sitting", "cat",
       "cats", "dog", "dgo", "kitte", "mittens", "mitten")

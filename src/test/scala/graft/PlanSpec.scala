@@ -112,6 +112,30 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), s"expected left-anti:\n$anti")
   }
 
+  test("tpch q4's EXISTS plans as a semi join with the lateness residual") {
+    // the date window must still push to the orders scan even with the
+    // correlated inequality riding the join
+    val p = plan(Relational.latePriorityOrders(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      "1996-01-01", "1996-07-01", 60))
+    assert(p.contains("LeftSemi"), s"expected left-semi EXISTS plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"q4 date window not pushed:\n$p")
+  }
+
+  test("tpch q2-lite's correlated min decorrelates into an aggregate + join") {
+    // no per-part re-execution: the plan must contain a partkey-grouped
+    // min aggregate (the decorrelated subquery) and NO nested-loop
+    // re-scan of lineitem per outer row
+    val df = Relational.sql(spark, sf, Relational.minPriceSupplierSql,
+      Seq("part", "lineitem", "supplier"))
+    val p = plan(df)
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("min("),
+      s"expected decorrelated min aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery must not plan as a nested loop:\n$p")
+  }
+
   test("profiler reads the table ONCE for all columns") {
     // the staged projection is materialized at construction (one
     // parquet scan); the per-column aggregates must all read the

@@ -136,8 +136,25 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // (calendar-sized, documented)
     "q_gini_vendors" -> 2,            // totals agg + range-partitioned
                                       // rank; final agg is scalar
-    "q_tpch_q18" -> 2)                // HAVING agg; survivor joins
+    "q_tpch_q18" -> 2,                // HAVING agg; survivor joins
                                       // broadcast or reuse its key
+    "q_tpch_q13" -> 3,                // custkey outer join + per-customer
+                                      // count (shared key) + the tiny
+                                      // count-of-counts histogram
+    "q_tpch_q4" -> 2,                 // orderkey semi join + priority agg
+    "q_min_price_supplier" -> 3,      // partkey min agg + equality join
+                                      // back; supplier broadcast-or-
+                                      // shuffle by size
+    "q_tpch_q12" -> 2,                // orderkey join + returnflag agg
+    "q_tpch_q22" -> 5,                // ONE data exchange (n_name agg);
+                                      // the other 4 are the scalar avg
+                                      // subquery's 1-ROW SinglePartition
+                                      // aggs (planned once per use,
+                                      // repeats collapse at execution) —
+                                      // metadata-sized, not a shuffle of
+                                      // data
+    "q_token_budget_mix" -> 1)        // one stratum-keyed token agg;
+                                      // weights literal + broadcast
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
