@@ -615,6 +615,32 @@ object SparkEntry {
     "q_token_budget_mix" -> ((s, d) =>
       graft.functions.Sampling.tokenBudgetMix(Tables.documents(s, d), "lang",
         Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1), 1000000L)),
+    // TPC-H Q7: cross-nation trade flows per direction and year
+    "q_tpch_q7" -> ((s, d) =>
+      Relational.crossNationTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        "NATION_1", "NATION_2", "1996-01-01", "1998-01-01")),
+    // TPC-H Q11-lite: HAVING against global-sum scalar subqueries,
+    // scale-free 1.5x-average threshold in exact multiply form
+    "q_tpch_q11" -> ((s, d) =>
+      Relational.sql(s, d, Relational.importantPartsSql, Seq("lineitem"))),
+    // lakehouse referential-integrity audit over the whole star schema
+    "q_ref_integrity" -> ((s, d) =>
+      graft.functions.DataQuality.referentialIntegrity(Seq(
+        ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("nation->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey")))),
     // irregular-sampling mean: value held until the next event, exact
     // µs durations weight it
     "q_time_weighted_value" -> ((s, d) =>
@@ -1755,6 +1781,55 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin,
     "q_tpch_q22" -> Relational.inactiveHighBalanceSql,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q11" -> Relational.importantPartsSql,
+    "q_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |       (SELECT count(*) FROM lineitem) AS n_child,
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |       (SELECT count(*) FROM customer),
+        |       (SELECT count(*) FROM customer c LEFT JOIN nation n
+        |          ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |       (SELECT count(*) FROM supplier),
+        |       (SELECT count(*) FROM supplier s LEFT JOIN nation n
+        |          ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |UNION ALL
+        |SELECT 'nation->region',
+        |       (SELECT count(*) FROM nation),
+        |       (SELECT count(*) FROM nation n LEFT JOIN region r
+        |          ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)""".stripMargin,
     "q_token_budget_mix" ->
       """WITH counts AS (
         |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS n_tokens

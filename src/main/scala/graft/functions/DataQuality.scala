@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** Referential-integrity audit — per foreign-key relation, the child
+    * row count and the number of ORPHANS (child rows whose key has no
+    * parent): the join-soundness check a lakehouse runs before
+    * promoting a snapshot, since every downstream inner join silently
+    * DROPS orphaned rows. `relations` is (name, child, fkCol, parent,
+    * pkCol). Each relation costs one scalar count plus one left-anti
+    * probe of the parent's key projection (semi-join-shaped: ids only,
+    * the child's payload never shuffles); output is one row per
+    * relation. */
+  def referentialIntegrity(relations: Seq[(String, DataFrame, String,
+      DataFrame, String)]): DataFrame =
+    relations.map { case (name, child, fkCol, parent, pkCol) =>
+      val orphans = child.select(col(fkCol))
+        .join(parent.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    }.reduce(_.unionByName(_))
+
   /** Z-score outliers per group: rows whose value sits more than
     * `zThreshold` sample standard deviations from their group mean.
     * Two passes over the fact: one grouped moment aggregation

@@ -397,6 +397,58 @@ object Relational {
       |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q7 shape — cross-nation trade volume: revenue flowing
+    * between two nations (supplier side vs customer side of each
+    * lineitem), per direction, per ship year. The nation dim filters
+    * to the pair BEFORE joining (broadcast — nation is fixed-25-row),
+    * so supplier/customer shrink to the two nations' rows at the scan;
+    * the OR'd direction predicate then runs on two tiny string
+    * columns. Fact shuffles: the orderkey join plus the 4-or-so-row
+    * grouped agg. Year extraction and revenue are exact (year() on a
+    * timestamp; decimal revenue sums). */
+  def crossNationTrade(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame, nationA: String, nationB: String,
+                       fromDate: String, toDate: String): DataFrame = {
+    val pairNations = nation.filter(col("n_name").isin(nationA, nationB))
+    val supp = supplier
+      .join(broadcast(pairNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(pairNations.select(col("n_nationkey").as("_n2key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("_n2key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(exactSum(revenueTerm, 4).as("revenue"))
+  }
+
+  /** TPC-H Q11-lite — important parts: parts whose revenue exceeds
+    * 1.5× the average part's (HAVING against global-sum scalar
+    * subqueries). The TPC-H spec's fixed fraction is deliberately
+    * replaced by a SCALE-FREE threshold (a fixed share flips to
+    * all-or-nothing as the part count grows with SF); the comparison
+    * is all-integer multiply-form over exact decimals
+    * (value·n·2 > 3·total), never an FP-average boundary. */
+  val importantPartsSql: String =
+    """WITH pv AS (SELECT l_partkey,
+      |                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      |FROM pv
+      |WHERE value * (SELECT count(*) FROM pv) * 2
+      |      > 3 * (SELECT sum(value) FROM pv)""".stripMargin
+
   /** ROLLUP grouping sets (the multi-client generalization the reference
     * notes as future work — transformer.py:137-141).
     *

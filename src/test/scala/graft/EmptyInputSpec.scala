@@ -196,6 +196,14 @@ class EmptyInputSpec extends SparkSpec {
       "1996-01-01", "1997-01-01").count() == 0)
     assert(graft.functions.Sampling.tokenBudgetMix(
       emptyDocs, "lang", Map("en" -> 1.0), 1000L).count() == 0)
+    // referential integrity over an empty child still reports the
+    // relation row (0 children, 0 orphans — absence of data is not
+    // absence of the audit)
+    val emptyChild = Seq.empty[(Long, Long)].toDF("fk", "extra")
+    val parent = Seq((1L, "p")).toDF("pk", "name")
+    val ri = graft.functions.DataQuality.referentialIntegrity(
+      Seq(("child->parent", emptyChild, "fk", parent, "pk"))).collect()
+    assert(ri.length == 1 && ri.head.getLong(1) == 0L && ri.head.getLong(2) == 0L)
   }
 
   test("temporal operators on empty inputs") {

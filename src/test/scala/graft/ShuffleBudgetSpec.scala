@@ -153,8 +153,19 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // repeats collapse at execution) —
                                       // metadata-sized, not a shuffle of
                                       // data
-    "q_token_budget_mix" -> 1)        // one stratum-keyed token agg;
+    "q_token_budget_mix" -> 1,        // one stratum-keyed token agg;
                                       // weights literal + broadcast
+    "q_tpch_q7" -> 3,                 // orderkey join + direction agg;
+                                      // nation-filtered dims shrink at
+                                      // the scan
+    "q_tpch_q11" -> 5,                // ONE partkey agg exchange; the
+                                      // rest are the global-sum scalar
+                                      // subqueries' 1-row SinglePartition
+                                      // aggs (same class as q_tpch_q22)
+    "q_ref_integrity" -> 14)          // 7 FK relations x two 1-row
+                                      // scalar count aggs; the anti
+                                      // probes are ids-only and
+                                      // broadcast-or-shuffle by size
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
