@@ -624,6 +624,21 @@ object SparkEntry {
     // scale-free 1.5x-average threshold in exact multiply form
     "q_tpch_q11" -> ((s, d) =>
       Relational.sql(s, d, Relational.importantPartsSql, Seq("lineitem"))),
+    // TPC-H Q8: national market share within a region per order year
+    "q_tpch_q8" -> ((s, d) =>
+      Relational.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), "ASIA", "NATION_1", "1996-01-01", "1998-01-01")),
+    // TPC-H Q9-lite: product-line profit by supplier nation and year
+    "q_tpch_q9" -> ((s, d) =>
+      Relational.productProfit(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), "%widget%")),
+    // TPC-H Q19: disjunctive brand/size/quantity revenue
+    "q_tpch_q19" -> ((s, d) =>
+      Relational.brandedRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // MinHash estimator-quality diagnostic (k/bands tuning report)
+    "q_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashEstimateQuality(Tables.documents(s, d), 3, 8, 4)),
     // lakehouse referential-integrity audit over the whole star schema
     "q_ref_integrity" -> ((s, d) =>
       graft.functions.DataQuality.referentialIntegrity(Seq(
@@ -1795,6 +1810,49 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_tpch_q11" -> Relational.importantPartsSql,
+    "q_tpch_q8" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |         CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)) AS rev,
+        |         ns.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+        |       CAST(sum(rev) AS DOUBLE) AS total_revenue
+        |FROM base GROUP BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity >= 1 AND l_quantity <= 30)
+        |OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |    AND l_quantity >= 10 AND l_quantity <= 40)
+        |OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+        |    AND l_quantity >= 20 AND l_quantity <= 50))""".stripMargin,
+    "q_minhash_estimate" -> minhashEstimateSql,
     "q_ref_integrity" ->
       """SELECT 'lineitem->orders' AS relation,
         |       (SELECT count(*) FROM lineitem) AS n_child,
@@ -2074,6 +2132,47 @@ object SparkEntry {
        |      JOIN s sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, cast(inter AS double) / uni AS jaccard
        |FROM v WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+  }
+
+  /** Estimator-quality oracle: the `minhashLshSql` signature + banding
+    * pipeline, keeping BOTH signature rows per candidate to count
+    * matching permutation mins (the MinHash estimate) next to the
+    * exact Jaccard; est and err are one division / one subtraction
+    * off exact operands, mirroring `Dedup.minhashEstimateQuality`. */
+  private val minhashEstimateSql = {
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n      UNION ALL ")
+    val nMatch = (0 until 8)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH s AS ($shinglesSql),
+       |e AS (SELECT doc_id,
+       |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |        FROM e GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |v AS (SELECT c.doc_a, c.doc_b,
+       |             CAST($nMatch AS BIGINT) AS n_match,
+       |             cast(len(list_intersect(ta.sh, tb.sh)) AS bigint) AS inter,
+       |             cast(len(ta.sh) + len(tb.sh) AS bigint)
+       |               - cast(len(list_intersect(ta.sh, tb.sh)) AS bigint) AS uni
+       |      FROM cand c
+       |      JOIN sig sa ON sa.doc_id = c.doc_a
+       |      JOIN sig sb ON sb.doc_id = c.doc_b
+       |      JOIN s ta ON ta.doc_id = c.doc_a
+       |      JOIN s tb ON tb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_match,
+       |       CAST(n_match AS DOUBLE) / 8 AS est_jaccard,
+       |       cast(inter AS double) / uni AS jaccard,
+       |       abs(CAST(n_match AS DOUBLE) / 8 - cast(inter AS double) / uni) AS abs_err
+       |FROM v""".stripMargin
   }
 
   /** Incremental MinHash probe oracle: same signature pipeline as

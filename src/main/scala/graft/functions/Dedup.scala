@@ -489,6 +489,63 @@ object Dedup {
     pairs
   }
 
+  /** MinHash estimator-quality report — the k/bands TUNING diagnostic:
+    * for every banded candidate pair, the signature ESTIMATE of
+    * Jaccard (matching permutation mins / k, the unbiased MinHash
+    * estimator) next to the exact Jaccard and the absolute error. Run
+    * on a sample before committing signature settings for a 100 TB
+    * dedup pass: error quantifies k, candidate count quantifies
+    * banding. Same single-pass signature+shingles aggregation and
+    * banded candidate join as `minhashLshPairs` (cost is one extra
+    * k-term comparison per candidate); est and err are one division /
+    * one subtraction off exact operands, so the whole row is
+    * oracle-portable. */
+  def minhashEstimateQuality(docs: DataFrame, n: Int, k: Int,
+                             bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val exploded = shingleRows(docs, n)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")) :+ col("shingles").as("sh_a"): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")) :+ col("shingles").as("sh_b"): _*)
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = broadcast(cand)
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_match", nMatch)
+      .withColumn("est_jaccard", col("n_match").cast("double") / k)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        col("est_jaccard"), col("jaccard"), col("abs_err"))
+    val res = out.localCheckpoint()
+    sig.unpersist()
+    res
+  }
+
   /** Portable 16-bit SimHash (Charikar, "Similarity estimation
     * techniques from rounding algorithms", STOC 2002): per token, md5's 16 hex nibbles vote
     * ±1 by their top bit ('8'..'f'); the document's bit j is the sign

@@ -449,6 +449,88 @@ object Relational {
       |WHERE value * (SELECT count(*) FROM pv) * 2
       |      > 3 * (SELECT sum(value) FROM pv)""".stripMargin
 
+  /** TPC-H Q8 shape — national market share: of all revenue flowing to
+    * customers in one region over two years, the share supplied by one
+    * nation, per order year. The share is ONE division of two
+    * decimal-exact conditional sums (engine-portable); the region
+    * filter prunes the customer side before the fact joins; nation and
+    * region broadcast (fixed cardinality), customer/supplier stay
+    * size-based. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame,
+                  regionName: String, targetNation: String,
+                  fromDate: String, toDate: String): DataFrame = {
+    val zero4 = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val rev = revenueTerm.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val custInRegion = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+              col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("_snk"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_rev", rev)
+      .withColumn("_nrev", when(col("supp_nation") === targetNation, col("_rev"))
+        .otherwise(zero4))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(col("_nrev")).cast("double") / sum(col("_rev")).cast("double"))
+          .as("mkt_share"),
+        sum(col("_nrev")).cast("double").as("nation_revenue"),
+        sum(col("_rev")).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and ship
+    * year (profit-lite: the schema has no partsupp, so revenue stands
+    * in for revenue minus supply cost). Part filters by name pattern
+    * BEFORE the join; nation broadcasts; the partkey and suppkey dim
+    * joins stay size-based. */
+  def productProfit(lineitem: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame,
+                    namePattern: String): DataFrame =
+    lineitem
+      .join(part.filter(col("p_name").like(namePattern)).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(exactSum(revenueTerm, 4).as("profit"))
+
+  /** TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    * brand/size/quantity branches: the plan must evaluate the OR once
+    * after the partkey join rather than three separate scans. One
+    * scalar aggregate; empty selections yield NULL revenue in both
+    * engines (no coalesce — absence of matches is data, not zero). */
+  def brandedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def branch(brand: String, sizeLo: Int, sizeHi: Int,
+               qtyLo: Double, qtyHi: Double): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(sizeLo, sizeHi) &&
+        col("l_quantity") >= qtyLo && col("l_quantity") <= qtyHi
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#1", 1, 15, 1, 30) ||
+              branch("Brand#2", 10, 25, 10, 40) ||
+              branch("Brand#3", 20, 35, 20, 50))
+      .agg(exactSum(revenueTerm, 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
   /** ROLLUP grouping sets (the multi-client generalization the reference
     * notes as future work — transformer.py:137-141).
     *

@@ -204,6 +204,14 @@ class EmptyInputSpec extends SparkSpec {
     val ri = graft.functions.DataQuality.referentialIntegrity(
       Seq(("child->parent", emptyChild, "fk", parent, "pk"))).collect()
     assert(ri.length == 1 && ri.head.getLong(1) == 0L && ri.head.getLong(2) == 0L)
+    assert(Dedup.minhashEstimateQuality(emptyDocs, 3, 8, 4).count() == 0)
+    // Q19's empty selection: NULL revenue (absence of matches is data,
+    // not zero), 0 items — pinned because both engines must agree
+    val q19 = graft.operators.Relational.brandedRevenue(
+      Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"),
+      Seq.empty[(Long, String, Int)].toDF("p_partkey", "p_brand", "p_size")).head()
+    assert(q19.isNullAt(0) && q19.getLong(1) == 0L)
   }
 
   test("temporal operators on empty inputs") {

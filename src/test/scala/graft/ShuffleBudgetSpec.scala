@@ -162,10 +162,19 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // rest are the global-sum scalar
                                       // subqueries' 1-row SinglePartition
                                       // aggs (same class as q_tpch_q22)
-    "q_ref_integrity" -> 14)          // 7 FK relations x two 1-row
+    "q_ref_integrity" -> 14,          // 7 FK relations x two 1-row
                                       // scalar count aggs; the anti
                                       // probes are ids-only and
                                       // broadcast-or-shuffle by size
+    "q_tpch_q8" -> 3,                 // orderkey join + year agg; the
+                                      // region-pruned cust side joins
+                                      // by size
+    "q_tpch_q9" -> 1,                 // dim joins + one (nation,year) agg
+    "q_tpch_q19" -> 1,                // partkey join broadcast here;
+                                      // one scalar agg
+    "q_minhash_estimate" -> 0)        // final plan reads the verified
+                                      // checkpoint (sig jobs ran
+                                      // eagerly, same as q_minhash_lsh)
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
