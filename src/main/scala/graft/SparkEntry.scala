@@ -639,6 +639,14 @@ object SparkEntry {
     // MinHash estimator-quality diagnostic (k/bands tuning report)
     "q_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimateQuality(Tables.documents(s, d), 3, 8, 4)),
+    // TPC-H Q15: max-of-aggregate with exact-decimal tie detection
+    "q_tpch_q15" -> ((s, d) =>
+      Relational.sql(s, d, Relational.topSupplierSql,
+        Seq("lineitem", "supplier"))),
+    // TPC-H Q17: correlated per-part avg threshold in multiply form
+    "q_tpch_q17" -> ((s, d) =>
+      Relational.sql(s, d, Relational.smallLotRevenueSql,
+        Seq("lineitem", "part"))),
     // lakehouse referential-integrity audit over the whole star schema
     "q_ref_integrity" -> ((s, d) =>
       graft.functions.DataQuality.referentialIntegrity(Seq(
@@ -1853,6 +1861,8 @@ object SparkEntry {
         |OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
         |    AND l_quantity >= 20 AND l_quantity <= 50))""".stripMargin,
     "q_minhash_estimate" -> minhashEstimateSql,
+    "q_tpch_q15" -> Relational.topSupplierSql,
+    "q_tpch_q17" -> Relational.smallLotRevenueSql,
     "q_ref_integrity" ->
       """SELECT 'lineitem->orders' AS relation,
         |       (SELECT count(*) FROM lineitem) AS n_child,

@@ -531,6 +531,40 @@ object Relational {
            count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q15 shape — top supplier(s): the supplier(s) achieving the
+    * MAXIMUM windowed revenue (max-of-aggregate via a scalar subquery;
+    * ties all surface, which is why the comparison is EQUALITY on the
+    * exact decimal totals — a double rendering would make tie
+    * detection engine-dependent). */
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    * brand whose quantity sits below 20% of that PART's average
+    * quantity (correlated scalar avg). The threshold is multiply-form
+    * exact (qty·5·n_part < sum_part in decimal — never an FP-average
+    * boundary), and Catalyst decorrelates the per-part avg into one
+    * partkey aggregate joined back. avg_yearly keeps Q17's /7.0
+    * convention: one division off an exact decimal sum. */
+  val smallLotRevenueSql: String =
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n_small_lots
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND l.l_quantity * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |      < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+      |         WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   /** ROLLUP grouping sets (the multi-client generalization the reference
     * notes as future work — transformer.py:137-141).
     *

@@ -439,6 +439,13 @@ class DedupSpec extends SparkSpec {
     val hits1 = Dedup.ccMemoHits
     Dedup.dedupCorpus(d, 3, 8, 2, 0.5).collect()
     assert(Dedup.ccMemoHits == hits1, "different params must miss the memo")
+    // the pair index itself is memoized too: a repeated identical
+    // minhashLshPairs call (the LSH query next to a dedup apply over
+    // one corpus) reuses the verified-pair checkpoint
+    val hits2 = Dedup.ccMemoHits
+    Dedup.minhashLshPairs(d, 3, 8, 4, 0.5).count()
+    assert(Dedup.ccMemoHits > hits2,
+      "identical pairs call after dedupCorpus must hit the pair memo")
   }
 
   test("editDistancePairs: length-band blocked join EQUALS the brute-force scan") {

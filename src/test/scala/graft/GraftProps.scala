@@ -251,4 +251,45 @@ object GraftProps extends Properties("graft") {
       Prop(a == run(d.repartition(parts)) &&
         a.forall(t => t._6 > 0.0 && t._6 <= 1.0)) :| s"parts=$parts"
     }
+
+  property("tokenBudgetMix invariant under repartition; epochs = target/available") =
+    forAll(genDocRows, Gen.choose(1, 13)) { (rows, parts) =>
+      val d = toDocs(rows)
+      val w = Map("en" -> 0.6, "fr" -> 0.4)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.Sampling.tokenBudgetMix(df, "lang", w, 100000L)
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)),
+            java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
+      val a = run(d)
+      // epochs must be exactly target/n_tokens bit-for-bit (one IEEE
+      // division of exact operands — the portability contract)
+      val epochsOk = a.forall { case (_, n, wBits, tBits, eBits) =>
+        val target = java.lang.Double.longBitsToDouble(wBits) * 100000.0
+        java.lang.Double.doubleToLongBits(target) == tBits &&
+          java.lang.Double.doubleToLongBits(target / n.toDouble) == eBits
+      }
+      Prop(a == run(d.repartition(parts)) && epochsOk) :| s"parts=$parts a=$a"
+    }
+
+  property("minhashEstimateQuality invariant under repartition; est within 1/k grid") =
+    forAll(genDocRows, Gen.choose(1, 13)) { (rows, parts) =>
+      val d = toDocs(rows)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.Dedup.minhashEstimateQuality(df, 3, 8, 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)),
+            java.lang.Double.doubleToLongBits(r.getDouble(4)),
+            java.lang.Double.doubleToLongBits(r.getDouble(5)))).toSet
+      val a = run(d)
+      // n_match ∈ [1, 8] (banded candidates share ≥ one full band ⇒ ≥ 2
+      // matching mins for 4 bands of 2 rows — but a single matching
+      // band guarantees only its own rows) and est == n_match/8 exactly
+      val gridOk = a.forall { case (_, _, m, eBits, _, _) =>
+        m >= 1L && m <= 8L &&
+          java.lang.Double.doubleToLongBits(m.toDouble / 8) == eBits
+      }
+      Prop(a == run(d.repartition(parts)) && gridOk) :| s"parts=$parts"
+    }
 }

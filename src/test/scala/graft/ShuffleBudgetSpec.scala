@@ -172,9 +172,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q9" -> 1,                 // dim joins + one (nation,year) agg
     "q_tpch_q19" -> 1,                // partkey join broadcast here;
                                       // one scalar agg
-    "q_minhash_estimate" -> 0)        // final plan reads the verified
+    "q_minhash_estimate" -> 0,        // final plan reads the verified
                                       // checkpoint (sig jobs ran
                                       // eagerly, same as q_minhash_lsh)
+    "q_tpch_q15" -> 3,                // suppkey revenue agg + its 1-row
+                                      // max scalar; supplier joins by
+                                      // size
+    "q_tpch_q17" -> 3)                // partkey count+sum decorrelated
+                                      // agg joined back + final scalar
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
