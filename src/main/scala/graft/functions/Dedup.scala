@@ -931,39 +931,17 @@ object Dedup {
     exactPairs.union(nearPairs)
   }
 
-  /** Session-scoped memo of derived-index frames keyed on (tag,
-    * session, input plan, params) — the in-session form of "compute
-    * the signature/pair/label index ONCE per corpus": `dedupCorpus`
-    * and `dedupCorpusBy` resolve the SAME pair graph and components
-    * and differ only in the survivor rule, and every consumer of the
+  /** Derived-index sharing (see `IndexMemo`): `dedupCorpus` and
+    * `dedupCorpusBy` resolve the SAME pair graph and components and
+    * differ only in the survivor rule, and every consumer of the
     * banded MinHash pairs (the LSH query, both dedup-apply steps, the
-    * estimator report) re-derives one identical verified-pair frame.
-    * Entries hold only localCheckpointed results (pair-graph-sized,
-    * vanishingly small next to the corpus); the list is capped, and a
-    * plan mismatch (`sameResult`) or new session just recomputes —
-    * the memo is an optimization, never a correctness dependency. */
-  private var derivedMemo: List[((String, Any), org.apache.spark.sql.SparkSession,
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)] = Nil
-  /** Observable for the sharing specs: total memo hits this JVM. */
-  private[graft] var ccMemoHits = 0L
+    * estimator report) derives one identical verified-pair frame —
+    * both are computed once per (session, corpus, params). */
+  private[graft] def ccMemoHits: Long = IndexMemo.hits
 
   private def memoized(tag: String, docs: DataFrame, params: Any)
-                      (compute: => DataFrame): DataFrame = synchronized {
-    val sess = docs.sparkSession
-    val plan = docs.queryExecution.analyzed
-    val key = (tag, params)
-    derivedMemo.find { case (k2, s2, p2, _) =>
-      k2 == key && (s2 eq sess) && p2.sameResult(plan)
-    } match {
-      case Some((_, _, _, cached)) =>
-        ccMemoHits += 1
-        cached
-      case None =>
-        val res = compute
-        derivedMemo = ((key, sess, plan, res) :: derivedMemo).take(8)
-        res
-    }
-  }
+                      (compute: => DataFrame): DataFrame =
+    IndexMemo(tag, docs, params)(compute)
 
   private def componentsFor(docs: DataFrame, n: Int, k: Int, bands: Int,
                             minJaccard: Double): DataFrame =

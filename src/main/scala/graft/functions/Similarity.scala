@@ -154,7 +154,7 @@ object Similarity {
     val e = ensureQuantized(embeddings)
       .select(col("vec_id"), col("q"), col("nq"))
       .localCheckpoint()
-    val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
+    val buckets = lshBucketsMulti(embeddings, bits, tables) // memoized + checkpointed
     val side = e.join(buckets, Seq("vec_id"))
     val a = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("nq").as("na"))
@@ -228,7 +228,12 @@ object Similarity {
     * are candidate neighbors — the scale path for ANN (per-bucket
     * joins instead of all-pairs). Recall vs brute force is covered by
     * tests. */
-  def lshBuckets(embeddings: DataFrame, bits: Int): DataFrame = {
+  def lshBuckets(embeddings: DataFrame, bits: Int): DataFrame =
+    IndexMemo("lsh_buckets", embeddings, bits) {
+      lshBucketsCompute(embeddings, bits).localCheckpoint()
+    }
+
+  private def lshBucketsCompute(embeddings: DataFrame, bits: Int): DataFrame = {
     // Long-form projection: posexplode dims once, then `bits` signed
     // sums in ONE grouped aggregation. All codegen'd — the equivalent
     // higher-order-function fold executes interpreted and measures ~4x
@@ -268,7 +273,13 @@ object Similarity {
     * `planeSign` with a SECOND hash word family (md5(d || '#2') gives
     * 64 more independent signs, mirrored identically in the oracle
     * CTE) rather than lowering bits or tables. */
-  def lshBucketsMulti(embeddings: DataFrame, bits: Int, tables: Int): DataFrame = {
+  def lshBucketsMulti(embeddings: DataFrame, bits: Int, tables: Int): DataFrame =
+    IndexMemo("lsh_buckets_multi", embeddings, (bits, tables)) {
+      lshBucketsMultiCompute(embeddings, bits, tables).localCheckpoint()
+    }
+
+  private def lshBucketsMultiCompute(embeddings: DataFrame, bits: Int,
+                                     tables: Int): DataFrame = {
     require(tables * bits <= 64,
       s"tables*bits must be <= 64 md5-derived planes, got ${tables * bits}" +
         " (extend planeSign with a second md5 word family to go higher)")
@@ -295,7 +306,7 @@ object Similarity {
     val e = ensureQuantized(embeddings)
     // (vec, tbl, bucket) is small (ids only); checkpoint so the probe
     // and candidate sides share one bucketing pass.
-    val buckets = lshBucketsMulti(embeddings, bits, tables).localCheckpoint()
+    val buckets = lshBucketsMulti(embeddings, bits, tables) // memoized + checkpointed
     val probes = e.filter(queryPred)
       .select(col("vec_id"), col("q").as("qv"), col("nq").as("qn"))
       .join(buckets, Seq("vec_id"))
@@ -463,7 +474,7 @@ object Similarity {
     // of lshBucketsMulti reads planeSign plane indices 0..bits-1 —
     // exactly lshBuckets(bits)'s planes — so the single-table method
     // is a filter, not a second projection pass.
-    val buckets = lshBucketsMulti(emb, bits, tables).localCheckpoint()
+    val buckets = lshBucketsMulti(emb, bits, tables) // memoized + checkpointed
     val t0 = buckets.filter(col("tbl") === 0).select(col("vec_id"), col("bucket"))
     // lsh: query bucket plus every Hamming-1 flip (lshTopK's probing).
     // Probe buckets are pairwise distinct and a candidate has exactly
