@@ -697,6 +697,20 @@ object SparkEntry {
           col("session_window.end").as("s_end"),
           col("user_id"), col("total_value"), col("n_events"))
     }),
+    // TPC-H Q21: double-correlated EXISTS / NOT EXISTS (sole late
+    // shipper on a multi-supplier order), decorrelated into per-order
+    // aggregates that reuse the single fact-fact orderkey shuffle
+    "q_tpch_q21" -> ((s, d) =>
+      Relational.soleLateSuppliers(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), 60, 100)),
+    // C4-style boilerplate removal (common 3-grams across >= minDf
+    // docs), reported as kept/removed tokens per source
+    "q_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplateNgrams(Tables.documents(s, d), 5)),
+    // Gopher-style multi-rule quality gate: per-source rule-failure
+    // counts + all-rules pass rate, every rule an exact integer compare
+    "q_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, d))),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -1997,6 +2011,78 @@ object SparkEntry {
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_value,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // literal double-correlated textbook form — certifies the
+    // decorrelated per-order-aggregate plan against the EXISTS semantics
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         generate_subscripts(string_split_regex(trim(lower(text)),'\s+'),1) - 1 AS pos,
+        |         unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |common AS (SELECT gram FROM grams GROUP BY gram
+        |           HAVING count(DISTINCT doc_id) >= 5),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + off.o AS covpos
+        |        FROM grams g JOIN common USING (gram)
+        |        CROSS JOIN (SELECT unnest([0,1,2]) AS o) off),
+        |rem AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY 1),
+        |per_doc AS (SELECT t.doc_id, any_value(t.source) AS source,
+        |                   count(*) AS n_tok
+        |            FROM toks t GROUP BY 1),
+        |pd AS (SELECT p.source, p.n_tok, coalesce(r.removed,0) AS removed
+        |       FROM per_doc p LEFT JOIN rem r USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(sum(removed) AS BIGINT) AS removed_tokens,
+        |       CAST(sum(CASE WHEN removed>0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+        |       CAST(sum(n_tok)-sum(removed) AS DOUBLE)/CAST(sum(n_tok) AS DOUBLE) AS keep_ratio
+        |FROM pd GROUP BY source""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  string_split_regex(trim(lower(text)),'\s+') AS toks,
+        |                  CAST(length(regexp_replace(text,'\s','','g')) AS BIGINT) AS nonspace
+        |           FROM documents),
+        |base AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok, nonspace,
+        |                CAST(len(list_distinct(list_filter(toks,
+        |                  x -> x IN ('the','a','of','and','to','in','is','on')))) AS BIGINT) AS n_stop
+        |         FROM t),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        |        FROM documents),
+        |mt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+        |       FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1,2) GROUP BY 1),
+        |flags AS (SELECT b.source,
+        |    CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS f_short,
+        |    CASE WHEN nonspace < n_tok*3 OR nonspace > n_tok*12 THEN 1 ELSE 0 END AS f_avg,
+        |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN max_tok*5 > n_tok THEN 1 ELSE 0 END AS f_repeat
+        |  FROM base b JOIN mt USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(f_short) AS BIGINT) AS fail_short,
+        |  CAST(sum(f_avg) AS BIGINT) AS fail_avg_len,
+        |  CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+        |  CAST(sum(f_repeat) AS BIGINT) AS fail_repeat,
+        |  CAST(sum(CASE WHEN f_short+f_avg+f_stop+f_repeat=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN f_short+f_avg+f_stop+f_repeat=0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pass_rate
+        |FROM flags GROUP BY source""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

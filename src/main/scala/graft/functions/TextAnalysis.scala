@@ -372,4 +372,95 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+
+  /** Boilerplate n-gram removal report (the C4-style "remove repeated
+    * lines" pass adapted to single-line docs: the repeated unit is a
+    * positional 3-gram instead of a line). A token is REMOVED when any
+    * 3-gram covering it occurs in at least `minDf` distinct documents;
+    * the report aggregates kept/removed token counts per source.
+    *
+    * Plan at scale: gram construction is map-side (element_at over the
+    * row's own split array — a doc's tokens never leave the row, so the
+    * token stream never shuffles); the common set is a digest-keyed agg
+    * whose output is tiny by construction (boilerplate = high-df tail,
+    * ~1% of distinct grams at minDf=5), so the back-join is
+    * AQE-broadcast; coverage positions dedup on (doc_id, pos) —
+    * shuffles carry md5 digests, ids and positions, never text.
+    * keep_ratio is one double division of two exact integer sums. */
+  def boilerplateNgrams(docs: DataFrame, minDf: Int): DataFrame = {
+    // Gram construction is MAP-SIDE: every token of a doc is already in
+    // the row's split array, so positional 3-grams come from codegen'd
+    // element_at indexing — no window, no shuffle of the token stream.
+    // Only md5 DIGESTS of grams shuffle (to the df count), never text:
+    // the same digest-keyed discipline as exact dedup / dup_spans.
+    val base = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("_arr"))
+    val toks = base.select(col("doc_id"), col("_arr"),
+      posexplode(col("_arr")).as(Seq("pos", "tok")))
+    val grams = toks.filter(col("pos") + lit(2) < size(col("_arr")))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("tok"),
+          element_at(col("_arr"), col("pos") + 2),
+          element_at(col("_arr"), col("pos") + 3))).as("_g"))
+    val common = grams.groupBy(col("_g"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_g"))
+    val covered = grams.join(common, Seq("_g"))
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("covpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_removed"))
+    val perDoc = base
+      .select(col("doc_id"), col("source"), size(col("_arr")).cast("long").as("_n_tok"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .withColumn("_removed", coalesce(col("_removed"), lit(0L)))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tok")).as("total_tokens"),
+        sum(col("_removed")).as("removed_tokens"),
+        sum((col("_removed") > 0).cast("long")).as("docs_touched"),
+        ((sum(col("_n_tok")) - sum(col("_removed"))).cast("double") /
+          sum(col("_n_tok")).cast("double")).as("keep_ratio"))
+  }
+
+  /** Gopher-style rule filter: the multi-rule document quality gate of
+    * a pretraining pipeline (Rae et al. 2021's heuristics adapted to
+    * this corpus), reported as per-source rule-failure counts and the
+    * all-rules pass rate. Every rule is an EXACT integer comparison —
+    * average-token-length bounds are cross-multiplied (nonspace vs
+    * 3·n_tok and 12·n_tok) instead of divided, the repetition cap is
+    * 5·max_tok_count > n_tok (top token above 20%) — so the gate is
+    * bit-identical across engines with no FP anywhere. Shape: one
+    * map-side stats projection, one (doc_id, tok) agg for the top-token
+    * count, one per-source rollup — every shuffle keyed on doc ids or
+    * tokens, text never shuffles. */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("_n_tok"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("_nonspace"),
+      size(array_distinct(filter(toks, t => t.isInCollection(stopwords))))
+        .cast("long").as("_n_stop"))
+    val topTok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id")).agg(max(col("_c")).as("_max_tok"))
+    val flags = base.join(topTok, Seq("doc_id"))
+      .withColumn("_f_short", (col("_n_tok") < 20).cast("long"))
+      .withColumn("_f_avg_len",
+        (col("_nonspace") < col("_n_tok") * 3 ||
+         col("_nonspace") > col("_n_tok") * 12).cast("long"))
+      .withColumn("_f_stop", (col("_n_stop") < 2).cast("long"))
+      .withColumn("_f_repeat", (col("_max_tok") * 5 > col("_n_tok")).cast("long"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_f_short")).as("fail_short"),
+        sum(col("_f_avg_len")).as("fail_avg_len"),
+        sum(col("_f_stop")).as("fail_stop"),
+        sum(col("_f_repeat")).as("fail_repeat"),
+        sum(when(col("_f_short") + col("_f_avg_len") + col("_f_stop") +
+                 col("_f_repeat") === 0, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+  }
 }

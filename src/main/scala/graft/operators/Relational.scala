@@ -337,6 +337,51 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q21 shape — suppliers who were the SOLE late shipper on a
+    * multi-supplier order (reference schema has no commit/receipt
+    * dates, so "late" = shipped more than `lateDays` after the order
+    * date, as in Q4; no nation filter — the synthetic supplier set is
+    * already small). The textbook form is double-correlated: EXISTS
+    * (another supplier on the same order) AND NOT EXISTS (another LATE
+    * supplier on it) — the oracle runs exactly that. The decorrelated
+    * plan computes both existence facts as per-order aggregates of the
+    * SAME orderkey-joined fact: per (order, supplier) count late rows,
+    * then per order count suppliers and late suppliers; late suppliers
+    * on orders with n_supp>=2 and n_late_supp=1 win. Every step after
+    * the one fact-fact orderkey shuffle stays partitioned on orderkey
+    * (both grouped aggs and the stats join re-use the clustering —
+    * HashPartitioning(orderkey) satisfies every requirement downstream)
+    * so the whole decorrelation costs ONE data exchange plus the final
+    * s_name agg; the supplier join is AQE-sized, not hint-broadcast.
+    * numwait = count of that supplier's late lines on qualifying
+    * orders, matching the row granularity of the correlated l1 count.
+    * Ref: reference has no joins; shape from TPC-H spec Q21. */
+  def soleLateSuppliers(orders: DataFrame, lineitem: DataFrame,
+                        supplier: DataFrame, lateDays: Int,
+                        limit: Int): DataFrame = {
+    val joined = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_late",
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .cast("long"))
+    val perSupp = joined.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("_late")).as("_late_rows"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("_n_supp"),
+           sum((col("_late_rows") > 0).cast("long")).as("_n_late_supp"))
+    perSupp.filter(col("_late_rows") > 0)
+      .join(perOrder.filter(col("_n_supp") >= 2 && col("_n_late_supp") === 1),
+        Seq("l_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("_late_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(limit)
+  }
+
   /** TPC-H Q2-lite — minimum-price supplier per part (correlated min
     * over a join): for each part in a size class, the supplier rows
     * selling it at the minimum observed lineitem price. Runs through

@@ -196,6 +196,16 @@ class EmptyInputSpec extends SparkSpec {
       "1996-01-01", "1997-01-01").count() == 0)
     assert(graft.functions.Sampling.tokenBudgetMix(
       emptyDocs, "lang", Map("en" -> 1.0), 1000L).count() == 0)
+    // Q21 shape on empty facts: no qualifying supplier rows
+    assert(graft.operators.Relational.soleLateSuppliers(
+      Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("o_orderkey", "o_orderdate", "o_orderstatus"),
+      Seq.empty[(Long, Long, java.sql.Timestamp)]
+        .toDF("l_orderkey", "l_suppkey", "l_shipdate"),
+      Seq.empty[(Long, String)].toDF("s_suppkey", "s_name"),
+      60, 100).count() == 0)
+    assert(TextAnalysis.boilerplateNgrams(emptyDocs, 5).count() == 0)
+    assert(TextAnalysis.gopherFilter(emptyDocs).count() == 0)
     // referential integrity over an empty child still reports the
     // relation row (0 children, 0 orphans — absence of data is not
     // absence of the audit)

@@ -110,6 +110,45 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(5)))
     assert(all.toSeq == Seq(("a", "b", 3.0), ("a", "c", 3.0), ("b", "a", 1.5)))
   }
+
+  test("boilerplateNgrams: common 3-grams mark covered tokens, overlaps dedup") {
+    // "a b c d" appears in 3 docs -> its two 3-grams ("a b c", "b c d")
+    // are common at minDf=3; their coverage overlaps on positions 1-2 so
+    // a 4-token doc removes 4 tokens, not 6. Doc 4 shares no common gram.
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"), (3L, "x a b c d", "s2"),
+      (4L, "p q r s t", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.boilerplateNgrams(d, 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1: 2 docs, 8 tokens, all 8 removed (both docs fully covered)
+    assert(out("s1") == ((2L, 8L, 8L, 2L)), s"got $out")
+    // s2: doc3 has 5 tokens with 4 covered (positions 1-4), doc4 clean
+    assert(out("s2") == ((2L, 10L, 4L, 1L)), s"got $out")
+  }
+
+  test("gopherFilter: each rule fires independently; clean doc passes all") {
+    val d = Seq(
+      // passes every rule: >=20 tokens, sane avg len, 2 stopwords, varied
+      (1L, ("the of " + (1 to 18).map(i => s"tok$i").mkString(" ")), "s"),
+      // short (5 tokens) and only 1 distinct stopword
+      (2L, "the b c d e", "s"),
+      // repetition: top token 6/20 > 20%; has 2 stopwords, len ok
+      (3L, ("the of " + Seq.fill(6)("dup").mkString(" ") + " " +
+        (1 to 12).map(i => s"v$i").mkString(" ")), "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.gopherFilter(d).collect().head
+    assert(r.getString(0) == "s" && r.getLong(1) == 3L, s"got $r")
+    assert(r.getLong(2) == 1L, s"fail_short: $r")     // doc 2
+    assert(r.getLong(4) == 1L, s"fail_stop: $r")      // doc 2
+    assert(r.getLong(5) == 1L, s"fail_repeat: $r")    // doc 3
+    assert(r.getLong(6) == 1L && r.getDouble(7) == 1.0 / 3.0, s"pass: $r")
+  }
 }
 
 class NormalizeTextSpec extends SparkSpec {

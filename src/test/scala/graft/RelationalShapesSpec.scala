@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Relational
+
+/** Constructed-input semantics for TPC-H join shapes whose correctness
+  * gate is otherwise the DuckDB oracle over the SF fixtures — these pin
+  * the EDGE semantics the fixtures may not exercise.
+  */
+class RelationalShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("soleLateSuppliers: only the sole late shipper on a multi-supplier order counts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, ts("1996-01-01"), "F"), // two suppliers, one late -> counts
+      (20L, ts("1996-01-01"), "F"), // two suppliers, BOTH late -> excluded
+      (30L, ts("1996-01-01"), "F"), // single supplier late -> excluded
+      (40L, ts("1996-01-01"), "O")) // not finalized -> excluded
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    val li = Seq(
+      (10L, 1L, ts("1996-06-01")), (10L, 1L, ts("1996-07-01")), // supp 1 late twice
+      (10L, 2L, ts("1996-01-15")),                              // supp 2 on time
+      (20L, 1L, ts("1996-06-01")), (20L, 2L, ts("1996-06-01")),
+      (30L, 1L, ts("1996-06-01")),
+      (40L, 1L, ts("1996-06-01")), (40L, 2L, ts("1996-01-15")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((1L, "Supp#1"), (2L, "Supp#2")).toDF("s_suppkey", "s_name")
+    val out = Relational.soleLateSuppliers(orders, li, supp, 60, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // order 10 only: supplier 1 with numwait = its 2 late lines
+    assert(out == Map("Supp#1" -> 2L), s"got $out")
+  }
+
+  test("soleLateSuppliers: on-time lines of the sole late supplier do not count") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq((10L, ts("1996-01-01"), "F"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    // supplier 1: one late line + one on-time line -> numwait counts
+    // ONLY the late row granularity (the correlated l1 count)
+    val li = Seq(
+      (10L, 1L, ts("1996-06-01")), (10L, 1L, ts("1996-01-10")),
+      (10L, 2L, ts("1996-01-15")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((1L, "Supp#1"), (2L, "Supp#2")).toDF("s_suppkey", "s_name")
+    val out = Relational.soleLateSuppliers(orders, li, supp, 60, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("Supp#1" -> 1L), s"got $out")
+  }
+}

@@ -178,8 +178,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q15" -> 3,                // suppkey revenue agg + its 1-row
                                       // max scalar; supplier joins by
                                       // size
-    "q_tpch_q17" -> 3)                // partkey count+sum decorrelated
+    "q_tpch_q17" -> 3,                // partkey count+sum decorrelated
                                       // agg joined back + final scalar
+    "q_tpch_q21" -> 5,                // pre-AQE: the per-(order,supp)
+                                      // late-count subtree prints twice
+                                      // (stats + probe consumer) — AQE
+                                      // stage reuse collapses the twins
+                                      // at run time (sameResult); at
+                                      // scale the whole decorrelation
+                                      // rides ONE orderkey fact shuffle
+                                      // (agg + stats + join all reuse
+                                      // the clustering)
+    "q_boilerplate" -> 5,             // gram digests to the df agg +
+                                      // (doc,pos) coverage dedup +
+                                      // doc/source rollups — grams are
+                                      // built map-side from the row's
+                                      // own array; the token stream
+                                      // never shuffles, only md5/ids
+    "q_gopher_filter" -> 3)           // (doc,tok) top-token agg + doc
+                                      // join + source rollup (same
+                                      // family as q_repetition)
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
