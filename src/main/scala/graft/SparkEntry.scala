@@ -711,6 +711,12 @@ object SparkEntry {
     // counts + all-rules pass rate, every rule an exact integer compare
     "q_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(Tables.documents(s, d))),
+    // fixed-point Lloyd k-means: 2 certified iterations, every step
+    // exact integer arithmetic (shift-nonneg dims, s div n centroids,
+    // int64 squared distances, md5 seeds) — the oracle replays the
+    // identical iterations in DuckDB
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeansFixedPoint(Tables.embeddings(s, d), 8, 2)),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2083,6 +2089,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f_short+f_avg+f_stop+f_repeat=0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS pass_rate
         |FROM flags GROUP BY source""".stripMargin,
+    // identical fixed-point Lloyd iterations replayed in DuckDB: same
+    // md5 seed order, same +2^20 shift (trunc==floor on non-negative),
+    // same integer `//` centroids, same int64 distances and tie-break
+    "q_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+        |              unnest(q) + 1048576 AS x FROM v),
+        |seeds AS (SELECT vec_id,
+        |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+        |          FROM v QUALIFY cell_id < 8),
+        |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
+        |a1 AS (SELECT vec_id, cell_id FROM (
+        |    SELECT vd.vec_id, c0.cell_id,
+        |           row_number() OVER (PARTITION BY vd.vec_id
+        |             ORDER BY sum((vd.x - c0.c)*(vd.x - c0.c)), c0.cell_id) AS rn
+        |    FROM vd JOIN c0 USING (d)
+        |    GROUP BY vd.vec_id, c0.cell_id QUALIFY rn = 1)),
+        |c1 AS (SELECT a1.cell_id, vd.d,
+        |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+        |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1,2),
+        |a2 AS (SELECT vec_id, cell_id FROM (
+        |    SELECT vd.vec_id, c1.cell_id,
+        |           row_number() OVER (PARTITION BY vd.vec_id
+        |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.cell_id) AS rn
+        |    FROM vd JOIN c1 USING (d)
+        |    GROUP BY vd.vec_id, c1.cell_id QUALIFY rn = 1))
+        |SELECT a2.cell_id, count(DISTINCT a2.vec_id) AS n,
+        |       CAST(sum(vd.x - 1048576) AS BIGINT) AS s0
+        |FROM a2 JOIN vd USING (vec_id) WHERE vd.d = 0
+        |GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

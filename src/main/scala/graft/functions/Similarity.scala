@@ -370,6 +370,67 @@ object Similarity {
     cents
   }
 
+  /** Fixed-point Lloyd k-means whose EVERY step is exact integer
+    * arithmetic — the oracle-gateable form of embedding clustering
+    * (the double-arithmetic `kmeansCentroids` above trains IVF; this
+    * one certifies the iteration itself cross-engine):
+    *
+    *  - dims are the 1e6-quantized int64s shifted by +2^20 so all
+    *    values are NON-NEGATIVE (embeddings in [-1,1] quantize to
+    *    |q| <= 1e6 < 2^20) — with non-negative operands truncating
+    *    and flooring integer division coincide, so Spark's `div` and
+    *    DuckDB's `//` agree by construction;
+    *  - centroids are integer `sum div count` per dimension (error
+    *    <= 1 on a 2^21 scale — deterministic, engine-identical);
+    *  - assignment is argmin of the exact integer squared distance
+    *    (diff^2 < 2^42, x 64 dims < 2^48 — int64-safe), ties to the
+    *    lowest cell id via one lexicographic min(struct);
+    *  - seeds are the k vectors with the smallest md5(vec_id) — a
+    *    deterministic, engine-portable shuffle of the id space.
+    *
+    * Scale shape: the seed pick is a distributed top-k
+    * (TakeOrderedAndProject), never a global sort; centroids stay
+    * k x dims rows, localCheckpointed and BROADCAST into each
+    * assignment join, so the vector table never shuffles for scoring —
+    * per iteration only (vec, cell, dist) id-sized aggregation rows
+    * move (map-side partial min over the k generated rows per vector).
+    * Returns per final cell: member count and the exact sum of the
+    * UNSHIFTED dim-0 quantized values — a membership checksum any
+    * engine can reproduce. */
+  def kmeansFixedPoint(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansFixedPoint needs at least one iteration, got $iters")
+    val shift = 1048576L // 2^20
+    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint()
+    // k seeds by md5 order: distributed top-k, then a k-row window
+    val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("cell_id"))
+    var cents = vd.join(seeds, Seq("vec_id"))
+      .select(col("cell_id"), col("d"), col("x").as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val dist = vd.join(broadcast(cents), Seq("d"))
+        .groupBy(col("vec_id"), col("cell_id"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+      assign = dist.groupBy(col("vec_id"))
+        .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
+        .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
+      cents = vd.join(assign, Seq("vec_id"))
+        .groupBy(col("cell_id"), col("d"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    assign.join(vd.filter(col("d") === 0), Seq("vec_id"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x") - shift).as("s0"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
     * vectors partitions the space; each vector is assigned to its
     * nearest centroid cell, queries probe the `nProbe` nearest cells

@@ -206,6 +206,9 @@ class EmptyInputSpec extends SparkSpec {
       60, 100).count() == 0)
     assert(TextAnalysis.boilerplateNgrams(emptyDocs, 5).count() == 0)
     assert(TextAnalysis.gopherFilter(emptyDocs).count() == 0)
+    assert(graft.functions.Similarity.kmeansFixedPoint(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      8, 2).count() == 0)
     // referential integrity over an empty child still reports the
     // relation row (0 children, 0 orphans — absence of data is not
     // absence of the audit)

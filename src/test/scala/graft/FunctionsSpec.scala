@@ -847,6 +847,30 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery == Set(5L))
   }
 
+  test("kmeansFixedPoint: separated clusters resolve exactly; partition-invariant") {
+    // Two tight clusters far apart on dim 0. Seeds are the 2 smallest
+    // md5(vec_id): ids 4 and 1 for this fixture (verified) — one in
+    // each cluster, so 2 integer iterations resolve the clustering
+    // exactly. (Like any Lloyd's, bad seeds can stick in a local
+    // optimum; the operator contract is determinism, not global opt.)
+    val rows = (0L until 6L).map { i =>
+      val base = if (i < 3) 0.9f else -0.9f
+      (i, Array(base + 0.001f * i, 0.0f, 0.0f, 0.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansFixedPoint(emb, 2, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // one cell of the three negative vectors, one of the three positive
+    assert(out.length == 2 && out.forall(_._1 == 3L), s"got ${out.mkString(",")}")
+    assert(out.head._2 < 0 && out.last._2 > 0, s"got ${out.mkString(",")}")
+    // determinism under physical layout: 1 partition == 7 partitions
+    val a = Similarity.kmeansFixedPoint(emb.repartition(1), 2, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Similarity.kmeansFixedPoint(emb.repartition(7), 2, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, s"layout-dependent: $a vs $b")
+  }
+
   test("multi-table LSH recall is monotone in table count") {
     // candidates(L=1) ⊆ candidates(L=4) (table 0's hyperplanes are
     // shared), so top-k from the larger candidate set cannot lose

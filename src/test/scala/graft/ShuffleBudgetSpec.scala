@@ -195,9 +195,18 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // built map-side from the row's
                                       // own array; the token stream
                                       // never shuffles, only md5/ids
-    "q_gopher_filter" -> 3)           // (doc,tok) top-token agg + doc
+    "q_gopher_filter" -> 3,           // (doc,tok) top-token agg + doc
                                       // join + source rollup (same
                                       // family as q_repetition)
+    "q_kmeans" -> 5)                  // final action only (iteration
+                                      // centroids ran eagerly into
+                                      // checkpoints): last assignment's
+                                      // (vec,cell)+argmin aggs + output
+                                      // agg + the k-row seed window's
+                                      // SinglePartition; per iteration
+                                      // the vector table never shuffles
+                                      // — centroids broadcast, only
+                                      // id-sized score rows move
 
   test("headline queries stay within their shuffle budgets") {
     val over = budgets.flatMap { case (q, max) =>
