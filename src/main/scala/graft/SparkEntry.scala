@@ -717,6 +717,12 @@ object SparkEntry {
     // identical iterations in DuckDB
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansFixedPoint(Tables.embeddings(s, d), 8, 2)),
+    // rank-family windows at scale: distributed global rank + the
+    // explicit integer ntile formula (no single-partition window, no
+    // engine-specific tile boundary convention)
+    "q_customer_quartiles" -> ((s, d) =>
+      Relational.customerSpendQuartiles(Tables.customer(s, d),
+        Tables.orders(s, d), 4)),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2122,6 +2128,25 @@ object SparkEntry {
         |       CAST(sum(vd.x - 1048576) AS BIGINT) AS s0
         |FROM a2 JOIN vd USING (vec_id) WHERE vd.d = 0
         |GROUP BY 1""".stripMargin,
+    // same explicit integer tile formula — the oracle's row_number
+    // window stands in for the engine's distributed rank
+    "q_customer_quartiles" ->
+      """WITH spend AS (
+        |  SELECT c_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT c_custkey, total,
+        |         row_number() OVER (ORDER BY total, c_custkey) AS r,
+        |         count(*) OVER () AS n
+        |  FROM spend)
+        |SELECT CAST(((r-1)*4) // n + 1 AS BIGINT) AS quartile,
+        |       count(*) AS n_customers,
+        |       CAST(sum(total) AS DOUBLE) AS total_spend,
+        |       CAST(min(total) AS DOUBLE) AS lo,
+        |       CAST(max(total) AS DOUBLE) AS hi
+        |FROM ranked GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

@@ -382,6 +382,38 @@ object Relational {
       .limit(limit)
   }
 
+  /** Customer spend quartiles — the rank-family window coverage
+    * (ntile/percent_rank class) in a 100 TB-safe shape: NO global
+    * single-partition window anywhere. The global rank comes from
+    * `SpendingReport.globalRank` (range partition + per-partition
+    * row_number + metadata-sized offsets) and the tile is the EXPLICIT
+    * integer formula `((r-1)·k) div n + 1` — evaluated identically in
+    * the DuckDB oracle, so there is no dependence on either engine's
+    * native ntile boundary convention. Spend totals are exact DECIMAL
+    * sums cast to double only at the output edge (moneySum rule); n is
+    * one scalar count off the checkpointed per-customer aggregate
+    * (metadata-sized driver step, same class as globalRank's
+    * per-partition offsets). */
+  def customerSpendQuartiles(customer: DataFrame, orders: DataFrame,
+                             k: Int): DataFrame = {
+    val spend = customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("_total"))
+      .localCheckpoint()
+    val n = spend.count()
+    val ranked = graft.operators.SpendingReport.globalRank(
+      spend, Seq(col("_total").asc, col("c_custkey").asc), "_r")
+    ranked
+      .withColumn("quartile", expr(s"(((_r - 1) * $k) div ${math.max(n, 1L)}) + 1"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("_total")).cast("double").as("total_spend"),
+        min(col("_total")).cast("double").as("lo"),
+        max(col("_total")).cast("double").as("hi"))
+  }
+
   /** TPC-H Q2-lite — minimum-price supplier per part (correlated min
     * over a join): for each part in a size class, the supplier rows
     * selling it at the minimum observed lineitem price. Runs through

@@ -209,6 +209,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.functions.Similarity.kmeansFixedPoint(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
       8, 2).count() == 0)
+    assert(graft.operators.Relational.customerSpendQuartiles(
+      Seq.empty[(Long, String)].toDF("c_custkey", "c_name"),
+      Seq.empty[(Long, Long, Double)]
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      4).count() == 0)
     // referential integrity over an empty child still reports the
     // relation row (0 children, 0 orphans — absence of data is not
     // absence of the audit)

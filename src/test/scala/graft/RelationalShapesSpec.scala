@@ -48,4 +48,23 @@ class RelationalShapesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("Supp#1" -> 1L), s"got $out")
   }
+
+  test("customerSpendQuartiles: explicit tile formula, ties broken by custkey") {
+    import org.apache.spark.sql.functions._
+    // 8 customers, spends 10..80 -> 2 per quartile with exact bounds;
+    // customers 5 and 6 tie on spend (50) -> rank order by custkey
+    val cust = (1L to 8L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
+    val ord = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (6L, 50.0), (7L, 70.0), (8L, 80.0))
+      .zipWithIndex.map { case ((ck, amt), i) => (i.toLong, ck, amt) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.customerSpendQuartiles(cust, ord, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 30.0, 10.0, 20.0)), s"got $out")
+    assert(out(2L) == ((2L, 70.0, 30.0, 40.0)), s"got $out")
+    assert(out(3L) == ((2L, 100.0, 50.0, 50.0)), s"got $out") // the tie pair
+    assert(out(4L) == ((2L, 150.0, 70.0, 80.0)), s"got $out")
+  }
 }

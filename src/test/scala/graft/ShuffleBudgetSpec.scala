@@ -198,6 +198,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_gopher_filter" -> 3,           // (doc,tok) top-token agg + doc
                                       // join + source rollup (same
                                       // family as q_repetition)
+    "q_customer_quartiles" -> 2,      // final action reads globalRank's
+                                      // range-partitioned checkpoint:
+                                      // per-_pid window + quartile agg
+                                      // (the custkey agg + range sort
+                                      // ran eagerly into the checkpoint)
     "q_kmeans" -> 5)                  // final action only (iteration
                                       // centroids ran eagerly into
                                       // checkpoints): last assignment's
