@@ -723,6 +723,10 @@ object SparkEntry {
     "q_customer_quartiles" -> ((s, d) =>
       Relational.customerSpendQuartiles(Tables.customer(s, d),
         Tables.orders(s, d), 4)),
+    // the boilerplate TRANSFORM hash-certified: per-doc md5 of the
+    // cleaned (common-3-gram-stripped) text rebuilt in position order
+    "q_boilerplate_apply" -> ((s, d) =>
+      TextAnalysis.boilerplateApply(Tables.documents(s, d), 5)),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2147,6 +2151,31 @@ object SparkEntry {
         |       CAST(min(total) AS DOUBLE) AS lo,
         |       CAST(max(total) AS DOUBLE) AS hi
         |FROM ranked GROUP BY 1""".stripMargin,
+    // rebuilds the identical cleaned string and hashes it — certifies
+    // the transform, not just its stats; empty result coalesces to
+    // md5('') exactly as the Spark side does
+    "q_boilerplate_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         generate_subscripts(string_split_regex(trim(lower(text)),'\s+'),1) - 1 AS pos,
+        |         unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |common AS (SELECT gram FROM grams GROUP BY gram
+        |           HAVING count(DISTINCT doc_id) >= 5),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + off.o AS covpos
+        |        FROM grams g JOIN common USING (gram)
+        |        CROSS JOIN (SELECT unnest([0,1,2]) AS o) off)
+        |SELECT t.doc_id,
+        |       md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+        |         FILTER (WHERE c.covpos IS NULL), '')) AS clean_md5,
+        |       CAST(count(*) FILTER (WHERE c.covpos IS NULL) AS BIGINT) AS n_kept
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.covpos
+        |GROUP BY t.doc_id""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

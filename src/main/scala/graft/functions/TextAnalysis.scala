@@ -387,17 +387,22 @@ object TextAnalysis {
     * AQE-broadcast; coverage positions dedup on (doc_id, pos) —
     * shuffles carry md5 digests, ids and positions, never text.
     * keep_ratio is one double division of two exact integer sums. */
-  def boilerplateNgrams(docs: DataFrame, minDf: Int): DataFrame = {
-    // Gram construction is MAP-SIDE: every token of a doc is already in
-    // the row's split array, so positional 3-grams come from codegen'd
-    // element_at indexing — no window, no shuffle of the token stream.
-    // Only md5 DIGESTS of grams shuffle (to the df count), never text:
-    // the same digest-keyed discipline as exact dedup / dup_spans.
+  /** Shared subplan of the boilerplate pair: docs with their token
+    * array, and the distinct (doc_id, covpos) positions covered by any
+    * common 3-gram. Gram construction is MAP-SIDE: every token of a doc
+    * is already in the row's split array, so positional 3-grams come
+    * from codegen'd element_at indexing — no window, no shuffle of the
+    * token stream. Only md5 DIGESTS of grams shuffle (to the df count),
+    * never text: the same digest-keyed discipline as exact dedup /
+    * dup_spans. */
+  private def boilerplateCovered(docs: DataFrame,
+                                 minDf: Int): (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"), col("source"),
       tokens(col("text")).as("_arr"))
-    val toks = base.select(col("doc_id"), col("_arr"),
-      posexplode(col("_arr")).as(Seq("pos", "tok")))
-    val grams = toks.filter(col("pos") + lit(2) < size(col("_arr")))
+    val grams = base
+      .select(col("doc_id"), col("_arr"),
+        posexplode(col("_arr")).as(Seq("pos", "tok")))
+      .filter(col("pos") + lit(2) < size(col("_arr")))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", col("tok"),
           element_at(col("_arr"), col("pos") + 2),
@@ -410,10 +415,15 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("covpos"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("_removed"))
+    (base, covered)
+  }
+
+  def boilerplateNgrams(docs: DataFrame, minDf: Int): DataFrame = {
+    val (base, covered) = boilerplateCovered(docs, minDf)
+    val removed = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("_removed"))
     val perDoc = base
       .select(col("doc_id"), col("source"), size(col("_arr")).cast("long").as("_n_tok"))
-      .join(covered, Seq("doc_id"), "left_outer")
+      .join(removed, Seq("doc_id"), "left_outer")
       .withColumn("_removed", coalesce(col("_removed"), lit(0L)))
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -422,6 +432,35 @@ object TextAnalysis {
         sum((col("_removed") > 0).cast("long")).as("docs_touched"),
         ((sum(col("_n_tok")) - sum(col("_removed"))).cast("double") /
           sum(col("_n_tok")).cast("double")).as("keep_ratio"))
+  }
+
+  /** The boilerplate TRANSFORM itself, gated: per doc the md5 of the
+    * cleaned text (tokens not covered by a common 3-gram, rejoined in
+    * position order) and the kept-token count — the oracle rebuilds the
+    * identical string, so the cleaning operation is hash-certified, not
+    * just its statistics. A fully-cleaned doc keeps the md5 of the
+    * empty string (coalesced identically in the oracle). Shape: the
+    * shared covered subplan + one anti join on (doc_id, pos) + a
+    * per-doc ordered rebuild (collect_list(struct(pos,tok)) sorted —
+    * doc-sized arrays, the one place text is genuinely reassembled). */
+  def boilerplateApply(docs: DataFrame, minDf: Int): DataFrame = {
+    val (base, covered) = boilerplateCovered(docs, minDf)
+    val t = base
+      .select(col("doc_id"), posexplode(col("_arr")).as(Seq("pos", "tok")))
+    val kept = t
+      .join(covered, t("doc_id") === covered("doc_id") &&
+        t("pos") === covered("covpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)")))
+          .as("_md5"),
+        count(lit(1)).as("_n_kept"))
+    base.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("_md5"), md5(lit(""))).as("clean_md5"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Gopher-style rule filter: the multi-rule document quality gate of

@@ -205,6 +205,7 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("s_suppkey", "s_name"),
       60, 100).count() == 0)
     assert(TextAnalysis.boilerplateNgrams(emptyDocs, 5).count() == 0)
+    assert(TextAnalysis.boilerplateApply(emptyDocs, 5).count() == 0)
     assert(TextAnalysis.gopherFilter(emptyDocs).count() == 0)
     assert(graft.functions.Similarity.kmeansFixedPoint(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),

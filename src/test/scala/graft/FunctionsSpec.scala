@@ -130,6 +130,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2") == ((2L, 10L, 4L, 1L)), s"got $out")
   }
 
+  test("boilerplateApply: cleaned text rebuilt in order; fully-covered doc -> md5 of empty") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"), (3L, "x a b c d", "s2"),
+      (4L, "p q r s t", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.boilerplateApply(d, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1-2 fully covered -> empty string hash, 0 kept
+    assert(out(1L) == ((md5Of(""), 0L)), s"got $out")
+    assert(out(2L) == ((md5Of(""), 0L)), s"got $out")
+    // doc 3 keeps only its leading "x"; doc 4 untouched
+    assert(out(3L) == ((md5Of("x"), 1L)), s"got $out")
+    assert(out(4L) == ((md5Of("p q r s t"), 5L)), s"got $out")
+  }
+
   test("gopherFilter: each rule fires independently; clean doc passes all") {
     val d = Seq(
       // passes every rule: >=20 tokens, sane avg len, 2 stopwords, varied

@@ -198,6 +198,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_gopher_filter" -> 3,           // (doc,tok) top-token agg + doc
                                       // join + source rollup (same
                                       // family as q_repetition)
+    "q_boilerplate_apply" -> 4,       // shared covered subplan (digest
+                                      // agg + coverage dedup) + the
+                                      // doc-keyed anti join + ordered
+                                      // rebuild agg — tokens shuffle
+                                      // ONCE here (the rebuild is the
+                                      // transform's output, not stats)
     "q_customer_quartiles" -> 2,      // final action reads globalRank's
                                       // range-partitioned checkpoint:
                                       // per-_pid window + quartile agg
