@@ -727,6 +727,12 @@ object SparkEntry {
     // cleaned (common-3-gram-stripped) text rebuilt in position order
     "q_boilerplate_apply" -> ((s, d) =>
       TextAnalysis.boilerplateApply(Tables.documents(s, d), 5)),
+    // graph centrality over the star schema: fixed-point PageRank on
+    // nation->nation trade, iterations integer-exact and replayed by
+    // the oracle (same certified-iterative discipline as q_kmeans)
+    "q_trade_rank" -> ((s, d) =>
+      Relational.nationTradeRank(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), 2)),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2176,6 +2182,39 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE c.covpos IS NULL) AS BIGINT) AS n_kept
         |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.covpos
         |GROUP BY t.doc_id""".stripMargin,
+    // the same two integer damping steps unrolled — non-negative
+    // operands make // and div agree; ppm shares keep magnitudes
+    // scale-free
+    "q_trade_rank" ->
+      """WITH edges AS (
+        |  SELECT ns.n_name AS src, nc.n_name AS dst,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE ns.n_nationkey <> nc.n_nationkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM edges GROUP BY 1),
+        |shares AS (SELECT e.src, e.dst,
+        |                  CAST((e.w * 1000000) // o.wtot AS BIGINT) AS ppm
+        |           FROM edges e JOIN outw o ON e.src = o.src),
+        |nodes AS (SELECT DISTINCT src AS name FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |r0 AS (SELECT name, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (SELECT n.name,
+        |              150000 + ((COALESCE(c.s, 0) // 1000000) * 85) // 100 AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT s.dst AS name, CAST(sum(r0.r * s.ppm) AS BIGINT) AS s
+        |         FROM shares s JOIN r0 ON s.src = r0.name GROUP BY 1) c USING (name)),
+        |r2 AS (SELECT n.name,
+        |              150000 + ((COALESCE(c.s, 0) // 1000000) * 85) // 100 AS r
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT s.dst AS name, CAST(sum(r1.r * s.ppm) AS BIGINT) AS s
+        |         FROM shares s JOIN r1 ON s.src = r1.name GROUP BY 1) c USING (name))
+        |SELECT name, r AS rank_fp FROM r2""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

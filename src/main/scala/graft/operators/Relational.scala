@@ -414,6 +414,67 @@ object Relational {
         max(col("_total")).cast("double").as("hi"))
   }
 
+  /** Fixed-point PageRank over the nation→nation trade graph — graph
+    * centrality as a certified-iterative analytics query (same
+    * discipline as the fixed-point k-means): edge weights are exact
+    * revenue cents from the fact join, per-edge transition shares are
+    * integer parts-per-million `(w·10^6) div wtot` (scale-free — rank
+    * magnitudes never depend on revenue magnitudes), and each damping
+    * step is `150000 + ((Σ r·ppm) div 10^6)·85 div 100` — every operand
+    * non-negative, so truncating and flooring division coincide and
+    * DuckDB replays the iterations bit-exactly. Overflow contract:
+    * w·10^6 < 2^63 (holds through ~sf10; beyond that compute shares in
+    * DECIMAL(38,0) — the iteration itself is magnitude-free).
+    *
+    * Scale shape: ALL the distributed work is the edge aggregation
+    * (one fact-fact orderkey join + a (src,dst) agg); the graph itself
+    * is nation-cardinality (≤ 25×24 edges, localCheckpointed) so the
+    * iterations are metadata-sized joins. Nation is the one dim the
+    * repo broadcasts unconditionally (fixed 25 rows). */
+  def nationTradeRank(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"nationTradeRank needs at least one iteration, got $iters")
+    val edges = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("_p"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey").as("_cnk")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey").as("_snk")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("_snk") =!= col("_cnk"))
+      .groupBy(col("_snk"), col("_cnk"))
+      .agg(sum(col("_p") * 100).cast("long").as("w"))
+      .join(broadcast(nation.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("src"))), Seq("_snk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("dst"))), Seq("_cnk"))
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("_wtot"))
+    val shares = edges.join(outw, Seq("src"))
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000) div _wtot").as("_ppm"))
+      .localCheckpoint()
+    val nodes = shares.select(col("src").as("name"))
+      .union(shares.select(col("dst"))).distinct().localCheckpoint()
+    var r = nodes.withColumn("r", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = shares
+        .join(r.select(col("name").as("src"), col("r").as("_rs")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("_rs") * col("_ppm")).as("_s"))
+        .select(col("dst").as("name"), col("_s"))
+      r = nodes.join(contrib, Seq("name"), "left_outer")
+        .select(col("name"),
+          (lit(150000L) +
+            expr("((coalesce(_s, 0) div 1000000) * 85) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("name"), col("r").as("rank_fp"))
+  }
+
   /** TPC-H Q2-lite — minimum-price supplier per part (correlated min
     * over a join): for each part in a size class, the supplier rows
     * selling it at the minimum observed lineitem price. Runs through

@@ -215,6 +215,14 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long, Double)]
         .toDF("o_orderkey", "o_custkey", "o_totalprice"),
       4).count() == 0)
+    assert(graft.operators.Relational.nationTradeRank(
+      Seq.empty[(Long, Long, Double)]
+        .toDF("l_orderkey", "l_suppkey", "l_extendedprice"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"),
+      Seq.empty[(Long, Long)].toDF("c_custkey", "c_nationkey"),
+      Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey"),
+      Seq.empty[(Long, String)].toDF("n_nationkey", "n_name"),
+      2).count() == 0)
     // referential integrity over an empty child still reports the
     // relation row (0 children, 0 orphans — absence of data is not
     // absence of the audit)

@@ -49,6 +49,31 @@ class RelationalShapesSpec extends SparkSpec {
     assert(out == Map("Supp#1" -> 1L), s"got $out")
   }
 
+  test("nationTradeRank: hand-computed two-step fixed-point ranks on a 3-node graph") {
+    import org.apache.spark.sql.functions._
+    // Edges (src supplier-nation -> dst customer-nation, revenue):
+    // A->B 1.00, A->C 3.00, B->C 2.00, C->A 5.00
+    // ppm: A->B 250000, A->C 750000, B->C 1000000, C->A 1000000
+    // iter1: A 1000000, B 362500, C 1637500
+    // iter2: A 1541875, B 362500, C 1095625   (hand-computed)
+    val nation = Seq((0L, "A"), (1L, "B"), (2L, "C"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((0L, 0L), (1L, 1L), (2L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((10L, 0L), (11L, 1L), (12L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 10L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 0L, 1.00), (2L, 0L, 3.00), (3L, 1L, 2.00), (4L, 2L, 5.00))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val out = Relational
+      .nationTradeRank(lineitem, orders, customer, supplier, nation, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A" -> 1541875L, "B" -> 362500L, "C" -> 1095625L),
+      s"got $out")
+  }
+
   test("customerSpendQuartiles: explicit tile formula, ties broken by custkey") {
     import org.apache.spark.sql.functions._
     // 8 customers, spends 10..80 -> 2 per quartile with exact bounds;

@@ -198,6 +198,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_gopher_filter" -> 3,           // (doc,tok) top-token agg + doc
                                       // join + source rollup (same
                                       // family as q_repetition)
+    "q_trade_rank" -> 1,              // final action reads the
+                                      // checkpointed 25-row rank frame
+                                      // (the fact-join edge agg and
+                                      // both damping steps ran eagerly
+                                      // into checkpoints; graph is
+                                      // nation-sized)
     "q_boilerplate_apply" -> 4,       // shared covered subplan (digest
                                       // agg + coverage dedup) + the
                                       // doc-keyed anti join + ordered
