@@ -733,6 +733,34 @@ object SparkEntry {
     "q_trade_rank" -> ((s, d) =>
       Relational.nationTradeRank(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), 2)),
+    // regression family (regr_slope/intercept/r2) off the same exact
+    // decimal moments as q_corr_lineitem: one grouped agg, the doubles
+    // appear only in the final fixed-shape expression (identical IEEE
+    // op tree in the oracle)
+    "q_regression" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val x = col("l_quantity").cast("decimal(14,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d2(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+             sum((x * y).cast("decimal(34,4)")).as("_sxy"),
+             sum((x * x).cast("decimal(30,4)")).as("_sxx"),
+             sum((y * y).cast("decimal(38,4)")).as("_syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * d2(col("_sxy")) - d2(col("_sx")) * d2(col("_sy")))
+            / (col("n").cast("double") * d2(col("_sxx")) - d2(col("_sx")) * d2(col("_sx"))))
+            .as("slope"),
+          ((d2(col("_sy")) -
+            ((col("n").cast("double") * d2(col("_sxy")) - d2(col("_sx")) * d2(col("_sy")))
+              / (col("n").cast("double") * d2(col("_sxx")) - d2(col("_sx")) * d2(col("_sx"))))
+            * d2(col("_sx"))) / col("n").cast("double")).as("intercept"),
+          (((col("n").cast("double") * d2(col("_sxy")) - d2(col("_sx")) * d2(col("_sy")))
+            * (col("n").cast("double") * d2(col("_sxy")) - d2(col("_sx")) * d2(col("_sy"))))
+            / ((col("n").cast("double") * d2(col("_sxx")) - d2(col("_sx")) * d2(col("_sx")))
+              * (col("n").cast("double") * d2(col("_syy")) - d2(col("_sy")) * d2(col("_sy")))))
+            .as("r2"))
+    }),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2215,6 +2243,30 @@ object SparkEntry {
         |         SELECT s.dst AS name, CAST(sum(r1.r * s.ppm) AS BIGINT) AS s
         |         FROM shares s JOIN r1 ON s.src = r1.name GROUP BY 1) c USING (name))
         |SELECT name, r AS rank_fp FROM r2""".stripMargin,
+    // same exact-moment CTE as corr; slope/intercept/r2 are the SAME
+    // fixed IEEE expression trees as the Spark side
+    "q_regression" ->
+      """WITH t AS (SELECT l_returnflag, count(*) AS n,
+        |                  sum(cast(l_quantity AS DECIMAL(14,2))) AS sx,
+        |                  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |                  sum(cast(cast(l_quantity AS DECIMAL(14,2)) * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(34,4))) AS sxy,
+        |                  sum(cast(cast(l_quantity AS DECIMAL(14,2)) * cast(l_quantity AS DECIMAL(14,2)) AS DECIMAL(30,4))) AS sxx,
+        |                  sum(cast(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+        |           FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |             cast(n AS double) AS nd,
+        |             cast(cast(sx AS VARCHAR) AS double) AS dsx,
+        |             cast(cast(sy AS VARCHAR) AS double) AS dsy,
+        |             cast(cast(sxy AS VARCHAR) AS double) AS dsxy,
+        |             cast(cast(sxx AS VARCHAR) AS double) AS dsxx,
+        |             cast(cast(syy AS VARCHAR) AS double) AS dsyy
+        |      FROM t)
+        |SELECT l_returnflag, n,
+        |       (nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx) AS slope,
+        |       (dsy - ((nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx)) * dsx) / nd AS intercept,
+        |       ((nd * dsxy - dsx * dsy) * (nd * dsxy - dsx * dsy))
+        |         / ((nd * dsxx - dsx * dsx) * (nd * dsyy - dsy * dsy)) AS r2
+        |FROM d""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

@@ -198,6 +198,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_gopher_filter" -> 3,           // (doc,tok) top-token agg + doc
                                       // join + source rollup (same
                                       // family as q_repetition)
+    "q_regression" -> 1,              // one grouped exact-moment agg
+                                      // (same family as q_corr_lineitem)
     "q_trade_rank" -> 1,              // final action reads the
                                       // checkpointed 25-row rank frame
                                       // (the fact-join edge agg and
