@@ -733,6 +733,13 @@ object SparkEntry {
     "q_trade_rank" -> ((s, d) =>
       Relational.nationTradeRank(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), 2)),
+    // deterministic weighted (PPS) sampling: ~16 docs proportional to
+    // token count, selection marks in pure integer arithmetic
+    "q_pps_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.Sampling.ppsSystematic(Tables.documents(s, d), "doc_id",
+        size(split(trim(lower(col("text"))), "\\s+")), 16)
+    }),
     // regression family (regr_slope/intercept/r2) off the same exact
     // decimal moments as q_corr_lineitem: one grouped agg, the doubles
     // appear only in the final fixed-shape expression (identical IEEE
@@ -2267,6 +2274,24 @@ object SparkEntry {
         |       ((nd * dsxy - dsx * dsy) * (nd * dsxy - dsx * dsy))
         |         / ((nd * dsxx - dsx * dsx) * (nd * dsyy - dsy * dsy)) AS r2
         |FROM d""".stripMargin,
+    // same mark-counting integer arithmetic over the same md5 order;
+    // the window cumsum stands in for the engine's partitioned prefix
+    // sums
+    "q_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)),'\s+')) AS BIGINT) AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)),'\s+')) > 0),
+        |c AS (SELECT doc_id, w,
+        |             CAST(sum(w) OVER (ORDER BY h, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ci
+        |      FROM w),
+        |t AS (SELECT GREATEST(1, CAST(sum(w) AS BIGINT) // 16) AS step FROM w)
+        |SELECT doc_id, w AS n_tokens
+        |FROM c, t
+        |WHERE (ci + step - 1) // step > (ci - w + step - 1) // step""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

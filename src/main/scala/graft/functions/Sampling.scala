@@ -194,4 +194,50 @@ object Sampling {
       .groupBy(col(shardCol), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_n_toks")).as("sum_tokens"))
   }
+
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sampling — "pick ~k docs with probability proportional to token
+    * count", the weighted companion to `bottomK`: selection marks at
+    * every multiple of `step = max(1, Wtot div k)` along the cumulative
+    * weight axis, docs ordered by (md5(id), id). A doc is selected iff
+    * its cumulative interval [C_prev, C_i) contains a mark — the count
+    * of marks below C is the exact integer `(C + step - 1) div step`,
+    * so membership is pure integer arithmetic: reproducible across
+    * engines, runs, retries and cluster sizes, and heavy docs are
+    * proportionally favored with at most one selection each.
+    *
+    * Scale shape: the cumulative sums use the globalRank/pareto
+    * pattern — range partition on the md5 order, per-partition prefix
+    * sums, metadata-sized per-partition offsets collected to the
+    * driver — never a single-partition window. */
+  def ppsSystematic(df: DataFrame, idCol: String, weight: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), weight.cast("long").as("_w"))
+      .filter(col("_w") > 0)
+      .withColumn("_h", md5(col(idCol).cast("string")))
+    val sortCols = Seq(col("_h").asc, col(idCol).asc)
+    val parted = base.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = parted.groupBy(col("_pid")).agg(sum(col("_w")).as("_pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    if (acc == 0L) return parted.select(col(idCol), col("_w").as("n_tokens")).limit(0)
+    val step = math.max(1L, acc / k)
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("_run", sum(col("_w")).over(w))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_ci", col("_off") + col("_run"))
+      .filter(expr(s"(_ci + $step - 1) div $step") >
+              expr(s"(_ci - _w + $step - 1) div $step"))
+      .select(col(idCol), col("_w").as("n_tokens"))
+  }
 }

@@ -215,6 +215,8 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long, Double)]
         .toDF("o_orderkey", "o_custkey", "o_totalprice"),
       4).count() == 0)
+    assert(graft.functions.Sampling.ppsSystematic(
+      emptyDocs, "doc_id", lit(1L), 4).count() == 0)
     assert(graft.operators.Relational.nationTradeRank(
       Seq.empty[(Long, Long, Double)]
         .toDF("l_orderkey", "l_suppkey", "l_extendedprice"),

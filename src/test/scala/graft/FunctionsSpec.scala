@@ -336,6 +336,25 @@ class SamplingSpec extends SparkSpec {
       ("a", 0L) -> ((2L, 6L)), ("a", 1L) -> ((2L, 6L)),
       ("b", 0L) -> ((1L, 2L))), s"got $out")
   }
+
+  test("ppsSystematic: heavy doc always in, zero weights out, layout-invariant") {
+    // one giant doc (w=1000) among 10 tiny (w=1), k=2:
+    // step = 1010 div 2 = 505 <= 1000, so the giant's cumulative
+    // interval must contain a mark — selected regardless of md5 order.
+    val rows = (1L to 10L).map(i => (i, 1L)) :+ (99L, 1000L) :+ (100L, 0L)
+    val d = rows.toDF("doc_id", "w")
+    val out = Sampling.ppsSystematic(d, "doc_id", col("w"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(99L), s"heavy doc must be selected: $out")
+    assert(!out.contains(100L), s"zero-weight doc must never be selected: $out")
+    assert(out.nonEmpty && out.size <= 4, s"~k selections expected: $out")
+    // physical layout invariance: 1 partition == 7 partitions
+    val a = Sampling.ppsSystematic(d.repartition(1), "doc_id", col("w"), 2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.ppsSystematic(d.repartition(7), "doc_id", col("w"), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, s"layout-dependent: $a vs $b")
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -200,6 +200,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // family as q_repetition)
     "q_regression" -> 1,              // one grouped exact-moment agg
                                       // (same family as q_corr_lineitem)
+    "q_pps_sample" -> 1,              // final action reads the
+                                      // range-partitioned checkpoint:
+                                      // one per-_pid prefix-sum window
+                                      // (offsets broadcast back — the
+                                      // globalRank/pareto pattern)
     "q_trade_rank" -> 1,              // final action reads the
                                       // checkpointed 25-row rank frame
                                       // (the fact-join edge agg and
