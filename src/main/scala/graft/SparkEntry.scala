@@ -733,6 +733,11 @@ object SparkEntry {
     "q_trade_rank" -> ((s, d) =>
       Relational.nationTradeRank(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), 2)),
+    // time-series resample-to-bars (OHLC per user per day): one hash
+    // agg, open/close via min_by/max_by over the total (ts, event_id)
+    // order
+    "q_ohlc_bars" -> ((s, d) =>
+      Temporal.ohlcBars(Tables.events(s, d), "user_id", "ts", "value")),
     // deterministic weighted (PPS) sampling: ~16 docs proportional to
     // token count, selection marks in pure integer arithmetic
     "q_pps_sample" -> ((s, d) => {
@@ -2274,6 +2279,27 @@ object SparkEntry {
         |       ((nd * dsxy - dsx * dsy) * (nd * dsxy - dsx * dsy))
         |         / ((nd * dsxx - dsx * dsx) * (nd * dsyy - dsy * dsy)) AS r2
         |FROM d""".stripMargin,
+    // dual row_numbers mirror min_by/max_by's (ts, event_id) tie-break
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(ts AS DATE) AS day,
+        |                  CAST(ts AS TIMESTAMP) AS tsu,
+        |                  CAST(value AS DECIMAL(14,2)) AS v
+        |           FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, day
+        |          ORDER BY tsu, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY user_id, day
+        |          ORDER BY tsu DESC, event_id DESC) AS rd
+        |      FROM e)
+        |SELECT user_id, day,
+        |       CAST(min(CASE WHEN ra=1 THEN v END) AS DOUBLE) AS open,
+        |       CAST(max(v) AS DOUBLE) AS high,
+        |       CAST(min(v) AS DOUBLE) AS low,
+        |       CAST(min(CASE WHEN rd=1 THEN v END) AS DOUBLE) AS close,
+        |       count(*) AS n_events,
+        |       CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM r GROUP BY 1,2""".stripMargin,
     // same mark-counting integer arithmetic over the same md5 order;
     // the window cumsum stands in for the engine's partitioned prefix
     // sums

@@ -379,4 +379,29 @@ object Temporal {
         col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
+
+  /** OHLC downsampling — the time-series "resample to bars" operator:
+    * per (key, day) the opening/closing values by event time plus
+    * high/low/count/total. Open and close are `min_by`/`max_by` over
+    * the TOTAL order (ts, event_id) — same-timestamp ties break on the
+    * unique event id, so the bar is deterministic and engine-portable
+    * (the oracle mirrors the tie-break via dual row_numbers). Values
+    * aggregate in exact DECIMAL; doubles only at the output edge.
+    * Shape: ONE hash aggregation keyed on (key, day) — min_by/max_by
+    * are ordinary partial-merge aggregates, so bars build map-side;
+    * no window, no sort, no per-key partition. */
+  def ohlcBars(events: DataFrame, key: String, ts: String,
+               value: String): DataFrame = {
+    val v = col(value).cast("decimal(14,2)")
+    val ord = struct(col(ts), col("event_id"))
+    events
+      .groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(
+        min_by(v, ord).cast("double").as("open"),
+        max(v).cast("double").as("high"),
+        min(v).cast("double").as("low"),
+        max_by(v, ord).cast("double").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(v).cast("double").as("total_value"))
+  }
 }

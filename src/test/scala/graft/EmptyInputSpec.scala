@@ -217,6 +217,10 @@ class EmptyInputSpec extends SparkSpec {
       4).count() == 0)
     assert(graft.functions.Sampling.ppsSystematic(
       emptyDocs, "doc_id", lit(1L), 4).count() == 0)
+    assert(Temporal.ohlcBars(
+      Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+        .toDF("event_id", "ts", "user_id", "value"),
+      "user_id", "ts", "value").count() == 0)
     assert(graft.operators.Relational.nationTradeRank(
       Seq.empty[(Long, Long, Double)]
         .toDF("l_orderkey", "l_suppkey", "l_extendedprice"),

@@ -200,6 +200,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // family as q_repetition)
     "q_regression" -> 1,              // one grouped exact-moment agg
                                       // (same family as q_corr_lineitem)
+    "q_ohlc_bars" -> 1,               // ONE (key,day) hash agg —
+                                      // min_by/max_by bars build
+                                      // map-side, no window, no sort
     "q_pps_sample" -> 1,              // final action reads the
                                       // range-partitioned checkpoint:
                                       // one per-_pid prefix-sum window

@@ -294,4 +294,24 @@ class TemporalSpec extends SparkSpec {
     assert(out(("2024-01-01", 2L)) == ((2L, 2L, 1.0)))
     assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
   }
+
+  test("ohlcBars: open/close by event time, same-timestamp ties break on event_id") {
+    val ev = Seq(
+      // user 1, one day: open=5 (earliest), close=7 (tie at 10:05
+      // broken by event_id: 4 > 3), high=20, low=2
+      (1L, ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 10:02:00"), 1L, 20.0),
+      (5L, ts("2024-01-01 10:03:00"), 1L, 2.0),
+      (3L, ts("2024-01-01 10:05:00"), 1L, 9.0),
+      (4L, ts("2024-01-01 10:05:00"), 1L, 7.0),
+      // user 1, next day: single event -> all four equal
+      (6L, ts("2024-01-02 09:00:00"), 1L, 3.5)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Temporal.ohlcBars(ev, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(out((1L, "2024-01-01")) == ((5.0, 20.0, 2.0, 7.0, 5L, 43.0)), s"got $out")
+    assert(out((1L, "2024-01-02")) == ((3.5, 3.5, 3.5, 3.5, 1L, 3.5)), s"got $out")
+  }
 }
