@@ -224,6 +224,17 @@ object SparkEntry {
       Dedup.dedupCorpusBy(Tables.documents(s, d), 3, 8, 4, 0.5,
         col("n_chars")).select(col("doc_id"), col("n_chars"))
     }),
+    // leakage-safe train/val/test split: buckets assigned per
+    // duplicate CLUSTER (md5 of the CC label), so no exact/near-dup
+    // pair straddles train and eval; shares the memoized CC fixpoint
+    "q_leakage_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dedup.withClusterSplit(Tables.documents(s, d), 3, 8, 4, 0.5, 10, 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("cluster_label")).as("n_clusters"),
+             sum(col("n_chars")).as("sum_chars"))
+    }),
     // entity resolution: fuzzy vendor variants within edit distance 1
     // (length-band blocked, exact levenshtein verify)
     "q_fuzzy_vendors" -> ((s, d) =>
@@ -1725,6 +1736,22 @@ object SparkEntry {
          |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    // same recursive-CTE closure as q_dedup_corpus supplies the
+    // cluster labels; unclustered docs label as themselves
+    "q_leakage_split" ->
+      s"""$dedupCorpusBaseSql,
+         |lab AS (SELECT d.doc_id, d.n_chars,
+         |               COALESCE(r.label, d.doc_id) AS lbl
+         |        FROM documents d LEFT JOIN reach r ON r.id = d.doc_id),
+         |sp AS (SELECT n_chars, lbl,
+         |         CASE WHEN CAST('0x' || substring(md5(CAST(lbl AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
+         |              WHEN CAST('0x' || substring(md5(CAST(lbl AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
+         |              ELSE 'train' END AS split
+         |       FROM lab)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT lbl) AS n_clusters,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp GROUP BY split""".stripMargin,
     "q_lsh_topk" ->
       s"""WITH n AS ($quantizedSql),
          |${lshBucketsSql(4, 1)},

@@ -985,6 +985,33 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split — the dedup-AWARE form of
+    * `Sampling.withSplit`: a doc's split is decided by the md5 bucket
+    * of its duplicate-CLUSTER label (min doc_id of its exact+near-dup
+    * component; its own id if unclustered), so every copy of a
+    * document lands in the SAME split and no near-duplicate pair can
+    * straddle train and eval — the contamination a plain per-doc hash
+    * split cannot rule out. Reuses the memoized pair-graph/CC fixpoint
+    * (`componentsFor`), so alongside the dedup-apply queries the split
+    * costs one label join + the bucket expression; the label frame is
+    * cluster-member-sized (dup docs only), a vanishing fraction of the
+    * corpus at production dup rates. */
+  def withClusterSplit(docs: DataFrame, n: Int, k: Int, bands: Int,
+                       minJaccard: Double, valPct: Int,
+                       testPct: Int): DataFrame = {
+    val cc = componentsFor(docs, n, k, bands, minJaccard)
+    val b = Sampling.hashBucket(col("cluster_label"), 100)
+    docs
+      .join(cc.select(col("id").as("doc_id"), col("label")),
+            Seq("doc_id"), "left")
+      .withColumn("cluster_label", coalesce(col("label"), col("doc_id")))
+      .drop("label")
+      .withColumn("split",
+        when(b < valPct, lit("val"))
+          .when(b < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Edit-distance fuzzy matching — the entity-resolution primitive
     * (vendor/name/SKU variants) as a BLOCKED pair join, never all-pairs:
     * levenshtein(a, b) <= d implies |len(a) - len(b)| <= d, so each

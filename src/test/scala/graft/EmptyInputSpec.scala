@@ -40,6 +40,8 @@ class EmptyInputSpec extends SparkSpec {
 
   test("dedup and text operators on zero documents") {
     assert(Dedup.exactDedupDocs(emptyDocs).count() == 0)
+    assert(Dedup.withClusterSplit(emptyDocs, 3, 8, 4, 0.5, 10, 10)
+      .count() == 0)
     assert(Dedup.ngramJaccardPairsInverted(emptyDocs, 3, 0.5).count() == 0)
     assert(Dedup.minhashLshPairs(emptyDocs, 3, 8, 4, 0.5).count() == 0)
     assert(TextAnalysis.qualityScore(

@@ -497,6 +497,27 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(2L, 3L, 4L))
   }
 
+  test("withClusterSplit: every copy of a doc lands in ONE split, by CC label") {
+    val d = docs(
+      (1L, near1), (2L, near2),        // near-dup cluster -> label 1
+      (3L, other),                     // singleton -> label 3
+      (4L, "A  B"), (5L, "a b"))       // exact-dup cluster -> label 4
+    val out = Dedup.withClusterSplit(d, 3, 8, 4, 0.5, 10, 10)
+      .select(col("doc_id"), col("cluster_label"), col("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+    // the leakage guarantee: cluster members share a split
+    assert(out(1L)._2 == out(2L)._2 && out(4L)._2 == out(5L)._2)
+    // bucket rule == the per-doc splitter applied to the labels
+    val ref = graft.functions.Sampling.withSplit(
+      Seq(1L, 3L, 4L).toDF("doc_id"), "doc_id", 10, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L)._2 == ref(1L) && out(3L)._2 == ref(3L) &&
+      out(5L)._2 == ref(4L))
+  }
+
   test("dedupCorpus and dedupCorpusBy share one CC fixpoint per (input, params)") {
     val d = docs(
       (1L, near1), (2L, near2),

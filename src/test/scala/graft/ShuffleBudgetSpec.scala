@@ -75,6 +75,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // beats 1 raw-row exchange at scale
     "q_dedup_corpus_by" -> 3,         // CC labels join + cluster rank
                                       // window + loser anti-join
+    "q_leakage_split" -> 4,           // CC labels join pair (AQE
+                                      // broadcasts the tiny side at
+                                      // runtime) + the 2-stage
+                                      // distinct-cluster count
     "q_table_checksum" -> 1,          // map-side lane partials, one scalar
                                       // per partition crosses the wire
     "q_checksum_groups" -> 1,         // one group-key agg exchange
