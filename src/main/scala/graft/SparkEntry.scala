@@ -708,6 +708,18 @@ object SparkEntry {
           col("session_window.end").as("s_end"),
           col("user_id"), col("total_value"), col("n_events"))
     }),
+    // sweep-line peak concurrency over the session_window intervals:
+    // +1/-1 boundary deltas, distributed prefix sum (globalRank
+    // pattern), per-day max level + session-start count
+    "q_peak_concurrency" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sw = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("_n"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"))
+      Temporal.peakConcurrency(sw, "s_start", "s_end")
+    }),
     // TPC-H Q21: double-correlated EXISTS / NOT EXISTS (sole late
     // shipper on a multi-supplier order), decorrelated into per-order
     // aggregates that reuse the single fact-fact orderkey shuffle
@@ -2100,6 +2112,32 @@ object SparkEntry {
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_value,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // same islands sessionization as q_session_window supplies the
+    // intervals; the window cumsum in (t, delta) order stands in for
+    // the engine's distributed prefix sum (-1 before +1 at shared
+    // instants: level = intervals with start <= t < end)
+    "q_peak_concurrency" ->
+      """WITH x AS (SELECT user_id, ts,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |                       THEN 1 ELSE 0 END AS brk
+        |           FROM events),
+        |g AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x),
+        |sess AS (SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        |         FROM g GROUP BY user_id, sid),
+        |deltas AS (SELECT s_start AS t, 1 AS dd FROM sess
+        |           UNION ALL SELECT s_end, -1 FROM sess),
+        |c AS (SELECT t, dd,
+        |             sum(dd) OVER (ORDER BY t, dd
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+        |      FROM deltas)
+        |SELECT CAST(t AS DATE) AS day,
+        |       CAST(max(lvl) AS BIGINT) AS peak_concurrent,
+        |       CAST(sum(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM c GROUP BY 1""".stripMargin,
     // literal double-correlated textbook form — certifies the
     // decorrelated per-order-aggregate plan against the EXISTS semantics
     "q_tpch_q21" ->

@@ -380,6 +380,48 @@ object Temporal {
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
 
+  /** Peak concurrency — the sweep-line interval-stacking operator
+    * ("max concurrent sessions/users"): each interval emits +1 at its
+    * start and -1 at its (exclusive) end; the running sum of deltas in
+    * (t, delta) order is the instantaneous concurrency (at a shared
+    * instant the -1s order before the +1s, i.e. level = intervals with
+    * start <= t < end), and the per-day output is the MAX level over
+    * that day's boundary instants plus the day's interval-start count.
+    * Ties beyond (t, delta) need no break: a run of equal (t, delta)
+    * deltas contributes the same prefix-value SET under any
+    * permutation, so per-day max is order-invariant — deterministic
+    * and engine-portable without a total order.
+    * Shape: the global prefix sum is the `globalRank` pattern — range
+    * partition on (t, delta), per-partition window sums, per-partition
+    * delta totals folded into metadata-sized offsets (one long per
+    * partition) broadcast back — no single-partition window; then one
+    * day-keyed agg. */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+                      endCol: String): DataFrame = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val deltas = intervals.select(col(startCol).as("t"), lit(1L).as("d"))
+      .unionAll(intervals.select(col(endCol).as("t"), lit(-1L).as("d")))
+    val sortCols = Seq(col("t").asc, col("d").asc)
+    val parted = deltas.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = parted.groupBy(col("_pid")).agg(sum(col("d")).as("_pd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("_run", sum(col("d")).over(w))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_lvl", col("_off") + col("_run"))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("_lvl")).as("peak_concurrent"),
+           sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+  }
+
   /** OHLC downsampling — the time-series "resample to bars" operator:
     * per (key, day) the opening/closing values by event time plus
     * high/low/count/total. Open and close are `min_by`/`max_by` over

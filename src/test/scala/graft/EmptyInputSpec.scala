@@ -219,6 +219,10 @@ class EmptyInputSpec extends SparkSpec {
       4).count() == 0)
     assert(graft.functions.Sampling.ppsSystematic(
       emptyDocs, "doc_id", lit(1L), 4).count() == 0)
+    assert(Temporal.peakConcurrency(
+      Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)]
+        .toDF("s_start", "s_end"),
+      "s_start", "s_end").count() == 0)
     assert(Temporal.ohlcBars(
       Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
         .toDF("event_id", "ts", "user_id", "value"),

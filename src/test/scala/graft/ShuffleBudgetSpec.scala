@@ -117,6 +117,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_peak_concurrency" -> 2,        // per-_pid window + day agg; the
+                                      // checkpointed sweep input pays
+                                      // the session shuffle + range
+                                      // partition eagerly
     "q_session_window" -> 1,          // one user-keyed session-merge agg
     "q_normalize_text" -> 0,          // pure map-side regexp chain
     "q_tpch_q1" -> 1,                 // the canonical scan + one agg

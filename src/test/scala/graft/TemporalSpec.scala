@@ -295,6 +295,22 @@ class TemporalSpec extends SparkSpec {
     assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
   }
 
+  test("peakConcurrency: sweep-line max with exclusive ends (-1 before +1 at shared instants)") {
+    val iv = Seq(
+      (ts("2024-01-01 09:00:00"), ts("2024-01-01 10:30:00")), // E
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // A
+      (ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")), // B starts AS E ends
+      (ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00")), // C starts AS A ends
+      (ts("2024-01-02 09:00:00"), ts("2024-01-02 09:30:00"))  // next day
+    ).toDF("s_start", "s_end")
+    val out = Temporal.peakConcurrency(iv, "s_start", "s_end")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // handoffs at 10:30 and 11:00 must NOT stack: peak is 2, not 3
+    assert(out("2024-01-01") == ((2L, 4L)), s"got $out")
+    assert(out("2024-01-02") == ((1L, 1L)), s"got $out")
+  }
+
   test("ohlcBars: open/close by event time, same-timestamp ties break on event_id") {
     val ev = Seq(
       // user 1, one day: open=5 (earliest), close=7 (tie at 10:05
