@@ -528,6 +528,10 @@ object SparkEntry {
     }),
     // --- corpus-health diagnostics (DataQuality.scala) ---
     "q_outliers" -> ((s, d) => DataQuality.outliers(tx(s, d), "category", "amount", 2.0)),
+    // robust sibling of q_outliers: exact median + MAD via the gated
+    // ExactPercentiles aggregate; per-category outlier counts at 3·MAD
+    "q_mad_outliers" -> ((s, d) =>
+      DataQuality.madOutliers(tx(s, d), "category", "amount", 3.0)),
     "q_drift" -> ((s, d) => DataQuality.categoricalDrift(tx(s, d), "txn_date", "category")),
     "q_dup_rate" -> ((s, d) => DataQuality.dupRate(Tables.documents(s, d), Seq("lang", "source"), "text")),
     "q_date_gaps" -> ((s, d) => DataQuality.dateGaps(tx(s, d), "txn_date", "vendor")),
@@ -1630,6 +1634,21 @@ object SparkEntry {
          |SELECT x.category, x.amount, (x.amount - st.mean) / st.stddev AS z
          |FROM ($txSql) x JOIN st ON x.category = st.category
          |WHERE st.stddev > 0.0 AND abs((x.amount - st.mean) / st.stddev) > 2.0""".stripMargin,
+    // quantile_cont matches ExactPercentiles' interpolation; the 3·MAD
+    // flag is the same fixed IEEE expression on both sides
+    "q_mad_outliers" ->
+      s"""WITH t AS (SELECT category, CAST(amount AS DOUBLE) AS v FROM ($txSql)),
+         |m AS (SELECT category, quantile_cont(v, 0.5) AS med
+         |      FROM t GROUP BY category),
+         |d AS (SELECT t.category, m.med, abs(t.v - m.med) AS ad
+         |      FROM t JOIN m ON t.category = m.category),
+         |st AS (SELECT category, med, quantile_cont(ad, 0.5) AS mad,
+         |              count(*) AS n
+         |       FROM d GROUP BY category, med)
+         |SELECT d.category, st.med, st.mad, st.n,
+         |       CAST(sum(CASE WHEN d.ad > st.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM d JOIN st ON d.category = st.category
+         |GROUP BY d.category, st.med, st.mad, st.n""".stripMargin,
     "q_drift" ->
       s"""WITH b AS (SELECT min(txn_date) + CAST(floor(datediff('day', min(txn_date), max(txn_date)) / 2) AS INTEGER) AS cutoff
          |           FROM ($txSql)),

@@ -68,6 +68,28 @@ object DataQuality {
       .select(col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Robust (MAD) outlier DETECTION — the median-based sibling of
+    * `outliers`, extending `SpendingReport.madByKey`'s per-group
+    * median/MAD summary with the flag pass q_mad lacks: the count of
+    * rows beyond k·MAD. Unlike the z-score, one wild value cannot
+    * inflate the scale estimate and mask every other outlier
+    * (breakdown point 50% vs 0% — spec plants a point the 2σ rule
+    * misses). The k·MAD comparison is the same fixed IEEE expression
+    * over the already-oracle-gated median/MAD doubles in both
+    * engines, so the flag is deterministic cross-engine. One extra
+    * scan over madByKey's two, with only the group-sized stats frame
+    * crossing the wire (broadcast back; the data shuffles only for
+    * the group aggs). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val stats = graft.operators.SpendingReport.madByKey(df, groupCol, valueCol)
+    df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"), col("n"))
+      .agg(sum(when(abs(col(valueCol).cast("double") - col("med"))
+                      > col("mad") * k, 1L)
+        .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Categorical distribution drift between two halves of a time
     * range: per key, the share in the early half vs the late half and
     * the absolute share difference (summing abs_diff across keys gives

@@ -25,6 +25,28 @@ class DataQualitySpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 100.0)))
   }
 
+  test("madOutliers: robust scale catches the point the z-score masks; even-n interpolates") {
+    val tx = txOf(
+      // 'a' odd n: median 3, |dev| [2,1,0,1,97] -> MAD 1; only 100.0
+      // exceeds 3·MAD. The z-score at the same data has stddev ≈ 43,
+      // z(100) ≈ 1.8 — a 2σ rule misses it (masking).
+      ("2024-01-01", "a", 1.0), ("2024-01-02", "a", 2.0),
+      ("2024-01-03", "a", 3.0), ("2024-01-04", "a", 4.0),
+      ("2024-01-05", "a", 100.0),
+      // 'b' even n: median (2+3)/2 = 2.5, |dev| [1.5,.5,.5,7.5] ->
+      // MAD (.5+1.5)/2 = 1.0; only 10.0 exceeds 3
+      ("2024-01-01", "b", 1.0), ("2024-01-02", "b", 2.0),
+      ("2024-01-03", "b", 3.0), ("2024-01-04", "b", 10.0))
+    val out = DataQuality.madOutliers(tx, "category", "amount", 3.0)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 3.0, 1.0, 5L, 1L)), s"got $out")
+    assert(out("b") == (("b", 2.5, 1.0, 4L, 1L)), s"got $out")
+    assert(DataQuality.outliers(tx, "category", "amount", 2.0)
+      .filter(col("category") === "a").count() == 0,
+      "precondition: the 2σ z-rule must mask 'a''s planted outlier")
+  }
+
   test("drift: vanished key keeps share 0 in the late half") {
     // 4 days: cutoff = d0 + floor(3/2) = day 2 -> early = days 1-2
     val tx = txOf(
@@ -91,6 +113,7 @@ class DataQualitySpec extends SparkSpec {
     val empty = txOf().withColumnRenamed("category", "vendor")
       .withColumn("category", col("vendor"))
     assert(DataQuality.outliers(empty, "category", "amount", 2.0).count() == 0)
+    assert(DataQuality.madOutliers(empty, "category", "amount", 3.0).count() == 0)
     assert(DataQuality.categoricalDrift(empty, "txn_date", "category").count() == 0)
     assert(DataQuality.dateGaps(empty, "txn_date", "vendor").count() == 0)
     val emptyDocs = Seq.empty[(Long, String, String, String)]

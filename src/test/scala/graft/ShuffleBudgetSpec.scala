@@ -84,6 +84,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_checksum_groups" -> 1,         // one group-key agg exchange
     "q_checksum_diff" -> 4,           // grouped agg per side + bounds
     "q_outliers" -> 1,                // one moment agg; stats broadcast back
+    "q_mad_outliers" -> 2,            // flag-pass agg + final group agg;
+                                      // madByKey's checkpointed stats
+                                      // pay their own aggs eagerly
     "q_drift" -> 1,                   // key counts ran in the eager
                                       // checkpoint; only totals' scalar
                                       // agg remains in the final plan
