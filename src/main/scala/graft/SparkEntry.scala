@@ -123,6 +123,10 @@ object SparkEntry {
     "q_language_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)),
+    // keyword extraction: top-3 per doc by tf·idf (integer idf
+    // surrogate scale div df — same discipline as q_doc_rarity)
+    "q_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), 3)),
     "q_doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     // --- dedup ---
     "q_exact_dedup_docs" -> ((s, d) => Dedup.exactDedupDocs(Tables.documents(s, d))),
@@ -1025,6 +1029,26 @@ object SparkEntry {
            |SELECT r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.term,
            |       CAST(r.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
            |FROM r JOIN df ON r.term = df.term WHERE r.rnk <= 3""".stripMargin,
+    // same token/stopword pipeline as q_top_terms; score is the exact
+    // integer tf·(scale div df), `div` ⟷ DuckDB `//`
+    "q_tfidf_keywords" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |             FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |       WHERE term NOT IN ('the','a','of','and','to','in','is','on')
+           |       GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |             CAST(tf.tf AS BIGINT) * (CAST(1000000 AS BIGINT) // CAST(df.df AS BIGINT)) AS score
+           |      FROM tf JOIN df ON tf.term = df.term),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |               ORDER BY score DESC, term ASC) AS rnk
+           |      FROM s)
+           |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           |       CAST(score AS BIGINT) AS score
+           |FROM r WHERE rnk <= 3""".stripMargin,
     "q_doc_rarity" ->
       raw"""WITH tok AS (SELECT DISTINCT doc_id, term FROM
            |               (SELECT doc_id,

@@ -101,6 +101,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Per-document keyword extraction — top-k terms by tf·idf, with
+    * `docRarity`'s log-free integer idf surrogate: score =
+    * tf · (scale div df), an exact BIGINT (truncating division mirrors
+    * DuckDB `//`), monotone in the same direction as tf·log(N/df) and
+    * oracle-gateable where the transcendental is not. Unlike
+    * `topTerms`' raw-tf rank, the df discount demotes corpus-ubiquitous
+    * terms even when they dominate a document (spec pins an order the
+    * two rank differently). Ties break on term ASC; (doc, term) is
+    * unique, so the rank is total. Shape: term-keyed tf/df aggs + one
+    * term-keyed join + a per-doc rank window — every stage keyed, the
+    * token stream shuffles once into (doc, term) counts. */
+  def tfidfKeywords(docs: DataFrame, k: Int,
+                    scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isInCollection(stopwords))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfr, Seq("term"))
+      .withColumn("score", col("tf") * expr(s"CAST($scale AS BIGINT) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Rarity-weighted document scoring — the corpus-level importance
     * weight a pipeline attaches to each document before quality-aware
     * sampling: documents dense in rare vocabulary score high, documents

@@ -42,6 +42,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exactDedupDocs(emptyDocs).count() == 0)
     assert(Dedup.withClusterSplit(emptyDocs, 3, 8, 4, 0.5, 10, 10)
       .count() == 0)
+    assert(TextAnalysis.tfidfKeywords(emptyDocs, 3).count() == 0)
     assert(Dedup.ngramJaccardPairsInverted(emptyDocs, 3, 0.5).count() == 0)
     assert(Dedup.minhashLshPairs(emptyDocs, 3, 8, 4, 0.5).count() == 0)
     assert(TextAnalysis.qualityScore(

@@ -380,6 +380,28 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 2L)) == ("zebra", 1L, 1L))
   }
 
+  test("tfidfKeywords: df discount demotes ubiquitous terms that raw tf ranks first") {
+    val d = docs(
+      (1L, "apple apple banana common"),
+      (2L, "common cherry"),
+      (3L, "common banana"),
+      (4L, "common common rare"))
+    // dfs: apple/cherry/rare=1 (weight 1000000), banana=2 (500000),
+    // common=4 (250000)
+    val out = TextAnalysis.tfidfKeywords(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 4: raw tf ranks common (tf=2) first; tf·idf flips it
+    assert(out((4L, 1L)) == (("rare", 1L, 1L, 1000000L)), s"got $out")
+    assert(out((4L, 2L)) == (("common", 2L, 4L, 500000L)), s"got $out")
+    val tfFirst = TextAnalysis.topTerms(d, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tfFirst(4L) == "common", "precondition: raw tf ranks common first")
+    assert(out((1L, 1L)) == (("apple", 2L, 1L, 2000000L)), s"got $out")
+    assert(out((1L, 2L)) == (("banana", 1L, 2L, 500000L)), s"got $out")
+    assert(out((1L, 3L)) == (("common", 1L, 4L, 250000L)), s"got $out")
+  }
+
   test("docRarity: integer rarity weights, distinct terms only, length-normalized") {
     val d = docs(
       (1L, "the cat cat cat dog dog bird fish"),

@@ -96,6 +96,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_date_gaps" -> 3,               // keys+observed distincts + final
                                       // agg; the calendar grid is generated,
                                       // span broadcast
+    "q_tfidf_keywords" -> 4,          // (doc,term) tf agg + term df agg
+                                      // + term join + per-doc rank
+                                      // window — all keyed
     "q_doc_rarity" -> 3,              // (doc,term) distinct, term-keyed
                                       // df window, doc_id agg — text
                                       // dropped before the first shuffle
