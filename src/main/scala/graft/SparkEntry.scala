@@ -716,6 +716,11 @@ object SparkEntry {
           col("session_window.end").as("s_end"),
           col("user_id"), col("total_value"), col("n_events"))
     }),
+    // Markov transition matrix over per-user event streams: counts +
+    // empirical probabilities per (prev_type -> next_type) step
+    "q_event_transitions" -> ((s, d) =>
+      Temporal.eventTransitions(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
     // sweep-line peak concurrency over the session_window intervals:
     // +1/-1 boundary deltas, distributed prefix sum (globalRank
     // pattern), per-day max level + session-start count
@@ -2155,6 +2160,22 @@ object SparkEntry {
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_value,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // lag over the same total (µs-truncated ts, event_id) order; the
+    // share division mirrors the exact-count operands
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |p AS (SELECT event_type AS next_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY tsu, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
     // same islands sessionization as q_session_window supplies the
     // intervals; the window cumsum in (t, delta) order stands in for
     // the engine's distributed prefix sum (-1 before +1 at shared

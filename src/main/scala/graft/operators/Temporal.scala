@@ -380,6 +380,37 @@ object Temporal {
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
 
+  /** Event transition matrix — Markov-style behavioral analytics: per
+    * ordered user stream, the count of each (prev_type → next_type)
+    * step and its share of all transitions leaving prev_type (the
+    * empirical transition probability). The per-user order is the
+    * TOTAL (ts, event_id) order — same-timestamp ties break on the
+    * unique event id, so each lag pair is deterministic and
+    * engine-portable (the oracle mirrors the tie-break and the µs
+    * truncation). Share is one division of two exact counts — a
+    * fixed IEEE expression identical in both engines.
+    * Shape: ONE user-keyed sort window produces the pairs, one
+    * (prev, next) hash agg counts them; the per-prev totals frame is
+    * type²-sized and broadcast back — the event stream shuffles
+    * once on user and once into the tiny count grid. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col("event_id").asc)
+    val counts = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_prev").as("prev_type"), col(typeCol).as("next_type"),
+        col("n"))
+      .localCheckpoint()  // type²-sized; shared by totals + the join
+    val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("_tot"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("share", col("n").cast("double") / col("_tot").cast("double"))
+      .drop("_tot")
+  }
+
   /** Peak concurrency — the sweep-line interval-stacking operator
     * ("max concurrent sessions/users"): each interval emits +1 at its
     * start and -1 at its (exclusive) end; the running sum of deltas in

@@ -123,6 +123,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_event_transitions" -> 1,       // totals agg over the
+                                      // checkpointed type²-sized count
+                                      // grid; the user window + pair
+                                      // agg pay eagerly into it
     "q_peak_concurrency" -> 2,        // per-_pid window + day agg; the
                                       // checkpointed sweep input pays
                                       // the session shuffle + range

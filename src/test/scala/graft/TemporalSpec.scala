@@ -295,6 +295,26 @@ class TemporalSpec extends SparkSpec {
     assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
   }
 
+  test("eventTransitions: lag pairs over the total (ts, event_id) order, per-prev shares") {
+    val ev = Seq(
+      // u1 in (ts, event_id) order: a, b(e2), b(e3 same ts), c
+      // -> a→b, b→b, b→c
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:05:00"), 1L, "b"),
+      (4L, ts("2024-01-01 10:10:00"), 1L, "c"),
+      // u2: a -> c
+      (5L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (6L, ts("2024-01-01 09:30:00"), 2L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.eventTransitions(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5)), ("b", "c") -> ((1L, 0.5))), s"got $out")
+  }
+
   test("peakConcurrency: sweep-line max with exclusive ends (-1 before +1 at shared instants)") {
     val iv = Seq(
       (ts("2024-01-01 09:00:00"), ts("2024-01-01 10:30:00")), // E
