@@ -284,6 +284,15 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 16, 4)),
+    // hybrid retrieval: reciprocal-rank fusion of the LSH and IVF
+    // top-10 lists (rank-based — no cross-method score calibration)
+    "q_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probe = org.apache.spark.sql.functions.col("vec_id") % 100 === 0
+      Similarity.rrfFuse(
+        Similarity.lshTopK(emb, probe, 10, 4),
+        Similarity.ivfTopK(emb, probe, 10, 16, 4), 10)
+    }),
     // measured recall of every approximate ANN method against the
     // oracle-gated brute-force top-k: one (method, n_hits, n_truth,
     // recall) row each. Rows-only by design: every COMPONENT is now
@@ -1812,16 +1821,25 @@ object SparkEntry {
          |       count(DISTINCT lbl) AS n_clusters,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY split""".stripMargin,
-    "q_lsh_topk" ->
-      s"""WITH n AS ($quantizedSql),
-         |${lshBucketsSql(4, 1)},
-         |probes AS (SELECT vec_id AS query_id,
-         |                  unnest([b_0, ${(0 until 4).map(j => s"xor(b_0, ${1L << j})").mkString(", ")}]) AS b
-         |           FROM bkt WHERE vec_id % 100 = 0),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
-         |         FROM probes p JOIN bkt c ON c.b_0 = p.b
-         |         WHERE c.vec_id <> p.query_id),
-         |$lshTopKTailSql""".stripMargin,
+    "q_lsh_topk" -> lshTopkOracleSql,
+    // rank-based fusion of the two method oracles; each fused score
+    // has <= 2 addends, a single commutative-exact FP addition
+    "q_rrf_fusion" ->
+      s"""WITH lsh AS (SELECT * FROM ($lshTopkOracleSql)),
+         |ivf AS (SELECT * FROM ($ivfTopkOracleSql)),
+         |u AS (SELECT query_id, neighbor_id, rnk FROM lsh
+         |      UNION ALL SELECT query_id, neighbor_id, rnk FROM ivf),
+         |f AS (SELECT query_id, neighbor_id,
+         |             sum(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE))) AS rrf,
+         |             count(*) AS n_methods
+         |      FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, rrf, n_methods,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY rrf DESC, neighbor_id ASC) AS rnk
+         |      FROM f)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, rrf,
+         |       CAST(n_methods AS BIGINT) AS n_methods
+         |FROM r WHERE rnk <= 10""".stripMargin,
     "q_lsh_topk_multi" ->
       s"""WITH n AS ($quantizedSql),
          |${lshBucketsSql(4, 4)},
@@ -1848,35 +1866,7 @@ object SparkEntry {
          |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
          |FROM pr
          |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
-    "q_ivf_topk" ->
-      s"""WITH n AS ($quantizedSql),
-         |cent AS (SELECT vec_id AS cell_id, q AS cv, nq AS cn FROM n ORDER BY vec_id ASC LIMIT 16),
-         |scored AS (SELECT n.vec_id, c.cell_id,
-         |             CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
-         |               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
-         |           FROM n, cent c),
-         |assign AS (SELECT vec_id, cell_id FROM (
-         |             SELECT vec_id, cell_id,
-         |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
-         |             FROM scored) WHERE rn = 1),
-         |probe AS (SELECT vec_id AS query_id, cell_id FROM (
-         |             SELECT vec_id, cell_id,
-         |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
-         |             FROM scored WHERE vec_id % 100 = 0) WHERE rn <= 4),
-         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-         |         FROM probe p JOIN assign a ON a.cell_id = p.cell_id
-         |         WHERE a.vec_id <> p.query_id),
-         |pr AS (SELECT c.query_id, c.neighbor_id,
-         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
-         |             qq.nq AS qn, cc.nq AS cn
-         |       FROM cand c JOIN n qq ON qq.vec_id = c.query_id JOIN n cc ON cc.vec_id = c.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
-         |             row_number() OVER (PARTITION BY query_id
-         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
-         |                        neighbor_id ASC) AS rnk
-         |      FROM pr)
-         |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_ivf_topk" -> ivfTopkOracleSql,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty,
@@ -2522,6 +2512,40 @@ object SparkEntry {
       |                        neighbor_id ASC) AS rnk
       |      FROM pr)
       |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin
+
+  // full single-table LSH top-k oracle; also embedded (as a derived
+  // table) in the q_rrf_fusion fusion oracle
+  private lazy val lshTopkOracleSql =
+    s"""WITH n AS ($quantizedSql),
+       |${lshBucketsSql(4, 1)},
+       |probes AS (SELECT vec_id AS query_id,
+       |                  unnest([b_0, ${(0 until 4).map(j => s"xor(b_0, ${1L << j})").mkString(", ")}]) AS b
+       |           FROM bkt WHERE vec_id % 100 = 0),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+       |         FROM probes p JOIN bkt c ON c.b_0 = p.b
+       |         WHERE c.vec_id <> p.query_id),
+       |$lshTopKTailSql""".stripMargin
+
+  // full IVF top-k oracle; also embedded in q_rrf_fusion
+  private lazy val ivfTopkOracleSql =
+    s"""WITH n AS ($quantizedSql),
+       |cent AS (SELECT vec_id AS cell_id, q AS cv, nq AS cn FROM n ORDER BY vec_id ASC LIMIT 16),
+       |scored AS (SELECT n.vec_id, c.cell_id,
+       |             CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+       |               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
+       |           FROM n, cent c),
+       |assign AS (SELECT vec_id, cell_id FROM (
+       |             SELECT vec_id, cell_id,
+       |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
+       |             FROM scored) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cell_id FROM (
+       |             SELECT vec_id, cell_id,
+       |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
+       |             FROM scored WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+       |         WHERE a.vec_id <> p.query_id),
+       |$lshTopKTailSql""".stripMargin
 
   /** Distinct word-3-gram shingle sets per document (mirror of
     * Dedup.shingles(n=3)). */

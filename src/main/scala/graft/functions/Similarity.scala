@@ -330,6 +330,34 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Reciprocal-rank fusion — the hybrid-retrieval combiner: two ANN
+    * result lists (schema `query_id, rnk, neighbor_id, ...`) fuse into
+    * one ranking by RRF score Σ 1/(k0 + rank), the standard rank-based
+    * fusion that needs no score calibration between methods (a bucket
+    * cosine and an IVF cosine are not comparable; ranks are).
+    * Engine-portable by construction: each contribution is one IEEE
+    * division of exact operands, and a (query, neighbor) pair appears
+    * in at most TWO lists, so the fused sum has ≤2 addends — a single
+    * FP addition, which is commutative-exact under any aggregation
+    * order (no order-dependence to hash-diverge on). Ties break on
+    * neighbor_id ASC. Shape: union + one (query, neighbor) hash agg +
+    * a per-query rank window — both inputs are top-k-sized (k rows per
+    * query), orders of magnitude below the corpus. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contrib = lit(1.0) / (lit(k0.toDouble) + col("rnk").cast("double"))
+    val u = a.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .unionByName(b.select(col("query_id"), col("neighbor_id"), col("rnk")))
+    val f = u.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(contrib).as("rrf"), count(lit(1)).as("n_methods"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    f.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("rrf"),
+        col("n_methods"))
+  }
+
   /** Lloyd's k-means over the embeddings (cosine assignment), for IVF
     * centroid training. Assignment dots and per-dimension means both
     * run long-form (posexplode + joins/groupBy — fully codegen);

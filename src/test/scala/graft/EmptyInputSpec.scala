@@ -43,6 +43,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.withClusterSplit(emptyDocs, 3, 8, 4, 0.5, 10, 10)
       .count() == 0)
     assert(TextAnalysis.tfidfKeywords(emptyDocs, 3).count() == 0)
+    assert({
+      val e = Seq.empty[(Long, Long, Long)]
+        .toDF("query_id", "rnk", "neighbor_id")
+      graft.functions.Similarity.rrfFuse(e, e, 10).count() == 0
+    })
     assert(Dedup.ngramJaccardPairsInverted(emptyDocs, 3, 0.5).count() == 0)
     assert(Dedup.minhashLshPairs(emptyDocs, 3, 8, 4, 0.5).count() == 0)
     assert(TextAnalysis.qualityScore(

@@ -876,6 +876,21 @@ class SimilaritySpec extends SparkSpec {
   private def emb(rows: (Long, Seq[Float], Int)*): DataFrame =
     rows.toSeq.toDF("vec_id", "embedding", "label")
 
+  test("rrfFuse: both-list hits outrank either single-list top hit") {
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L))
+      .toDF("query_id", "rnk", "neighbor_id")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+    val b = Seq((1L, 1L, 11L), (1L, 2L, 12L))
+      .toDF("query_id", "rnk", "neighbor_id")
+    // n11 in both lists: 1/62 + 1/61 beats n10's single 1/61
+    val out = Similarity.rrfFuse(a, b, 10).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((11L, 1.0 / 62 + 1.0 / 61, 2L)), s"got $out")
+    assert(out(2L) == ((10L, 1.0 / 61, 1L)), s"got $out")
+    assert(out(3L) == ((12L, 1.0 / 62, 1L)), s"got $out")
+  }
+
   test("bruteForceTopK ranks by cosine with known geometry") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),

@@ -122,6 +122,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // checkpoint; one _pid window
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
+    "q_rrf_fusion" -> 10,             // composes the FULL lsh + ivf
+                                      // top-k pipelines (their budgets,
+                                      // LSH bucketing memo-shared) +
+                                      // one fuse agg + rank window over
+                                      // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
     "q_event_transitions" -> 1,       // totals agg over the
                                       // checkpointed type²-sized count
