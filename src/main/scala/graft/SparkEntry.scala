@@ -725,6 +725,11 @@ object SparkEntry {
           col("session_window.end").as("s_end"),
           col("user_id"), col("total_value"), col("n_events"))
     }),
+    // association mining: event-type pairs co-occurring in the same
+    // (user, day) basket, with exact-integer lift
+    "q_cooccurrence" -> ((s, d) =>
+      Temporal.basketCooccurrence(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
     // Markov transition matrix over per-user event streams: counts +
     // empirical probabilities per (prev_type -> next_type) step
     "q_event_transitions" -> ((s, d) =>
@@ -2150,6 +2155,25 @@ object SparkEntry {
         |       cast(sum(cast(value AS DECIMAL(14,2))) AS double) AS total_value,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // lift = ONE division of two exact BIGINT products, mirroring the
+    // Spark expression operand-for-operand
+    "q_cooccurrence" ->
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |           FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |                        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+        |       n.n_baskets,
+        |       CAST(p.n_ab * n.n_baskets AS DOUBLE) / CAST(sa.n_t * sb.n_t AS DOUBLE) AS lift
+        |FROM p JOIN s sa ON sa.event_type = p.type_a
+        |       JOIN s sb ON sb.event_type = p.type_b
+        |       CROSS JOIN n""".stripMargin,
     // lag over the same total (µs-truncated ts, event_id) order; the
     // share division mirrors the exact-count operands
     "q_event_transitions" ->

@@ -380,6 +380,46 @@ object Temporal {
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
 
+  /** Basket co-occurrence — association mining over per-(user, day)
+    * event-type baskets: for each unordered type pair (a < b), the
+    * number of baskets containing BOTH, each type's basket support,
+    * and the lift n_ab·N / (n_a·n_b) — like `collocations`' PMI, kept
+    * log-free as ONE IEEE division of two exact BIGINT products so the
+    * oracle reproduces it bit-for-bit. The basket frame (distinct
+    * user-day-type) is checkpointed once and feeds all four consumers
+    * (both self-join sides, supports, basket count); the self-join is
+    * keyed on (user, day) and each basket holds at most |type| rows,
+    * so the pair fan-out is bounded by the TYPE dictionary, never
+    * basket-quadratic in data. */
+  def basketCooccurrence(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String): DataFrame = {
+    val b = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"),
+        col(typeCol).as("_t"))
+      .distinct()
+      .localCheckpoint()
+    val nBaskets = b.select(col("_u"), col("_day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val support = b.groupBy(col("_t")).agg(count(lit(1)).as("n_t"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x._u") === col("y._u") && col("x._day") === col("y._day") &&
+          col("x._t") < col("y._t"))
+      .groupBy(col("x._t").as("type_a"), col("y._t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(support.select(col("_t").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(support.select(col("_t").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift",
+        (col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"), col("lift"))
+  }
+
   /** Event transition matrix — Markov-style behavioral analytics: per
     * ordered user stream, the count of each (prev_type → next_type)
     * step and its share of all transitions leaving prev_type (the

@@ -225,6 +225,10 @@ class EmptyInputSpec extends SparkSpec {
       4).count() == 0)
     assert(graft.functions.Sampling.ppsSystematic(
       emptyDocs, "doc_id", lit(1L), 4).count() == 0)
+    assert(Temporal.basketCooccurrence(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+        .toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_type").count() == 0)
     assert(Temporal.eventTransitions(
       Seq.empty[(Long, java.sql.Timestamp, Long, String)]
         .toDF("event_id", "ts", "user_id", "event_type"),

@@ -128,6 +128,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one fuse agg + rank window over
                                       // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_cooccurrence" -> 5,            // over the checkpointed basket
+                                      // frame: (user,day) join pair +
+                                      // type² pair agg + support agg +
+                                      // the 1-row basket-count scalar
+                                      // (SinglePartition, not data)
     "q_event_transitions" -> 1,       // totals agg over the
                                       // checkpointed type²-sized count
                                       // grid; the user window + pair

@@ -295,6 +295,30 @@ class TemporalSpec extends SparkSpec {
     assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
   }
 
+  test("basketCooccurrence: distinct per-basket types, exact lift, a<b orientation") {
+    val ev = Seq(
+      // u1 day1 basket {a,b,c} — the duplicate 'a' must count once
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "a"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "b"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "c"),
+      // u1 day2 basket {a}
+      (5L, ts("2024-01-02 09:00:00"), 1L, "a"),
+      // u2 day1 basket {a,b}
+      (6L, ts("2024-01-01 11:00:00"), 2L, "a"),
+      (7L, ts("2024-01-01 11:05:00"), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.basketCooccurrence(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // N=3 baskets; supports a=3 b=2 c=1
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 2L, 3L, 1.0)),
+      ("a", "c") -> ((1L, 3L, 1L, 3L, 1.0)),
+      ("b", "c") -> ((1L, 2L, 1L, 3L, 1.5))), s"got $out")
+  }
+
   test("eventTransitions: lag pairs over the total (ts, event_id) order, per-prev shares") {
     val ev = Seq(
       // u1 in (ts, event_id) order: a, b(e2), b(e3 same ts), c
