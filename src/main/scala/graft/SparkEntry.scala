@@ -152,6 +152,8 @@ object SparkEntry {
     // corpus-hygiene funnel: per-doc keep / first-failing-rule over
     // length, language allowlist, repetition, and quality thresholds
     "q_corpus_filter" -> ((s, d) => TextAnalysis.corpusFilter(Tables.documents(s, d))),
+    // per-stage attrition of the same cascade: where does the data die
+    "q_filter_attrition" -> ((s, d) => TextAnalysis.filterAttrition(Tables.documents(s, d))),
     // exact-substring dedup diagnostic: per-doc token positions covered
     // by 5-grams shared with other docs (merged spans, true union)
     "q_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), 5)),
@@ -548,6 +550,9 @@ object SparkEntry {
     "q_drift" -> ((s, d) => DataQuality.categoricalDrift(tx(s, d), "txn_date", "category")),
     "q_dup_rate" -> ((s, d) => DataQuality.dupRate(Tables.documents(s, d), Seq("lang", "source"), "text")),
     "q_date_gaps" -> ((s, d) => DataQuality.dateGaps(tx(s, d), "txn_date", "vendor")),
+    // Benford first-digit audit over exact integer cents
+    "q_benford" -> ((s, d) =>
+      DataQuality.benfordDigits(Tables.lineitem(s, d), "l_extendedprice")),
     "q_rate_spikes" -> ((s, d) =>
       DataQuality.rateSpikes(Tables.events(s, d), "event_type", "ts")),
     // --- round-4 additions ---
@@ -730,6 +735,15 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, d) =>
       Temporal.basketCooccurrence(Tables.events(s, d), "user_id", "ts",
         "event_type")),
+    // funnel timing: first-touch -> first conversion-at-or-after lag,
+    // whole-day histogram with exact per-bucket mean
+    "q_conversion_lag" -> ((s, d) =>
+      Temporal.conversionLag(Tables.events(s, d), "user_id", "ts",
+        "event_type", "view", "purchase")),
+    // sequence mining: top-25 three-step consecutive event paths
+    "q_path_trigrams" -> ((s, d) =>
+      Temporal.pathTrigrams(Tables.events(s, d), "user_id", "ts",
+        "event_type", 25)),
     // Markov transition matrix over per-user event streams: counts +
     // empirical probabilities per (prev_type -> next_type) step
     "q_event_transitions" -> ((s, d) =>
@@ -1147,34 +1161,29 @@ object SparkEntry {
            |       CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
            |         AS dup_token_frac
            |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin,
-    "q_corpus_filter" ->
-      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks,
-           |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace
-           |           FROM documents),
-           |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
-           |             cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
-           |               / cast(len(toks) AS double) * 0.4
-           |             + least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3
-           |             + least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3 AS quality_score
-           |      FROM t),
-           |gr AS (SELECT doc_id,
-           |              unnest(list_transform(range(1, len(toks)),
-           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS g
-           |       FROM t),
-           |gf AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
-           |g2 AS (SELECT doc_id,
-           |              CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE)
-           |                / CAST(sum(c) AS DOUBLE) AS dup_2gram_frac
-           |       FROM gf GROUP BY doc_id),
-           |j AS (SELECT q.doc_id, q.lang, q.n_tokens,
-           |             CASE WHEN q.n_tokens < 20 THEN 'too_short'
-           |                  WHEN q.lang NOT IN ('en','fr','es','de') THEN 'lang'
-           |                  WHEN g2.dup_2gram_frac > 0.05 THEN 'repetition'
-           |                  WHEN q.quality_score < 0.30 THEN 'low_quality' END AS drop_reason
-           |      FROM q LEFT JOIN g2 ON q.doc_id = g2.doc_id)
-           |SELECT doc_id, lang, n_tokens, drop_reason,
-           |       drop_reason IS NULL AS keep
-           |FROM j""".stripMargin,
+    "q_corpus_filter" -> corpusFilterOracleSql,
+    // attrition arithmetic over the SAME cascade oracle: stage i's
+    // intake = total − Σ first-fail drops of earlier stages
+    "q_filter_attrition" ->
+      s"""WITH f AS (SELECT * FROM ($corpusFilterOracleSql)),
+         |c AS (SELECT drop_reason, CAST(count(*) AS BIGINT) AS n FROM f
+         |      WHERE drop_reason IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+         |st AS (SELECT * FROM (VALUES ('too_short', CAST(1 AS BIGINT)),
+         |                             ('lang', 2), ('repetition', 3),
+         |                             ('low_quality', 4)) AS v(stage, stage_idx)),
+         |x AS (SELECT st.stage, st.stage_idx,
+         |             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+         |      FROM st LEFT JOIN c ON c.drop_reason = st.stage),
+         |y AS (SELECT stage, stage_idx, n_dropped,
+         |             (SELECT n_total FROM tot)
+         |               - CAST(COALESCE(sum(n_dropped) OVER (ORDER BY stage_idx
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in
+         |      FROM x)
+         |SELECT stage, stage_idx, n_in, n_dropped, n_in - n_dropped AS n_out,
+         |       CASE WHEN n_in > 0
+         |            THEN CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE) END AS drop_share
+         |FROM y""".stripMargin,
     "q_fuzzy_vendors" ->
       s"""WITH v AS (SELECT DISTINCT vendor AS s FROM ($txSql))
          |SELECT a.s AS s_a, b.s AS s_b,
@@ -1721,6 +1730,23 @@ object SparkEntry {
          |FROM e LEFT JOIN o ON e.vendor = o.vendor AND e.day = o.day
          |WHERE o.vendor IS NULL
          |GROUP BY e.vendor""".stripMargin,
+    // first digit of exact integer cents; Benford expectation shipped
+    // as identical integer-ppm literals on both sides (no log)
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |d AS (SELECT substring(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |             count(*) AS n
+        |      FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+        |SELECT d.digit, d.n,
+        |       CAST(d.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share,
+        |       CAST(CASE d.digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |                         WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |                         WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |                         WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |                         WHEN '9' THEN 45757 END AS BIGINT) AS expected_ppm
+        |FROM d CROSS JOIN t""".stripMargin,
     // --- round-4 additions ---
     "q_event_dedup_window" ->
       """WITH l AS (SELECT event_id, ts, user_id, event_type, value,
@@ -2174,6 +2200,35 @@ object SparkEntry {
         |FROM p JOIN s sa ON sa.event_type = p.type_a
         |       JOIN s sb ON sb.event_type = p.type_b
         |       CROSS JOIN n""".stripMargin,
+    // first-touch min, conversion-at-or-after min, then pure integer
+    // µs -> sec -> day floor divisions; the mean is the only FP op
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type
+        |           FROM events),
+        |f AS (SELECT user_id, min(tsu) AS t0 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, f.t0, min(e.tsu) AS t1
+        |      FROM e JOIN f ON f.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tsu >= f.t0
+        |      GROUP BY 1, 2),
+        |l AS (SELECT (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lag_sec FROM c)
+        |SELECT CAST(lag_sec // 86400 AS BIGINT) AS lag_days,
+        |       count(*) AS n_users,
+        |       CAST(sum(lag_sec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_lag_sec
+        |FROM l GROUP BY 1""".stripMargin,
+    // two leads over the same total (µs-truncated ts, event_id) order;
+    // deterministic top-k tie-break (n desc, path asc)
+    "q_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |p AS (SELECT event_type AS t1,
+        |             lead(event_type, 1) OVER w AS t2,
+        |             lead(event_type, 2) OVER w AS t3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |c AS (SELECT t1, t2, t3, count(*) AS n FROM p
+        |      WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM c
+        |ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 25""".stripMargin,
     // lag over the same total (µs-truncated ts, event_id) order; the
     // share division mirrors the exact-count operands
     "q_event_transitions" ->
@@ -2477,6 +2532,37 @@ object SparkEntry {
 
   /** Quantized embeddings CTE body (floor(x*1e6) exact-integer vectors
     * + exact squared norms — see Similarity.quantize). */
+  // cascade oracle shared by q_corpus_filter (row-level) and
+  // q_filter_attrition (per-stage funnel arithmetic)
+  private lazy val corpusFilterOracleSql: String =
+    raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks,
+           |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace
+           |           FROM documents),
+           |q AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |             cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
+           |               / cast(len(toks) AS double) * 0.4
+           |             + least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3
+           |             + least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3 AS quality_score
+           |      FROM t),
+           |gr AS (SELECT doc_id,
+           |              unnest(list_transform(range(1, len(toks)),
+           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+           |       FROM t),
+           |gf AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+           |g2 AS (SELECT doc_id,
+           |              CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE)
+           |                / CAST(sum(c) AS DOUBLE) AS dup_2gram_frac
+           |       FROM gf GROUP BY doc_id),
+           |j AS (SELECT q.doc_id, q.lang, q.n_tokens,
+           |             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+           |                  WHEN q.lang NOT IN ('en','fr','es','de') THEN 'lang'
+           |                  WHEN g2.dup_2gram_frac > 0.05 THEN 'repetition'
+           |                  WHEN q.quality_score < 0.30 THEN 'low_quality' END AS drop_reason
+           |      FROM q LEFT JOIN g2 ON q.doc_id = g2.doc_id)
+           |SELECT doc_id, lang, n_tokens, drop_reason,
+           |       drop_reason IS NULL AS keep
+           |FROM j""".stripMargin
+
   private val quantizedSql =
     """SELECT vec_id, label,
       |       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,

@@ -198,4 +198,32 @@ object DataQuality {
         min(col("day")).as("first_missing"),
         max(col("day")).as("last_missing"))
   }
+
+  /** Benford first-digit audit — fraud/synthetic-data screening: the
+    * distribution of the first digit of each positive amount (taken
+    * over exact integer cents = floor(amount·100), the engine's
+    * standard float-quantize discipline, so both engines see the same
+    * integers and string heads) against the Benford expectation
+    * log10(1+1/d), shipped as integer-ppm literals on BOTH sides so no
+    * log is ever evaluated. One fact-side digit agg (9 groups,
+    * map-side partials do all the work); the share divisions run on
+    * the 9-row frame. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val expectedPpm = typedlit(Map(
+      "1" -> 301030L, "2" -> 176091L, "3" -> 124939L, "4" -> 96910L,
+      "5" -> 79181L, "6" -> 66947L, "7" -> 57992L, "8" -> 51153L,
+      "9" -> 45757L))
+    val counts = df
+      .select(floor(col(valueCol).cast("double") * 100.0).cast("long").as("_c"))
+      .filter(col("_c") > 0L)
+      .select(substring(col("_c").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()  // 9-row frame, shared by the total and the output
+    val total = counts.agg(sum(col("n")).as("_tot"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("_tot").cast("double"))
+      .withColumn("expected_ppm", element_at(expectedPpm, col("digit")))
+      .select(col("digit"), col("n"), col("share"), col("expected_ppm"))
+  }
 }

@@ -257,6 +257,41 @@ object TextAnalysis {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Filter-cascade attrition — "where does my data die": per ordered
+    * `corpusFilter` stage, how many docs ENTERED the stage (survived
+    * every earlier rule), how many it dropped, how many flowed on, and
+    * the stage's drop share. Derived entirely from `corpusFilter`'s
+    * first-failing-reason column: because the reason IS the first
+    * failed stage, stage i's intake = total − Σ drops of stages < i —
+    * no need to re-run the cascade once per stage. The per-reason agg
+    * is the only fact-sized step; the cumulative window runs on the
+    * 4-row stage frame. */
+  def filterAttrition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = Seq("too_short", "lang", "repetition", "low_quality")
+    val fc = corpusFilter(docs).localCheckpoint()
+    val total = fc.agg(count(lit(1)).as("n_total"))
+    val drops = fc.filter(col("drop_reason").isNotNull)
+      .groupBy(col("drop_reason")).agg(count(lit(1)).as("_n"))
+    val stageDim = docs.sparkSession
+      .createDataFrame(stages.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) })
+      .toDF("stage", "stage_idx")
+    val w = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stageDim
+      .join(drops.withColumnRenamed("drop_reason", "stage"), Seq("stage"), "left")
+      .withColumn("n_dropped", coalesce(col("_n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .withColumn("drop_share",  // guard the 0-intake stage: no NaN rows
+        when(col("n_in") > 0L,
+          col("n_dropped").cast("double") / col("n_in").cast("double")))
+      .select(col("stage"), col("stage_idx"), col("n_in"),
+        col("n_dropped"), col("n_out"), col("drop_share"))
+  }
+
   /** PII redaction — training-corpus hygiene: emails, IPv4 addresses,
     * and international-format phone numbers are replaced by typed
     * placeholders, in that fixed order (each count is taken on the text

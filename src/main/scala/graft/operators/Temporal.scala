@@ -420,6 +420,61 @@ object Temporal {
         col("n_b"), col("n_baskets"), col("lift"))
   }
 
+  /** Conversion lag — funnel timing: for each user, the time from the
+    * FIRST `fromType` event to the first `toType` event AT OR AFTER it
+    * (a later conversion still counts even when an earlier stray
+    * `toType` predates the first touch), rolled up into a whole-day
+    * lag histogram with the exact mean lag per bucket. All arithmetic
+    * is integer µs→sec→day floor division (`div`), so the oracle
+    * reproduces the buckets bit-for-bit; the single mean division is
+    * the only FP op. Scale: first-touch agg, the conversion join, and
+    * the per-user min all key on the user — one user shuffle reused
+    * across the chain — and the histogram agg is day-bucket-sized. */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val e = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+      col(typeCol).as("_t"))
+    val first = e.filter(col("_t") === fromType)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("_t0"))
+    val lags = e.filter(col("_t") === toType)
+      .join(first, Seq("_u"))
+      .filter(col("_ts") >= col("_t0"))
+      .groupBy(col("_u"), col("_t0")).agg(min(col("_ts")).as("_t1"))
+      .withColumn("_lag_sec",
+        expr("(unix_micros(_t1) - unix_micros(_t0)) div 1000000"))
+    lags
+      .groupBy(expr("_lag_sec div 86400").as("lag_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_lag_sec")).as("_s"))
+      .withColumn("avg_lag_sec",
+        col("_s").cast("double") / col("n_users").cast("double"))
+      .select(col("lag_days"), col("n_users"), col("avg_lag_sec"))
+  }
+
+  /** Frequent 3-step behavioral paths — sequence mining: the top-k
+    * (t1, t2, t3) windows of three CONSECUTIVE events in each user's
+    * stream, ordered by the same total (ts, event_id) order every
+    * temporal operator here uses. One user-keyed window (two leads
+    * share it), one type³-bounded count agg, and a deterministic
+    * top-k (count desc, path asc) that plans as TakeOrderedAndProject
+    * — no global sort. */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col("event_id").asc)
+    events
+      .select(col(userCol), col(tsCol), col("event_id"),
+        col(typeCol).as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(k)
+  }
+
   /** Event transition matrix — Markov-style behavioral analytics: per
     * ordered user stream, the count of each (prev_type → next_type)
     * step and its share of all transitions leaving prev_type (the

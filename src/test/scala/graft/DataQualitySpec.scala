@@ -123,4 +123,15 @@ class DataQualitySpec extends SparkSpec {
       .toDF("event_id", "ts", "event_type")
     assert(DataQuality.rateSpikes(emptyEv, "event_type", "ts").count() == 0)
   }
+
+  test("benfordDigits: integer-cents first digit, shares, ppm lookup") {
+    // cents: 12345 -> '1'; 999 -> '9'; 1900 -> '1'; 0 and negatives drop
+    val df = Seq(123.45, 9.99, 0.004, 19.0, -5.0).toDF("amount")
+    val out = DataQuality.benfordDigits(df, "amount").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "1" -> ((2L, 2.0 / 3.0, 301030L)),
+      "9" -> ((1L, 1.0 / 3.0, 45757L))), s"got $out")
+  }
 }

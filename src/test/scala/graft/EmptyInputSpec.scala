@@ -229,6 +229,20 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, java.sql.Timestamp, Long, String)]
         .toDF("event_id", "ts", "user_id", "event_type"),
       "user_id", "ts", "event_type").count() == 0)
+    assert(Temporal.conversionLag(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+        .toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_type", "view", "purchase").count() == 0)
+    assert(Temporal.pathTrigrams(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+        .toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_type", 25).count() == 0)
+    assert(graft.functions.DataQuality.benfordDigits(
+      Seq.empty[Double].toDF("amount"), "amount").count() == 0)
+    // the stage dimension always emits its 4 rows; zero docs means
+    // zero intake and a null (not NaN) drop share
+    val att = graft.functions.TextAnalysis.filterAttrition(emptyDocs).collect()
+    assert(att.length == 4 && att.forall(r => r.getLong(2) == 0L && r.isNullAt(5)))
     assert(Temporal.eventTransitions(
       Seq.empty[(Long, java.sql.Timestamp, Long, String)]
         .toDF("event_id", "ts", "user_id", "event_type"),

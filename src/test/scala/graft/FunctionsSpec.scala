@@ -78,6 +78,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) == (None, true))
   }
 
+  test("filterAttrition: telescoping intakes over the first-fail reasons") {
+    import spark.implicits._
+    val keepText = Seq.tabulate(15)(i =>
+      Seq("the", "of", "and", "is", "on")(i % 5) + s" word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny doc", "en"),                  // too_short
+      (2L, keepText, "zh"),                    // lang
+      (3L, ("dup pair " * 20).trim, "en"),     // repetition
+      (4L, Seq.tabulate(25)(i => s"w$i").mkString(" "), "en"), // low_quality
+      (5L, keepText, "en"))                    // survivor
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+    val rows = TextAnalysis.filterAttrition(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(rows == Map(
+      "too_short" -> ((1L, 5L, 1L, 4L, 1.0 / 5.0)),
+      "lang" -> ((2L, 4L, 1L, 3L, 1.0 / 4.0)),
+      "repetition" -> ((3L, 3L, 1L, 2L, 1.0 / 3.0)),
+      "low_quality" -> ((4L, 2L, 1L, 1L, 1.0 / 2.0))), s"got $rows")
+  }
+
   test("chunkDocs: sliding windows cover all tokens with the stated overlap") {
     // 10 tokens, chunk=4, overlap=1 (stride 3): chunks start at token
     // 0, 3, 6 — [t0..t3], [t3..t6], [t6..t9]; a 3-token doc is 1 chunk

@@ -128,6 +128,17 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one fuse agg + rank window over
                                       // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_conversion_lag" -> 3,          // first-touch agg + conversion join
+                                      // reuse the user partitioning; the
+                                      // histogram agg is day-bucket-sized
+    "q_path_trigrams" -> 2,           // one user window (both leads share
+                                      // it) + type³-bounded count agg;
+                                      // top-k is TakeOrderedAndProject
+    "q_benford" -> 1,                 // digit agg checkpointed at 9 rows;
+                                      // the 1-row total SinglePartition
+    "q_filter_attrition" -> 4,        // cascade ran into the checkpoint;
+                                      // tiny reason/total aggs + the
+                                      // 4-row stage window
     "q_cooccurrence" -> 5,            // over the checkpointed basket
                                       // frame: (user,day) join pair +
                                       // type² pair agg + support agg +

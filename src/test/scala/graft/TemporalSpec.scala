@@ -319,6 +319,45 @@ class TemporalSpec extends SparkSpec {
       ("b", "c") -> ((1L, 2L, 1L, 3L, 1.5))), s"got $out")
   }
 
+  test("conversionLag: stray early purchase ignored, at-or-after conversion, day buckets") {
+    val ev = Seq(
+      // u1: purchase BEFORE the first view (must not count), then view,
+      // then converting purchase 2d + 1h after it -> day bucket 2
+      (1L, ts("2024-01-01 00:00:00"), 1L, "purchase"),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "view"),
+      (3L, ts("2024-01-04 01:00:00"), 1L, "purchase"),
+      // u2: view only -> no conversion row
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      // u3: purchase at the SAME instant as the first view -> lag 0
+      (5L, ts("2024-01-05 12:00:00"), 3L, "view"),
+      (6L, ts("2024-01-05 12:00:00"), 3L, "purchase"),
+      // u4: purchase with no view at all -> no first touch
+      (7L, ts("2024-01-01 00:00:00"), 4L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.conversionLag(ev, "user_id", "ts", "event_type",
+        "view", "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(2L -> ((1L, 176400.0)), 0L -> ((1L, 0.0))), s"got $out")
+  }
+
+  test("pathTrigrams: consecutive 3-windows per user, (n desc, path asc) top-k") {
+    val ev = Seq(
+      // u1: a b a b a -> (a,b,a) (b,a,b) (a,b,a)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "b"),
+      (5L, ts("2024-01-01 10:04:00"), 1L, "a"),
+      // u2: a b a -> (a,b,a); streams never concatenate across users
+      (6L, ts("2024-01-01 11:00:00"), 2L, "a"),
+      (7L, ts("2024-01-01 11:01:00"), 2L, "b"),
+      (8L, ts("2024-01-01 11:02:00"), 2L, "a")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.pathTrigrams(ev, "user_id", "ts", "event_type", 25)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", "a", 3L), ("b", "a", "b", 1L)), s"got ${out.toSeq}")
+  }
+
   test("eventTransitions: lag pairs over the total (ts, event_id) order, per-prev shares") {
     val ev = Seq(
       // u1 in (ts, event_id) order: a, b(e2), b(e3 same ts), c
