@@ -271,6 +271,10 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10)),
+    // greedy λ=1/2 MMR over each query's brute-force top-20 pool
+    "q_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 20, 5)),
     "q_embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
     // unlabeled near-dup via LSH blocking — oracle-gated since the
     // hyperplanes went md5-portable (DuckDB reproduces the buckets);
@@ -553,6 +557,9 @@ object SparkEntry {
     // Benford first-digit audit over exact integer cents
     "q_benford" -> ((s, d) =>
       DataQuality.benfordDigits(Tables.lineitem(s, d), "l_extendedprice")),
+    // day-of-week seasonal baselines; scale-free exact multiply flag
+    "q_seasonal_anomalies" -> ((s, d) =>
+      DataQuality.seasonalAnomalies(tx(s, d), "vendor", "txn_date", "amount")),
     "q_rate_spikes" -> ((s, d) =>
       DataQuality.rateSpikes(Tables.events(s, d), "event_type", "ts")),
     // --- round-4 additions ---
@@ -1730,6 +1737,27 @@ object SparkEntry {
          |FROM e LEFT JOIN o ON e.vendor = o.vendor AND e.day = o.day
          |WHERE o.vendor IS NULL
          |GROUP BY e.vendor""".stripMargin,
+    // exact multiply predicate (cents·n_days > 2·cents_total); the
+    // ratio is the single mirrored FP division
+    "q_seasonal_anomalies" ->
+      s"""WITH t AS (SELECT vendor, txn_date,
+         |                  CAST(amount AS DECIMAL(14,2)) AS a FROM ($txSql)),
+         |d AS (SELECT vendor, txn_date AS day,
+         |             CAST(sum(a) AS DECIMAL(14,2)) AS tt,
+         |             CAST(sum(a) * 100 AS BIGINT) AS c,
+         |             CAST(isodow(txn_date) AS BIGINT) AS dow
+         |      FROM t GROUP BY 1, 2),
+         |b AS (SELECT vendor, dow, CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(sum(c) AS BIGINT) AS ctot
+         |      FROM d GROUP BY 1, 2)
+         |SELECT d.vendor, d.day, d.dow,
+         |       CAST(d.tt AS DOUBLE) AS day_total,
+         |       CASE WHEN b.ctot <> 0
+         |            THEN CAST(d.c * b.n_days AS DOUBLE) / CAST(b.ctot AS DOUBLE)
+         |       END AS ratio,
+         |       b.n_days
+         |FROM d JOIN b ON b.vendor = d.vendor AND b.dow = d.dow
+         |WHERE d.c * b.n_days > 2 * b.ctot""".stripMargin,
     // first digit of exact integer cents; Benford expectation shipped
     // as identical integer-ppm literals on both sides (no log)
     "q_benford" ->
@@ -1853,6 +1881,7 @@ object SparkEntry {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY split""".stripMargin,
     "q_lsh_topk" -> lshTopkOracleSql,
+    "q_mmr_rerank" -> mmrOracleSql,
     // rank-based fusion of the two method oracles; each fused score
     // has <= 2 addends, a single commutative-exact FP addition
     "q_rrf_fusion" ->
@@ -2532,6 +2561,54 @@ object SparkEntry {
 
   /** Quantized embeddings CTE body (floor(x*1e6) exact-integer vectors
     * + exact squared norms — see Similarity.quantize). */
+  /** Unrolled greedy-MMR oracle (mirror of `Similarity.mmrRerank`,
+    * poolK=20, outK=5, λ=1/2): pick 1 is pure relevance; each later
+    * round k materializes per-candidate `rel − max(sim to sel_{k−1})`
+    * and takes the (score desc, id asc) head — the same
+    * certified-iterative discipline as q_kmeans (iterations unrolled
+    * as CTEs, every FP value a mirrored combination of exact-int
+    * operands). */
+  private lazy val mmrOracleSql: String = {
+    def dotL(x: String, y: String) =
+      s"CAST(list_sum(list_transform(list_zip($x, $y), z -> z[1] * z[2])) AS BIGINT)"
+    val steps = (2 to 5).map { k =>
+      s"""c$k AS (SELECT m.query_id, m.a, m.rel - max(m.sim) AS score
+         |        FROM msim m JOIN sel${k - 1} s ON s.query_id = m.query_id AND s.neighbor_id = m.b
+         |        LEFT JOIN sel${k - 1} x ON x.query_id = m.query_id AND x.neighbor_id = m.a
+         |        WHERE x.neighbor_id IS NULL
+         |        GROUP BY m.query_id, m.a, m.rel),
+         |p$k AS (SELECT query_id, CAST($k AS BIGINT) AS pos, a AS neighbor_id, score AS mmr_score
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, a ASC) AS rk FROM c$k) WHERE rk = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS ($quantizedSql),
+       |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS qn FROM n WHERE vec_id % 100 = 0),
+       |pr AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |              CAST(${dotL("qs.qv", "c.q")} AS DOUBLE)
+       |                / sqrt(CAST(qs.qn AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS rel
+       |       FROM qs JOIN n c ON c.vec_id <> qs.query_id),
+       |pool AS (SELECT query_id, neighbor_id, rel FROM (
+       |           SELECT pr.*, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id ASC) AS rk FROM pr) WHERE rk <= 20),
+       |sims AS (SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+       |                CAST(${dotL("na.q", "nb.q")} AS DOUBLE)
+       |                  / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) AS sim
+       |         FROM pool p1 JOIN pool p2 ON p2.query_id = p1.query_id
+       |                                  AND p2.neighbor_id <> p1.neighbor_id
+       |           JOIN n na ON na.vec_id = p1.neighbor_id
+       |           JOIN n nb ON nb.vec_id = p2.neighbor_id),
+       |msim AS (SELECT s.query_id, s.a, s.b, s.sim, po.rel
+       |         FROM sims s JOIN pool po ON po.query_id = s.query_id
+       |                                 AND po.neighbor_id = s.a),
+       |p1 AS (SELECT query_id, CAST(1 AS BIGINT) AS pos, neighbor_id, rel AS mmr_score
+       |       FROM (SELECT pool.*, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY rel DESC, neighbor_id ASC) AS rk FROM pool) WHERE rk = 1),
+       |sel1 AS (SELECT * FROM p1),
+       |$steps
+       |SELECT query_id, pos, neighbor_id, mmr_score FROM sel5""".stripMargin
+  }
+
   // cascade oracle shared by q_corpus_filter (row-level) and
   // q_filter_attrition (per-stage funnel arithmetic)
   private lazy val corpusFilterOracleSql: String =

@@ -199,6 +199,35 @@ object DataQuality {
         max(col("day")).as("last_missing"))
   }
 
+  /** Seasonal anomaly detection — day-of-week baselines: a (key, day)
+    * is anomalous when its daily total exceeds TWICE the key's
+    * average for that weekday, tested in the exact scale-free multiply
+    * form `cents·n_days > 2·cents_total` (never a division in the
+    * predicate — the TPC-H Q11 lesson: a fixed fraction-of-total
+    * threshold flips as N grows, and FP division order diverges
+    * cross-engine). Daily totals are decimal-exact cents; the two
+    * output averages/ratios are single mirrored FP divisions at the
+    * edge. The daily grid is keys×days-sized (never fact-sized), one
+    * checkpoint feeds the baseline agg and the flag join. */
+  def seasonalAnomalies(tx: DataFrame, keyCol: String, dateCol: String,
+                        amtCol: String): DataFrame = {
+    val daily = tx.groupBy(col(keyCol), col(dateCol).as("day"))
+      .agg(sum(col(amtCol).cast("decimal(14,2)")).as("_t"))
+      .withColumn("_c", (col("_t") * 100).cast("long"))
+      .withColumn("dow", expr(s"weekday(day) + 1").cast("long"))
+      .localCheckpoint()
+    val base = daily.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_c")).as("_ctot"))
+    daily.join(base, Seq(keyCol, "dow"))
+      .filter(col("_c") * col("n_days") > col("_ctot") * 2)
+      .select(col(keyCol), col("day"), col("dow"),
+        col("_t").cast("double").as("day_total"),
+        when(col("_ctot") =!= 0L,
+          (col("_c") * col("n_days")).cast("double") /
+            col("_ctot").cast("double")).as("ratio"),
+        col("n_days"))
+  }
+
   /** Benford first-digit audit — fraud/synthetic-data screening: the
     * distribution of the first digit of each positive amount (taken
     * over exact integer cents = floor(amount·100), the engine's

@@ -522,6 +522,72 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** MMR-diversified re-ranking — the RAG retrieval tail: greedy
+    * Maximal Marginal Relevance over each query's brute-force top-`poolK`
+    * candidate pool, λ = 1/2, so the per-step objective is (up to the
+    * positive ×2 scale) `rel(c) − max_{s∈S} sim(c, s)` — one IEEE
+    * subtraction of two portable cosines (each cosine is int64-dot /
+    * sqrt(int64·int64): identical operands → identical bits in both
+    * engines; max over a set of doubles is order-free). Pick 1 is pure
+    * relevance; ties break on the lowest neighbor id. The corpus is
+    * scanned ONCE (pool construction, the same broadcast-query plan as
+    * `bruteForceTopK`); the pairwise-sim frame and each of the `outK`
+    * greedy rounds run over checkpointed query×poolK(²)-bounded frames
+    * — iteration cost scales with the QUERY set, never the corpus. */
+  def mmrRerank(embeddings: DataFrame, queryPred: Column, poolK: Int,
+                outK: Int): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val pool = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel",
+        dotQ("qv", "cv").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("_rk", row_number().over(wRel))
+      .filter(col("_rk") <= poolK)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("cv"), col("cn"))
+      .localCheckpoint()
+    val sims = pool.as("x").join(pool.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+        (graft.plans.DotI64.dot_i64(col("x.cv"), col("y.cv")).cast("double") /
+          sqrt(col("x.cn").cast("double") * col("y.cn").cast("double"))).as("sim"))
+      .localCheckpoint()
+    val cand = pool.select(col("query_id"), col("neighbor_id"), col("rel"))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    var sel = cand.withColumn("score", col("rel"))
+      .withColumn("_rk", row_number().over(wPick))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), lit(1L).as("pos"), col("neighbor_id"),
+        col("score").as("mmr_score"))
+      .localCheckpoint()
+    for (k <- 2 to outK) {
+      val selB = sel.select(col("query_id"), col("neighbor_id").as("b"))
+      val pick = sims.join(selB, Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim")).as("maxsim"))
+        .join(cand.select(col("query_id"), col("neighbor_id").as("a"),
+          col("rel")), Seq("query_id", "a"))
+        .join(selB.withColumnRenamed("b", "a"), Seq("query_id", "a"),
+          "left_anti")
+        .withColumn("score", col("rel") - col("maxsim"))
+        .withColumn("neighbor_id", col("a"))
+        .withColumn("_rk", row_number().over(wPick))
+        .filter(col("_rk") === 1)
+        .select(col("query_id"), lit(k.toLong).as("pos"),
+          col("neighbor_id"), col("score").as("mmr_score"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel
+  }
+
   /** Measured ANN recall: joins each approximate method's top-k against
     * the brute-force top-k (the oracle-gated ground truth) and emits one
     * (method, n_hits, n_truth, recall) row per method. This turns the

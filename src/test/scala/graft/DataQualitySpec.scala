@@ -124,6 +124,22 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.rateSpikes(emptyEv, "event_type", "ts").count() == 0)
   }
 
+  test("seasonalAnomalies: 2x-the-dow-average day flagged via exact multiply") {
+    // three Mondays for one vendor: 10, 10, 100 -> ctot = 12000 cents;
+    // only the 100 day trips 10000*3 > 2*12000 (ratio 2.5). A flat
+    // vendor (all equal) never flips the predicate.
+    val tx = Seq(
+      ("2024-01-01", "v1", 10.0), ("2024-01-08", "v1", 10.0),
+      ("2024-01-15", "v1", 100.0),
+      ("2024-01-01", "v2", 7.0), ("2024-01-08", "v2", 7.0))
+      .toDF("dt", "vendor", "amount")
+      .select(to_date(col("dt")).as("txn_date"), col("vendor"), col("amount"))
+    val out = DataQuality.seasonalAnomalies(tx, "vendor", "txn_date", "amount")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("v1", "2024-01-15", 1L, 100.0, 2.5, 3L)), s"got ${out.toSeq}")
+  }
+
   test("benfordDigits: integer-cents first digit, shares, ppm lookup") {
     // cents: 12345 -> '1'; 999 -> '9'; 1900 -> '1'; 0 and negatives drop
     val df = Seq(123.45, 9.99, 0.004, 19.0, -5.0).toDF("amount")

@@ -239,6 +239,11 @@ class EmptyInputSpec extends SparkSpec {
       "user_id", "ts", "event_type", 25).count() == 0)
     assert(graft.functions.DataQuality.benfordDigits(
       Seq.empty[Double].toDF("amount"), "amount").count() == 0)
+    assert(graft.functions.DataQuality.seasonalAnomalies(
+      emptyTx, "vendor", "txn_date", "amount").count() == 0)
+    assert(graft.functions.Similarity.mmrRerank(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"),
+      org.apache.spark.sql.functions.col("vec_id") === 0, 3, 3).count() == 0)
     // the stage dimension always emits its 4 rows; zero docs means
     // zero intake and a null (not NaN) drop share
     val att = graft.functions.TextAnalysis.filterAttrition(emptyDocs).collect()

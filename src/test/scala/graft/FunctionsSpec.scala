@@ -913,6 +913,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == ((12L, 1.0 / 62, 1L)), s"got $out")
   }
 
+  test("mmrRerank: the duplicate of pick 1 drops behind the diverse candidate") {
+    // query equidistant from c1 and c3; c2 is an EXACT copy of c1.
+    // rel: c1 = c2 = c3 = 0.7071. Pure relevance would rank c2 second
+    // (id tie-break); MMR pick 2 must be the orthogonal c3 (penalty 0)
+    // and the duplicate falls to pick 3 with score rel - 1.
+    val e = emb(
+      (0L, Seq(0.7f, 0.7f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 0))
+    val out = Similarity.mmrRerank(e, col("vec_id") === 0, 3, 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 2L), s"got $out")
+  }
+
+  test("mmrRerank pick 1 equals the brute-force top-1 and picks are distinct") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.3f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(0.5f, 0.5f), 0))
+    val out = Similarity.mmrRerank(e, col("vec_id") === 0, 4, 4).collect()
+    val byPos = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val top1 = Similarity.bruteForceTopK(e, col("vec_id") === 0, 1)
+      .collect().head.getLong(2)
+    assert(byPos(1L) == top1)
+    assert(out.map(_.getLong(2)).distinct.length == 4)
+  }
+
   test("bruteForceTopK ranks by cosine with known geometry") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),

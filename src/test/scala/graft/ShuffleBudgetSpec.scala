@@ -128,6 +128,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one fuse agg + rank window over
                                       // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_mmr_rerank" -> 0,              // pool/sims/rounds all ran eagerly
+                                      // into query-bounded checkpoints;
+                                      // the final frame is their union
+    "q_seasonal_anomalies" -> 1,      // baseline agg over the checkpointed
+                                      // keys×days daily grid; flag join
+                                      // reuses its partitioning
     "q_conversion_lag" -> 3,          // first-touch agg + conversion join
                                       // reuse the user partitioning; the
                                       // histogram agg is day-bucket-sized
