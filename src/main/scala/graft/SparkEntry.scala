@@ -223,6 +223,11 @@ object SparkEntry {
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
                 org.apache.spark.sql.functions.col("n_chars"))),
+    // dup-graph BFS: hop distance from each clustered doc to its
+    // component's surviving representative (rides the same memoized
+    // pair graph + CC fixpoint)
+    "q_dup_hops" -> ((s, d) =>
+      Dedup.dupClusterHops(Tables.documents(s, d), 3, 8, 4, 0.5)),
     // quality-aware survivor rule: per cluster keep the LONGEST copy
     // (ties -> lowest id) instead of the minimum id
     "q_dedup_corpus_by" -> ((s, d) => {
@@ -623,6 +628,12 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, d) =>
       Relational.largeVolumeCustomers(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 150.0, 10)),
+    // TPC-H Q20 shape (partsupp-free): excess-share suppliers via the
+    // decorrelated per-part window + exact multiply threshold
+    "q_tpch_q20_lite" -> ((s, d) =>
+      Relational.excessShareSuppliers(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d),
+        "red", "1995-01-01", "1996-01-01", "NATION_9")),
     "q_tpch_q14" -> ((s, d) =>
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
         "PROMO", "1996-03-01", "1996-04-01")),
@@ -1855,6 +1866,21 @@ object SparkEntry {
          |losers AS (SELECT id AS doc_id FROM reach WHERE label < id)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    // bounded-walk recursive CTE + min(hops) certifies the BFS: edges
+    // already holds both orientations, reps seed at hop 0
+    "q_dup_hops" ->
+      s"""$dedupCorpusBaseSql,
+         |labs AS (SELECT DISTINCT label FROM reach),
+         |sp AS (
+         |  WITH RECURSIVE w(doc_id, label, hops) AS (
+         |    SELECT label, label, 0 FROM labs
+         |    UNION
+         |    SELECT e.doc_b, w.label, w.hops + 1
+         |    FROM w JOIN edges e ON e.doc_a = w.doc_id
+         |    WHERE w.hops < 8
+         |  ) SELECT doc_id, label, CAST(min(hops) AS BIGINT) AS hops
+         |    FROM w GROUP BY 1, 2)
+         |SELECT doc_id, label, hops FROM sp""".stripMargin,
     "q_dedup_corpus_by" ->
       s"""$dedupCorpusBaseSql,
          |ranked AS (SELECT re.id AS doc_id,
@@ -1987,6 +2013,23 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // Q20 shape: the correlated per-part total decorrelates into one
+    // part-keyed aggregate; 2·cents > cents_total is exact integers
+    "q_tpch_q20_lite" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |                   CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) * 100 AS BIGINT) AS c
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey
+        |            WHERE p_name LIKE 'red%'
+        |              AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |              AND l_shipdate < TIMESTAMP '1996-01-01'
+        |            GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(c) AS BIGINT) AS ctot FROM ps GROUP BY 1),
+        |fl AS (SELECT DISTINCT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+        |       WHERE 2 * ps.c > pt.ctot)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |JOIN fl ON fl.l_suppkey = s_suppkey
+        |WHERE n_name = 'NATION_9'""".stripMargin,
     "q_tpch_q13" ->
       """WITH c_orders AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -916,6 +916,51 @@ object Dedup {
         (col("n_shared_shingles") >= minShared).cast("boolean"))
   }
 
+  /** Hop distance to the cluster representative — dup-graph BFS: for
+    * every clustered doc, the number of near/exact-dup edges between
+    * it and its component's representative (the min doc_id the APPLY
+    * step keeps). A hop count > 1 is the precision-audit signal: the
+    * doc never directly matched its survivor, it was pulled in
+    * transitively through the chain. BFS by frontier expansion over
+    * the SAME memoized pair graph and CC fixpoint as the apply steps;
+    * every frame is cluster-member-sized (dup docs only), `maxHops`
+    * bounds the rounds, and each round is one join + anti-join over
+    * checkpointed frames — iteration cost scales with the dup GRAPH,
+    * never the corpus. The isEmpty convergence probe is an action on
+    * a frontier-sized frame (metadata-scale, same class as the CC
+    * convergence checks). */
+  def dupClusterHops(docs: DataFrame, n: Int, k: Int, bands: Int,
+                     minJaccard: Double, maxHops: Int = 8): DataFrame = {
+    val cc = componentsFor(docs, n, k, bands, minJaccard)
+    val pairs = dupPairs(docs, n, k, bands, minJaccard)
+    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var visited = cc.select(col("label")).distinct()
+      .select(col("label"), col("label").as("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val nxt = frontier.join(und, frontier("doc_id") === und("src"))
+        .select(col("label"), col("dst").as("doc_id"), lit(h.toLong).as("hops"))
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .dropDuplicates("doc_id")
+        // the using-join moved doc_id first; restore visited's column
+        // order or the positional union swaps label/doc_id
+        .select(col("label"), col("doc_id"), col("hops"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+        h += 1
+      }
+    }
+    visited.select(col("doc_id"), col("label"), col("hops"))
+  }
+
   /** Exact + MinHash-LSH duplicate pairs — the shared pair graph the
     * APPLY steps below resolve. */
   private def dupPairs(docs: DataFrame, n: Int, k: Int, bands: Int,

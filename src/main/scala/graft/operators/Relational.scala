@@ -818,4 +818,43 @@ object Relational {
               col("o_totalprice"), col("o_orderpriority"))
       .limit(1)
   }
+
+  /** TPC-H Q20's SHAPE over this schema (reference: the availqty
+    * threshold subquery; partsupp is absent from the testdata, so the
+    * threshold becomes a shipped-share test): suppliers in `nationName`
+    * that, for some part whose name starts with `namePrefix`, shipped
+    * MORE THAN HALF of that part's total shipped quantity inside the
+    * date window. The correlated "per-part total" subquery is
+    * decorrelated into one part-keyed window over the per-(part,
+    * supplier) aggregate: `repartition(l_partkey)` up front so the
+    * grouped agg AND the window share ONE fact shuffle (the sessions
+    * pattern). The share test is the exact multiply form
+    * `2·cents > cents_total` — no division, no FP. Supplier/nation
+    * carry no broadcast hint (SF-scaled dim discipline); the flagged
+    * id set semi-joins the supplier scan. */
+  def excessShareSuppliers(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, nation: DataFrame,
+                           namePrefix: String, fromDate: String,
+                           toDate: String, nationName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val ps = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+              col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .join(part.filter(col("p_name").startsWith(namePrefix))
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(col("l_quantity").cast("decimal(14,2)")) * 100)
+        .cast("long").as("c"))
+    val flagged = ps
+      .withColumn("ctot", sum(col("c")).over(w))
+      .filter(col("c") * 2 > col("ctot"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(flagged, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
 }

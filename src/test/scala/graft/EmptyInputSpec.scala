@@ -244,6 +244,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.functions.Similarity.mmrRerank(
       Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"),
       org.apache.spark.sql.functions.col("vec_id") === 0, 3, 3).count() == 0)
+    assert(graft.functions.Dedup.dupClusterHops(
+      emptyDocs, 3, 8, 4, 0.5).count() == 0)
+    assert(operators.Relational.excessShareSuppliers(
+      Seq.empty[(Long, Long, Double, java.sql.Timestamp)]
+        .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate"),
+      Seq.empty[(Long, String)].toDF("p_partkey", "p_name"),
+      Seq.empty[(Long, String, Long)].toDF("s_suppkey", "s_name", "s_nationkey"),
+      Seq.empty[(Long, String)].toDF("n_nationkey", "n_name"),
+      "red", "1995-01-01", "1996-01-01", "N0").count() == 0)
     // the stage dimension always emits its 4 rows; zero docs means
     // zero intake and a null (not NaN) drop share
     val att = graft.functions.TextAnalysis.filterAttrition(emptyDocs).collect()

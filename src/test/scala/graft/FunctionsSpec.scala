@@ -530,6 +530,24 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(1L, 3L, 4L))
   }
 
+  test("dupClusterHops: reps at 0, direct matches at 1, chain pull-ins at 2") {
+    // sliding 12-token windows: 1~2 and 2~3 share 9 tokens (jaccard
+    // ≈ 0.54 ≥ 0.5) but 1~3 share only 6 (0.25) — doc 3 joins the
+    // cluster TRANSITIVELY, the case the hop count exists to flag
+    val w = (1 to 18).map(i => s"w$i")
+    val d = docs(
+      (1L, w.slice(0, 12).mkString(" ")),
+      (2L, w.slice(3, 15).mkString(" ")),
+      (3L, w.slice(6, 18).mkString(" ")),
+      (4L, "A  B"), (5L, "a b"),       // exact-dup pair -> hops 1
+      (6L, other))                     // singleton -> no row
+    val out = Dedup.dupClusterHops(d, 3, 8, 4, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 2L)),
+      4L -> ((4L, 0L)), 5L -> ((4L, 1L))), s"got $out")
+  }
+
   test("dedupCorpusBy keeps the best-scoring copy; ties fall back to min id") {
     val d = docs(
       (1L, near1), (2L, near2),        // cluster {1,2}: 2 scores higher

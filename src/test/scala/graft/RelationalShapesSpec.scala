@@ -92,4 +92,30 @@ class RelationalShapesSpec extends SparkSpec {
     assert(out(3L) == ((2L, 100.0, 50.0, 50.0)), s"got $out") // the tie pair
     assert(out(4L) == ((2L, 150.0, 70.0, 80.0)), s"got $out")
   }
+
+  test("excessShareSuppliers: strict majority share, window + nation filters") {
+    import org.apache.spark.sql.functions._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "red widget"), (2L, "red bolt"), (3L, "blue widget"))
+      .toDF("p_partkey", "p_name")
+    val supplier = Seq((10L, "s10", 0L), (11L, "s11", 0L), (12L, "s12", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0L, "N0"), (1L, "N1")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      // part 1: s10 ships 60 of 100 -> flagged; s11 40 -> not
+      (1L, 10L, 60.0, "1995-03-01"), (1L, 11L, 40.0, "1995-04-01"),
+      // part 2: exact 50/50 split -> strict > flags nobody
+      (2L, 10L, 50.0, "1995-05-01"), (2L, 11L, 50.0, "1995-06-01"),
+      // part 3 is blue: s11 would dominate but the part filter drops it
+      (3L, 11L, 99.0, "1995-07-01"),
+      // s12 dominates part 1 OUTSIDE the window -> ignored; and s12
+      // is in N1 anyway
+      (1L, 12L, 999.0, "1996-02-01"))
+      .map { case (p, s, q, d) => (p, s, q, ts(d)) }
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val out = Relational.excessShareSuppliers(li, part, supplier, nation,
+        "red", "1995-01-01", "1996-01-01", "N0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((10L, "s10")), s"got $out")
+  }
 }

@@ -128,6 +128,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one fuse agg + rank window over
                                       // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_dup_hops" -> 0,                // BFS rounds ran eagerly into
+                                      // cluster-member-sized checkpoints
+    "q_tpch_q20_lite" -> 3,           // one repartition(l_partkey) feeds
+                                      // agg + window; flagged distinct +
+                                      // supplier semi join
     "q_mmr_rerank" -> 0,              // pool/sims/rounds all ran eagerly
                                       // into query-bounded checkpoints;
                                       // the final frame is their union
