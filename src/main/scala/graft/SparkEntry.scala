@@ -628,6 +628,10 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, d) =>
       Relational.largeVolumeCustomers(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 150.0, 10)),
+    // accumulating snapshot: order date -> last shipment latency,
+    // exact interpolation percentiles per priority
+    "q_fulfillment_latency" -> ((s, d) =>
+      Relational.fulfillmentLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
     // TPC-H Q20 shape (partsupp-free): excess-share suppliers via the
     // decorrelated per-part window + exact multiply threshold
     "q_tpch_q20_lite" -> ((s, d) =>
@@ -753,6 +757,10 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, d) =>
       Temporal.basketCooccurrence(Tables.events(s, d), "user_id", "ts",
         "event_type")),
+    // weekly-seasonality detector: lag-7 autocorrelation of each
+    // category's daily series (calendar-aligned pairs only)
+    "q_autocorr" -> ((s, d) =>
+      Temporal.lagAutocorr(tx(s, d), "category", "txn_date", "amount", 7)),
     // funnel timing: first-touch -> first conversion-at-or-after lag,
     // whole-day histogram with exact per-bucket mean
     "q_conversion_lag" -> ((s, d) =>
@@ -2013,6 +2021,21 @@ object SparkEntry {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // quantile_cont == ExactPercentiles' linear interpolation over
+    // exact integer day counts
+    "q_fulfillment_latency" ->
+      """WITH l AS (SELECT l_orderkey, max(l_shipdate) AS lastship
+        |           FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderpriority,
+        |             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                            CAST(lastship AS DATE)) AS DOUBLE) AS lat_days
+        |      FROM orders JOIN l ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |       quantile_cont(lat_days, 0.5) AS p50_days,
+        |       quantile_cont(lat_days, 0.9) AS p90_days,
+        |       max(lat_days) AS max_days,
+        |       count(*) AS n_orders
+        |FROM j GROUP BY 1""".stripMargin,
     // Q20 shape: the correlated per-part total decorrelates into one
     // part-keyed aggregate; 2·cents > cents_total is exact integers
     "q_tpch_q20_lite" ->
@@ -2272,6 +2295,33 @@ object SparkEntry {
         |FROM p JOIN s sa ON sa.event_type = p.type_a
         |       JOIN s sb ON sb.event_type = p.type_b
         |       CROSS JOIN n""".stripMargin,
+    // the q_corr_lineitem discipline over lag-7 calendar-aligned
+    // pairs: decimal moment sums, VARCHAR-bridged doubles, mirrored
+    // variance guard
+    "q_autocorr" ->
+      s"""WITH d AS (SELECT category, txn_date AS day,
+         |                  CAST(sum(CAST(amount AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS y
+         |           FROM ($txSql) GROUP BY 1, 2),
+         |p AS (SELECT category, day, y,
+         |             lag(day, 7) OVER w AS xday,
+         |             lag(y, 7) OVER w AS x
+         |      FROM d WINDOW w AS (PARTITION BY category ORDER BY day ASC)),
+         |f AS (SELECT category, x, y FROM p
+         |      WHERE x IS NOT NULL AND date_diff('day', xday, day) = 7),
+         |a AS (SELECT category, count(*) AS n_pairs,
+         |             sum(x) AS sx, sum(y) AS sy,
+         |             sum(CAST(x * y AS DECIMAL(34,4))) AS sxy,
+         |             sum(CAST(x * x AS DECIMAL(34,4))) AS sxx,
+         |             sum(CAST(y * y AS DECIMAL(34,4))) AS syy
+         |      FROM f GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT category, n_pairs,
+         |       CASE WHEN cast(n_pairs AS double) * cast(cast(sxx AS VARCHAR) AS double) - cast(cast(sx AS VARCHAR) AS double) * cast(cast(sx AS VARCHAR) AS double) > 0
+         |             AND cast(n_pairs AS double) * cast(cast(syy AS VARCHAR) AS double) - cast(cast(sy AS VARCHAR) AS double) * cast(cast(sy AS VARCHAR) AS double) > 0
+         |            THEN (cast(n_pairs AS double) * cast(cast(sxy AS VARCHAR) AS double) - cast(cast(sx AS VARCHAR) AS double) * cast(cast(sy AS VARCHAR) AS double))
+         |                 / (sqrt(cast(n_pairs AS double) * cast(cast(sxx AS VARCHAR) AS double) - cast(cast(sx AS VARCHAR) AS double) * cast(cast(sx AS VARCHAR) AS double))
+         |                    * sqrt(cast(n_pairs AS double) * cast(cast(syy AS VARCHAR) AS double) - cast(cast(sy AS VARCHAR) AS double) * cast(cast(sy AS VARCHAR) AS double)))
+         |       END AS autocorr
+         |FROM a""".stripMargin,
     // first-touch min, conversion-at-or-after min, then pure integer
     // µs -> sec -> day floor divisions; the mean is the only FP op
     "q_conversion_lag" ->

@@ -819,6 +819,28 @@ object Relational {
       .limit(1)
   }
 
+  /** Order-fulfillment latency — accumulating-snapshot analytics: days
+    * from order date to the LAST line shipment, summarized per
+    * priority with exact linear-interpolation percentiles (the
+    * `ExactPercentiles` TypedImperativeAggregate; interpolation over
+    * exact integer day counts is bit-portable). One l_orderkey agg
+    * whose partitioning the orders join reuses; the priority agg is
+    * dimension-sized. */
+  def fulfillmentLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val last = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("_last"))
+    orders.join(last, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lat_days",
+        datediff(to_date(col("_last")), to_date(col("o_orderdate"))).cast("double"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.ExactPercentiles.exact_percentiles(
+             col("lat_days"), Seq(0.5, 0.9)).as("_qs"),
+           max(col("lat_days")).as("max_days"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("_qs").getItem(0).as("p50_days"),
+        col("_qs").getItem(1).as("p90_days"), col("max_days"), col("n_orders"))
+  }
+
   /** TPC-H Q20's SHAPE over this schema (reference: the availqty
     * threshold subquery; partsupp is absent from the testdata, so the
     * threshold becomes a shipped-share test): suppliers in `nationName`

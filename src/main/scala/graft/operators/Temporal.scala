@@ -420,6 +420,43 @@ object Temporal {
         col("n_b"), col("n_baskets"), col("lift"))
   }
 
+  /** Lag-k autocorrelation of each key's DAILY total series — the
+    * seasonality detector behind `seasonalAnomalies`' fixed weekday
+    * model: autocorr at lag 7 ≈ 1 means a strong weekly cycle. Pairs
+    * (value_{t−k}, value_t) align only where a row EXACTLY k calendar
+    * days earlier exists (lag(k) + datediff guard — row-offset lag
+    * alone would silently misalign across gaps). Pearson over the
+    * pairs follows the q_corr_lineitem discipline: decimal-exact
+    * moment sums (order-independent), every double a fixed mirrored
+    * combination of exact operands, degenerate variances emit NULL.
+    * One keys×days grid agg + one key window + a key-sized final agg. */
+  def lagAutocorr(tx: DataFrame, keyCol: String, dateCol: String,
+                  amtCol: String, lagDays: Int): DataFrame = {
+    def d2(c: Column) = c.cast("string").cast("double")
+    val daily = tx.groupBy(col(keyCol), col(dateCol).as("day"))
+      .agg(sum(col(amtCol).cast("decimal(14,2)")).cast("decimal(14,2)").as("_y"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+    val pairs = daily
+      .withColumn("_xday", lag(col("day"), lagDays).over(w))
+      .withColumn("_x", lag(col("_y"), lagDays).over(w))
+      .filter(col("_x").isNotNull &&
+        datediff(col("day"), col("_xday")) === lagDays)
+    val agg = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum((col("_x") * col("_y")).cast("decimal(34,4)")).as("_sxy"),
+        sum((col("_x") * col("_x")).cast("decimal(34,4)")).as("_sxx"),
+        sum((col("_y") * col("_y")).cast("decimal(34,4)")).as("_syy"))
+    val n = col("n_pairs").cast("double")
+    val varx = n * d2(col("_sxx")) - d2(col("_sx")) * d2(col("_sx"))
+    val vary = n * d2(col("_syy")) - d2(col("_sy")) * d2(col("_sy"))
+    agg.filter(col("n_pairs") >= 2)
+      .select(col(keyCol), col("n_pairs"),
+        when(varx > 0 && vary > 0,
+          (n * d2(col("_sxy")) - d2(col("_sx")) * d2(col("_sy"))) /
+            (sqrt(varx) * sqrt(vary))).as("autocorr"))
+  }
+
   /** Conversion lag — funnel timing: for each user, the time from the
     * FIRST `fromType` event to the first `toType` event AT OR AFTER it
     * (a later conversion still counts even when an earlier stray

@@ -246,6 +246,13 @@ class EmptyInputSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("vec_id") === 0, 3, 3).count() == 0)
     assert(graft.functions.Dedup.dupClusterHops(
       emptyDocs, 3, 8, 4, 0.5).count() == 0)
+    assert(Temporal.lagAutocorr(emptyTx, "category", "txn_date",
+      "amount", 7).count() == 0)
+    assert(operators.Relational.fulfillmentLatency(
+      Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("o_orderkey", "o_orderdate", "o_orderpriority"),
+      Seq.empty[(Long, java.sql.Timestamp)]
+        .toDF("l_orderkey", "l_shipdate")).count() == 0)
     assert(operators.Relational.excessShareSuppliers(
       Seq.empty[(Long, Long, Double, java.sql.Timestamp)]
         .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate"),

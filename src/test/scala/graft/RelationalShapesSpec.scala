@@ -93,6 +93,28 @@ class RelationalShapesSpec extends SparkSpec {
     assert(out(4L) == ((2L, 150.0, 70.0, 80.0)), s"got $out")
   }
 
+  test("fulfillmentLatency: last-shipment latency, interpolated percentiles") {
+    import org.apache.spark.sql.functions._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, "2024-01-01", "HIGH"), (2L, "2024-01-01", "HIGH"),
+      (3L, "2024-01-01", "HIGH"), (4L, "2024-01-01", "LOW"))
+      .map { case (k, d, p) => (k, ts(d), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // order 1 ships twice: latency = LAST shipment (3d, not 1d)
+    val li = Seq((1L, "2024-01-02"), (1L, "2024-01-04"), (2L, "2024-01-02"),
+      (3L, "2024-01-03"), (4L, "2024-01-06"))
+      .map { case (k, d) => (k, ts(d)) }
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Relational.fulfillmentLatency(orders, li).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    // HIGH latencies [1,2,3]: p50 = 2, p90 = 2 + ((n-1)*0.9 - 1)*(3-2)
+    // = 2.8000000000000003 (the exact IEEE value both engines emit)
+    assert(out("HIGH") == ((2.0, 2.8000000000000003, 3.0, 3L)), s"got $out")
+    assert(out("LOW") == ((5.0, 5.0, 5.0, 1L)), s"got $out")
+  }
+
   test("excessShareSuppliers: strict majority share, window + nation filters") {
     import org.apache.spark.sql.functions._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")

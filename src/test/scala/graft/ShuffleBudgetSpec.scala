@@ -128,6 +128,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // one fuse agg + rank window over
                                       // top-k-sized lists
     "q_embedding_centroids" -> 1,     // one (label,dim) hash agg
+    "q_autocorr" -> 2,                // (key,day) grid agg + one key
+                                      // window; the final agg rides the
+                                      // window's partitioning
+    "q_fulfillment_latency" -> 2,     // l_orderkey agg reused by the
+                                      // orders join; priority agg tiny
     "q_dup_hops" -> 0,                // BFS rounds ran eagerly into
                                       // cluster-member-sized checkpoints
     "q_tpch_q20_lite" -> 3,           // one repartition(l_partkey) feeds

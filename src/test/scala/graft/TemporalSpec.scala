@@ -319,6 +319,24 @@ class TemporalSpec extends SparkSpec {
       ("b", "c") -> ((1L, 2L, 1L, 3L, 1.5))), s"got $out")
   }
 
+  test("lagAutocorr: linear series -> 1, calendar gaps drop pairs, constant -> null") {
+    val tx = ((1 to 5) ++ (7 to 10)).map(i =>
+        (f"2024-01-$i%02d", "lin", i.toDouble)) ++
+      (1 to 4).map(i => (f"2024-01-$i%02d", "flat", 5.0))
+    val df = tx.toDF("dt", "category", "amount")
+      .select(to_date(col("dt")).as("txn_date"), col("category"), col("amount"))
+    val out = Temporal.lagAutocorr(df, "category", "txn_date", "amount", 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // 9 days minus the 5->7 gap pair = 7 aligned pairs; x=t-1 vs y=t
+    // perfectly linear -> r = 1 (up to one sqrt*sqrt rounding)
+    val (nLin, rLin) = out("lin")
+    assert(nLin == 7L, s"got $out")
+    assert(math.abs(rLin.get - 1.0) < 1e-12, s"got $out")
+    // constant series: zero variance -> NULL, never NaN
+    assert(out("flat") == ((3L, None)), s"got $out")
+  }
+
   test("conversionLag: stray early purchase ignored, at-or-after conversion, day buckets") {
     val ev = Seq(
       // u1: purchase BEFORE the first view (must not count), then view,
