@@ -863,6 +863,20 @@ object SparkEntry {
               * (col("n").cast("double") * d2(col("_syy")) - d2(col("_sy")) * d2(col("_sy")))))
             .as("r2"))
     }),
+    // per-source categorical concentration (Gini impurity + HHI):
+    // exact BIGINT squared-count sums; the one double division and the
+    // truncating ppm div both run on exact integer operands
+    "q_concentration" -> ((s, d) =>
+      DataQuality.concentration(Tables.documents(s, d), "source", "lang")),
+    // 2-D skyline (Pareto frontier) over parts — min price, max size;
+    // the linear sorted/prefix-max rewrite is certified by the literal
+    // quadratic NOT-EXISTS dominance oracle (q_tpch_q21 discipline)
+    "q_skyline_parts" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Relational.skyline2d(Tables.part(s, d), "p_partkey",
+        floor(col("p_retailprice") * 100), col("p_size"),
+        "price_cents", "p_size")
+    }),
   )
 
   /** Engine-portable canonical rendering of `orders` for the checksum
@@ -2638,6 +2652,31 @@ object SparkEntry {
         |SELECT doc_id, w AS n_tokens
         |FROM c, t
         |WHERE (ci + step - 1) // step > (ci - w + step - 1) // step""".stripMargin,
+    // exact integer squared-count sums; DuckDB HUGEINT products cast
+    // back to BIGINT/DOUBLE to match Spark's long arithmetic
+    "q_concentration" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(c)*sum(c) - sum(c*c) AS DOUBLE)
+        |         / CAST(sum(c)*sum(c) AS DOUBLE) AS gini_impurity,
+        |       CAST((sum(c*c) * 1000000) // (sum(c)*sum(c)) AS BIGINT) AS hhi_ppm
+        |FROM c GROUP BY source""".stripMargin,
+    // the literal quadratic dominance predicate certifies the
+    // sorted-prefix-max rewrite
+    "q_skyline_parts" ->
+      """WITH pts AS (SELECT p_partkey,
+        |                    CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |                    CAST(p_size AS BIGINT) AS p_size
+        |             FROM part)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin,
   )
 
   /** DuckDB rendering of the SAME canonical orders row the Spark side

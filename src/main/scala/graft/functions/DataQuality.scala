@@ -255,4 +255,32 @@ object DataQuality {
       .withColumn("expected_ppm", element_at(expectedPpm, col("digit")))
       .select(col("digit"), col("n"), col("share"), col("expected_ppm"))
   }
+
+  /** Categorical concentration per group — Gini impurity
+    * `1 - Σ(cᵢ/n)²` and the Herfindahl–Hirschman index, the two
+    * standard "is this slice dominated by a few values?" diagnostics a
+    * pipeline runs before trusting a stratification key. Both are
+    * log-free by design (entropy would need a transcendental): the
+    * squared-count sum is an exact BIGINT, the impurity is ONE double
+    * division of exact operands `(n² - Σcᵢ²)/n²`, and the HHI is the
+    * exact integer `Σcᵢ²·10⁶ div n²` (truncating div mirrors DuckDB
+    * `//`). BIGINT squares hold to n ≈ 3·10⁹ rows per group; past
+    * that, lift `_ssq`/`n²` to DECIMAL(38,0) — same formulas.
+    * Shape: one (group, value) hash agg collapsing to cardinality
+    * size, then one group-keyed agg to group count — both partial-agg
+    * map-side; nothing global. */
+  def concentration(df: DataFrame, groupCol: String,
+                    subCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(subCol))
+      .agg(count(lit(1)).as("_c"))
+    cnt.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_c") * col("_c")).as("_ssq"))
+      .select(col(groupCol),
+        col("n_rows"), col("n_distinct"),
+        ((col("n_rows") * col("n_rows") - col("_ssq")).cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("gini_impurity"),
+        expr("(_ssq * 1000000) div (n_rows * n_rows)").as("hhi_ppm"))
+  }
 }

@@ -879,4 +879,54 @@ object Relational {
       .join(flagged, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
   }
+
+  /** 2-D skyline (Pareto frontier) — rows no other row dominates,
+    * minimizing `minCol` while maximizing `maxCol` (dominance = ≤/≥ on
+    * both axes, strict on at least one; exact duplicates of a frontier
+    * point all survive). The naive form is the quadratic NOT-EXISTS
+    * anti-join; the sorted form is linear: group to one max-`maxCol`
+    * per distinct `minCol` value, then a STRICT-PREFIX max over the
+    * `minCol` order — a group survives iff its max beats every max at
+    * strictly smaller `minCol`, and within it exactly the rows AT the
+    * group max survive. The oracle runs the literal quadratic
+    * dominance predicate, certifying the rewrite (the `q_tpch_q21`
+    * decorrelation discipline). Scale: the group table is bounded by
+    * the VALUE DOMAIN of `minCol`, not the row count; the prefix max
+    * is distributed exactly like `globalRank` — range partition on
+    * `minCol`, per-partition window, strict-prefix partition maxima
+    * merged driver-side (one long per partition, metadata-sized).
+    * Both axes must be integral (exact comparisons; floats are
+    * floor-quantized by the caller). */
+  def skyline2d(df: DataFrame, idCol: String, minCol: Column,
+                maxCol: Column, minName: String,
+                maxName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol), minCol.cast("long").as(minName),
+      maxCol.cast("long").as(maxName))
+    val grp = pts.groupBy(col(minName)).agg(max(col(maxName)).as("_gm"))
+    val sortCols = Seq(col(minName).asc)
+    val parted = grp.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = parted.groupBy(col("_pid")).agg(max(col("_gm")).as("_pm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val offsets = parts.map { case (pid, m) =>
+      val o = acc; acc = math.max(acc, m); (pid, o)
+    }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = parted
+      .withColumn("_lm", max(col("_gm")).over(w))
+      .join(broadcast(offDf), Seq("_pid"))
+      .filter(col("_gm") > greatest(
+        coalesce(col("_lm"), lit(Long.MinValue)), col("_off")))
+      .select(col(minName), col("_gm"))
+    pts.join(surv, Seq(minName))
+      .filter(col(maxName) === col("_gm"))
+      .select(col(idCol), col(minName), col(maxName))
+  }
 }

@@ -150,4 +150,16 @@ class DataQualitySpec extends SparkSpec {
       "1" -> ((2L, 2.0 / 3.0, 301030L)),
       "9" -> ((1L, 1.0 / 3.0, 45757L))), s"got $out")
   }
+
+  test("concentration: exact Gini impurity and truncating HHI ppm") {
+    // A: counts {x:2, y:1} -> n=3, ssq=5, gini=(9-5)/9, hhi=5e6 div 9;
+    // B: single value -> impurity 0, HHI exactly 1e6
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "z"))
+      .toDF("source", "lang")
+    val out = DataQuality.concentration(df, "source", "lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("A") == ((3L, 2L, 4.0 / 9.0, 555555L)), s"got $out")
+    assert(out("B") == ((1L, 1L, 0.0, 1000000L)), s"got $out")
+  }
 }

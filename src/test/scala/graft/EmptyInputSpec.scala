@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, TextAnalysis}
-import graft.operators.{ReportUpsert, SpendingReport, Temporal}
+import graft.functions.{DataQuality, Dedup, TextAnalysis}
+import graft.operators.{Relational, ReportUpsert, SpendingReport, Temporal}
 
 /** Degenerate-input behavior: every operator must handle an empty
   * input without throwing (the reference's own empty-upload-list case,
@@ -311,5 +311,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Temporal.cubeSpend(emptyTx).count() == 0)
     val e = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
     assert(Temporal.sessionStats(e, "user_id", "ts", "value", 30).count() == 0)
+  }
+
+  test("concentration and skyline on empty input") {
+    import org.apache.spark.sql.functions.col
+    assert(DataQuality.concentration(emptyDocs, "source", "lang").count() == 0)
+    val pts = Seq.empty[(Long, Long, Long)].toDF("id", "p", "s")
+    assert(Relational.skyline2d(pts, "id", col("p"), col("s"), "p", "s")
+      .count() == 0)
   }
 }

@@ -140,4 +140,25 @@ class RelationalShapesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((10L, "s10")), s"got $out")
   }
+
+  test("skyline2d equals the quadratic dominance filter; duplicates survive; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(42)
+    val base = (1 to 200).map(i =>
+      (i.toLong, rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+    // planted: a duplicated frontier point + a same-price dominated row
+    val pts = base ++ Seq((901L, 0L, 30L), (902L, 0L, 30L), (903L, 0L, 29L))
+    val df = pts.toDF("id", "price", "sz")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.skyline2d(d, "id", col("price"), col("sz"), "price", "sz")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = run(df.repartition(7))
+    val brute = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) } }.toSet
+    assert(out == brute, s"got ${out.size} vs brute ${brute.size}")
+    assert(out((901L, 0L, 30L)) && out((902L, 0L, 30L)))
+    assert(!out.exists(_._1 == 903L))
+    assert(run(df.repartition(1)) == out && run(df.repartition(31)) == out)
+  }
 }

@@ -280,6 +280,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // per-_pid window + quartile agg
                                       // (the custkey agg + range sort
                                       // ran eagerly into the checkpoint)
+    "q_concentration" -> 2,           // (source,lang) counts + source
+                                      // rollup — both partial-agg
+                                      // map-side, nothing global
+    "q_skyline_parts" -> 2,           // final action: per-_pid prefix
+                                      // window over the range-
+                                      // partitioned checkpoint + the
+                                      // tiny-frontier join back to
+                                      // parts (broadcast at any SF)
     "q_kmeans" -> 5)                  // final action only (iteration
                                       // centroids ran eagerly into
                                       // checkpoints): last assignment's
