@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet corpus (TESTDATA.md) plus the
   * "transactions" view that adapts `events` to the reference's
@@ -18,15 +19,41 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and rebuild a
-    * microsecond timestamp. The generator wrote µs-precision values so
-    * `div 1000` is lossless and matches DuckDB's own ns→µs conversion. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Read the events table tolerating BOTH ts encodings the generator
+    * has produced over time: legacy parquet TIMESTAMP(NANOS) (rejected
+    * by the vectorized reader unless surfaced as raw int64 nanos via the
+    * legacy conf) and plain timestamp[us] (read as TIMESTAMP_NTZ). The
+    * legacy conf is set only when the NANOS footer is actually present —
+    * an input TYPE change must never silently break the loader again. */
+  private[graft] def readEventsRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  /** Normalize a loaded/declared `ts` column to the session TIMESTAMP
+    * type, dispatching on what the reader actually produced:
+    *  - LongType        → raw nanos (legacy NANOS footer, or a stream
+    *                      schema declared that way); µs-precision values
+    *                      make `div 1000` lossless, matching DuckDB's
+    *                      own ns→µs conversion.
+    *  - TIMESTAMP_NTZ   → timestamp[us] footer; cast to session
+    *                      TIMESTAMP (identity on wall-clock in UTC) so
+    *                      downstream temporal ops and the oracle agree.
+    *  - TIMESTAMP       → already the session type. */
+  private[graft] def decodeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType   => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected INT64 nanos, TIMESTAMP_NTZ or TIMESTAMP")
+    }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    decodeTs(readEventsRaw(spark, s"$sfDir/events.parquet"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")

@@ -1,7 +1,7 @@
 package graft.functions
 
-import scala.collection.mutable
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** SpaceSaving heavy-hitters: approximate top-k most frequent terms in
@@ -16,31 +16,33 @@ import org.apache.spark.sql.expressions.Aggregator
   * item with true frequency > n/m is guaranteed present.
   *
   * The buffer is a plain (term -> (count, error)) map capped at
-  * `capacity`; merge is the standard pairwise SpaceSaving union.
+  * `capacity`; merge is the standard pairwise SpaceSaving union. The
+  * buffer is encoded with a Catalyst ExpressionEncoder (MapType of
+  * string -> struct), NOT Kryo: Kryo's FieldSerializer needs
+  * `--add-opens java.base/java.nio` on JDK 17+, so a Kryo buffer makes
+  * the operator fail under any launcher that doesn't add Spark's
+  * module opens, and its opaque binary blob defeats Tungsten anyway.
   */
 object HeavyHitters {
 
-  type Buf = mutable.Map[String, (Long, Long)] // term -> (count, maxError)
+  type Buf = Map[String, (Long, Long)] // term -> (count, maxError)
 
   final case class TermCount(term: String, count: Long, max_error: Long)
 
   def aggregator(capacity: Int, k: Int): Aggregator[String, Buf, Seq[TermCount]] =
     new Aggregator[String, Buf, Seq[TermCount]] {
 
-      override def zero: Buf = mutable.Map.empty
+      override def zero: Buf = Map.empty
 
-      override def reduce(b: Buf, term: String): Buf = {
+      override def reduce(b: Buf, term: String): Buf =
         b.get(term) match {
-          case Some((c, e)) => b.update(term, (c + 1, e))
-          case None if b.size < capacity => b.update(term, (1L, 0L))
+          case Some((c, e)) => b.updated(term, (c + 1, e))
+          case None if b.size < capacity => b.updated(term, (1L, 0L))
           case None =>
             // evict the current minimum; its count becomes the error bound
             val (minTerm, (minC, _)) = b.minBy { case (t, (c, _)) => (c, t) }
-            b.remove(minTerm)
-            b.update(term, (minC + 1, minC))
+            (b - minTerm).updated(term, (minC + 1, minC))
         }
-        b
-      }
 
       override def merge(a: Buf, b: Buf): Buf = {
         // standard union: add counts for shared terms; a term missing
@@ -50,15 +52,13 @@ object HeavyHitters {
         // the over-estimate guarantee survives the merge)
         val minA = if (a.size < capacity) 0L else a.values.map(_._1).min
         val minB = if (b.size < capacity) 0L else b.values.map(_._1).min
-        val out = mutable.Map.empty[String, (Long, Long)]
-        (a.keySet ++ b.keySet).foreach { t =>
+        val union = (a.keySet ++ b.keySet).iterator.map { t =>
           val (ca, ea) = a.getOrElse(t, (minA, minA))
           val (cb, eb) = b.getOrElse(t, (minB, minB))
-          out.update(t, (ca + cb, ea + eb))
-        }
+          t -> (ca + cb, ea + eb)
+        }.toSeq
         // keep the top `capacity` by count (tie-break on term for determinism)
-        val kept = out.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
-        mutable.Map(kept: _*)
+        union.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity).toMap
       }
 
       override def finish(b: Buf): Seq[TermCount] =
@@ -66,9 +66,9 @@ object HeavyHitters {
           .map { case (t, (c, e)) => TermCount(t, c, e) }
 
       override def bufferEncoder: Encoder[Buf] =
-        Encoders.kryo[Buf]
+        ExpressionEncoder[Buf]()
       override def outputEncoder: Encoder[Seq[TermCount]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
+        ExpressionEncoder[Seq[TermCount]]()
     }
 
   /** Heavy-hitter terms over the documents corpus: explode tokens,

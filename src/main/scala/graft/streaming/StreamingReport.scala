@@ -19,8 +19,10 @@ import graft.operators.ReportUpsert
   */
 object StreamingReport {
 
-  /** The events schema as a streaming source expects it (ts read as
-    * nanos LONG — see Tables.events). */
+  /** The events schema in its LEGACY encoding (ts as raw nanos LONG —
+    * the TIMESTAMP(NANOS) footer surfaced via the legacy conf). Used by
+    * tests that pin the legacy-input path; `transactionsStream` itself
+    * infers the schema of whatever is actually on disk. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,13 +31,19 @@ object StreamingReport {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events dir as a stream of transactions. */
+  /** Open the events dir as a stream of transactions. A streaming
+    * source needs a declared schema, so infer it from the files already
+    * landed (one batch footer read — sets the legacy nanos conf only if
+    * that encoding is present), then decode `ts` with the same
+    * type-dispatched helper as the batch loader (graft.Tables.decodeTs):
+    * the stream keeps working whether the landing zone holds legacy
+    * TIMESTAMP(NANOS) files or current timestamp[us] ones. */
   def transactionsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = graft.Tables.readEventsRaw(spark, dir).schema
+    graft.Tables.decodeTs(
+      spark.readStream
+        .schema(onDisk)
+        .parquet(dir))
       .select(
         col("ts"),
         to_date(col("ts")).as("txn_date"),

@@ -39,9 +39,7 @@ class HeavyHittersSpec extends SparkSpec {
     val bufA = streamA.foldLeft(agg.zero)(agg.reduce)
     val bufB = streamB.foldLeft(agg.zero)(agg.reduce)
     assert(bufA.size == 4 && bufB.size == 4) // both full -> nonzero mins
-    val merged = agg.merge(
-      bufA.clone().asInstanceOf[HeavyHitters.Buf],
-      bufB.clone().asInstanceOf[HeavyHitters.Buf])
+    val merged = agg.merge(bufA, bufB) // immutable buffers: no defensive copy needed
     val trueCounts = (streamA ++ streamB).groupBy(identity).view.mapValues(_.size.toLong)
     merged.foreach { case (t, (c, e)) =>
       assert(c >= trueCounts.getOrElse(t, 0L),

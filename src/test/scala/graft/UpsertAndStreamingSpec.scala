@@ -423,11 +423,10 @@ class StreamingSpec extends SparkSpec {
     val part = new java.io.File(stage).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.copy(part.toPath, landing.resolve("b1.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
+    // legacy nanos-as-long input: the shared decoder's LongType branch
+    val stream = graft.Tables.decodeTs(spark.readStream
       .schema(graft.streaming.StreamingReport.eventsSchema)
-      .parquet(landing.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .parquet(landing.toString))
     val q = graft.streaming.StreamingReport.attributionJoin(stream, 1, "30 minutes")
       .writeStream.outputMode("append")
       .format("memory").queryName("attr_test")
