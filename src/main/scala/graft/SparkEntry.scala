@@ -601,6 +601,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, col("label") % 2 === 0)
     }),
+    // contrastive hard-negative mining: nearest different-label rows
+    "q_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10)
+    }),
+    // BPE trainer inner loop: top adjacent within-word char pairs
+    "q_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
     // per-label centroid cells (long form: exact integer sums, one
     // double division per cell)
     "q_embedding_centroids" -> ((s, d) =>
@@ -1876,6 +1885,32 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH n AS ($quantizedSql),
+         |p AS (SELECT qq.vec_id AS query_id, qq.label AS query_label,
+         |             cc.vec_id AS neighbor_id, cc.label AS neighbor_label,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM n qq, n cc
+         |      WHERE qq.vec_id % 100 = 0 AND cc.vec_id <> qq.vec_id
+         |        AND cc.label <> qq.label),
+         |r AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM p)
+         |SELECT query_id, query_label, rnk, neighbor_id, neighbor_label, cosine
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    "q_bpe_pairs" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |wd AS (SELECT unnest(toks) AS w FROM t),
+           |p AS (SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+           |                    i -> w[i : i + 1])) AS pair
+           |      FROM wd)
+           |SELECT pair, CAST(count(*) AS BIGINT) AS n
+           |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "q_embedding_centroids" ->
       s"""WITH n AS ($quantizedSql),
          |e AS (SELECT label, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x FROM n)

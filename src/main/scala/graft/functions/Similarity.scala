@@ -77,6 +77,36 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most SIMILAR candidates with a DIFFERENT label —
+    * the "hardest" negatives a contrastive loss can be shown, the
+    * batch-construction primitive behind embedding-model training
+    * sets. Same broadcast-query / candidate-scan shape as
+    * `bruteForceTopK` (the label inequality rides the join condition,
+    * evaluated per broadcast row), so candidates never shuffle and the
+    * only exchange is the per-query top-k window — at 100 TB the k·|Q|
+    * survivors are all that moves. */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("q").as("qv"), col("nq").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("q").as("cv"), col("nq").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("query_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
     * corpus's natural partition), threshold on quantized cosine.
     *

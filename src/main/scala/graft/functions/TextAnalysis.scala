@@ -33,6 +33,30 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** Distributed BPE pair statistics — the inner loop of BPE tokenizer
+    * TRAINING: count adjacent character pairs WITHIN each word across
+    * the corpus and report the top-k merge candidates (count DESC, pair
+    * ASC). A trainer recomputes exactly this table every merge round.
+    *
+    * Scale shape: pairs are built map-side from the row's own token
+    * array (nested `transform` over words, `Column.substr` windows per
+    * word — the text never explodes to a token stream, let alone
+    * shuffles one); the only exchange is the map-side-combined
+    * 2-char-pair count aggregation, and the top-k is a TakeOrdered,
+    * not a global sort. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val pairsOfWord = (w: Column) =>
+      when(length(w) >= 2,
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+    docs
+      .select(explode(flatten(transform(tokens(col("text")), pairsOfWord))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** Quality scoring: stopword ratio, average token length, and a

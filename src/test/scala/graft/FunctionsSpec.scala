@@ -25,6 +25,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks == Seq("abc", "123", "def", "-", "9"))
   }
 
+  test("bpePairCounts counts adjacent within-word char pairs, hand-checked") {
+    // "abab" -> ab, ba, ab ; "ab" -> ab ; "x" -> nothing ; pairs never
+    // cross the word boundary ("b a" contributes no "ba")
+    val out = TextAnalysis.bpePairCounts(docs((1L, "abab ab"), (2L, "x b a")), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("ab" -> 3L, "ba" -> 1L), s"got ${out.toSeq}")
+  }
+
+  test("bpePairCounts top-k ties break on pair string; case folds") {
+    val out = TextAnalysis.bpePairCounts(docs((1L, "ZZ aa mm")), 2)
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("aa", "mm"), s"ties must order lexicographically: ${out.toSeq}")
+  }
+
   test("qualityScore bounded and stopword-sensitive") {
     val out = TextAnalysis.qualityScore(
       docs((1L, "the the the the"), (2L, "zq zq zq zq")))
@@ -970,6 +984,37 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("hardNegatives returns nearest DIFFERENT-label rows only") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f), 0),  // nearest overall but SAME label -> excluded
+      (2L, Seq(0.9f, 0.1f), 1),    // hardest negative
+      (3L, Seq(0.5f, 0.5f), 2),
+      (4L, Seq(0f, 1f), 0))
+    val out = Similarity.hardNegatives(e, col("vec_id") === 0, 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1), (2L, 3L, 2)),
+      s"same-label rows must never appear as negatives: ${out.toSeq}")
+    // equals brute force over the different-label candidate set
+    val ref = Similarity.bruteForceTopK(e, col("vec_id") === 0, 10,
+        col("label") =!= 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == ref.toSeq)
+  }
+
+  test("hardNegatives: every query mines against its OWN label") {
+    // two queries with different labels: candidate sets differ per query
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (100L, Seq(0f, 1f), 1),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.1f, 0.9f), 1))
+    val out = Similarity.hardNegatives(e, col("vec_id") % 100 === 0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // query 0 (label 0) may see {100, 3}; query 100 (label 1) may see {0, 2}
+    assert(out == Set((0L, 100L), (0L, 3L), (100L, 0L), (100L, 2L)), s"$out")
   }
 
   test("bruteForceTopK candPred: filtered search excludes non-matching candidates") {

@@ -122,6 +122,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // checkpoint; one _pid window
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
+    "q_hard_negatives" -> 1,          // same shape: label inequality in
+                                      // the broadcast-join condition,
+                                      // one per-query top-k window
+    "q_bpe_pairs" -> 1,               // map-side pair build from the
+                                      // row's own tokens; one combined
+                                      // pair agg + TakeOrdered
     "q_rrf_fusion" -> 10,             // composes the FULL lsh + ivf
                                       // top-k pipelines (their budgets,
                                       // LSH bucketing memo-shared) +
