@@ -610,6 +610,20 @@ object SparkEntry {
     // BPE trainer inner loop: top adjacent within-word char pairs
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
+    // explicit bloom-filter semi-join pruning (the runtime-filter
+    // operator form): lineitems of urgent orders, bloom-pruned scan
+    // then exact semi join — result identical to the plain semi join
+    "q_bloom_semi" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.plans.BloomPrune
+        .bloomSemiJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
     // per-label centroid cells (long form: exact integer sums, one
     // double division per cell)
     "q_embedding_centroids" -> ((s, d) =>
@@ -1911,6 +1925,16 @@ object SparkEntry {
            |      FROM wd)
            |SELECT pair, CAST(count(*) AS BIGINT) AS n
            |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    // the bloom is an exactness-preserving prefilter, so the oracle is
+    // the PLAIN semi join — any bloom false negative would hash-diverge
+    "q_bloom_semi" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
     "q_embedding_centroids" ->
       s"""WITH n AS ($quantizedSql),
          |e AS (SELECT label, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x FROM n)

@@ -128,6 +128,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_bpe_pairs" -> 1,               // map-side pair build from the
                                       // row's own tokens; one combined
                                       // pair agg + TakeOrdered
+    "q_bloom_semi" -> 2,              // bloom-pruned fact scan; dim
+                                      // key distinct + final group agg
+                                      // (bloom build is its own tiny
+                                      // job at construction time)
     "q_rrf_fusion" -> 10,             // composes the FULL lsh + ivf
                                       // top-k pipelines (their budgets,
                                       // LSH bucketing memo-shared) +
