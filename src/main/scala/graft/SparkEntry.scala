@@ -601,6 +601,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, col("label") % 2 === 0)
     }),
+    // product-quantization ANN: 2 subspace codebooks (fixed-point
+    // k-means, 1 certified iteration), ADC top-k over the code index
+    "q_pq_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, m = 2, ksub = 4, iters = 1)
+    }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1899,6 +1906,52 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    // PQ replay: the q_kmeans certified-iteration discipline applied
+    // per subspace (s = d // 32), then ADC distances off the SAME c1
+    // centroids the engine searches with. a2 = final codes.
+    "q_pq_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM n),
+         |vs AS (SELECT vec_id, d, d // 32 AS s, x FROM vd),
+         |seeds AS (SELECT vec_id,
+         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |          FROM n QUALIFY code < 4),
+         |c0 AS (SELECT vs.s, se.code, vs.d, vs.x AS c
+         |       FROM vs JOIN seeds se USING (vec_id)),
+         |a1 AS (SELECT vec_id, s, code FROM (
+         |    SELECT vs.vec_id, vs.s, c0.code,
+         |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
+         |             ORDER BY sum((vs.x - c0.c)*(vs.x - c0.c)), c0.code) AS rn
+         |    FROM vs JOIN c0 ON vs.s = c0.s AND vs.d = c0.d
+         |    GROUP BY vs.vec_id, vs.s, c0.code QUALIFY rn = 1)),
+         |c1 AS (SELECT a1.s, a1.code, vs.d,
+         |              CAST(CAST(sum(vs.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vs JOIN a1 ON vs.vec_id = a1.vec_id AND vs.s = a1.s
+         |       GROUP BY 1, 2, vs.d),
+         |a2 AS (SELECT vec_id, s, code FROM (
+         |    SELECT vs.vec_id, vs.s, c1.code,
+         |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
+         |             ORDER BY sum((vs.x - c1.c)*(vs.x - c1.c)), c1.code) AS rn
+         |    FROM vs JOIN c1 ON vs.s = c1.s AND vs.d = c1.d
+         |    GROUP BY vs.vec_id, vs.s, c1.code QUALIFY rn = 1)),
+         |qd AS (SELECT vec_id AS query_id, d, d // 32 AS s, x
+         |       FROM vd WHERE vec_id % 100 = 0),
+         |adc AS (SELECT qd.query_id, c1.s, c1.code,
+         |               sum((qd.x - c1.c)*(qd.x - c1.c)) AS pd
+         |        FROM qd JOIN c1 ON qd.s = c1.s AND qd.d = c1.d
+         |        GROUP BY 1, 2, 3),
+         |dist AS (SELECT adc.query_id, a2.vec_id,
+         |                CAST(sum(adc.pd) AS BIGINT) AS adist
+         |         FROM a2 JOIN adc ON a2.s = adc.s AND a2.code = adc.code
+         |         WHERE a2.vec_id <> adc.query_id
+         |         GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, qq.label AS query_label,

@@ -489,6 +489,101 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("x") - shift).as("s0"))
   }
 
+  /** Product quantization (PQ): split each vector into `m` contiguous
+    * subvectors and train a `ksub`-centroid codebook PER subspace with
+    * the `kmeansFixedPoint` integer discipline (+2^20-shifted 1e6-
+    * quantized dims, integer `sum div count` centroids, exact int64
+    * squared distances, md5-ordered seeds, lexicographic argmin ties)
+    * — so DuckDB replays training bit-exactly. Every vector is then
+    * ENCODED as m small codes: the 100 TB ANN compression (a 64-dim
+    * float vector becomes m bytes of codes; the index shrinks ~100×).
+    *
+    * All m subspaces train JOINTLY — the subspace id `s` rides every
+    * key (seeds, assignment, centroid update), so m codebooks cost the
+    * same NUMBER of exchanges as one k-means, not m of them.
+    *
+    * Returns (codes, centroids): codes = (vec_id, s, code); centroids
+    * = (s, code, d, c) on GLOBAL dim index d, from the FINAL update —
+    * codes are the final assignment against those centroids (one
+    * assignment after the last update, mirroring the oracle's replay).
+    */
+  def pqTrain(embeddings: DataFrame, m: Int, ksub: Int,
+              iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"pqTrain needs at least one iteration, got $iters")
+    val shift = 1048576L // 2^20 (see kmeansFixedPoint)
+    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val dims = v.select(size(col("q"))).head().getInt(0)
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val subDim = dims / m
+    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), expr(s"d div $subDim").cast("int").as("s"),
+        col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint()
+    // shared seed VECTORS across subspaces (each contributes its own
+    // subvector per subspace): the k smallest md5(vec_id)
+    val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("code"))
+    var cents = vd.join(seeds, Seq("vec_id"))
+      .select(col("s"), col("code"), col("d"), col("x").as("c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame =
+      vd.join(broadcast(c), Seq("s", "d"))
+        .groupBy(col("vec_id"), col("s"), col("code"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("_dist"), col("code"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+    (1 to iters).foreach { _ =>
+      val a = assign(cents)
+      cents = vd.join(a, Seq("vec_id", "s"))
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    (assign(cents).localCheckpoint(), cents)
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query
+    * keeps its EXACT (shifted-integer) subvectors; each candidate is
+    * represented only by its m codes. Per (query, subspace, code) the
+    * exact partial squared distance to that code's centroid is
+    * precomputed — a |Q|·m·ksub table, broadcast — and a candidate's
+    * distance is the sum of its codes' m table entries. All integer
+    * arithmetic, so the ranking is engine-exact and oracle-gateable
+    * (approximate vs TRUE distance — that's PQ's contract — but
+    * deterministically so).
+    *
+    * Scale shape: the codes table (n·m small ints — the compressed
+    * index, the only thing that scans) joins the broadcast ADC table
+    * map-side; partial sums collapse to one row per (query, candidate)
+    * before the single exchange; top-k is a per-query window over
+    * id-sized rows. The raw vectors are touched only to build the
+    * |Q|-row query side. */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+             m: Int, ksub: Int, iters: Int): DataFrame = {
+    val shift = 1048576L
+    val (codes, cents) = pqTrain(embeddings, m, ksub, iters)
+    val qd = ensureQuantized(embeddings).filter(queryPred)
+      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+    val adc = qd.join(broadcast(cents), Seq("d"))
+      .groupBy(col("query_id"), col("s"), col("code"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(adc), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
     * vectors partitions the space; each vector is assigned to its
     * nearest centroid cell, queries probe the `nProbe` nearest cells

@@ -986,6 +986,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("pqTrain encodes every vector with one code per subspace; duplicates agree") {
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(1f, 0f, 0f, 1f), 0),   // exact duplicate of 0
+      (2L, Seq(0f, 1f, 1f, 0f), 0),
+      (3L, Seq(0f, 0.9f, 0.9f, 0f), 0))
+    val (codes, cents) = graft.functions.Similarity.pqTrain(e, m = 2, ksub = 2, iters = 1)
+    val byVec = codes.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getInt(2)).toMap).toMap
+    assert(byVec.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byVec.values.forall(_.keySet == Set(0, 1)), "one code per subspace")
+    assert(byVec(0L) == byVec(1L), "identical vectors must encode identically")
+    // centroids cover every (subspace, code, dim) cell that has members
+    val cdims = cents.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cdims.subsetOf(Set((0, 0), (0, 1), (1, 0), (1, 1))))
+  }
+
+  test("pqTopK ranks the duplicate of the query first with distance 0 at convergence") {
+    // two tight, well-separated groups; ksub=2 codebooks converge onto
+    // them, so ADC distance query->its own group's members is 0
+    val e = emb(
+      (0L, Seq(1f, 0f, 1f, 0f), 0),
+      (1L, Seq(1f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 1f), 0),
+      (3L, Seq(0f, 1f, 0f, 1f), 0))
+    val out = graft.functions.Similarity
+      .pqTopK(e, col("vec_id") === 0, k = 3, m = 2, ksub = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    val (rnk1, n1, d1) = out.head
+    assert(rnk1 == 1L && n1 == 1L && d1 == 0L,
+      s"query's duplicate must rank first at ADC distance 0: ${out.toSeq}")
+    // distances are non-decreasing in rank
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
+
+  test("pqTrain codes are partition-invariant (integer-exact fixpoint)") {
+    val e = emb((0L to 19L).map(i =>
+      (i, Seq(i.toFloat / 20f, 1f - i.toFloat / 20f, (i % 5).toFloat / 5f, 0.5f), 0)): _*)
+    val (c1, _) = graft.functions.Similarity.pqTrain(e, 2, 3, 2)
+    val (c2, _) = graft.functions.Similarity.pqTrain(e.repartition(7), 2, 3, 2)
+    val s1 = c1.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    val s2 = c2.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
   test("hardNegatives returns nearest DIFFERENT-label rows only") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),

@@ -132,6 +132,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // key distinct + final group agg
                                       // (bloom build is its own tiny
                                       // job at construction time)
+    "q_pq_topk" -> 3,                 // ADC table agg + per-(query,
+                                      // cand) code-sum agg + top-k
+                                      // window; training shuffles live
+                                      // in checkpointed jobs
     "q_rrf_fusion" -> 10,             // composes the FULL lsh + ivf
                                       // top-k pipelines (their budgets,
                                       // LSH bucketing memo-shared) +
