@@ -120,6 +120,9 @@ object SparkEntry {
     // --- text analysis (training-data pipeline ops) ---
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    // per-source percentile calibration of the composite quality score
+    "q_quality_calibrated" -> ((s, d) =>
+      TextAnalysis.calibratedQuality(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)),
@@ -607,6 +610,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.pqTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, m = 2, ksub = 4, iters = 1)
+    }),
+    // PQ + exact re-rank (the FAISS refine step): ADC 50-pool, exact
+    // quantized-cosine final order
+    "q_pq_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.pqTopKRerank(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, m = 2, ksub = 4, iters = 1, pool = 50)
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -1099,6 +1109,30 @@ object SparkEntry {
         |       + (least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3)
         |       + (least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3) AS quality_score
         |FROM t""".stripMargin,
+    // the oracle's per-source window stands in for the engine's
+    // range-partitioned global rank + broadcast offset correction
+    "q_quality_calibrated" ->
+      """WITH t AS (SELECT source, doc_id,
+        |                  string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |                  cast(length(regexp_replace(text, '\s', '', 'g')) AS double) AS nonspace
+        |           FROM documents),
+        |s AS (SELECT source, doc_id,
+        |        ((cast(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS double)
+        |           / cast(len(toks) AS double)) * 0.4)
+        |        + (least(cast(len(toks) AS double) / 100.0, 1.0) * 0.3)
+        |        + (least((nonspace / cast(len(toks) AS double)) / 8.0, 1.0) * 0.3) AS quality_score
+        |      FROM t),
+        |r AS (SELECT source, doc_id, quality_score,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY quality_score, doc_id) AS r_in_source,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |      FROM s)
+        |SELECT source, doc_id, quality_score,
+        |       CAST(r_in_source AS BIGINT) AS r_in_source,
+        |       CASE WHEN n = 1 THEN 0.0
+        |            ELSE CAST(r_in_source - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |       END AS pctl
+        |FROM r""".stripMargin,
     "q_language_id" ->
       """WITH t AS (SELECT doc_id, lang,
         |    cast(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
@@ -1910,48 +1944,36 @@ object SparkEntry {
     // per subspace (s = d // 32), then ADC distances off the SAME c1
     // centroids the engine searches with. a2 = final codes.
     "q_pq_topk" ->
-      s"""WITH n AS ($quantizedSql),
-         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
-         |              unnest(q) + 1048576 AS x FROM n),
-         |vs AS (SELECT vec_id, d, d // 32 AS s, x FROM vd),
-         |seeds AS (SELECT vec_id,
-         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-         |          FROM n QUALIFY code < 4),
-         |c0 AS (SELECT vs.s, se.code, vs.d, vs.x AS c
-         |       FROM vs JOIN seeds se USING (vec_id)),
-         |a1 AS (SELECT vec_id, s, code FROM (
-         |    SELECT vs.vec_id, vs.s, c0.code,
-         |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
-         |             ORDER BY sum((vs.x - c0.c)*(vs.x - c0.c)), c0.code) AS rn
-         |    FROM vs JOIN c0 ON vs.s = c0.s AND vs.d = c0.d
-         |    GROUP BY vs.vec_id, vs.s, c0.code QUALIFY rn = 1)),
-         |c1 AS (SELECT a1.s, a1.code, vs.d,
-         |              CAST(CAST(sum(vs.x) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM vs JOIN a1 ON vs.vec_id = a1.vec_id AND vs.s = a1.s
-         |       GROUP BY 1, 2, vs.d),
-         |a2 AS (SELECT vec_id, s, code FROM (
-         |    SELECT vs.vec_id, vs.s, c1.code,
-         |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
-         |             ORDER BY sum((vs.x - c1.c)*(vs.x - c1.c)), c1.code) AS rn
-         |    FROM vs JOIN c1 ON vs.s = c1.s AND vs.d = c1.d
-         |    GROUP BY vs.vec_id, vs.s, c1.code QUALIFY rn = 1)),
-         |qd AS (SELECT vec_id AS query_id, d, d // 32 AS s, x
-         |       FROM vd WHERE vec_id % 100 = 0),
-         |adc AS (SELECT qd.query_id, c1.s, c1.code,
-         |               sum((qd.x - c1.c)*(qd.x - c1.c)) AS pd
-         |        FROM qd JOIN c1 ON qd.s = c1.s AND qd.d = c1.d
-         |        GROUP BY 1, 2, 3),
-         |dist AS (SELECT adc.query_id, a2.vec_id,
-         |                CAST(sum(adc.pd) AS BIGINT) AS adist
-         |         FROM a2 JOIN adc ON a2.s = adc.s AND a2.code = adc.code
-         |         WHERE a2.vec_id <> adc.query_id
-         |         GROUP BY 1, 2),
+      s"""$pqBaseSql,
          |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
          |             row_number() OVER (PARTITION BY query_id
          |               ORDER BY adist, vec_id) AS rnk
          |      FROM dist)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // ADC proposes the 50-pool; exact quantized cosine re-ranks it —
+    // the FAISS refine step, replayed off the same code index
+    "q_pq_rerank" ->
+      s"""$pqBaseSql,
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist),
+         |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
+         |x AS (SELECT p.query_id, p.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM pool p
+         |      JOIN n qq ON qq.vec_id = p.query_id
+         |      JOIN n cc ON cc.vec_id = p.neighbor_id),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM x)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+         |FROM f WHERE rnk <= 10""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, qq.label AS query_label,
@@ -2883,6 +2905,48 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens, drop_reason,
            |       drop_reason IS NULL AS keep
            |FROM j""".stripMargin
+
+  /** Shared PQ training + ADC replay (m=2 subspaces of 32 dims, ksub=4,
+    * 1 certified iteration, queries = vec_id % 100 = 0): CTEs through
+    * `dist` (query → candidate ADC distance). `q_pq_topk` ranks it
+    * directly; `q_pq_rerank` re-ranks the 50-pool by exact cosine. */
+  private lazy val pqBaseSql =
+    s"""WITH n AS ($quantizedSql),
+       |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+       |              unnest(q) + 1048576 AS x FROM n),
+       |vs AS (SELECT vec_id, d, d // 32 AS s, x FROM vd),
+       |seeds AS (SELECT vec_id,
+       |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+       |          FROM n QUALIFY code < 4),
+       |c0 AS (SELECT vs.s, se.code, vs.d, vs.x AS c
+       |       FROM vs JOIN seeds se USING (vec_id)),
+       |a1 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vs.vec_id, vs.s, c0.code,
+       |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
+       |             ORDER BY sum((vs.x - c0.c)*(vs.x - c0.c)), c0.code) AS rn
+       |    FROM vs JOIN c0 ON vs.s = c0.s AND vs.d = c0.d
+       |    GROUP BY vs.vec_id, vs.s, c0.code QUALIFY rn = 1)),
+       |c1 AS (SELECT a1.s, a1.code, vs.d,
+       |              CAST(CAST(sum(vs.x) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM vs JOIN a1 ON vs.vec_id = a1.vec_id AND vs.s = a1.s
+       |       GROUP BY 1, 2, vs.d),
+       |a2 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vs.vec_id, vs.s, c1.code,
+       |           row_number() OVER (PARTITION BY vs.vec_id, vs.s
+       |             ORDER BY sum((vs.x - c1.c)*(vs.x - c1.c)), c1.code) AS rn
+       |    FROM vs JOIN c1 ON vs.s = c1.s AND vs.d = c1.d
+       |    GROUP BY vs.vec_id, vs.s, c1.code QUALIFY rn = 1)),
+       |qd AS (SELECT vec_id AS query_id, d, d // 32 AS s, x
+       |       FROM vd WHERE vec_id % 100 = 0),
+       |adc AS (SELECT qd.query_id, c1.s, c1.code,
+       |               sum((qd.x - c1.c)*(qd.x - c1.c)) AS pd
+       |        FROM qd JOIN c1 ON qd.s = c1.s AND qd.d = c1.d
+       |        GROUP BY 1, 2, 3),
+       |dist AS (SELECT adc.query_id, a2.vec_id,
+       |                CAST(sum(adc.pd) AS BIGINT) AS adist
+       |         FROM a2 JOIN adc ON a2.s = adc.s AND a2.code = adc.code
+       |         WHERE a2.vec_id <> adc.query_id
+       |         GROUP BY 1, 2)""".stripMargin
 
   private val quantizedSql =
     """SELECT vec_id, label,

@@ -584,6 +584,42 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
   }
 
+  /** PQ search with exact re-ranking — the production retrieval shape
+    * (FAISS's IVFPQ-then-refine): ADC proposes a `pool`-sized
+    * candidate set per query off the compressed code index (cheap,
+    * approximate), then the pool's TRUE vectors are fetched and
+    * re-ranked by exact quantized cosine. Recall ≈ the pool's ADC
+    * recall@pool (much higher than ADC@k), precision of the final
+    * order is exact.
+    *
+    * Scale shape: only ≤ |Q|·pool candidate IDS leave the ADC stage;
+    * their vectors are fetched by a broadcast-semi-join against the
+    * embedding scan (the full corpus is scanned once, never shuffled),
+    * and the pool-sized vector set broadcasts back onto the pairs. */
+  def pqTopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
+                   m: Int, ksub: Int, iters: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must be >= k=$k")
+    val e = ensureQuantized(embeddings)
+    val cand = pqTopK(e, queryPred, pool, m, ksub, iters)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val ids = cand.select(col("neighbor_id").as("vec_id")).distinct()
+    val vecs = e.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(broadcast(vecs), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        dotQ("qv", "cv").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
     * vectors partitions the space; each vector is assigned to its
     * nearest centroid cell, queries probe the `nProbe` nearest cells
@@ -798,9 +834,23 @@ object Similarity {
     // exactly one, so ivf pairs need no dedup either.
     val ivfPairs = probeCells.join(assigned, Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"))
+    // pq: the ADC top-k IS the candidate set (exactly k ids per query);
+    // recall@k = |ADC top-k ∩ true top-k| / |true top-k|. Trained on
+    // the same quantized checkpoint; m=4 subspaces × 16-entry codebooks
+    // = 16 code bits (64-dim vectors compress 16×).
+    val pqAll = pqTopK(emb, queryPred, 5 * k, m = 4, ksub = 16, iters = 2)
+      .localCheckpoint()
+    val pqPairs = pqAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    // pq_rerank: the harness's shared true-cosine scoring of the FULL
+    // 5k-pool candidate set IS the exact re-rank — its recall equals
+    // pqTopKRerank(pool = 5k)'s by construction.
+    val pqRerankPairs = pqAll.select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
+      .unionByName(pqPairs.withColumn("method", lit("pq")))
+      .unionByName(pqRerankPairs.withColumn("method", lit("pq_rerank")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint()
     val wm = Window.partitionBy(col("method"), col("query_id"))
@@ -813,7 +863,7 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -59,9 +59,22 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** The bounded composite quality score (one expression shared by
+    * `qualityScore` and `calibratedQuality` so the two can never
+    * drift). All ratios are double divisions of exact integers, so the
+    * value is bit-identical across engines. */
+  private def compositeQuality: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    ((stopCnt / nTok) * 0.4) +
+      (least(nTok / 100.0, lit(1.0)) * 0.3) +
+      (least((nonSpace / nTok) / 8.0, lit(1.0)) * 0.3)
+  }
+
   /** Quality scoring: stopword ratio, average token length, and a
-    * bounded composite score. All ratios are double divisions of exact
-    * integers, so the result is bit-identical across engines. */
+    * bounded composite score. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -75,9 +88,36 @@ object TextAnalysis {
       (stopCnt / nTok).as("stopword_ratio"),
       (nonSpace / nTok).as("avg_token_len"),
       punct.cast("long").as("n_punct"),
-      (((stopCnt / nTok) * 0.4) +
-        (least(nTok / 100.0, lit(1.0)) * 0.3) +
-        (least((nonSpace / nTok) / 8.0, lit(1.0)) * 0.3)).as("quality_score"))
+      compositeQuality.as("quality_score"))
+  }
+
+  /** Cross-source quality calibration: within each source, the doc's
+    * percentile rank of `quality_score` in [0,1] — so ONE global
+    * threshold on the calibrated value selects the same FRACTION from
+    * every source, regardless of each source's raw-score distribution
+    * (raw scales differ per crawl; their ranks are comparable).
+    *
+    * 100 TB shape: a single range-partitioned global rank over the
+    * total order (source, score, doc_id) — `globalRank`'s
+    * no-single-partition-window discipline, immune to the per-source
+    * skew a `partitionBy(source)` window would concentrate on one
+    * executor — then a broadcast sources-sized (offset, count)
+    * correction turns global ranks into within-source ranks. */
+  def calibratedQuality(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("source"), col("doc_id"),
+      compositeQuality.as("quality_score"))
+    val ranked = graft.operators.SpendingReport.globalRank(
+      scored, Seq(col("source").asc, col("quality_score").asc, col("doc_id").asc), "_gr")
+    val bySource = ranked.groupBy(col("source"))
+      .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(bySource), Seq("source"))
+      .withColumn("r_in_source", (col("_gr") - col("_off") + 1L).cast("long"))
+      .withColumn("pctl",
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise((col("r_in_source") - 1L).cast("double") /
+            (col("_n") - 1L).cast("double")))
+      .select(col("source"), col("doc_id"), col("quality_score"),
+        col("r_in_source"), col("pctl"))
   }
 
   /** Language-ID by stopword-marker voting (n-gram-free heuristic that

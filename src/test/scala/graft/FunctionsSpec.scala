@@ -25,6 +25,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks == Seq("abc", "123", "def", "-", "9"))
   }
 
+  test("calibratedQuality: per-source percentile ranks, uniform fraction property") {
+    val d = docs(
+      (1L, "zz zz zz"), (2L, "the of and a to in is on more words here ok"),
+      (3L, "qq qq"), (4L, "the the the the the the"))
+      .withColumn("source",
+        when(col("doc_id") <= 2L, lit("sA")).otherwise(lit("sB")))
+    val out = TextAnalysis.calibratedQuality(d)
+      .collect().map(r => r.getLong(1) -> ((r.getString(0), r.getLong(3), r.getDouble(4)))).toMap
+    // two docs per source -> pctl is exactly {0.0, 1.0} within each
+    assert(out.values.count(_._1 == "sA") == 2 && out.values.count(_._1 == "sB") == 2)
+    Seq("sA", "sB").foreach { s =>
+      val ps = out.values.filter(_._1 == s).map(_._3).toSeq.sorted
+      assert(ps == Seq(0.0, 1.0), s"$s percentiles must span [0,1]: $ps")
+    }
+    // a global threshold pctl >= 1.0 selects exactly one doc per source
+    assert(out.values.count(_._3 >= 1.0) == 2)
+  }
+
+  test("calibratedQuality: single-doc source gets pctl 0, not NaN") {
+    val d = docs((1L, "alone here"), (2L, "the of and words"), (3L, "zz"))
+      .withColumn("source",
+        when(col("doc_id") === 1L, lit("solo")).otherwise(lit("pair")))
+    val out = TextAnalysis.calibratedQuality(d)
+      .collect().map(r => r.getString(0) -> r.getDouble(4))
+    val solo = out.filter(_._1 == "solo").map(_._2)
+    assert(solo.toSeq == Seq(0.0))
+    assert(out.forall(p => !p._2.isNaN))
+  }
+
   test("bpePairCounts counts adjacent within-word char pairs, hand-checked") {
     // "abab" -> ab, ba, ab ; "ab" -> ab ; "x" -> nothing ; pairs never
     // cross the word boundary ("b a" contributes no "ba")
@@ -1181,7 +1210,9 @@ class SimilaritySpec extends SparkSpec {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.keySet == Set("lsh", "lsh_multi", "ivf"))
+    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank"))
+    // re-ranking a 5k ADC pool can only help: recall is monotone
+    assert(out("pq_rerank")._3 >= out("pq")._3)
     val nTruth = out("lsh")._2
     assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
       "all methods score against the same ground truth")
@@ -1209,7 +1240,9 @@ class SimilaritySpec extends SparkSpec {
     val slow = Map(
       "lsh" -> ids(Similarity.lshTopK(e, pred, k, bits)),
       "lsh_multi" -> ids(Similarity.lshTopKMulti(e, pred, k, bits, tables)),
-      "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)))
+      "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
+      "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
+      "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     slow.foreach { case (m, topk) =>

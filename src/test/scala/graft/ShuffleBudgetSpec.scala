@@ -136,6 +136,16 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // cand) code-sum agg + top-k
                                       // window; training shuffles live
                                       // in checkpointed jobs
+    "q_pq_rerank" -> 3,               // ADC pool is checkpointed; pool
+                                      // id distinct + the semi-join
+                                      // id exchange + final rerank
+                                      // window (vectors broadcast)
+    "q_quality_calibrated" -> 3,      // globalRank's range partition is
+                                      // checkpointed; the _pid rank
+                                      // window subtree feeds BOTH the
+                                      // per-source offset agg and the
+                                      // final join (2 counted) + the
+                                      // offset agg itself
     "q_rrf_fusion" -> 10,             // composes the FULL lsh + ivf
                                       // top-k pipelines (their budgets,
                                       // LSH bucketing memo-shared) +
