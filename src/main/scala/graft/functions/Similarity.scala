@@ -584,6 +584,25 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
   }
 
+  /** Encode vectors against FIXED PQ centroids — one assignment pass,
+    * no retraining: the ingest form, where newly arrived embeddings
+    * adopt the codebooks the index was built with (retraining would
+    * silently re-code the whole landed corpus). `cents` is pqTrain's
+    * centroid frame (s, code, d, c); broadcast, so the batch never
+    * shuffles its vectors — only (vec, s, code) id-rows aggregate. */
+  def pqEncode(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val shift = 1048576L
+    val vd = ensureQuantized(embeddings)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+    vd.join(broadcast(cents), Seq("d"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("_dist"), col("code"))).as("_m"))
+      .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+  }
+
   /** PQ search with exact re-ranking — the production retrieval shape
     * (FAISS's IVFPQ-then-refine): ADC proposes a `pool`-sized
     * candidate set per query off the compressed code index (cheap,

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.Similarity
+
+/** Incremental ANN-index maintenance: new embedding batches are PQ-
+  * ENCODED against the codebooks the index was trained with and their
+  * codes appended — the vector sibling of `StreamingIngest`'s digest
+  * store. Retraining per batch would silently re-code the landed
+  * corpus (codes are only comparable within one codebook generation),
+  * so the codebooks are persisted ONCE at build time and every batch
+  * adopts them; rebuilding is an explicit offline `buildIndex` rerun.
+  *
+  * Layout: `<indexDir>/centroids` (the codebook generation, written
+  * once) and `<indexDir>/codes/batch=<id>` (per-batch code rows).
+  * Idempotence under foreachBatch's at-least-once replays: each batch
+  * overwrites its OWN `batch=<id>` subdir, and encoding against fixed
+  * codebooks is deterministic, so a replay rewrites identical rows.
+  * Per-batch cost: one broadcast of the (m·ksub·dims)-sized codebooks
+  * against the batch scan — O(batch), never O(corpus).
+  */
+object StreamingAnnIngest {
+
+  /** Offline index build: train codebooks on the seed corpus, persist
+    * them, and land the seed corpus's codes as batch=0. */
+  def buildIndex(seed: DataFrame, indexDir: String,
+                 m: Int, ksub: Int, iters: Int): Unit = {
+    val (codes, cents) = Similarity.pqTrain(seed, m, ksub, iters)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes/batch=0")
+  }
+
+  def centroids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/centroids")
+
+  /** The full landed code index (all batches). */
+  def codeIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+
+  /** One micro-batch: encode against the persisted codebooks, land
+    * under this batch's own id (idempotent overwrite; streaming batch
+    * ids start at 0, landed as batch=<id+1> so the seed keeps 0). */
+  def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val cents = centroids(batch.sparkSession, indexDir)
+    Similarity.pqEncode(batch, cents)
+      .write.mode("overwrite").parquet(s"$indexDir/codes/batch=${batchId + 1}")
+  }
+
+  /** Wire over an embeddings stream (vec_id, embedding, ...). */
+  def start(embeddings: DataFrame, indexDir: String,
+            checkpointDir: String): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch, indexDir, batchId))
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.streaming.StreamingAnnIngest
+
+class StreamingAnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*): DataFrame =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  private val seed = Seq(
+    (0L, Seq(1f, 0f, 1f, 0f), 0), (1L, Seq(0.95f, 0f, 1f, 0f), 0),
+    (2L, Seq(0f, 1f, 0f, 1f), 0), (3L, Seq(0f, 0.95f, 0f, 1f), 0))
+
+  test("pqEncode against pqTrain's centroids reproduces pqTrain's codes") {
+    val e = emb(seed: _*)
+    val (codes, cents) = Similarity.pqTrain(e, m = 2, ksub = 2, iters = 1)
+    val re = Similarity.pqEncode(e, cents)
+    val a = codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val b = re.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("streamed batches encode against the FIXED codebooks; replay is idempotent") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_annix").toString + "/ix"
+    val landing = java.nio.file.Files.createTempDirectory("graft_annix_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annix_ck").toString
+    StreamingAnnIngest.buildIndex(emb(seed: _*), indexDir, m = 2, ksub = 2, iters = 1)
+    // a new vector identical to seed 0 must get seed 0's exact codes
+    val stage = java.nio.file.Files.createTempDirectory("graft_annix_stage").toString + "/d"
+    emb((100L, Seq(1f, 0f, 1f, 0f), 0), (101L, Seq(0f, 1f, 0f, 1f), 0))
+      .write.parquet(stage)
+    new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, landing.resolve(s"b$i.parquet"))
+      }
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(landing.toString)
+    val q = StreamingAnnIngest.start(stream, indexDir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val ix = StreamingAnnIngest.codeIndex(spark, indexDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(ix.keys.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 100L, 101L),
+      s"seed + streamed vectors must all be indexed: ${ix.keys}")
+    Seq(0, 1).foreach { s =>
+      assert(ix((100L, s)) == ix((0L, s)),
+        "identical vector must adopt the seed's codes (same codebook generation)")
+      assert(ix((101L, s)) == ix((2L, s)))
+    }
+    // replay: re-encode the same batch id -> identical rows, no dupes
+    val n1 = StreamingAnnIngest.codeIndex(spark, indexDir).count()
+    StreamingAnnIngest.ingestBatch(
+      emb((100L, Seq(1f, 0f, 1f, 0f), 0), (101L, Seq(0f, 1f, 0f, 1f), 0)).toDF(),
+      indexDir, batchId = 0L)
+    val n2 = StreamingAnnIngest.codeIndex(spark, indexDir).count()
+    assert(n1 == n2, s"replay must overwrite its own batch dir, not append: $n1 -> $n2")
+  }
+}
