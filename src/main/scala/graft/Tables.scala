@@ -74,4 +74,76 @@ object Tables {
       col("event_type").as("category"),
       concat(lit("u"), col("user_id").cast("string")).as("vendor"),
       col("value").as("amount"))
+
+  /** Schema-drift guard (the r4/r5 events-regeneration lesson, made a
+    * front-door check): every table's REQUIRED columns and the
+    * accepted type classes per column, validated at round open — so an
+    * input type change fails HERE with a named-table, named-column
+    * error, not at the driver's correctness gate 60 queries deep.
+    * Accepted classes are deliberately coarse (e.g. events.ts admits
+    * every encoding `decodeTs` can dispatch on); anything outside them
+    * is a generation this engine has never seen and must be triaged,
+    * not silently mis-read. */
+  private val expectedSchemas: Map[String, Map[String, Set[String]]] = {
+    val num = Set("double", "float", "decimal")
+    val int = Set("bigint", "int")
+    Map(
+      "events" -> Map("event_id" -> int, "ts" -> Set("bigint", "timestamp", "timestamp_ntz"),
+        "user_id" -> int, "event_type" -> Set("string"), "value" -> num,
+        "props" -> Set("string")),
+      "lineitem" -> Map("l_orderkey" -> int, "l_partkey" -> int, "l_suppkey" -> int,
+        "l_quantity" -> (num ++ int), "l_extendedprice" -> num, "l_discount" -> num,
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> Set("date", "timestamp", "timestamp_ntz")),
+      "orders" -> Map("o_orderkey" -> int, "o_custkey" -> int,
+        "o_totalprice" -> num, "o_orderdate" -> Set("date", "timestamp", "timestamp_ntz"),
+        "o_orderpriority" -> Set("string")),
+      "customer" -> Map("c_custkey" -> int, "c_nationkey" -> int),
+      "supplier" -> Map("s_suppkey" -> int, "s_nationkey" -> int),
+      "part" -> Map("p_partkey" -> int),
+      "nation" -> Map("n_nationkey" -> int, "n_regionkey" -> int),
+      "region" -> Map("r_regionkey" -> int),
+      "documents" -> Map("doc_id" -> int, "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"), "n_chars" -> int),
+      "embeddings" -> Map("vec_id" -> int, "embedding" -> Set("array<float>", "array<double>"),
+        "label" -> int))
+  }
+
+  private def typeClass(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString match {
+      case s if s.startsWith("decimal") => "decimal"
+      case s => s
+    }
+
+  /** Validate every table under `sfDir` against the expected schema
+    * contract; returns the list of violations (empty = clean). Cheap:
+    * footer reads only, no jobs beyond schema inference. */
+  def schemaDrift(spark: SparkSession, sfDir: String): Seq[String] =
+    expectedSchemas.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      val loaded =
+        try Right(if (name == "events") readEventsRaw(spark, s"$sfDir/$name.parquet")
+                  else table(spark, sfDir, name))
+        catch { case e: Exception =>
+          Left(s"$name: unreadable — ${Option(e.getMessage).getOrElse(e.toString).take(120)}")
+        }
+      loaded match {
+        case Left(err) => Seq(err)
+        case Right(df) =>
+          val actual = df.schema.map(f => f.name -> typeClass(f.dataType)).toMap
+          cols.toSeq.sortBy(_._1).flatMap { case (c, accepted) =>
+            actual.get(c) match {
+              case None => Some(s"$name.$c: MISSING (have ${actual.keys.toSeq.sorted.mkString(",")})")
+              case Some(t) if !accepted(t) =>
+                Some(s"$name.$c: type $t not in accepted {${accepted.toSeq.sorted.mkString(",")}}")
+              case _ => None
+            }
+          }
+      }
+    }
+
+  /** Fail-fast form for session/round open. */
+  def requireSchemas(spark: SparkSession, sfDir: String): Unit = {
+    val drift = schemaDrift(spark, sfDir)
+    require(drift.isEmpty, s"schema drift against $sfDir:\n  ${drift.mkString("\n  ")}")
+  }
 }

@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Round-open drift guard: an input TYPE change must announce itself
+    // here, not as 60 AnalysisExceptions at the correctness gate.
+    // Footer-only, so this costs milliseconds.
+    Tables.schemaDrift(spark, sfDir).foreach(d =>
+      System.err.println(s"[verify] SCHEMA DRIFT: $d"))
     // Builder-side iteration aid: run only the named queries (comma-sep).
     // The driver never sets this, so the gate always sees the full surface.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
