@@ -27,6 +27,12 @@ object Smoke {
     }
     else if (args.headOption.contains("audit")) auditProbe(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.01"))
+    else if (args.headOption.contains("drift")) {
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val drift = Tables.schemaDrift(spark, dir)
+      if (drift.isEmpty) println(s"DRIFT_CLEAN $dir")
+      else { drift.foreach(d => println(s"DRIFT $d")); sys.exit(1) }
+    }
     else {
       // typed Dataset[T] surface (graft.model)
       val ev = graft.model.Model.events(spark, "/root/testdata/sf0.001")

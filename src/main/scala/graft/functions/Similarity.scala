@@ -564,9 +564,18 @@ object Similarity {
     * |Q|-row query side. */
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
              m: Int, ksub: Int, iters: Int): DataFrame = {
-    val shift = 1048576L
     val (codes, cents) = pqTrain(embeddings, m, ksub, iters)
-    val qd = ensureQuantized(embeddings).filter(queryPred)
+    pqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, cents, k)
+  }
+
+  /** ADC search of query VECTORS against an existing (codes, cents)
+    * index — the decoupled form `pqTopK` composes and the streaming
+    * path (`StreamingAnnIngest.searchStream`) reuses per micro-batch:
+    * queries need not come from the indexed corpus. */
+  def pqSearchIndex(queries: DataFrame, codes: DataFrame, cents: DataFrame,
+                    k: Int): DataFrame = {
+    val shift = 1048576L
+    val qd = ensureQuantized(queries)
       .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
       .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
     val adc = qd.join(broadcast(cents), Seq("d"))

@@ -57,4 +57,25 @@ object StreamingAnnIngest {
       .foreachBatch((batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch, indexDir, batchId))
       .start()
+
+  /** Streaming PQ search: each micro-batch of query VECTORS is ADC-
+    * searched against the landed code index, results landed per batch
+    * (idempotent overwrite). Per-tick cost: the |batch|·m·ksub ADC
+    * table broadcasts over ONE scan of the code index — O(index) read,
+    * O(batch·k) written, the corpus vectors never touched. This is the
+    * serving side of the incremental-index story: ingest maintains the
+    * codes, search answers from them. */
+  def searchStream(queries: DataFrame, indexDir: String, k: Int,
+                   outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          Similarity.pqSearchIndex(batch.toDF(),
+              codeIndex(spark, indexDir), centroids(spark, indexDir), k)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .start()
 }

@@ -59,4 +59,30 @@ class StreamingAnnIngestSpec extends SparkSpec {
     val n2 = StreamingAnnIngest.codeIndex(spark, indexDir).count()
     assert(n1 == n2, s"replay must overwrite its own batch dir, not append: $n1 -> $n2")
   }
+
+  test("streaming PQ search answers query batches from the landed index") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_anns").toString + "/ix"
+    val qLanding = java.nio.file.Files.createTempDirectory("graft_anns_q")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_anns_out").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anns_ck").toString
+    StreamingAnnIngest.buildIndex(emb(seed: _*), indexDir, m = 2, ksub = 2, iters = 2)
+    // query = near-copy of seed cluster A; its ADC top hit must come
+    // from that cluster (codes of A differ from B's after convergence)
+    val stage = java.nio.file.Files.createTempDirectory("graft_anns_stage").toString + "/d"
+    emb((500L, Seq(0.97f, 0f, 1f, 0f), 0)).write.parquet(stage)
+    new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath, qLanding.resolve(f.getName)))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(qLanding.toString)
+    val q = StreamingAnnIngest.searchStream(stream, indexDir, k = 2, outDir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val res = spark.read.parquet(outDir)
+      .orderBy("query_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty && res.forall(_._1 == 500L))
+    val top = res.filter(_._2 == 1L).map(_._3).toSet
+    assert(top.subsetOf(Set(0L, 1L)),
+      s"nearest must be in the query's own cluster {0,1}: $res")
+  }
 }
