@@ -160,6 +160,8 @@ object SparkEntry {
     // exact-substring dedup diagnostic: per-doc token positions covered
     // by 5-grams shared with other docs (merged spans, true union)
     "q_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), 5)),
+    // temporal 5-gram novelty per doc (first occurrence by arrival order)
+    "q_ngram_novelty" -> ((s, d) => Dedup.gramNovelty(Tables.documents(s, d), 5)),
     // sequence-length distribution for packing/max-seq-len tuning
     "q_token_histogram" -> ((s, d) =>
       TextAnalysis.tokenLengthHistogram(Tables.documents(s, d))),
@@ -1265,6 +1267,23 @@ object SparkEntry {
            |       CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
            |         AS dup_token_frac
            |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin,
+    // same gram construction as q_dup_spans; ownership = min doc_id
+    "q_ngram_novelty" ->
+      raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+           |kg AS (SELECT doc_id, CAST(unnest(range(1, n - 5 + 2)) AS BIGINT) AS pos, toks
+           |       FROM n WHERE n >= 5),
+           |g AS (SELECT DISTINCT doc_id,
+           |             md5(array_to_string(toks[pos : pos + 4], ' ')) AS m
+           |      FROM kg),
+           |f AS (SELECT m, min(doc_id) AS first_doc FROM g GROUP BY m)
+           |SELECT g.doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(count(*) AS DOUBLE) AS novelty
+           |FROM g JOIN f USING (m) GROUP BY g.doc_id""".stripMargin,
     "q_corpus_filter" -> corpusFilterOracleSql,
     // attrition arithmetic over the SAME cascade oracle: stage i's
     // intake = total − Σ first-fail drops of earlier stages

@@ -234,6 +234,34 @@ object Dedup {
           / col("n_tokens").cast("double")).as("dup_token_frac"))
   }
 
+  /** Temporal n-gram novelty: per doc, the share of its DISTINCT
+    * k-grams whose FIRST corpus occurrence (min doc_id = arrival
+    * order) is this doc — the freshness diagnostic of an incremental
+    * corpus. A crawl round whose novelty collapses is re-crawling what
+    * it already has; rising novelty flags new material worth keeping.
+    * Complements `duplicatedSpans` (which measures how much of a doc
+    * others ALSO have, regardless of who came first).
+    *
+    * Scale shape: distinct (doc, gram-digest) rows checkpoint once and
+    * feed both the first-occurrence aggregation and the ownership
+    * join — only md5 digests shuffle, never text; the final ratio is
+    * the lone double over exact integer counts. Docs with < k tokens
+    * have no k-grams and are absent, same as `duplicatedSpans`. */
+  def gramNovelty(docs: DataFrame, k: Int): DataFrame = {
+    val g = posShingleRows(docs, k)
+      .select(col("doc_id"), md5(col("sh")).as("m"))
+      .distinct()
+      .localCheckpoint()
+    val first = g.groupBy(col("m")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, Seq("m"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
     * self-join is per-bucket, not all-pairs. Jaccard is exact integer
     * set arithmetic -> double division (engine-portable). */

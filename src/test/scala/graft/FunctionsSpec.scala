@@ -771,6 +771,30 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
   }
 
+  test("gramNovelty: first occurrence owns the gram; repeats score zero novelty") {
+    val d = docs(
+      1L -> "a b c d e f",            // 2 grams, both first here -> 1.0
+      2L -> "a b c d e f",            // exact repeat -> 0.0
+      3L -> "a b c d e zz",           // 1 of 2 grams repeated -> 0.5
+      4L -> "short")                  // < 5 tokens -> absent
+    val got = Dedup.gramNovelty(d, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"short docs have no grams: ${got.keySet}")
+    assert(got(1L) == (2L, 2L, 1.0))
+    assert(got(2L) == (2L, 0L, 0.0))
+    assert(got(3L) == (2L, 1L, 0.5))
+  }
+
+  test("gramNovelty counts DISTINCT grams: in-doc repetition is not novelty") {
+    // "a b c d e a b c d e" repeats its own 5-grams (and wrap grams);
+    // distinct grams counted once each, all first-owned by doc 1
+    val d = docs(1L -> "a b c d e a b c d e")
+    val got = Dedup.gramNovelty(d, 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 6 positions, grams at pos1 and pos6 identical -> 5 distinct
+    assert(got.toSeq == Seq((5L, 5L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("duplicatedSpans merges overlapping shared k-grams into true coverage") {
     // doc 1 and doc 2 share tokens 1..6 ("a b c d e f"): doc 1 has two
     // overlapping shared 5-grams (pos 1, pos 2) whose union covers 6

@@ -136,6 +136,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // cand) code-sum agg + top-k
                                       // window; training shuffles live
                                       // in checkpointed jobs
+    "q_ngram_novelty" -> 2,           // distinct (doc, digest) rows are
+                                      // checkpointed; first-occurrence
+                                      // agg + per-doc ownership agg
     "q_pq_rerank" -> 3,               // ADC pool is checkpointed; pool
                                       // id distinct + the semi-join
                                       // id exchange + final rerank
