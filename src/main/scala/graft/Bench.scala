@@ -23,6 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Same footer-only drift guard as Verify: a regenerated input
+    // announces itself as named stderr lines (and a count in the output
+    // JSON), not as dozens of per-query runtime errors.
+    val drift = try Tables.warnDrift(spark, sfDir, "bench")
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] SCHEMA DRIFT check failed: $e"); Seq(e.toString) }
+
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -37,12 +44,17 @@ object Bench {
     // cache/contention profile. Unset = all queries (the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Scale-up mode: exclude the demo-tier queries (SparkEntry.demo —
+    // oracle-portability vehicles whose shapes deliberately don't
+    // scale) so a larger-SF run isn't dominated by a known demo.
+    val skipDemo = sys.env.get("SPARK_GRAFT_SKIP_DEMO").exists(v => v == "1" || v == "true")
 
     // Failures are recorded, never swallowed: a query that cannot plan
     // or execute shows up in the "errors" map (and on stderr) instead
     // of silently inflating apparent coverage with a near-zero timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) => skipDemo && SparkEntry.demo(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { materialize(fn(spark, sfDir)); None }
@@ -51,8 +63,7 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%9.3f s" + err.map("  FAILED: " + _).getOrElse(""))
       (name, sec, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    def jstr(s: String): String = Json.str(s)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
@@ -73,7 +84,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

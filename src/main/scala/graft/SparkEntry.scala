@@ -26,6 +26,15 @@ object SparkEntry {
 
   private def tx(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
 
+  /** DEMO-TIER queries: kept on the board as oracle-portability
+    * vehicles, but their shapes deliberately do NOT scale (the 16-bit
+    * simhash bands into only 16 buckets/band, so its self-join tends
+    * toward N²/16 candidates as the corpus grows — the production
+    * sibling is `q_simhash64_neardup`). Scale-up runs and capacity
+    * planning should exclude this set mechanically; `Bench` honors
+    * SPARK_GRAFT_SKIP_DEMO=1. */
+  val demo: Set[String] = Set("q_simhash_neardup")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
     "q_global_summary" -> ((s, d) => SpendingReport.globalSummary(tx(s, d))),

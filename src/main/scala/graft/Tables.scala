@@ -146,4 +146,14 @@ object Tables {
     val drift = schemaDrift(spark, sfDir)
     require(drift.isEmpty, s"schema drift against $sfDir:\n  ${drift.mkString("\n  ")}")
   }
+
+  /** Warn-only form shared by the `Verify` and `Bench` mains: each
+    * violation becomes ONE named stderr line at round open, so an input
+    * regeneration announces itself up front instead of surfacing as
+    * dozens of per-query runtime errors. Returns the violations. */
+  def warnDrift(spark: SparkSession, sfDir: String, tag: String): Seq[String] = {
+    val drift = schemaDrift(spark, sfDir)
+    drift.foreach(d => System.err.println(s"[$tag] SCHEMA DRIFT: $d"))
+    drift
+  }
 }

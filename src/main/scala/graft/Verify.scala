@@ -18,8 +18,7 @@ object Verify {
     // Round-open drift guard: an input TYPE change must announce itself
     // here, not as 60 AnalysisExceptions at the correctness gate.
     // Footer-only, so this costs milliseconds.
-    Tables.schemaDrift(spark, sfDir).foreach(d =>
-      System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+    Tables.warnDrift(spark, sfDir, "verify")
     // Builder-side iteration aid: run only the named queries (comma-sep).
     // The driver never sets this, so the gate always sees the full surface.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
@@ -35,18 +34,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Json.str(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -127,16 +127,38 @@ object ReportUpsert {
     *      rewritten.
     * Contrast `mergeInto`, which rewrites the whole table per batch.
     */
+  /** Above this many distinct incoming dates the touched-partition set
+    * stops being "metadata-sized": collecting it for an `isin` would
+    * build a huge predicate on the driver, so the prune switches to a
+    * distributed semi join instead. Report batches are tiny by
+    * construction (a handful of periods), so the threshold only guards
+    * against malformed/degenerate frames. */
+  private[graft] val isinPruneMaxDates = 1000
+
   def mergeIntoPartitioned(dir: String, incoming: DataFrame): Unit = withWriterLock(dir) {
     val spark = incoming.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val target = new java.io.File(dir)
     val merged =
       if (target.exists()) {
-        val touched = incoming.select(col("begin_date")).distinct()
-          .collect().map(_.get(0)).toSeq
-        val existingTouched = spark.read.parquet(dir)
-          .filter(col("begin_date").isin(touched: _*))
+        val touchedDf = incoming.select(col("begin_date")).distinct()
+        // cap the collect before building it: count first (cheap — the
+        // distinct is one shuffle over a batch-sized frame)
+        val nDates = touchedDf.count()
+        val existingTouched =
+          if (nDates <= isinPruneMaxDates) {
+            // metadata-sized set: an isin literal prunes PARTITION DIRS
+            // at planning time — the existing-side read lists only the
+            // touched directories
+            val touched = touchedDf.collect().map(_.get(0)).toSeq
+            spark.read.parquet(dir)
+              .filter(col("begin_date").isin(touched: _*))
+          } else
+            // degenerate wide-date batch: prune via broadcast semi join
+            // (still partition-prunable via dynamic runtime filtering,
+            // and never builds a thousands-long driver-side predicate)
+            spark.read.parquet(dir)
+              .join(broadcast(touchedDf), Seq("begin_date"), "left_semi")
         merge(existingTouched, incoming)
       } else incoming
     // Dynamic mode: Overwrite replaces only the partitions present in

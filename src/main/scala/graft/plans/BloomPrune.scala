@@ -75,7 +75,10 @@ object BloomPrune {
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long = autoSize): DataFrame = {
     val candidates = prunedCandidates(fact, factKey, dim, dimKey, expectedItems)
-    candidates.join(dim.select(col(dimKey)).distinct(),
-      candidates(factKey) === col(dimKey), "left_semi")
+    // Bind the join condition to each side explicitly: an unqualified
+    // col(dimKey) is ambiguous when factKey == dimKey (the usual
+    // natural-keyed case) and analysis would fail.
+    val dk = dim.select(col(dimKey)).distinct()
+    candidates.join(dk, candidates(factKey) === dk(dimKey), "left_semi")
   }
 }

@@ -35,9 +35,37 @@ object StreamingAnnIngest {
   def centroids(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/centroids")
 
-  /** The full landed code index (all batches). */
+  /** The full landed code index, reduced to the LATEST generation per
+    * (vec_id, subspace): a vec_id re-ingested in a later batch (or a
+    * stale dir left by a checkpoint reset) must contribute exactly one
+    * code row per subspace — `pqSearchIndex` SUMS a candidate's m
+    * partial distances, so a duplicate row would silently double that
+    * candidate's ADC distance instead of erroring. One group-by over
+    * the compressed codes (O(index), the same order as the ADC scan
+    * itself); the struct-max picks the highest batch id per key. */
   def codeIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/codes")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("batch"), col("code"))).as("_m"))
+      .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+
+  /** Batch ids already landed under `codes/` (partition-dir listing —
+    * no data read). */
+  private def landedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+  }
+
+  /** A checkpoint "owns" the landed batch numbering once it has
+    * committed at least one offset. */
+  private def checkpointOwnsIndex(spark: SparkSession, checkpointDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/offsets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
 
   /** One micro-batch: encode against the persisted codebooks, land
     * under this batch's own id (idempotent overwrite; streaming batch
@@ -49,14 +77,30 @@ object StreamingAnnIngest {
       .write.mode("overwrite").parquet(s"$indexDir/codes/batch=${batchId + 1}")
   }
 
-  /** Wire over an embeddings stream (vec_id, embedding, ...). */
+  /** Wire over an embeddings stream (vec_id, embedding, ...).
+    *
+    * Refuses to start a FRESH checkpoint over an index that already
+    * holds streamed batches: batch ids restart at 0 under a new
+    * checkpoint, so the restarted stream would silently overwrite
+    * batch=1 while leaving later batch dirs stale. Either resume with
+    * the original checkpoint, or rebuild the index (`buildIndex`) and
+    * start clean. (`codeIndex` additionally reduces to the latest
+    * generation per key, so even a mixed dir cannot double-count.) */
   def start(embeddings: DataFrame, indexDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    val spark = embeddings.sparkSession
+    val streamed = landedBatches(spark, indexDir).filter(_ > 0)
+    require(streamed.isEmpty || checkpointOwnsIndex(spark, checkpointDir),
+      s"refusing to start a fresh checkpoint ($checkpointDir) over an index that already " +
+        s"holds streamed batches ${streamed.sorted.mkString(",")} under $indexDir/codes — " +
+        "batch ids would restart at 0 and overwrite them; resume with the original " +
+        "checkpoint or rebuild the index")
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch, indexDir, batchId))
       .start()
+  }
 
   /** Streaming PQ search: each micro-batch of query VECTORS is ADC-
     * searched against the landed code index, results landed per batch

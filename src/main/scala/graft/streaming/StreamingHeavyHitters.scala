@@ -58,13 +58,21 @@ object StreamingHeavyHitters {
         updateShard(capacity, k))
   }
 
-  /** Global top-k from the latest per-(shard, term) snapshot rows (as
-    * landed by an update-mode memory/Delta sink): shards own disjoint
-    * term sets, so the global view is a union + top-k — counts need no
-    * cross-shard reconciliation. */
+  /** Global top-k from per-(shard, term) snapshot rows (as landed by an
+    * update-mode memory/Delta sink). Update-mode sinks append one row
+    * per state UPDATE, so the same term can appear once per generation
+    * — first reduce to the latest generation per (shard, term), then
+    * take the global top-k. SpaceSaving counts are monotone per term
+    * within a shard (a re-admitted term enters at the then-current
+    * min+1, which is ≥ its count at eviction), so "latest" = max count;
+    * the struct-max carries that generation's max_error along. Shards
+    * own disjoint term sets, so after the reduce the global view is a
+    * plain union + top-k — no cross-shard reconciliation. */
   def mergedTopK(snapshot: DataFrame, k: Int): DataFrame =
     snapshot
+      .groupBy(col("shard"), col("term"))
+      .agg(max(struct(col("count"), col("max_error"))).as("_m"))
+      .select(col("term"), col("_m.count").as("count"), col("_m.max_error").as("max_error"))
       .orderBy(col("count").desc, col("term").asc)
       .limit(k)
-      .select(col("term"), col("count"), col("max_error"))
 }

@@ -31,15 +31,40 @@ object StreamingReport {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The events schema in its CURRENT encoding (ts as timestamp[us] →
+    * TIMESTAMP_NTZ). The default declared schema when a stream starts
+    * against an EMPTY landing zone (the normal state of a fresh
+    * deployment), where batch footer inference has nothing to read. */
+  val currentEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Open the events dir as a stream of transactions. A streaming
     * source needs a declared schema, so infer it from the files already
     * landed (one batch footer read — sets the legacy nanos conf only if
     * that encoding is present), then decode `ts` with the same
     * type-dispatched helper as the batch loader (graft.Tables.decodeTs):
     * the stream keeps working whether the landing zone holds legacy
-    * TIMESTAMP(NANOS) files or current timestamp[us] ones. */
-  def transactionsStream(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = graft.Tables.readEventsRaw(spark, dir).schema
+    * TIMESTAMP(NANOS) files or current timestamp[us] ones.
+    *
+    * An EMPTY landing zone (nothing landed yet) has no footer to infer
+    * from; rather than fail at stream start, fall back to
+    * `schemaIfEmpty` (default: the current-generation encoding) so the
+    * stream can be started before the first file arrives. */
+  def transactionsStream(spark: SparkSession, dir: String,
+                         schemaIfEmpty: StructType = currentEventsSchema): DataFrame = {
+    val onDisk =
+      try graft.Tables.readEventsRaw(spark, dir).schema
+      catch {
+        // Batch inference throws UNABLE_TO_INFER_SCHEMA / "Path does not
+        // exist" on an empty or absent dir — the declared fallback keeps
+        // stream start independent of landing-zone state.
+        case e: org.apache.spark.sql.AnalysisException => schemaIfEmpty
+      }
     graft.Tables.decodeTs(
       spark.readStream
         .schema(onDisk)

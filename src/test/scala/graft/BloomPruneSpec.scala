@@ -32,6 +32,14 @@ class BloomPruneSpec extends SparkSpec {
     assert(cand.size < 400, s"bloom pruned nothing: ${cand.size} of 2000 rows survive")
   }
 
+  test("bloomSemiJoin works when factKey == dimKey (natural key)") {
+    val f = fact(200)
+    val dim = Seq(5L, 42L, 7777L).toDF("k")
+    val got = BloomPrune.bloomSemiJoin(f, "k", dim, "k", expectedItems = 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(5L, 42L), s"same-named join key must not be ambiguous: $got")
+  }
+
   test("empty dim prunes everything; result is empty, not an error") {
     val f = fact(50)
     val dim = Seq.empty[Long].toDF("dk")

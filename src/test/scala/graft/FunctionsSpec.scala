@@ -1240,9 +1240,17 @@ class SimilaritySpec extends SparkSpec {
     val nTruth = out("lsh")._2
     assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
       "all methods score against the same ground truth")
+    // Per-method floors pinned to the measured round-7 values on this
+    // corpus (deterministic md5 hashing + fixed testdata → exact): a
+    // retrieval regression fails RED here, it doesn't drift in prose.
+    // Keep in sync with the BUILD_NOTES "ANN recall trend" table.
+    val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
+      "pq" -> 0.20, "pq_rerank" -> 0.56)
     out.foreach { case (m, (hits, n, rec)) =>
+      info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
-      assert(rec >= 0.1 && rec <= 1.0, s"$m recall $rec outside [0.1, 1.0] floor")
+      assert(rec >= floors(m) && rec <= 1.0,
+        s"$m recall $rec below its pinned floor ${floors(m)} — retrieval regression")
     }
     // multi-table candidates are a superset of single-table (shared
     // table-0 hyperplanes) -> recall cannot drop

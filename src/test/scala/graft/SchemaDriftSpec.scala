@@ -19,6 +19,17 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("warnDrift (the Verify AND Bench round-open guard) names a planted drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warndrift").toString
+    Seq((1L, "not-a-timestamp", 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val drift = Tables.warnDrift(spark, dir, "bench")
+    assert(drift.exists(d => d.startsWith("events.ts") && d.contains("string")),
+      s"the planted generation must surface as one named line: $drift")
+  }
+
   test("a missing column and a type change are both reported by name") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString

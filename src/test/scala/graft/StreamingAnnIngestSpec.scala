@@ -60,6 +60,37 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(n1 == n2, s"replay must overwrite its own batch dir, not append: $n1 -> $n2")
   }
 
+  test("fresh checkpoint over an index with streamed batches is refused") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_anng").toString + "/ix"
+    val landing = java.nio.file.Files.createTempDirectory("graft_anng_land")
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_anng_ck1").toString
+    StreamingAnnIngest.buildIndex(emb(seed: _*), indexDir, m = 2, ksub = 2, iters = 1)
+    val stage = java.nio.file.Files.createTempDirectory("graft_anng_stage").toString + "/d"
+    emb((100L, Seq(1f, 0f, 1f, 0f), 0)).write.parquet(stage)
+    new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath, landing.resolve(f.getName)))
+    def stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(landing.toString)
+    val q1 = StreamingAnnIngest.start(stream, indexDir, ckpt1)
+    q1.processAllAvailable(); q1.stop()
+    // restart with the ORIGINAL checkpoint: fine (it owns the batch ids)
+    val q2 = StreamingAnnIngest.start(stream, indexDir, ckpt1)
+    q2.processAllAvailable(); q2.stop()
+    // a NEW checkpoint would re-number batches from 0 over batch=1 — refuse
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_anng_ck2").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnnIngest.start(stream, indexDir, ckpt2)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+    // a vec_id landed twice (replayed batch) still yields ONE code row
+    // per subspace in the served index
+    val ix = StreamingAnnIngest.codeIndex(spark, indexDir)
+    val perKey = ix.groupBy("vec_id", "s").count()
+      .filter(col("count") > 1).count()
+    assert(perKey == 0L, "codeIndex must serve one code row per (vec_id, s)")
+  }
+
   test("streaming PQ search answers query batches from the landed index") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_anns").toString + "/ix"
     val qLanding = java.nio.file.Files.createTempDirectory("graft_anns_q")

@@ -34,23 +34,27 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     writeBatch(landing, "b2", Seq((2L, "heavy heavy other other other words")))
     q.processAllAvailable()
     q.stop()
-    // latest snapshot per (shard, term): update-mode memory sink
-    // appends, so fold to the LAST row per key (what a keyed MERGE
-    // sink would hold)
-    val rows = spark.table("shh_test").collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
-    val latest = rows.toMap // later rows win on duplicate keys
-    val snapshot = latest.toSeq
-      .map { case ((s, t), (c, e)) => (s, t, c, e) }
+    // feed mergedTopK the RAW appended update-mode rows — a term
+    // updated in both micro-batches appears once per generation, and
+    // the reduce to the latest generation per (shard, term) is
+    // mergedTopK's own job
+    val snapshot = spark.table("shh_test")
       .toDF("shard", "term", "count", "max_error")
     val top = StreamingHeavyHitters.mergedTopK(snapshot, 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // 'heavy' seen 5 times ACROSS batches: state must have carried
-    // batch 1's count into batch 2
+    // batch 1's count into batch 2, and the stale batch-1 generation
+    // row (count 3) must not shadow or duplicate the latest one
     assert(top.contains("heavy") && top("heavy") >= 5L,
       s"cross-batch accumulation lost counts: $top")
+    val rows = spark.table("shh_test").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    // 'heavy' really was updated in two generations — the dedup had
+    // real work to do
+    assert(rows.count(_._1._2 == "heavy") >= 2,
+      s"expected multiple update-mode generations for 'heavy': ${rows.toSeq}")
     // every term lives in exactly one shard (disjoint substreams)
-    val shardsPerTerm = latest.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val shardsPerTerm = rows.map(_._1).groupBy(_._2).view.mapValues(_.map(_._1).toSet)
     assert(shardsPerTerm.values.forall(_.size == 1),
       s"a term must hash to exactly one shard: $shardsPerTerm")
   }

@@ -55,6 +55,30 @@ class UpsertSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("mergeIntoPartitioned survives a degenerate wide-date batch (join prune path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString + "/reports"
+    // seed one partition the wide batch will UPDATE and one it must not touch
+    ReportUpsert.mergeIntoPartitioned(dir,
+      reports(("2020-01-01", 10.0, "seed", 5L), ("2019-12-31", 1.0, "keep", 9L)))
+    // incoming frame with MORE distinct dates than the isin threshold:
+    // the prune must switch to the semi-join path, not build a
+    // thousands-long driver-side predicate
+    val n = ReportUpsert.isinPruneMaxDates + 500
+    val wide = spark.range(n.toLong)
+      .selectExpr("date_add(to_date('2020-01-01'), CAST(id AS INT)) AS begin_date")
+      .selectExpr("begin_date", "begin_date AS end_date",
+        "2.0 AS total_spent", "'wide' AS version", "CAST(7 AS LONG) AS total_transactions")
+    ReportUpsert.mergeIntoPartitioned(dir, wide)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == n + 1, "all wide dates + the untouched seed partition")
+    val d1 = out.filter(col("begin_date") === to_date(lit("2020-01-01"))).collect()
+    assert(d1.length == 1 && d1.head.getAs[String]("version") == "wide",
+      "7 > 5 transactions: the wide batch must win the seeded date")
+    val kept = out.filter(col("begin_date") === to_date(lit("2019-12-31"))).collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("version") == "keep",
+      "a partition outside the batch's dates must be untouched")
+  }
+
   test("MERGE sinks are single-writer: held lock fails fast, released after a batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val dir = base + "/reports"
@@ -362,6 +386,43 @@ class StreamingSpec extends SparkSpec {
     assert(w10.length == 1, s"10:00 window emitted once: ${w10.toSeq}")
     assert(w10.head.getAs[Double]("total_spent") == 10.0,
       s"late 99.0 must be dropped, got ${w10.head}")
+  }
+
+  test("transactionsStream starts on an EMPTY landing zone and picks up the first file") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_empty_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_empty_ck").toString
+    // the dir is empty: batch schema inference has nothing to read, so
+    // the stream must fall back to the declared current-gen schema
+    // instead of failing at start
+    val stx = graft.streaming.StreamingReport.transactionsStream(spark, landing.toString)
+    val q = stx.writeStream.outputMode("append")
+      .format("memory").queryName("empty_start_test")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("empty_start_test").isEmpty)
+    // first file lands AFTER the stream started — current encoding
+    // (timestamp[us] / NTZ), matching the fallback schema
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val data = Seq(Row(1L, java.time.LocalDateTime.parse("2024-06-01T10:05:00"),
+      7L, "purchase", 12.5, "{}"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_empty_stage").toString + "/d"
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+      .write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, landing.resolve("b1.parquet"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("empty_start_test")
+      .select("category", "vendor", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("purchase", "u7", 12.5)),
+      s"file landed after empty start must flow through: $rows")
   }
 
   test("streaming dedup drops cross-batch duplicates within the watermark") {
