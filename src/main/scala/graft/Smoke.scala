@@ -27,6 +27,9 @@ object Smoke {
     }
     else if (args.headOption.contains("audit")) auditProbe(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.01"))
+    else if (args.headOption.contains("scale")) scaleProbe(spark,
+      args.lift(1).map(_.toLong).getOrElse(5000L),
+      args.lift(2).map(_.toInt).getOrElse(10))
     else if (args.headOption.contains("drift")) {
       val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
       val drift = Tables.schemaDrift(spark, dir)
@@ -46,6 +49,58 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Empirical scale validation (VERDICT r7 #2): generate synthetic
+    * documents/embeddings at 1× and `factor`× (same schemas and planted
+    * duplicate structure as `sources.Synthetic` documents), then
+    * measure (a) candidate-pair counts of every banded dedup family
+    * via `Dedup.candidateDiagnostics` and (b) wall time of the four
+    * headline scale queries — so the "candidates stay ~linear, the
+    * banded joins never go quadratic" claims in PLANS.md are measured,
+    * not just argued from plan shape. Corpora land as parquet first
+    * (the real scan shape) under a temp dir. */
+  private def scaleProbe(spark: SparkSession, nBase: Long, factor: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{Dedup, Similarity}
+    import graft.sources.Synthetic
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    def timed(label: String, mult: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME mult=$mult%-3d query=$label%-22s sec=${(System.nanoTime() - t0) / 1e9}%8.2f out_rows=$n")
+    }
+    Seq(1, factor).foreach { mult =>
+      val nDocs = nBase * mult
+      val nVecs = nBase * 2 / 5 * mult // the sf0.1 docs:embeddings ratio
+      Synthetic.documents(spark, nDocs).write.mode("overwrite")
+        .parquet(s"$base/x$mult/documents.parquet")
+      Synthetic.embeddings(spark, nVecs).write.mode("overwrite")
+        .parquet(s"$base/x$mult/embeddings.parquet")
+      val docs = spark.read.parquet(s"$base/x$mult/documents.parquet")
+      val emb = spark.read.parquet(s"$base/x$mult/embeddings.parquet")
+      // auto caps (the production defaults: floor 1000 keeps oracle
+      // fixtures exact) vs explicit 64 (the binding regime a 1000×
+      // corpus reaches naturally — boilerplate buckets/postings there
+      // dwarf any floor)
+      Dedup.candidateDiagnostics(docs, 3, 8, 4).collect().foreach { r =>
+        println(f"CAND mult=$mult%-3d caps=auto method=${r.getString(0)}%-16s n_docs=${r.getLong(1)}%-7d cap=${r.getLong(2)}%-5d n_candidates=${r.getLong(3)}")
+      }
+      Dedup.candidateDiagnostics(docs, 3, 8, 4, maxDocFreq = 64, maxBucket = 64)
+        .collect().foreach { r =>
+          println(f"CAND mult=$mult%-3d caps=64   method=${r.getString(0)}%-16s n_docs=${r.getLong(1)}%-7d cap=${r.getLong(2)}%-5d n_candidates=${r.getLong(3)}")
+        }
+      timed("minhash_lsh_pairs", mult)(
+        Dedup.minhashLshPairs(docs, 3, 8, 4, 0.5).count())
+      timed("simhash64_neardup", mult)(
+        Dedup.simhash64NearDupPairs(docs).count())
+      timed("dedup_corpus", mult)(
+        Dedup.dedupCorpus(docs, 3, 8, 4, 0.5).count())
+      timed("pq_topk", mult)(
+        Similarity.pqTopK(emb, col("vec_id") % 100 === 0, 10, 2, 4, 1).count())
+      timed("rq_topk", mult)(
+        Similarity.rqTopK(emb, col("vec_id") % 100 === 0, 10, 4, 4, 1).count())
+    }
   }
 
   /** Drive the full-history streaming ingest sink end-to-end on real

@@ -286,6 +286,9 @@ object SparkEntry {
     // equivalence is spec-pinned on the corpus instead, and the
     // oracle-exact 16-bit sibling above gates the shared banding logic.
     "q_simhash64_neardup" -> ((s, d) => Dedup.simhash64NearDupPairs(Tables.documents(s, d))),
+    // the billion-doc simhash blocking (Manku 8-choose-5 combination
+    // tables): same verified pairs, ~2^-40 collision floor
+    "q_simhash64_wide" -> ((s, d) => Dedup.simhash64NearDupPairsWide(Tables.documents(s, d))),
     // --- similarity search ---
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
@@ -628,6 +631,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.pqTopKRerank(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, m = 2, ksub = 4, iters = 1, pool = 50)
+    }),
+    // residual quantization ANN: stage-1 codebook + stage-2 residual
+    // codebook (both certified fixed-point k-means), single-lookup ADC
+    "q_rq_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.rqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, k1 = 4, k2 = 4, iters = 1)
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -1458,6 +1468,14 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
          |FROM v a JOIN v b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3""".stripMargin,
+    // the combi blocking is exact-verified, so its result is blocking-
+    // independent: the oracle is the same brute-force pair SQL
+    "q_simhash64_wide" ->
+      s"""WITH v AS ($simhash64Sql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3""".stripMargin,
     "q_ann_topk" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
@@ -2002,6 +2020,76 @@ object SparkEntry {
          |      FROM x)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
          |FROM f WHERE rnk <= 10""".stripMargin,
+    // RQ replay: stage-1 certified k-means on the +2^20-shifted dims,
+    // residuals re-shifted +2^21, stage-2 certified k-means on them
+    // (seeds by md5(vec_id || 'r')), ADC off the combined c1+c2 table.
+    "q_rq_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM n),
+         |s1 AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code1
+         |       FROM n QUALIFY code1 < 4),
+         |c10 AS (SELECT s1.code1, vd.d, vd.x AS c
+         |        FROM vd JOIN s1 USING (vec_id)),
+         |a10 AS (SELECT vec_id, code1 FROM (
+         |    SELECT vd.vec_id, c10.code1,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c10.c)*(vd.x - c10.c)), c10.code1) AS rn
+         |    FROM vd JOIN c10 ON vd.d = c10.d
+         |    GROUP BY vd.vec_id, c10.code1 QUALIFY rn = 1)),
+         |c1 AS (SELECT a10.code1, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN a10 USING (vec_id)
+         |       GROUP BY 1, vd.d),
+         |a1 AS (SELECT vec_id, code1 FROM (
+         |    SELECT vd.vec_id, c1.code1,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.code1) AS rn
+         |    FROM vd JOIN c1 ON vd.d = c1.d
+         |    GROUP BY vd.vec_id, c1.code1 QUALIFY rn = 1)),
+         |rd AS (SELECT vd.vec_id, vd.d, vd.x - c1.c + 2097152 AS rx
+         |       FROM vd JOIN a1 USING (vec_id)
+         |       JOIN c1 ON c1.code1 = a1.code1 AND c1.d = vd.d),
+         |s2 AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'r'), vec_id) - 1 AS code2
+         |       FROM n QUALIFY code2 < 4),
+         |c20 AS (SELECT s2.code2, rd.d, rd.rx AS c
+         |        FROM rd JOIN s2 USING (vec_id)),
+         |b10 AS (SELECT vec_id, code2 FROM (
+         |    SELECT rd.vec_id, c20.code2,
+         |           row_number() OVER (PARTITION BY rd.vec_id
+         |             ORDER BY sum((rd.rx - c20.c)*(rd.rx - c20.c)), c20.code2) AS rn
+         |    FROM rd JOIN c20 ON rd.d = c20.d
+         |    GROUP BY rd.vec_id, c20.code2 QUALIFY rn = 1)),
+         |c2 AS (SELECT b10.code2, rd.d,
+         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM rd JOIN b10 USING (vec_id)
+         |       GROUP BY 1, rd.d),
+         |b2 AS (SELECT vec_id, code2 FROM (
+         |    SELECT rd.vec_id, c2.code2,
+         |           row_number() OVER (PARTITION BY rd.vec_id
+         |             ORDER BY sum((rd.rx - c2.c)*(rd.rx - c2.c)), c2.code2) AS rn
+         |    FROM rd JOIN c2 ON rd.d = c2.d
+         |    GROUP BY rd.vec_id, c2.code2 QUALIFY rn = 1)),
+         |comb AS (SELECT c1.code1, c2.code2, c1.d, c1.c + c2.c - 2097152 AS cc
+         |         FROM c1 JOIN c2 ON c1.d = c2.d),
+         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
+         |t AS (SELECT qd.query_id, comb.code1, comb.code2,
+         |             CAST(sum((qd.x - comb.cc)*(qd.x - comb.cc)) AS BIGINT) AS adist
+         |      FROM qd JOIN comb ON qd.d = comb.d
+         |      GROUP BY 1, 2, 3),
+         |codes AS (SELECT a1.vec_id, a1.code1, b2.code2
+         |          FROM a1 JOIN b2 USING (vec_id)),
+         |dist AS (SELECT t.query_id, codes.vec_id, t.adist
+         |         FROM codes JOIN t ON codes.code1 = t.code1 AND codes.code2 = t.code2
+         |         WHERE codes.vec_id <> t.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, qq.label AS query_label,

@@ -48,10 +48,23 @@ object Dedup {
     val h = hot.localCheckpoint()
     val nHot = h.count()
     if (nHot > 0)
-      log.warn(s"$op: $nHot shingles with doc-frequency > $maxDocFreq excluded from " +
-        "candidate generation; pairs whose every shared shingle is hot will be missed " +
-        "(raise maxDocFreq for exactness, at quadratic posting-list cost)")
+      log.warn(s"$op: $nHot blocking keys with frequency > $maxDocFreq excluded from " +
+        "candidate generation; pairs whose every shared key is hot will be missed " +
+        "(raise the cap for exactness, at quadratic candidate cost)")
     h
+  }
+
+  /** Band rows minus hot buckets: buckets holding more than `cap` docs
+    * are excluded from candidate generation (with the shared hot-key
+    * warn) — the LSH form of the posting-list df cap. */
+  private def bandedColdKeys(banded: DataFrame, cap: Int, op: String): DataFrame = {
+    val b = banded.localCheckpoint() // hot detection + both join sides share one pass
+    val hot = checkpointHot(
+      b.groupBy(col("band"), col("key")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap)
+        .select(col("band"), col("key")),
+      cap, op)
+    b.join(hot, Seq("band", "key"), "left_anti")
   }
 
   /** Canonical form for exact duplicate detection (shared with the
@@ -465,20 +478,51 @@ object Dedup {
     * candidates; candidates are verified with exact Jaccard.
     * At 100 TB this is the scalable near-dup join: the only shuffles
     * are the signature groupBy and the per-band bucket join.
+    *
+    * `maxBucket` is the HOT-BUCKET cap — the band-join analog of the
+    * posting-list `autoDocFreqCap` (<= 0 auto-sizes from the corpus
+    * with the same √N contract, so candidate fan-out from an admitted
+    * bucket stays linear by construction): shared boilerplate
+    * concentrates a site's documents into the same band buckets (the
+    * Carter-Wegman permutation mins are correlated across i, so one
+    * hot shared shingle can capture ALL of a doc's bands), and the
+    * per-bucket self-join then goes quadratic in the hottest site —
+    * measured, not hypothetical: `CandidateLinearitySpec` plants
+    * exactly this corpus. Buckets above the cap are excluded with a
+    * warn; a qualifying pair is missed only if EVERY band it shares is
+    * hot (the floor keeps every gated fixture uncapped — exactness
+    * unconditional at oracle scales).
+    *
     * Memoized per (session, input, params): the LSH query, both
     * dedup-apply steps and any other consumer of the same corpus's
     * pair graph share ONE verified-pair materialization — the
     * in-session analog of persisting the signature index at ingest. */
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
-                      minJaccard: Double): DataFrame =
-    memoized("minhash_pairs", docs, (n, k, bands, minJaccard)) {
-      minhashLshPairsCompute(docs, n, k, bands, minJaccard)
+                      minJaccard: Double, maxBucket: Int = 0): DataFrame =
+    memoized("minhash_pairs", docs, (n, k, bands, minJaccard, maxBucket)) {
+      minhashLshPairsCompute(docs, n, k, bands, minJaccard, maxBucket)
     }
 
-  private def minhashLshPairsCompute(docs: DataFrame, n: Int, k: Int, bands: Int,
-                                     minJaccard: Double): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
+  /** (id, band, key) band rows of a minhash signature frame (columns
+    * s0..s{k-1}): band key = md5 of its rows' concatenation (bigints
+    * render as plain digits identically in any engine). Shared by the
+    * LSH self-join, the incremental probe, and the candidate-count
+    * diagnostics. */
+  private def bandKeysOf(sig: DataFrame, k: Int, bands: Int,
+                         idCol: String = "doc_id"): DataFrame = {
     val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
+    }
+    sig.select(col("doc_id").as(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def minhashLshPairsCompute(docs: DataFrame, n: Int, k: Int, bands: Int,
+                                     minJaccard: Double,
+                                     maxBucket: Int = 0): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
     // ONE grouped aggregation produces both the k-min signature and the
     // rebuilt shingle set. The result is persisted: without the cache
     // barrier, column pruning specializes the subtree per consumer
@@ -494,14 +538,12 @@ object Dedup {
     val sig = exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (doc_id, band, key): band key = md5 of its rows' concatenation
-    // (bigints render as plain digits identically in any engine).
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // The count materializes the persist AND supplies the corpus size
+    // the auto bucket cap derives from (same dual use as the inverted
+    // path's).
+    val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(sig.count())
+    val banded = bandedColdKeys(bandKeysOf(sig, k, bands), bCap,
+      "minhashLshPairs")
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -705,6 +747,70 @@ object Dedup {
   def simhash64NearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashBandPairs(simhash64(docs), "simhash64", 64, 4, maxHamming)
 
+  /** Block-COMBINATION banded simhash join — the billion-document form
+    * (the table layout of Manku/Jain/Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007 §3): `simhashBandPairs`' single-block
+    * keys have a RANDOM-collision floor of ~n²/2^bandWidth candidate
+    * pairs (two unrelated hashes agree on one 16-bit band with
+    * p = 2^-16), which the `Smoke scale` probe measures growing
+    * quadratically — fine to ~10^7 docs, a wall at 10^9. Here the hash
+    * splits into `blocks` equal blocks and each table keys on a
+    * COMBINATION of `choose` of them (C(blocks, choose) tables, key
+    * width choose·blockWidth bits): any pair within Hamming distance
+    * `maxHamming` ≤ blocks − choose has ≥ choose clean blocks, so some
+    * table's entire key matches — still 100% recall by pigeonhole —
+    * while random collisions need choose·blockWidth agreeing bits
+    * (p = 2^-40 for the default 8-choose-5 over 64 bits). The price is
+    * C(blocks, choose) banding rows per doc (56× here vs 4×) — LINEAR
+    * cost, bought to kill the QUADRATIC collision floor; exact Hamming
+    * verify is unchanged, so output ≡ `simhashBandPairs` at any scale
+    * (the oracle gates them with the same SQL). */
+  def simhashBandPairsCombi(sh: DataFrame, hashCol: String, widthBits: Int,
+                            blocks: Int, choose: Int, maxHamming: Int): DataFrame = {
+    require(widthBits % blocks == 0, "blocks must divide widthBits")
+    require(choose >= 1 && choose <= blocks, s"bad choose=$choose of $blocks")
+    require(maxHamming <= blocks - choose,
+      s"pigeonhole guarantee needs maxHamming <= blocks - choose " +
+        s"($maxHamming > ${blocks - choose})")
+    val s = sh.select(col("doc_id"), col(hashCol).as("_h")).localCheckpoint()
+    val banded = combiBandRows(s, widthBits, blocks, choose)
+    banded.as("x").join(banded.as("y"), Seq("tbl", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x._h"), col("y._h")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** (doc_id, _h, tbl, key) combination-table band rows of a simhash
+    * frame carrying (doc_id, _h) — table t's key concatenates its
+    * combination's `choose` blocks into one long. Shared by the combi
+    * join and the candidate-count diagnostics. */
+  private def combiBandRows(s: DataFrame, widthBits: Int, blocks: Int,
+                            choose: Int): DataFrame = {
+    val bw = widthBits / blocks
+    require(choose * bw <= 63, "combined key must fit a signed long")
+    val mask = (1L << bw) - 1L
+    val combos = (0 until blocks).combinations(choose).toSeq
+    val keyCols = combos.zipWithIndex.map { case (combo, t) =>
+      val key = combo.zipWithIndex.map { case (b, i) =>
+        shiftright(col("_h"), b * bw).bitwiseAND(lit(mask)) * lit(1L << (i * bw))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), key.as("key"))
+    }
+    s.select(col("doc_id"), col("_h"), explode(array(keyCols: _*)).as("tk"))
+      .select(col("doc_id"), col("_h"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+  }
+
+  /** 64-bit simhash near-dup with the block-combination tables
+    * (8 blocks of 8 bits, keys of 5 ⟹ guaranteed for Hamming ≤ 3,
+    * 40-bit keys ⟹ ~2^-40 random-collision rate). Result ≡
+    * `simhash64NearDupPairs` — only the candidate-generation scaling
+    * differs. */
+  def simhash64NearDupPairsWide(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBandPairsCombi(simhash64(docs), "simhash64", 64, 8, 5, maxHamming)
+
   /** Trailing-window event dedup — the batch form of the streaming
     * dedup (`streaming/StreamingDedup`): an event row is a duplicate
     * when an identical (user_id, event_type, value) event occurred
@@ -812,17 +918,8 @@ object Dedup {
   def minhashProbeSigs(corpusSig: DataFrame, batchSig: DataFrame, k: Int,
                        bands: Int, minJaccard: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
-        struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
-      }
-      sig.select(col("doc_id").as(idCol), explode(array(bandCols: _*)).as("bk"))
-        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    }
-    val cand = bandsOf(batchSig, "batch_doc")
-      .join(bandsOf(corpusSig, "corpus_doc"), Seq("band", "key"))
+    val cand = bandKeysOf(batchSig, k, bands, "batch_doc")
+      .join(bandKeysOf(corpusSig, k, bands, "corpus_doc"), Seq("band", "key"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
     broadcast(cand)
       .join(batchSig.select(col("doc_id").as("batch_doc"), col("shs").as("sh_a")), Seq("batch_doc"))
@@ -833,6 +930,92 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
+  /** Candidate-generation growth diagnostics — the numbers the 100×
+    * scale claims rest on: for each banded near-dup family, the count
+    * of DISTINCT unordered candidate pairs its blocking generates
+    * BEFORE exact verification. Verification cost is proportional to
+    * this count, so it must stay ~LINEAR in corpus size for a 100 TB
+    * dedup pass to be feasible (all-pairs would be quadratic).
+    *
+    *  - `minhash_lsh`: banded-signature equi-join candidates under the
+    *    hot-bucket cap (the `minhashLshPairs` blocking; `maxBucket`
+    *    <= 0 auto-sizes via `autoDocFreqCap`, same as that path);
+    *  - `simhash64`: 4×16-bit banded Hamming equi-join candidates
+    *    (the `simhash64NearDupPairs` blocking — carries the
+    *    ~n²/2^16 random-collision floor);
+    *  - `simhash64_combi`: the 8-choose-5 block-combination tables
+    *    (the `simhash64NearDupPairsWide` blocking — collision floor
+    *    ~n²/2^40, the billion-doc form);
+    *  - `inverted_capped`: rare-posting-list self-join candidates
+    *    under the doc-frequency cap (the `ngramJaccardPairsInverted`
+    *    blocking; `maxDocFreq` <= 0 auto-sizes via `autoDocFreqCap`'s
+    *    √N contract, same as the production path).
+    *
+    * Output: (method, n_docs, cap, n_candidates) — one row per family.
+    * A diagnostic (three driver-side counts over id-sized frames), not
+    * a query-path operator; run it on a sample before committing
+    * banding/cap settings for a large corpus, and on two corpus sizes
+    * to measure the growth exponent (`Smoke scale` does exactly that). */
+  def candidateDiagnostics(docs: DataFrame, n: Int, k: Int, bands: Int,
+                           maxDocFreq: Int = 0, maxBucket: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.localCheckpoint()
+    val nDocs = d.count()
+    // minhash: banded signature self-join under the hot-bucket cap
+    // (pre-Jaccard-verify) — the minhashLshPairs blocking
+    val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(nDocs)
+    val mBanded = bandedColdKeys(
+      bandKeysOf(minhashSignatures(d, n, k), k, bands), bCap,
+      "candidateDiagnostics")
+    val mCount = mBanded.as("x").join(mBanded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().count()
+    // simhash64: banded Hamming equi-join (pre-Hamming-verify)
+    val bandWidth = 64 / 4
+    val mask = (1L << bandWidth) - 1L
+    val sh = simhash64(d).localCheckpoint()
+    val sBanded = sh.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash64"), b * bandWidth).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sCount = sBanded.as("x").join(sBanded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().count()
+    // simhash64 block-combination tables (the 8-choose-5 wide form)
+    val cBanded = combiBandRows(sh.select(col("doc_id"),
+      col("simhash64").as("_h")), 64, 8, 5)
+    val cCount = cBanded.as("x").join(cBanded.as("y"), Seq("tbl", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().count()
+    // inverted posting list under the df cap (pre-Jaccard-verify),
+    // keyed like ngramJaccardPairsInverted: (lang, source, shingle)
+    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(nDocs)
+    val ex = shingleRows(d, n, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("sh"), col("doc_id")).distinct()
+      .localCheckpoint()
+    val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > cap)
+      .select(col("lang"), col("source"), col("sh"))
+    val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
+    val iCount = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
+        Seq("lang", "source", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct().count()
+    Seq(
+      ("minhash_lsh", nDocs, bCap.toLong, mCount),
+      ("simhash64", nDocs, 0L, sCount),
+      ("simhash64_combi", nDocs, 0L, cCount),
+      ("inverted_capped", nDocs, cap.toLong, iCount))
+      .toDF("method", "n_docs", "cap", "n_candidates")
   }
 
   /** Connected components over near-dup pairs by iterative min-label

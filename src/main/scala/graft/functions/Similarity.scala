@@ -612,6 +612,121 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("_m.code").as("code"))
   }
 
+  /** Residual quantization (RQ): two-stage ADDITIVE vector
+    * quantization — stage 1 trains a `k1`-centroid codebook over the
+    * FULL vector with the `kmeansFixedPoint` integer discipline
+    * (+2^20-shifted 1e6-quantized dims, integer `sum div count`
+    * centroids, exact int64 squared distances, md5-ordered seeds,
+    * lexicographic argmin ties); stage 2 trains a `k2`-centroid
+    * codebook on the stage-1 RESIDUALS (x − c1, re-shifted by +2^21 so
+    * every stage-2 operand stays non-negative and truncating/flooring
+    * integer division coincide across engines). Each vector encodes as
+    * (code1, code2) and reconstructs as c1[code1] + c2[code2] —
+    * k1·k2 effective reconstruction cells for k1+k2 training cost,
+    * the compression ladder PQ climbs by SPLITTING dims and RQ climbs
+    * by STACKING stages. DuckDB replays both stages bit-exactly
+    * (`q_rq_topk`).
+    *
+    * Stage-2 seeds order by md5(vec_id || 'r') — decorrelated from
+    * stage 1's md5(vec_id) order, mirrored verbatim in the oracle.
+    *
+    * Scale shape: both stages are the pqTrain loop — centroids stay
+    * k·dims rows, localCheckpointed and BROADCAST into every
+    * assignment join, so the corpus never shuffles for training;
+    * the residual frame is one broadcast join over the checkpointed
+    * dims. Returns (codes, cents1, cents2): codes = (vec_id, code1,
+    * code2); each cents = (codeN, d, c) on global dim index d from the
+    * FINAL update (codes are the final assignment against it). */
+  def rqTrain(embeddings: DataFrame, k1: Int, k2: Int,
+              iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1, s"rqTrain needs at least one iteration, got $iters")
+    val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
+    val shift2 = 2097152L  // 2^21: residuals in [-2^21, 2^21] re-shift non-negative
+    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint()
+    // One certified-fixpoint k-means stage over `dims` (vec_id, d, xCol):
+    // returns (final assignment, final centroids) — the pqTrain loop
+    // with a single codebook and a caller-chosen seed salt.
+    def stage(dims: DataFrame, xCol: String, k: Int, seedSalt: String,
+              codeName: String): (DataFrame, DataFrame) = {
+      val seeds = v.select(col("vec_id"),
+          md5(concat(col("vec_id").cast("string"), lit(seedSalt))).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(k)
+        .withColumn(codeName,
+          row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+        .select(col("vec_id"), col(codeName))
+      var cents = dims.join(seeds, Seq("vec_id"))
+        .select(col(codeName), col("d"), col(xCol).as("c"))
+        .localCheckpoint()
+      def assign(c: DataFrame): DataFrame =
+        dims.join(broadcast(c), Seq("d"))
+          .groupBy(col("vec_id"), col(codeName))
+          .agg(sum((col(xCol) - col("c")) * (col(xCol) - col("c"))).as("_dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("_dist"), col(codeName))).as("_m"))
+          .select(col("vec_id"), col(s"_m.$codeName").as(codeName))
+      (1 to iters).foreach { _ =>
+        val a = assign(cents)
+        cents = dims.join(a, Seq("vec_id"))
+          .groupBy(col(codeName), col("d"))
+          .agg(expr(s"sum($xCol) div count(1)").as("c"))
+          .localCheckpoint()
+      }
+      (assign(cents).localCheckpoint(), cents)
+    }
+    val (a1, c1) = stage(vd, "x", k1, "", "code1")
+    val rd = vd.join(a1, Seq("vec_id"))
+      .join(broadcast(c1.withColumnRenamed("c", "_c1")), Seq("code1", "d"))
+      .select(col("vec_id"), col("d"), (col("x") - col("_c1") + shift2).as("rx"))
+      .localCheckpoint()
+    val (b2, c2) = stage(rd, "rx", k2, "r", "code2")
+    (a1.join(b2, Seq("vec_id")).localCheckpoint(), c1, c2)
+  }
+
+  /** RQ top-k by ADC: candidate reconstruction is c1[code1] +
+    * c2[code2], so dist(q, cand) = Σ_d (x_d − c1_d − c2_d + 2^21)² —
+    * precomputed EXACTLY per (query, code1, code2) over the combined
+    * centroid table (k1·k2·dims rows, dictionary-sized). Unlike PQ's
+    * m-entry partial-distance sum, a candidate's distance is then ONE
+    * broadcast-lookup join on its (code1, code2) — no aggregation on
+    * the candidate side at all; the codes table (the compressed index)
+    * scans map-side straight into the per-query top-k window. All
+    * integer arithmetic: approximate vs true distance (RQ's contract)
+    * but deterministically so, hence oracle-gateable. */
+  def rqSearchIndex(queries: DataFrame, codes: DataFrame, cents1: DataFrame,
+                    cents2: DataFrame, k: Int): DataFrame = {
+    val shift = 1048576L
+    val shift2 = 2097152L
+    val comb = cents1.select(col("code1"), col("d"), col("c").as("_c1"))
+      .join(cents2.select(col("code2"), col("d"), col("c").as("_c2")), Seq("d"))
+      .select(col("code1"), col("code2"), col("d"),
+        (col("_c1") + col("_c2") - shift2).as("cc"))
+    val qd = ensureQuantized(queries)
+      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+    val adc = qd.join(broadcast(comb), Seq("d"))
+      .groupBy(col("query_id"), col("code1"), col("code2"))
+      .agg(sum((col("x") - col("cc")) * (col("x") - col("cc"))).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(adc), Seq("code1", "code2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+  }
+
+  /** Train + search in one call (the `q_rq_topk` shape; composes
+    * `rqTrain` and `rqSearchIndex` the way `pqTopK` composes PQ's). */
+  def rqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+             k1: Int, k2: Int, iters: Int): DataFrame = {
+    val (codes, c1, c2) = rqTrain(embeddings, k1, k2, iters)
+    rqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, c1, c2, k)
+  }
+
   /** PQ search with exact re-ranking — the production retrieval shape
     * (FAISS's IVFPQ-then-refine): ADC proposes a `pool`-sized
     * candidate set per query off the compressed code index (cheap,
@@ -874,11 +989,16 @@ object Similarity {
     // 5k-pool candidate set IS the exact re-rank — its recall equals
     // pqTopKRerank(pool = 5k)'s by construction.
     val pqRerankPairs = pqAll.select(col("query_id"), col("neighbor_id"))
+    // rq: two-stage residual codebooks (16+16 = 256 effective cells
+    // for 32 centroids' training cost), single-lookup ADC top-k
+    val rqPairs = rqTopK(emb, queryPred, k, k1 = 16, k2 = 16, iters = 2)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
       .unionByName(pqPairs.withColumn("method", lit("pq")))
       .unionByName(pqRerankPairs.withColumn("method", lit("pq_rerank")))
+      .unionByName(rqPairs.withColumn("method", lit("rq")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint()
     val wm = Window.partitionBy(col("method"), col("query_id"))
@@ -891,7 +1011,7 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpora for scale probes (`Smoke scale`,
+  * `CandidateLinearitySpec`): the driver's testdata tops out at sf0.1
+  * (5k docs / 2k vectors), so the 100×-scale claims — candidate-count
+  * linearity of the banded dedup families, √N behavior of
+  * `Dedup.autoDocFreqCap` — are validated against locally generated
+  * corpora with the SAME schemas as `/root/testdata`'s documents /
+  * embeddings tables and a planted duplicate structure whose expected
+  * pair counts are known by construction.
+  *
+  * Everything derives from md5 of the row id — fully distributed
+  * (`spark.range` + codegen'd expressions, no driver-side loops, no
+  * RNG state), so a 10× corpus generates in one pass and the SAME ids
+  * always carry the same content (growth measurements are prefix-
+  * consistent: the 1× corpus is literally the first tenth of the 10×).
+  *
+  * Planted structure (documents):
+  *  - docs open with a 6-word PER-SOURCE-GROUP boilerplate (hot
+  *    shingles with df = nDocs/20 inside their (lang, source) group —
+  *    the regime the `autoDocFreqCap` posting-list cap exists for,
+  *    binding once nDocs/20 exceeds the cap; per-group rather than
+  *    universal, because a corpus-wide boilerplate makes the planted
+  *    LSH bucket structure itself quadratic and drowns the linear
+  *    planted-pair signal the probe measures);
+  *  - id % 20 == 2 → exact duplicate of id-2;
+  *  - id % 20 == 1 → near-duplicate of id-1 (one appended token), so
+  *    expected near-dup pairs grow LINEARLY in nDocs by construction
+  *    (ids 0/1/2 of each 20-block form a planted dup triple);
+  *  - remaining ids → ~40 unique pseudo-words (md5-derived).
+  *
+  * Embeddings: 20 label clusters (centroid from md5(label,d), noise
+  * from md5(vec,d)); id % 50 == 1 → exact duplicate of id-1 sharing
+  * its label — again a linear planted near-dup population. */
+object Synthetic {
+
+  /** A universal hot sentence (df = nDocs when prepended to every doc)
+    * for specs that plant the hot-shingle regime deliberately —
+    * `documents` itself uses per-group boilerplate, see above. */
+  val boilerplate =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+
+  def documents(spark: SparkSession, nDocs: Long): DataFrame =
+    spark.range(nDocs)
+      .withColumn("base",
+        when(col("id") % 20 === 2, col("id") - 2)
+          .when(col("id") % 20 === 1, col("id") - 1)
+          .otherwise(col("id")))
+      .withColumn("boiler", expr(
+        "concat_ws(' ', transform(sequence(0, 5), i -> substring(md5(concat('b', base % 20, '_', i)), 1, 8)))"))
+      .withColumn("body", expr(
+        "concat_ws(' ', transform(sequence(0, 39), i -> substring(md5(concat(base, '_', i)), 1, 8)))"))
+      .withColumn("text",
+        concat(col("boiler"), lit(" "), col("body"),
+          when(col("id") % 20 === 1, lit(" zmutation")).otherwise(lit(""))))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        // lang/source derive from BASE so each planted dup triple
+        // lands in one (lang, source) group — the grouping the
+        // inverted posting-list family blocks on
+        element_at(array(lit("en"), lit("fr"), lit("es"), lit("de"), lit("pt")),
+          (col("base") % 5 + 1).cast("int")).as("lang"),
+        concat(lit("src"), (col("base") % 20).cast("string")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  def embeddings(spark: SparkSession, nVecs: Long, dims: Int = 64): DataFrame =
+    spark.range(nVecs)
+      .withColumn("base",
+        when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("label", (col("base") % 20).cast("int"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dims - 1}), d ->
+           |  CAST((CAST(conv(substring(md5(concat(label, 'c', d)), 1, 6), 16, 10) AS BIGINT) % 2001 - 1000) / 1250.0
+           |     + (CAST(conv(substring(md5(concat(base, 'n', d)), 1, 6), 16, 10) AS BIGINT) % 2001 - 1000) / 5000.0
+           |  AS FLOAT))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"), col("label"))
+}

@@ -1086,6 +1086,70 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("rqTrain encodes every vector with one (code1, code2); duplicates agree") {
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(1f, 0f, 0f, 1f), 0),   // exact duplicate of 0
+      (2L, Seq(0f, 1f, 1f, 0f), 0),
+      (3L, Seq(0f, 0.9f, 0.9f, 0f), 0))
+    val (codes, c1, c2) = graft.functions.Similarity.rqTrain(e, k1 = 2, k2 = 2, iters = 1)
+    val byVec = codes.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(byVec.keySet == Set(0L, 1L, 2L, 3L), "every vector encodes exactly once")
+    assert(byVec(0L) == byVec(1L), "identical vectors must encode identically")
+    // both codebooks only hold codes below their k
+    assert(c1.collect().map(_.getInt(0)).forall(c => c >= 0 && c < 2))
+    assert(c2.collect().map(_.getInt(0)).forall(c => c >= 0 && c < 2))
+  }
+
+  test("rqTopK ranks the duplicate of the query first; distances non-decreasing") {
+    val e = emb(
+      (0L, Seq(1f, 0f, 1f, 0f), 0),
+      (1L, Seq(1f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 1f), 0),
+      (3L, Seq(0f, 1f, 0f, 1f), 0))
+    val out = graft.functions.Similarity
+      .rqTopK(e, col("vec_id") === 0, k = 3, k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    val (rnk1, n1, d1) = out.head
+    assert(rnk1 == 1L && n1 == 1L && d1 == 0L,
+      s"query's duplicate must rank first at ADC distance 0: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
+
+  test("rqTrain codes are partition-invariant (integer-exact fixpoint)") {
+    val e = emb((0L to 19L).map(i =>
+      (i, Seq(i.toFloat / 20f, 1f - i.toFloat / 20f, (i % 5).toFloat / 5f, 0.5f), 0)): _*)
+    val (c1, _, _) = graft.functions.Similarity.rqTrain(e, 2, 3, 2)
+    val (c2, _, _) = graft.functions.Similarity.rqTrain(e.repartition(7), 2, 3, 2)
+    val s1 = c1.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val s2 = c2.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("rq reconstruction beats stage 1 alone: residual stage never hurts") {
+    // RQ's ADC distance uses c1+c2; with c2 trained on residuals the
+    // summed reconstruction error over the corpus must be <= the
+    // stage-1-only error (stage 2 could at worst learn centroid ~shift2
+    // = zero residual).
+    val e = emb((0L to 15L).map(i =>
+      (i, Seq((i % 4).toFloat / 4f, 1f - (i % 4).toFloat / 4f,
+        (i % 3).toFloat / 3f, (i % 5).toFloat / 5f), 0)): _*)
+    val (codes, c1, c2) = graft.functions.Similarity.rqTrain(e, 2, 2, 2)
+    val q = graft.functions.Similarity.quantized(e)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), col("d"), (col("qx") + 1048576L).as("x"))
+    val withCodes = q.join(codes, Seq("vec_id"))
+    val e1 = withCodes.join(c1.withColumnRenamed("c", "c1v"), Seq("code1", "d"))
+      .select(sum(pow(col("x") - col("c1v"), 2)).cast("double")).head().getDouble(0)
+    val e2 = withCodes.join(c1.withColumnRenamed("c", "c1v"), Seq("code1", "d"))
+      .join(c2.withColumnRenamed("c", "c2v"), Seq("code2", "d"))
+      .select(sum(pow(col("x") - col("c1v") - (col("c2v") - 2097152L), 2)).cast("double"))
+      .head().getDouble(0)
+    assert(e2 <= e1, s"residual stage must not increase reconstruction error: $e2 > $e1")
+  }
+
   test("hardNegatives returns nearest DIFFERENT-label rows only") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),
@@ -1234,7 +1298,7 @@ class SimilaritySpec extends SparkSpec {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank"))
+    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     val nTruth = out("lsh")._2
@@ -1244,8 +1308,11 @@ class SimilaritySpec extends SparkSpec {
     // corpus (deterministic md5 hashing + fixed testdata → exact): a
     // retrieval regression fails RED here, it doesn't drift in prose.
     // Keep in sync with the BUILD_NOTES "ANN recall trend" table.
+    // rq's floor is the lowest by design: 16+16 two-stage codes are 8
+    // bits/vector — HALF pq's budget (4×16 = 16 bits) — so it trades
+    // recall for 2× further index compression
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.20, "pq_rerank" -> 0.56)
+      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.12)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
@@ -1274,7 +1341,8 @@ class SimilaritySpec extends SparkSpec {
       "lsh_multi" -> ids(Similarity.lshTopKMulti(e, pred, k, bits, tables)),
       "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
       "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
-      "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)))
+      "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)),
+      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 2)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     slow.foreach { case (m, topk) =>

@@ -39,6 +39,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_heavy_hitters" -> 1,           // sketch partials, never the token stream
     "q_percentiles_custom" -> 1,      // custom agg partials -> one exchange
     "q_simhash64_neardup" -> 2,       // vote agg feeds checkpoint; band join + distinct
+    "q_simhash64_wide" -> 2,          // combi-table join off the same checkpoint + distinct
+    "q_rq_topk" -> 4,                 // ADC table agg + per-query window; codes
+                                      // read checkpoints, candidates never shuffle
     "q_decontaminate" -> 4,           // train-shingle distinct+count keyed on doc_id; bench side broadcasts
     "q_repetition" -> 5,              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
