@@ -289,6 +289,12 @@ object SparkEntry {
     // the billion-doc simhash blocking (Manku 8-choose-5 combination
     // tables): same verified pairs, ~2^-40 collision floor
     "q_simhash64_wide" -> ((s, d) => Dedup.simhash64NearDupPairsWide(Tables.documents(s, d))),
+    // candidate-generation growth diagnostics as a gated artifact:
+    // pre-verify candidate-pair counts per blocking family under the
+    // production auto caps — the numbers a 100 TB feasibility call
+    // reads (hash-gated: DuckDB replays every blocking + cap)
+    "q_candidate_stats" -> ((s, d) =>
+      Dedup.candidateDiagnostics(Tables.documents(s, d), 3, 8, 4)),
     // --- similarity search ---
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
@@ -1476,6 +1482,7 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
          |FROM v a JOIN v b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3""".stripMargin,
+    "q_candidate_stats" -> candidateStatsSql,
     "q_ann_topk" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
@@ -3200,6 +3207,72 @@ object SparkEntry {
        |SELECT doc_a, doc_b, inter, uni,
        |       cast(inter AS double) / uni AS jaccard
        |FROM p WHERE cast(inter AS double) / uni >= 0.5""".stripMargin
+
+  /** Candidate-stats oracle: replay every blocking family's candidate
+    * generation — minhash banding under the auto bucket cap, plain +
+    * combi simhash band tables (shift/mask band keys are identical
+    * under arithmetic or logical >>, the mask strips the
+    * sign-extension region), and the capped inverted posting list —
+    * and emit the same (method, n_docs, cap, n_candidates) rows
+    * `Dedup.candidateDiagnostics` computes. The auto cap is
+    * max(1000, ceil(4·√n)) in both engines. */
+  private lazy val candidateStatsSql = {
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n      UNION ALL ")
+    val sBandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (simhash64 >> ${b * 16}) & 65535 AS bkey FROM sv")
+      .mkString("\n      UNION ALL ")
+    val combiRows = (0 until 8).combinations(5).toSeq.zipWithIndex.map { case (combo, t) =>
+      val key = combo.zipWithIndex.map { case (b, i) =>
+        s"((simhash64 >> ${b * 8}) & 255) * ${1L << (i * 8)}"
+      }.mkString(" + ")
+      s"SELECT doc_id, $t AS tbl, $key AS bkey FROM sv"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH s AS ($shinglesSql),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |cap AS (SELECT GREATEST(1000, CAST(ceil(4.0 * sqrt(n)) AS BIGINT)) AS c FROM nn),
+       |e AS (SELECT doc_id,
+       |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
+       |sig AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |bsz AS (SELECT band, bkey, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |coldb AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey)
+       |          WHERE bsz.cnt <= (SELECT c FROM cap)),
+       |mcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM coldb x JOIN coldb y
+       |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sv AS ($simhash64Sql),
+       |sbands AS ($sBandRows),
+       |scand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM sbands x JOIN sbands y
+       |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ctabs AS ($combiRows),
+       |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM ctabs x JOIN ctabs y
+       |            ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ex AS (SELECT DISTINCT doc_id, lang, source, sh
+       |       FROM (SELECT doc_id, lang, source, unnest(sh) AS sh FROM s)),
+       |dfq AS (SELECT lang, source, sh, count(*) AS df FROM ex GROUP BY 1, 2, 3),
+       |rare AS (SELECT ex.* FROM ex JOIN dfq USING (lang, source, sh)
+       |         WHERE dfq.df <= (SELECT c FROM cap)),
+       |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM rare x JOIN rare y
+       |            ON x.lang = y.lang AND x.source = y.source AND x.sh = y.sh
+       |               AND x.doc_id < y.doc_id)
+       |SELECT 'minhash_lsh' AS method, (SELECT n FROM nn) AS n_docs,
+       |       (SELECT c FROM cap) AS cap, (SELECT count(*) FROM mcand) AS n_candidates
+       |UNION ALL
+       |SELECT 'simhash64', (SELECT n FROM nn), 0, (SELECT count(*) FROM scand)
+       |UNION ALL
+       |SELECT 'simhash64_combi', (SELECT n FROM nn), 0, (SELECT count(*) FROM ccand)
+       |UNION ALL
+       |SELECT 'inverted_capped', (SELECT n FROM nn), (SELECT c FROM cap),
+       |       (SELECT count(*) FROM icand)""".stripMargin
+  }
 
   private val minhashLshSql = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
