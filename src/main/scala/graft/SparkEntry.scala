@@ -289,6 +289,16 @@ object SparkEntry {
     // the billion-doc simhash blocking (Manku 8-choose-5 combination
     // tables): same verified pairs, ~2^-40 collision floor
     "q_simhash64_wide" -> ((s, d) => Dedup.simhash64NearDupPairsWide(Tables.documents(s, d))),
+    // incremental simhash probe: batch signatures band-join the
+    // persisted corpus index — per-ingest near-dup cost scales with
+    // the batch, not the corpus (simhash sibling of q_minhash_probe)
+    "q_simhash_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.simhashProbePairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     // candidate-generation growth diagnostics as a gated artifact:
     // pre-verify candidate-pair counts per blocking family under the
     // production auto caps — the numbers a 100 TB feasibility call
@@ -644,6 +654,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.rqTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, k1 = 4, k2 = 4, iters = 1)
+    }),
+    // IVFADC (FAISS IVFPQ): coarse cells + PQ on the residuals,
+    // queries probe nProbe cells and ADC-score only their codes
+    "q_ivfpq_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.ivfpqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
+        m = 2, ksub = 4, iters = 1)
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -1483,6 +1501,15 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3""".stripMargin,
     "q_candidate_stats" -> candidateStatsSql,
+    // probe is band-blocked + exact-verified, so the result is
+    // blocking-independent: brute-force batch × corpus pairs
+    "q_simhash_probe" ->
+      s"""WITH v AS ($simhash64Sql)
+         |SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+         |       CAST(bit_count(xor(b.simhash64, c.simhash64)) AS BIGINT) AS hamming
+         |FROM v b JOIN v c
+         |  ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |WHERE bit_count(xor(b.simhash64, c.simhash64)) <= 3""".stripMargin,
     "q_ann_topk" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
@@ -2091,6 +2118,91 @@ object SparkEntry {
          |dist AS (SELECT t.query_id, codes.vec_id, t.adist
          |         FROM codes JOIN t ON codes.code1 = t.code1 AND codes.code2 = t.code2
          |         WHERE codes.vec_id <> t.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    // IVFADC replay: coarse certified k-means (cells), residuals to
+    // the assigned centroid, PQ codebooks on the residuals (seeds by
+    // md5(vec_id || 'p')), probe = 2 nearest cells by exact integer
+    // L2, ADC over the probed cells' codes only.
+    "q_ivfpq_topk" ->
+      s"""WITH n AS ($quantizedSql),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM n),
+         |cs AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+         |       FROM n QUALIFY cell_id < 4),
+         |cc0 AS (SELECT cs.cell_id, vd.d, vd.x AS c
+         |        FROM vd JOIN cs USING (vec_id)),
+         |ca1 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, cc0.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - cc0.c)*(vd.x - cc0.c)), cc0.cell_id) AS rn
+         |    FROM vd JOIN cc0 ON vd.d = cc0.d
+         |    GROUP BY vd.vec_id, cc0.cell_id QUALIFY rn = 1)),
+         |cc1 AS (SELECT ca1.cell_id, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN ca1 USING (vec_id)
+         |       GROUP BY 1, vd.d),
+         |ca AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, cc1.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
+         |    FROM vd JOIN cc1 ON vd.d = cc1.d
+         |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
+         |rd AS (SELECT vd.vec_id, vd.d // 32 AS s, vd.d,
+         |              vd.x - cc1.c + 2097152 AS rx
+         |       FROM vd JOIN ca USING (vec_id)
+         |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
+         |ps AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'p'), vec_id) - 1 AS code
+         |       FROM n QUALIFY code < 4),
+         |pc0 AS (SELECT rd.s, ps.code, rd.d, rd.rx AS c
+         |        FROM rd JOIN ps USING (vec_id)),
+         |pa1 AS (SELECT vec_id, s, code FROM (
+         |    SELECT rd.vec_id, rd.s, pc0.code,
+         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
+         |             ORDER BY sum((rd.rx - pc0.c)*(rd.rx - pc0.c)), pc0.code) AS rn
+         |    FROM rd JOIN pc0 ON rd.s = pc0.s AND rd.d = pc0.d
+         |    GROUP BY rd.vec_id, rd.s, pc0.code QUALIFY rn = 1)),
+         |pc1 AS (SELECT pa1.s, pa1.code, rd.d,
+         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM rd JOIN pa1 ON rd.vec_id = pa1.vec_id AND rd.s = pa1.s
+         |       GROUP BY 1, 2, rd.d),
+         |pa2 AS (SELECT vec_id, s, code FROM (
+         |    SELECT rd.vec_id, rd.s, pc1.code,
+         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
+         |             ORDER BY sum((rd.rx - pc1.c)*(rd.rx - pc1.c)), pc1.code) AS rn
+         |    FROM rd JOIN pc1 ON rd.s = pc1.s AND rd.d = pc1.d
+         |    GROUP BY rd.vec_id, rd.s, pc1.code QUALIFY rn = 1)),
+         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
+         |qc AS (SELECT qd.query_id, cc1.cell_id,
+         |              sum((qd.x - cc1.c)*(qd.x - cc1.c)) AS cd
+         |       FROM qd JOIN cc1 ON qd.d = cc1.d GROUP BY 1, 2),
+         |probe AS (SELECT query_id, cell_id FROM (
+         |    SELECT query_id, cell_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= 2),
+         |qrd AS (SELECT p.query_id, p.cell_id, qd.d // 32 AS s, qd.d,
+         |               qd.x - cc1.c + 2097152 AS rqx
+         |        FROM probe p
+         |        JOIN qd ON qd.query_id = p.query_id
+         |        JOIN cc1 ON cc1.cell_id = p.cell_id AND cc1.d = qd.d),
+         |adc AS (SELECT qrd.query_id, qrd.cell_id, pc1.s, pc1.code,
+         |               sum((qrd.rqx - pc1.c)*(qrd.rqx - pc1.c)) AS pd
+         |        FROM qrd JOIN pc1 ON pc1.s = qrd.s AND pc1.d = qrd.d
+         |        GROUP BY 1, 2, 3, 4),
+         |codes AS (SELECT pa2.vec_id, ca.cell_id, pa2.s, pa2.code
+         |          FROM pa2 JOIN ca USING (vec_id)),
+         |dist AS (SELECT adc.query_id, codes.vec_id,
+         |                CAST(sum(adc.pd) AS BIGINT) AS adist
+         |         FROM codes JOIN adc ON codes.cell_id = adc.cell_id
+         |           AND codes.s = adc.s AND codes.code = adc.code
+         |         WHERE codes.vec_id <> adc.query_id
+         |         GROUP BY 1, 2),
          |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
          |             row_number() OVER (PARTITION BY query_id
          |               ORDER BY adist, vec_id) AS rnk

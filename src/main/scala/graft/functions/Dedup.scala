@@ -811,6 +811,44 @@ object Dedup {
   def simhash64NearDupPairsWide(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashBandPairsCombi(simhash64(docs), "simhash64", 64, 8, 5, maxHamming)
 
+  /** Incremental banded SimHash probe — the per-ingest form of
+    * `simhash64NearDupPairs` and the simhash sibling of
+    * `minhashProbePairs`: the corpus's (doc_id, simhash64) signature
+    * index is built once (in production: persisted and appended per
+    * ingest — signatures depend only on a doc's own tokens, so an
+    * incrementally-built index equals a one-pass build), and a new
+    * batch computes only ITS OWN signatures and band-joins them
+    * against the index (batch bands × corpus bands, never a corpus
+    * self-join). Candidate cost scales with the BATCH; the pigeonhole
+    * guarantee (maxHamming < 4 bands) and exact Hamming verify carry
+    * over unchanged. Returns (batch_doc, corpus_doc, hamming). */
+  def simhashProbePairs(corpus: DataFrame, batch: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    simhashProbeSigs(simhash64(corpus), simhash64(batch), maxHamming)
+
+  /** Signature-level core of `simhashProbePairs`: both inputs are
+    * (doc_id, simhash64) frames — what the persisted index actually
+    * stores. */
+  def simhashProbeSigs(corpusSig: DataFrame, batchSig: DataFrame,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, s"pigeonhole guarantee needs maxHamming < 4 bands")
+    val mask = (1L << 16) - 1L
+    def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
+      val s = sig.select(col("doc_id").as(idCol), col("simhash64").as(s"_h_$idCol"))
+        .localCheckpoint()
+      s.select(col(idCol), col(s"_h_$idCol"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col(s"_h_$idCol"), b * 16).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+        .select(col(idCol), col(s"_h_$idCol"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    bandsOf(batchSig, "batch_doc")
+      .join(bandsOf(corpusSig, "corpus_doc"), Seq("band", "key"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        hamming(col("_h_batch_doc"), col("_h_corpus_doc")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Trailing-window event dedup — the batch form of the streaming
     * dedup (`streaming/StreamingDedup`): an event row is a duplicate
     * when an identical (user_id, event_type, value) event occurred

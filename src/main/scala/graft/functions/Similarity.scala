@@ -727,6 +727,136 @@ object Similarity {
     rqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, c1, c2, k)
   }
 
+  /** IVFADC — the canonical billion-scale serving index (FAISS's
+    * IVFPQ; Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 §V): a COARSE quantizer of `nCells`
+    * centroids partitions the corpus into inverted lists, and a PQ
+    * codebook is trained on the RESIDUALS to each vector's coarse
+    * centroid (residuals concentrate near zero, so the same ksub codes
+    * quantize them far better than raw vectors — the reason IVFADC
+    * beats flat PQ at equal bits). A query probes its `nProbe` nearest
+    * cells and ADC-scores ONLY those cells' codes: search cost drops by
+    * ~nCells/nProbe on top of PQ's ~100× compression.
+    *
+    * Both trainings run the certified fixed-point discipline
+    * (+2^20-shifted dims; residuals re-shifted +2^21; integer
+    * `sum div count` centroids; exact int64 squared L2; md5-ordered
+    * seeds — coarse by md5(vec_id), PQ by md5(vec_id || 'p');
+    * lexicographic argmin ties), so DuckDB replays the whole index
+    * build and search bit-exactly (`q_ivfpq_topk`).
+    *
+    * Scale shape: centroids and codebooks stay dictionary-sized,
+    * localCheckpointed and BROADCAST into every assignment join — the
+    * corpus never shuffles for training; the search side scans only
+    * the codes table (vec, cell, m small ints — the compressed index),
+    * joins the broadcast per-(query, probed-cell) ADC table map-side,
+    * and collapses to one row per (query, candidate) before the single
+    * exchange; the per-query top-k window runs over id-sized rows. */
+  def ivfpqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                nCells: Int, nProbe: Int, m: Int, ksub: Int,
+                iters: Int): DataFrame = {
+    require(iters >= 1, s"ivfpqTopK needs at least one iteration, got $iters")
+    require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
+    val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
+    val shift2 = 2097152L  // 2^21 residual re-shift (see rqTrain)
+    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val dims = v.select(size(col("q"))).head().getInt(0)
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val subDim = dims / m
+    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint()
+    // coarse quantizer: full-vector fixed-point k-means
+    val seedsC = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(nCells)
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("cell_id"))
+    var cc = vd.join(seedsC, Seq("vec_id"))
+      .select(col("cell_id"), col("d"), col("x").as("c"))
+      .localCheckpoint()
+    def assignC(c: DataFrame): DataFrame =
+      vd.join(broadcast(c), Seq("d"))
+        .groupBy(col("vec_id"), col("cell_id"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
+        .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
+    (1 to iters).foreach { _ =>
+      val a = assignC(cc)
+      cc = vd.join(a, Seq("vec_id"))
+        .groupBy(col("cell_id"), col("d"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    val ca = assignC(cc).localCheckpoint()
+    // residuals to the assigned coarse centroid, with subspace id
+    val rd = vd.join(ca, Seq("vec_id"))
+      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
+      .select(col("vec_id"), expr(s"d div $subDim").cast("int").as("s"),
+        col("d"), (col("x") - col("_cc") + shift2).as("rx"))
+      .localCheckpoint()
+    // PQ codebooks on the residuals (jointly across subspaces)
+    val seedsP = v.select(col("vec_id"),
+        md5(concat(col("vec_id").cast("string"), lit("p"))).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("code"))
+    var pc = rd.join(seedsP, Seq("vec_id"))
+      .select(col("s"), col("code"), col("d"), col("rx").as("c"))
+      .localCheckpoint()
+    def assignP(c: DataFrame): DataFrame =
+      rd.join(broadcast(c), Seq("s", "d"))
+        .groupBy(col("vec_id"), col("s"), col("code"))
+        .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("_dist"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("_dist"), col("code"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+    (1 to iters).foreach { _ =>
+      val a = assignP(pc)
+      pc = rd.join(a, Seq("vec_id", "s"))
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(expr("sum(rx) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    // the inverted index: (vec, cell, s, code) — all the search scans
+    val codes = assignP(pc).join(ca, Seq("vec_id")).localCheckpoint()
+    // --- search ---
+    val qd = ensureQuantized(embeddings).filter(queryPred)
+      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint() // consumed twice: cell ranking + residuals
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val probed = qd.join(broadcast(cc), Seq("d"))
+      .groupBy(col("query_id"), col("cell_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("cd"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val qrd = probed.join(qd, Seq("query_id"))
+      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
+      .select(col("query_id"), col("cell_id"),
+        expr(s"d div $subDim").cast("int").as("s"),
+        col("d"), (col("x") - col("_cc") + shift2).as("rqx"))
+    val adc = qrd.join(broadcast(pc), Seq("s", "d"))
+      .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
+      .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    // a candidate lives in exactly one cell, so a (query, candidate)
+    // group holds exactly its m subspace entries — no dedup needed
+    codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+  }
+
   /** PQ search with exact re-ranking — the production retrieval shape
     * (FAISS's IVFPQ-then-refine): ADC proposes a `pool`-sized
     * candidate set per query off the compressed code index (cheap,
@@ -993,12 +1123,19 @@ object Similarity {
     // for 32 centroids' training cost), single-lookup ADC top-k
     val rqPairs = rqTopK(emb, queryPred, k, k1 = 16, k2 = 16, iters = 2)
       .select(col("query_id"), col("neighbor_id"))
+    // ivfpq: IVFADC at pq's exact bit budget (m=4, ksub=16) — PQ on
+    // RESIDUALS to 16 coarse cells, 4 probed; measures the Jégou
+    // residual-quantization gain over flat pq head-to-head
+    val ivfpqPairs = ivfpqTopK(emb, queryPred, k, nCells = 16, nProbe = 4,
+        m = 4, ksub = 16, iters = 2)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
       .unionByName(pqPairs.withColumn("method", lit("pq")))
       .unionByName(pqRerankPairs.withColumn("method", lit("pq_rerank")))
       .unionByName(rqPairs.withColumn("method", lit("rq")))
+      .unionByName(ivfpqPairs.withColumn("method", lit("ivfpq")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint()
     val wm = Window.partitionBy(col("method"), col("query_id"))
@@ -1011,7 +1148,7 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "ivfpq").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

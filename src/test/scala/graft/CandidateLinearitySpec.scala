@@ -114,6 +114,26 @@ class CandidateLinearitySpec extends SparkSpec {
       s"blocking must not change the verified pair set: ${wide.size} vs ${plain.size}")
   }
 
+  test("simhashProbePairs equals brute-force batch×corpus pairs (incremental form)") {
+    val docs = Synthetic.documents(spark, 200)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val probe = Dedup.simhashProbePairs(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bs = Dedup.simhash64(batch).select(col("doc_id").as("batch_doc"),
+      col("simhash64").as("bh"))
+    val cs = Dedup.simhash64(corpus).select(col("doc_id").as("corpus_doc"),
+      col("simhash64").as("ch"))
+    val brute = bs.crossJoin(cs)
+      .withColumn("hamming", Dedup.hamming(col("bh"), col("ch")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("batch_doc"), col("corpus_doc"), col("hamming")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe.nonEmpty, "planted dup triples must cross the batch split")
+    assert(probe == brute,
+      s"banded probe must equal brute force: ${probe.size} vs ${brute.size}")
+  }
+
   test("combi banding rejects configs that void the pigeonhole guarantee") {
     val sh = Dedup.simhash64(Synthetic.documents(spark, 20))
     intercept[IllegalArgumentException] {

@@ -1150,6 +1150,48 @@ class SimilaritySpec extends SparkSpec {
     assert(e2 <= e1, s"residual stage must not increase reconstruction error: $e2 > $e1")
   }
 
+  test("ivfpqTopK ranks the query's duplicate first at ADC distance 0 at convergence") {
+    // two tight groups: coarse cells converge onto them, residuals
+    // collapse to ~0, so a duplicate's ADC distance is 0 and it wins
+    val e = emb(
+      (0L, Seq(1f, 0f, 1f, 0f), 0),
+      (1L, Seq(1f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 1f), 0),
+      (3L, Seq(0f, 1f, 0f, 1f), 0))
+    val out = graft.functions.Similarity
+      .ivfpqTopK(e, col("vec_id") === 0, k = 3, nCells = 2, nProbe = 2,
+        m = 2, ksub = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val (rnk1, n1, d1) = out.head
+    assert(rnk1 == 1L && n1 == 1L && d1 == 0L,
+      s"query's duplicate must rank first at ADC distance 0: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
+
+  test("ivfpqTopK is partition-invariant (integer-exact fixpoint end to end)") {
+    val e = emb((0L to 19L).map(i =>
+      (i, Seq(i.toFloat / 20f, 1f - i.toFloat / 20f, (i % 5).toFloat / 5f, 0.5f), 0)): _*)
+    def run(df: org.apache.spark.sql.DataFrame) = graft.functions.Similarity
+      .ivfpqTopK(df, col("vec_id") % 7 === 0, 5, 2, 2, 2, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(run(e) == run(e.repartition(7)))
+  }
+
+  test("ivfpqTopK with nProbe = nCells searches every cell (no candidate outside k dropped)") {
+    // probing ALL cells makes the candidate set the whole corpus, so
+    // the result has exactly k rows per query like flat pqTopK
+    val e = emb((0L to 11L).map(i =>
+      (i, Seq((i % 3).toFloat / 3f, 1f - (i % 3).toFloat / 3f,
+        (i % 4).toFloat / 4f, 0.25f), 0)): _*)
+    val out = graft.functions.Similarity
+      .ivfpqTopK(e, col("vec_id") === 0, k = 5, nCells = 3, nProbe = 3,
+        m = 2, ksub = 3, iters = 1)
+      .collect()
+    assert(out.length == 5, s"all cells probed -> full top-k: got ${out.length}")
+  }
+
   test("hardNegatives returns nearest DIFFERENT-label rows only") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),
@@ -1298,7 +1340,7 @@ class SimilaritySpec extends SparkSpec {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq"))
+    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "ivfpq"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     val nTruth = out("lsh")._2
@@ -1310,9 +1352,13 @@ class SimilaritySpec extends SparkSpec {
     // Keep in sync with the BUILD_NOTES "ANN recall trend" table.
     // rq's floor is the lowest by design: 16+16 two-stage codes are 8
     // bits/vector — HALF pq's budget (4×16 = 16 bits) — so it trades
-    // recall for 2× further index compression
+    // recall for 2× further index compression. ivfpq shares pq's
+    // 16-bit budget and measures 0.20 here too: on this corpus the
+    // residual-precision gain exactly offsets the 4-of-16 probed-cell
+    // restriction — at scale it additionally buys the ~nCells/nProbe
+    // scan reduction, which flat pq cannot.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.12)
+      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.12, "ivfpq" -> 0.20)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
@@ -1342,7 +1388,8 @@ class SimilaritySpec extends SparkSpec {
       "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
       "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
       "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)),
-      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 2)))
+      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 2)),
+      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 2)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     slow.foreach { case (m, topk) =>

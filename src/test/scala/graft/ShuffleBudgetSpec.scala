@@ -42,6 +42,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_simhash64_wide" -> 2,          // combi-table join off the same checkpoint + distinct
     "q_rq_topk" -> 4,                 // ADC table agg + per-query window; codes
                                       // read checkpoints, candidates never shuffle
+    "q_ivfpq_topk" -> 4,              // probe window + ADC agg + per-(query,cand)
+                                      // agg + top-k window; the code index scans
+                                      // map-side against the broadcast ADC table
     "q_decontaminate" -> 4,           // train-shingle distinct+count keyed on doc_id; bench side broadcasts
     "q_repetition" -> 5,              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
