@@ -992,26 +992,32 @@ object Dedup {
     *    √N contract, same as the production path).
     *
     * Output: (method, n_docs, cap, n_candidates) — one row per family.
-    * A diagnostic (three driver-side counts over id-sized frames), not
-    * a query-path operator; run it on a sample before committing
-    * banding/cap settings for a large corpus, and on two corpus sizes
-    * to measure the growth exponent (`Smoke scale` does exactly that). */
+    * The result is ONE lazy union of four count-aggregates, so a
+    * single action computes all four blockings as parallel stages of
+    * one job (serial per-family counts would idle the cluster between
+    * driver round-trips); only the corpus-size count (which SIZES the
+    * auto caps, so it must precede plan construction) runs eagerly.
+    * Run it on a sample before committing banding/cap settings for a
+    * large corpus, and on two corpus sizes to measure the growth
+    * exponent (`Smoke scale` does exactly that). */
   def candidateDiagnostics(docs: DataFrame, n: Int, k: Int, bands: Int,
                            maxDocFreq: Int = 0, maxBucket: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val d = docs.localCheckpoint()
     val nDocs = d.count()
+    def countRow(method: String, capV: Long, pairs: DataFrame): DataFrame =
+      pairs.distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+        .select(lit(method).as("method"), lit(nDocs).as("n_docs"),
+          lit(capV).as("cap"), col("n_candidates"))
     // minhash: banded signature self-join under the hot-bucket cap
     // (pre-Jaccard-verify) — the minhashLshPairs blocking
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(nDocs)
     val mBanded = bandedColdKeys(
       bandKeysOf(minhashSignatures(d, n, k), k, bands), bCap,
       "candidateDiagnostics")
-    val mCount = mBanded.as("x").join(mBanded.as("y"), Seq("band", "key"))
+    val mPairs = mBanded.as("x").join(mBanded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct().count()
     // simhash64: banded Hamming equi-join (pre-Hamming-verify)
     val bandWidth = 64 / 4
     val mask = (1L << bandWidth) - 1L
@@ -1020,17 +1026,15 @@ object Dedup {
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash64"), b * bandWidth).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val sCount = sBanded.as("x").join(sBanded.as("y"), Seq("band", "key"))
+    val sPairs = sBanded.as("x").join(sBanded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct().count()
     // simhash64 block-combination tables (the 8-choose-5 wide form)
     val cBanded = combiBandRows(sh.select(col("doc_id"),
       col("simhash64").as("_h")), 64, 8, 5)
-    val cCount = cBanded.as("x").join(cBanded.as("y"), Seq("tbl", "key"))
+    val cPairs = cBanded.as("x").join(cBanded.as("y"), Seq("tbl", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct().count()
     // inverted posting list under the df cap (pre-Jaccard-verify),
     // keyed like ngramJaccardPairsInverted: (lang, source, shingle)
     val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(nDocs)
@@ -1042,18 +1046,15 @@ object Dedup {
       .filter(col("_df") > cap)
       .select(col("lang"), col("source"), col("sh"))
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
-    val iCount = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
+    val iPairs = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
         Seq("lang", "source", "sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct().count()
-    Seq(
-      ("minhash_lsh", nDocs, bCap.toLong, mCount),
-      ("simhash64", nDocs, 0L, sCount),
-      ("simhash64_combi", nDocs, 0L, cCount),
-      ("inverted_capped", nDocs, cap.toLong, iCount))
-      .toDF("method", "n_docs", "cap", "n_candidates")
+    countRow("minhash_lsh", bCap.toLong, mPairs)
+      .unionByName(countRow("simhash64", 0L, sPairs))
+      .unionByName(countRow("simhash64_combi", 0L, cPairs))
+      .unionByName(countRow("inverted_capped", cap.toLong, iPairs))
   }
 
   /** Connected components over near-dup pairs by iterative min-label

@@ -1120,14 +1120,18 @@ object Similarity {
     // pqTopKRerank(pool = 5k)'s by construction.
     val pqRerankPairs = pqAll.select(col("query_id"), col("neighbor_id"))
     // rq: two-stage residual codebooks (16+16 = 256 effective cells
-    // for 32 centroids' training cost), single-lookup ADC top-k
-    val rqPairs = rqTopK(emb, queryPred, k, k1 = 16, k2 = 16, iters = 2)
+    // for 32 centroids' training cost), single-lookup ADC top-k.
+    // iters = 1 for both new methods: each extra Lloyd round is two
+    // more full assignment passes PER STAGE in the bench's most
+    // expensive query, and the recall deltas are pinned at the
+    // 1-iteration operating point the gated queries certify.
+    val rqPairs = rqTopK(emb, queryPred, k, k1 = 16, k2 = 16, iters = 1)
       .select(col("query_id"), col("neighbor_id"))
     // ivfpq: IVFADC at pq's exact bit budget (m=4, ksub=16) — PQ on
     // RESIDUALS to 16 coarse cells, 4 probed; measures the Jégou
     // residual-quantization gain over flat pq head-to-head
     val ivfpqPairs = ivfpqTopK(emb, queryPred, k, nCells = 16, nProbe = 4,
-        m = 4, ksub = 16, iters = 2)
+        m = 4, ksub = 16, iters = 1)
       .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))

@@ -1358,7 +1358,7 @@ class SimilaritySpec extends SparkSpec {
     // restriction — at scale it additionally buys the ~nCells/nProbe
     // scan reduction, which flat pq cannot.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.12, "ivfpq" -> 0.20)
+      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.10, "ivfpq" -> 0.18)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
@@ -1388,8 +1388,8 @@ class SimilaritySpec extends SparkSpec {
       "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
       "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
       "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)),
-      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 2)),
-      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 2)))
+      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 1)),
+      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 1)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     slow.foreach { case (m, topk) =>
