@@ -320,30 +320,39 @@ object Dedup {
     * the floor (every gated fixture stays exact), degrading along the
     * √N contract above it; pass an explicit cap to bind it
     * deliberately at scale. */
-  def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
-                                maxDocFreq: Int = 0): DataFrame = {
-    // One aggregation pass builds the full per-doc shingle sets; the
-    // persist is a sharing barrier (pruning would otherwise re-run the
-    // shingling pipeline for each of the 3 consumers below).
+  /** Shared capped-posting-list candidate stage of the inverted
+    * n-gram family (`ngramJaccardPairsInverted` /
+    * `ngramContainmentPairs` — only their acceptance metric differs):
+    *
+    *  - ONE aggregation pass builds the per-doc shingle sets; the
+    *    persist is a sharing barrier (pruning would otherwise re-run
+    *    the shingling pipeline per consumer), and its materializing
+    *    count doubles as the corpus-size measurement the auto cap
+    *    derives from — no extra pass;
+    *  - the hot-shingle set comes from hash aggregation + anti-join
+    *    (NOT a window over (lang,source,sh) — that would sort-shuffle
+    *    the whole posting table just to count); it is tiny by
+    *    construction (heavy tail), so AQE broadcasts the anti-join;
+    *  - candidates are doc pairs sharing a sub-cap shingle within
+    *    their (lang, source) group.
+    *
+    * Returns (sets, candidates); the CALLER owns `sets`' unpersist
+    * after materializing its verified output. */
+  private def invertedCandidates(docs: DataFrame, n: Int, maxDocFreq: Int,
+                                 op: String): (DataFrame, DataFrame) = {
     val sets = shingleRows(docs, n, Seq("lang", "source"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(collect_set(col("sh")).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The count both materializes the persist and supplies the corpus
-    // size the auto cap is derived from — no extra pass.
     val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(sets.count())
     val ex = sets.select(col("lang"), col("source"), col("doc_id"),
       explode(col("shs")).as("sh"))
-    // Hot-shingle set via hash aggregation + anti-join (NOT a window
-    // over (lang,source,sh) — that would sort-shuffle the whole
-    // posting table just to count). The hot set is tiny by
-    // construction (heavy tail), so AQE broadcasts the anti-join.
     val hot = checkpointHot(
       ex.groupBy(col("lang"), col("source"), col("sh"))
         .agg(count(lit(1)).as("_df"))
         .filter(col("_df") > cap)
         .select(col("lang"), col("source"), col("sh")),
-      cap, "ngramJaccardPairsInverted")
+      cap, op)
     val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
@@ -352,6 +361,13 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("_rare_shared"))
       .select(col("doc_a"), col("doc_b"))
+    (sets, cand)
+  }
+
+  def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
+                                maxDocFreq: Int = 0): DataFrame = {
+    val (sets, cand) = invertedCandidates(docs, n, maxDocFreq,
+      "ngramJaccardPairsInverted")
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
@@ -417,29 +433,8 @@ object Dedup {
     * differs. */
   def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
                             maxDocFreq: Int = 0): DataFrame = {
-    val sets = shingleRows(docs, n, Seq("lang", "source"))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(collect_set(col("sh")).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Same auto-cap contract as ngramJaccardPairsInverted: the persist-
-    // materializing count doubles as the corpus-size measurement.
-    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(sets.count())
-    val ex = sets.select(col("lang"), col("source"), col("doc_id"),
-      explode(col("shs")).as("sh"))
-    val hot = checkpointHot(
-      ex.groupBy(col("lang"), col("source"), col("sh"))
-        .agg(count(lit(1)).as("_df"))
-        .filter(col("_df") > cap)
-        .select(col("lang"), col("source"), col("sh")),
-      cap, "ngramContainmentPairs")
-    val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
-    val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
-        Seq("lang", "source", "sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("_rare_shared"))
-      .select(col("doc_a"), col("doc_b"))
+    val (sets, cand) = invertedCandidates(docs, n, maxDocFreq,
+      "ngramContainmentPairs")
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
