@@ -3439,8 +3439,12 @@ object SparkEntry {
        |       $mins
        |        FROM e GROUP BY doc_id),
        |bands AS ($bandRows),
+       |bcap AS (SELECT GREATEST(1000, CAST(ceil(4.0 * sqrt(count(*))) AS BIGINT)) AS c FROM sig),
+       |bsz AS (SELECT band, bkey, count(*) AS cnt FROM bands GROUP BY 1, 2),
+       |coldb AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey)
+       |          WHERE bsz.cnt <= (SELECT c FROM bcap)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM bands x JOIN bands y
+       |         FROM coldb x JOIN coldb y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |v AS (SELECT c.doc_a, c.doc_b,
        |             CAST($nMatch AS BIGINT) AS n_match,

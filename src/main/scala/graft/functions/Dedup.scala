@@ -570,15 +570,14 @@ object Dedup {
     * estimator) next to the exact Jaccard and the absolute error. Run
     * on a sample before committing signature settings for a 100 TB
     * dedup pass: error quantifies k, candidate count quantifies
-    * banding. Same single-pass signature+shingles aggregation and
-    * banded candidate join as `minhashLshPairs` (cost is one extra
-    * k-term comparison per candidate); est and err are one division /
-    * one subtraction off exact operands, so the whole row is
-    * oracle-portable. */
+    * banding. The candidate set is the PRODUCTION blocking —
+    * `minhashLshPairs`' banded join under the same auto hot-bucket
+    * cap — so the report measures exactly the pairs a dedup pass
+    * would verify; est and err are one division / one subtraction
+    * off exact operands, so the whole row is oracle-portable. */
   def minhashEstimateQuality(docs: DataFrame, n: Int, k: Int,
-                             bands: Int): DataFrame = {
+                             bands: Int, maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val exploded = shingleRows(docs, n)
       .withColumn("m", md5(col("sh")))
       .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
@@ -588,12 +587,9 @@ object Dedup {
     val sig = exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"b$b")
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(sig.count())
+    val banded = bandedColdKeys(bandKeysOf(sig, k, bands), bCap,
+      "minhashEstimateQuality")
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
