@@ -672,6 +672,10 @@ object SparkEntry {
     // BPE trainer inner loop: top adjacent within-word char pairs
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
+    // corpus-trained bigram-LM typicality score (the portable form of
+    // perplexity-bucket quality filtering): mean quantized P(w2|w1)
+    "q_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // explicit bloom-filter semi-join pruning (the runtime-filter
     // operator form): lineitems of urgent orders, bloom-pruned scan
     // then exact semi join — result identical to the plain semi join
@@ -2235,6 +2239,34 @@ object SparkEntry {
            |      FROM wd)
            |SELECT pair, CAST(count(*) AS BIGINT) AS n
            |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    // corpus-trained bigram LM: per-bigram P(w2|w1) from exact counts,
+    // quantized to floor(1e9·p) BEFORE summation so the per-doc sum is
+    // an order-free integer (ln-based perplexity would hash-diverge)
+    "q_bigram_lm" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |bg AS (SELECT doc_id,
+           |              unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+           |              unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+           |       FROM t),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+           |p AS (SELECT c12.w1, c12.w2,
+           |             CAST(floor(1000000000.0 *
+           |               (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))) AS BIGINT) AS pq
+           |      FROM c12 JOIN c1 USING (w1)),
+           |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+           |              CAST(sum(p.pq) AS BIGINT) AS sum_pq
+           |       FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+           |       GROUP BY 1)
+           |SELECT d.doc_id,
+           |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           |       COALESCE(sc.sum_pq, 0) AS sum_pq,
+           |       CASE WHEN sc.n_bigrams IS NOT NULL
+           |            THEN CAST(sc.sum_pq AS DOUBLE)
+           |                   / (CAST(sc.n_bigrams AS DOUBLE) * 1000000000.0)
+           |       END AS lm_score
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     // the bloom is an exactness-preserving prefilter, so the oracle is
     // the PLAIN semi join — any bloom false negative would hash-diverge
     "q_bloom_semi" ->

@@ -493,6 +493,55 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Statistical bigram-LM typicality score per document — the
+    * portable form of LM-based quality filtering (the CCNet-style
+    * perplexity-bucket idea): a bigram model is trained on the CORPUS
+    * ITSELF (just counts — c(w1,w2) and the context total c(w1·)) and
+    * each document scores the MEAN conditional probability of its own
+    * bigram occurrences. Templated / highly-typical docs score high,
+    * novel or noisy docs low; a training-data pipeline keeps the
+    * middle band.
+    *
+    * Engine-portable WITHOUT transcendentals: each per-bigram
+    * probability is ONE correctly-rounded IEEE division of exact
+    * integer counts, quantized to floor(1e9·p) BEFORE summation, so
+    * the per-doc sum is an order-free integer and only the final mean
+    * is a (portable) division. True log-perplexity needs ln(), whose
+    * low bits IEEE leaves engine-dependent — the quantized-mean
+    * formulation is what keeps the score oracle-gateable.
+    *
+    * Scale shape: bigram occurrence rows shuffle once to count
+    * c(w1,w2) and once to count contexts c(w1·); the vocab-sized
+    * probability table joins back onto the bigram stream on (w1, w2)
+    * — unique-keyed on the build side, so no skew explosion — and the
+    * per-doc reduce is a map-side-combined integer sum. Shuffles
+    * carry tokens, counts and ids, never documents. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    // one bigram materialization feeds its three consumers (both
+    // count tables + the scoring join)
+    val bg = Dedup.shingleRows(docs, 2)
+      .select(col("doc_id"),
+        split(col("sh"), " ").getItem(0).as("w1"),
+        split(col("sh"), " ").getItem(1).as("w2"))
+      .localCheckpoint()
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val p = c12.join(c1, Seq("w1"))
+      .withColumn("pq", floor(lit(1e9) *
+        (col("c12").cast("double") / col("c1").cast("double"))).cast("long"))
+    val scored = bg.join(p, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_pq"), lit(0L)).as("sum_pq"),
+        when(col("n_bigrams").isNotNull,
+          col("sum_pq").cast("double") /
+            (col("n_bigrams").cast("double") * 1e9)).as("lm_score"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * — the canonical-form hash used by exact dedup. (A rolling-hash
     * 64-bit variant lives in Dedup.simhash64's helpers; md5 is the

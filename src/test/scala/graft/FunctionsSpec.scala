@@ -1086,6 +1086,23 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("bigramLmScore: hand-computed corpus-trained typicality") {
+    // corpus bigrams: (a,b)×2, (b,a)×1, (a,c)×1; contexts: a×3, b×1
+    // pq(a,b) = floor(1e9·2/3) = 666666666; pq(b,a) = 1e9;
+    // pq(a,c) = floor(1e9/3) = 333333333
+    val d = Seq(
+      (0L, "a b a c"),
+      (1L, "a b"),
+      (2L, "c")).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(0L) == ((3L, 666666666L + 1000000000L + 333333333L,
+      Some(1999999999.0 / 3e9))))
+    assert(out(1L) == ((1L, 666666666L, Some(666666666.0 / 1e9))))
+    assert(out(2L) == ((0L, 0L, None)), "a 1-token doc has no bigrams, score null")
+  }
+
   test("rqTrain encodes every vector with one (code1, code2); duplicates agree") {
     val e = emb(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
