@@ -676,6 +676,13 @@ object SparkEntry {
     // perplexity-bucket quality filtering): mean quantized P(w2|w1)
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    // CCNet shape: LM trained on the 'en' reference slice scores the
+    // whole corpus; reference-unseen bigrams count as OOV
+    "q_bigram_lm_ref" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramLmScoreAgainst(docs.filter(col("lang") === "en"), docs)
+    }),
     // explicit bloom-filter semi-join pruning (the runtime-filter
     // operator form): lineitems of urgent orders, bloom-pruned scan
     // then exact semi join — result identical to the plain semi join
@@ -2261,6 +2268,36 @@ object SparkEntry {
            |       GROUP BY 1)
            |SELECT d.doc_id,
            |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           |       COALESCE(sc.sum_pq, 0) AS sum_pq,
+           |       CASE WHEN sc.n_bigrams IS NOT NULL
+           |            THEN CAST(sc.sum_pq AS DOUBLE)
+           |                   / (CAST(sc.n_bigrams AS DOUBLE) * 1000000000.0)
+           |       END AS lm_score
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // reference-trained LM: counts from the 'en' slice only; target
+    // bigrams unseen in the reference contribute 0 and count as oov
+    "q_bigram_lm_ref" ->
+      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |bg AS (SELECT doc_id, lang,
+           |              unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+           |              unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+           |       FROM t),
+           |rbg AS (SELECT * FROM bg WHERE lang = 'en'),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY 1),
+           |p AS (SELECT c12.w1, c12.w2,
+           |             CAST(floor(1000000000.0 *
+           |               (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))) AS BIGINT) AS pq
+           |      FROM c12 JOIN c1 USING (w1)),
+           |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+           |              CAST(sum(CASE WHEN p.pq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |              CAST(sum(COALESCE(p.pq, 0)) AS BIGINT) AS sum_pq
+           |       FROM bg LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+           |       GROUP BY 1)
+           |SELECT d.doc_id,
+           |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           |       COALESCE(sc.n_oov, 0) AS n_oov,
            |       COALESCE(sc.sum_pq, 0) AS sum_pq,
            |       CASE WHEN sc.n_bigrams IS NOT NULL
            |            THEN CAST(sc.sum_pq AS DOUBLE)

@@ -519,23 +519,60 @@ object TextAnalysis {
   def bigramLmScore(docs: DataFrame): DataFrame = {
     // one bigram materialization feeds its three consumers (both
     // count tables + the scoring join)
-    val bg = Dedup.shingleRows(docs, 2)
-      .select(col("doc_id"),
-        split(col("sh"), " ").getItem(0).as("w1"),
-        split(col("sh"), " ").getItem(1).as("w2"))
-      .localCheckpoint()
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val p = c12.join(c1, Seq("w1"))
-      .withColumn("pq", floor(lit(1e9) *
-        (col("c12").cast("double") / col("c1").cast("double"))).cast("long"))
-    val scored = bg.join(p, Seq("w1", "w2"))
+    val bg = bigramRows(docs).localCheckpoint()
+    val scored = bg.join(bigramProbTable(bg), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_pq"), lit(0L)).as("sum_pq"),
+        when(col("n_bigrams").isNotNull,
+          col("sum_pq").cast("double") /
+            (col("n_bigrams").cast("double") * 1e9)).as("lm_score"))
+  }
+
+  /** (doc_id, w1, w2) bigram occurrence rows. */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    Dedup.shingleRows(docs, 2)
+      .select(col("doc_id"),
+        split(col("sh"), " ").getItem(0).as("w1"),
+        split(col("sh"), " ").getItem(1).as("w2"))
+
+  /** (w1, w2, pq) quantized conditional-probability table off a bigram
+    * occurrence stream: pq = floor(1e9 · c(w1,w2) / c(w1·)). */
+  private def bigramProbTable(bg: DataFrame): DataFrame = {
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    c12.join(c1, Seq("w1"))
+      .withColumn("pq", floor(lit(1e9) *
+        (col("c12").cast("double") / col("c1").cast("double"))).cast("long"))
+      .select(col("w1"), col("w2"), col("pq"))
+  }
+
+  /** Cross-corpus form of `bigramLmScore` — the actual CCNet shape:
+    * the model trains on a REFERENCE corpus (in CCNet, Wikipedia; here
+    * any trusted slice) and scores a TARGET corpus against it, so
+    * "typical" means typical OF THE REFERENCE. Target bigrams the
+    * reference never saw contribute probability 0 and are counted in
+    * `n_oov` — the out-of-domain signal (a high-oov doc is not from
+    * the reference's distribution at all, which a mean alone would
+    * conflate with merely-unusual phrasing). Same quantized-integer
+    * portability and shuffle shape as the self-trained form; the
+    * probability join becomes a LEFT join. */
+  def bigramLmScoreAgainst(ref: DataFrame, docs: DataFrame): DataFrame = {
+    val p = bigramProbTable(bigramRows(ref).localCheckpoint())
+    val scored = bigramRows(docs).join(p, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("pq"), lit(0L))).as("sum_pq"),
+        sum(when(col("pq").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("sum_pq"), lit(0L)).as("sum_pq"),
         when(col("n_bigrams").isNotNull,
           col("sum_pq").cast("double") /

@@ -1103,6 +1103,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, None)), "a 1-token doc has no bigrams, score null")
   }
 
+  test("bigramLmScoreAgainst: reference-trained scores with OOV accounting") {
+    // reference (d0 only): bigrams (a,b),(b,a),(a,c); contexts a×2, b×1
+    // pq(a,b) = 5e8, pq(b,a) = 1e9, pq(a,c) = 5e8
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (0L, "a b a c"),
+      (1L, "a b x y")).toDF("doc_id", "text") // (a,b) seen; (b,x),(x,y) OOV
+    val out = graft.functions.TextAnalysis.bigramLmScoreAgainst(ref, tgt)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 0L, 500000000L + 1000000000L + 500000000L)))
+    assert(out(1L) == ((3L, 2L, 500000000L)),
+      s"reference-unseen bigrams must count as OOV with 0 probability: $out")
+  }
+
   test("rqTrain encodes every vector with one (code1, code2); duplicates agree") {
     val e = emb(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
