@@ -162,46 +162,48 @@ object Dedup {
       .drop("toks")
 
   /** Long-form word n-gram shingles: one row per (doc, shingle
-    * occurrence), built with posexplode + window `lead` — every
-    * expression codegen's, unlike the higher-order-function array
-    * construction, which executes interpreted and measured ~6x slower.
+    * occurrence), built entirely MAP-SIDE — n shifted `slice`s of the
+    * row's own token array are `arrays_zip`ped and exploded, so the
+    * shingle stream is born in the scan stage with ZERO exchanges.
+    * (The previous posexplode + window-`lead` form shuffled and sorted
+    * the whole token stream just to pair neighbors — one full exchange
+    * of the corpus' tokens charged to every n-gram query. slice /
+    * arrays_zip / explode are plain codegen'd expressions, unlike the
+    * per-element lambda fold that made the naive higher-order
+    * `transform` construction slow.)
     * Rows are NOT deduplicated: every consumer is duplicate-invariant
     * (min for MinHash, collect_set for Jaccard sets), which also saves
     * a shuffle. */
   def shingleRows(docs: DataFrame, n: Int, extraCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"shingle width must be >= 1, got $n")
     val keep = col("doc_id") +: extraCols.map(col)
-    val toks = docs.select(
-      keep :+ posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")): _*)
-    if (n == 1) return toks.select(keep :+ col("tok").as("sh"): _*)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-    toks
-      .withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
-      .withColumn("_last", leads.last)
-      .filter(col("_last").isNotNull)   // drop tail positions with < n tokens
-      .select(keep :+ col("sh"): _*)
+    val toks = TextAnalysis.tokens(col("text"))
+    if (n == 1) return docs.select(keep :+ explode(toks).as("sh"): _*)
+    // n_shingles = max(0, n_tokens - n + 1); a doc with < n tokens
+    // zips to an empty array and emits no rows (the tail positions the
+    // window form dropped via its lead-null filter).
+    val m = greatest(size(toks) - lit(n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(i => slice(toks, lit(i + 1), m).as(s"t$i")): _*)
+    docs.select(keep :+ explode(zipped).as("z"): _*)
+      .select(keep :+ concat_ws(" ", (0 until n).map(i => col(s"z.t$i")): _*).as("sh"): _*)
   }
 
   /** Positional shingles: (doc_id, pos [1-based], sh) — shingleRows
     * keeping the start position, for span-level operators that need to
     * know WHERE a duplicated n-gram sits, not just that it exists. */
   def posShingleRows(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val toks = docs.select(
-      col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    val base =
-      if (n == 1) toks.withColumn("sh", col("tok"))
-      else {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-        toks.withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
-          .withColumn("_last", leads.last)
-          .filter(col("_last").isNotNull)
-      }
-    base.select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("sh"))
+    val toks = TextAnalysis.tokens(col("text"))
+    if (n == 1)
+      return docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "sh")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("sh"))
+    // Same map-side slice/zip construction as shingleRows; posexplode's
+    // generator index IS the 0-based shingle start position.
+    val m = greatest(size(toks) - lit(n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(i => slice(toks, lit(i + 1), m).as(s"t$i")): _*)
+    docs.select(col("doc_id"), posexplode(zipped).as(Seq("p", "z")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        concat_ws(" ", (0 until n).map(i => col(s"z.t$i")): _*).as("sh"))
   }
 
   /** Duplicated-span statistics (the exact-substring-dedup diagnostic

@@ -266,8 +266,8 @@ object Similarity {
   private def lshBucketsCompute(embeddings: DataFrame, bits: Int): DataFrame = {
     // Long-form projection: posexplode dims once, then `bits` signed
     // sums in ONE grouped aggregation. All codegen'd — the equivalent
-    // higher-order-function fold executes interpreted and measures ~4x
-    // slower (same pathology as Dedup.shingleRows). The projected
+    // higher-order-function fold executes interpreted (lambda per
+    // element) and measures ~4x slower. The projected
     // components are the QUANTIZED bigint elements, not the raw
     // doubles: a sum of ±int64 is exact and addition-order-free, so a
     // bucket bit can never flip between Spark's partial-aggregate
