@@ -672,6 +672,14 @@ object SparkEntry {
     // BPE trainer inner loop: top adjacent within-word char pairs
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
+    // the FULL greedy BPE merge loop (4 rounds) over the word-frequency
+    // table: learned merge rules in rank order
+    "q_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), 4)),
+    // apply-side of the trained tokenizer: per-doc token budget under
+    // the 4-merge vocab
+    "q_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(Tables.documents(s, d), 4)),
     // corpus-trained bigram-LM typicality score (the portable form of
     // perplexity-bucket quality filtering): mean quantized P(w2|w1)
     "q_bigram_lm" -> ((s, d) =>
@@ -2246,6 +2254,8 @@ object SparkEntry {
            |      FROM wd)
            |SELECT pair, CAST(count(*) AS BIGINT) AS n
            |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    "q_bpe_train" -> bpeTrainSql(4),
+    "q_bpe_apply" -> bpeApplySql(4),
     // corpus-trained bigram LM: per-bigram P(w2|w1) from exact counts,
     // quantized to floor(1e9·p) BEFORE summation so the per-doc sum is
     // an order-free integer (ln-based perplexity would hash-diverge)
@@ -3259,6 +3269,53 @@ object SparkEntry {
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
       |         z -> z * z)) AS BIGINT) AS nq
       |FROM embeddings""".stripMargin
+
+  /** DuckDB replay of the k-round greedy BPE merge loop
+    * (TextAnalysis.bpeMerges): the word-frequency table, then per
+    * round a pair-count CTE (p_i), the argmax merge rule (b_i — count
+    * DESC, pair ASC on binary collation, LIMIT 1), and the merged
+    * state (s_{i+1}) via the same literal left-to-right replace() on
+    * the space-wrapped symbol strings. Emits w, s0..sk, p0..p{k-1},
+    * b0..b{k-1}. */
+  private def bpeStagesSql(k: Int): String = {
+    val stages = (0 until k).map { i =>
+      raw"""p$i AS (
+           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, string_split(trim(sym), '  ') AS syms FROM s$i),
+           |       UNNEST(range(1, len(syms))) AS u(i),
+           |       LATERAL (SELECT syms[i] AS l, syms[i+1] AS r)
+           |  GROUP BY l, r),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+           |s${i + 1} AS (SELECT replace(sym,
+           |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+           |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym, freq FROM s$i)"""
+        .stripMargin
+    }
+    raw"""WITH w AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents) GROUP BY w),
+         |s0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq FROM w),
+         |""".stripMargin + stages.mkString(",\n")
+  }
+
+  private def bpeTrainSql(k: Int): String =
+    bpeStagesSql(k) + "\n" +
+      (0 until k).map(i => s"""SELECT ${i + 1} AS "rank", l AS lhs, r AS rhs, n FROM b$i""")
+        .mkString(" UNION ALL ") + """ ORDER BY "rank""""
+
+  private def bpeApplySql(k: Int): String = {
+    val wrapped = raw"regexp_replace(lower(text), '(\S)', ' \1 ', 'g')"
+    val merged = (0 until k).foldLeft(wrapped) { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
+        s"' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ')"
+    }
+    bpeStagesSql(k) +
+      raw"""
+          |SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+          |  CAST(len(string_split_regex(trim($merged), '\s+')) AS BIGINT) AS n_bpe_tokens
+          |FROM documents""".stripMargin
+  }
 
   /** md5-hyperplane LSH bucket CTEs (mirror of `Similarity.planeSign`
     * / `lshBucketsMulti`): plane j's ±1 for dimension d reads md5(d)'s

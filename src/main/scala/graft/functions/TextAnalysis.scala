@@ -57,6 +57,100 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): the
+    * full greedy merge loop, not just one round's pair table
+    * (`bpePairCounts` is the inner statistic). Returns the learned
+    * merge rules `(rank, left, right, n)` in merge order.
+    *
+    * Scale shape — the classic trainer's two-tier layout:
+    *  - ONE corpus pass builds the word-frequency table (vocab-sized,
+    *    orders of magnitude smaller than the corpus; localCheckpointed
+    *    so merge rounds never re-touch the corpus);
+    *  - each of the `nMerges` rounds is a map-side pair explode +
+    *    map-side-combined count over that small table, ONE collected
+    *    argmax row (metadata-sized driver state), and a codegen'd
+    *    literal string replace. Cost per round is O(vocab), never
+    *    O(corpus).
+    *
+    * Engine-portable by construction: counts are exact integer sums of
+    * word frequencies; the argmax tie-breaks (count DESC, left ASC,
+    * right ASC) on binary string order; and the merge itself is a
+    * LITERAL left-to-right `replace` — identical semantics in Spark's
+    * UTF8String.replace and DuckDB's replace(), which is exactly BPE's
+    * left-to-right merge application. Words are kept as space-wrapped
+    * symbol strings (" h  e  y ": every symbol wrapped in its own
+    * spaces, so adjacent symbols are separated by TWO spaces) — the
+    * pair (l, r) occurs iff " l  r " occurs, consecutive merges of the
+    * same symbol behave like the reference implementation ("a a a a"
+    * merges to "aa aa", not "aa a a"), and a replacement (" lr ")
+    * restores the invariant. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeMerges(docs, nMerges)._2
+
+  /** The trained state: (word-frequency table after all merges, the
+    * merge-rule DataFrame). Shared by `bpeTrain` and `bpeApply`. */
+  private def bpeMerges(docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    var state = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val syms = split(trim(col("sym")), "  ")
+      val m1 = greatest(size(syms) - 1, lit(0))
+      val best = state
+        .select(col("freq"), explode(arrays_zip(
+          slice(syms, lit(1), m1).as("l"), slice(syms, lit(2), m1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) dry = true // every word fully merged to one symbol
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((l, r, n))
+        state = state
+          .withColumn("sym", replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    val out = merges.toSeq.zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1, l, r, n) }
+      .toDF("rank", "lhs", "rhs", "n")
+    (merges.toSeq, out)
+  }
+
+  /** Apply-side of the trained tokenizer: per-doc token counts under
+    * the `nMerges`-rule BPE vocab (the "how many tokens is this corpus
+    * under MY tokenizer" budgeting pass). The whole text is wrapped in
+    * one regexp pass (every non-space char becomes " c "), the learned
+    * merges applied as a nested literal-replace chain IN RANK ORDER
+    * (later merges may consume earlier merges' output), and the
+    * surviving symbols counted. Word boundaries need no special
+    * marker: between words the original whitespace survives wrapping,
+    * so cross-word symbol gaps never equal the TWO-space intra-word
+    * separator and no merge can span words. Map-side only — one scan,
+    * zero exchanges. */
+  def bpeApply(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (merges, _) = bpeMerges(docs, nMerges)
+    val wrapped = regexp_replace(lower(col("text")), "(\\S)", " $1 ")
+    val merged = merges.foldLeft(wrapped) { case (c, (l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      size(split(trim(merged), "\\s+")).cast("long").as("n_bpe_tokens"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** The bounded composite quality score (one expression shared by

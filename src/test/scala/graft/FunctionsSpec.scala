@@ -68,6 +68,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("aa", "mm"), s"ties must order lexicographically: ${out.toSeq}")
   }
 
+  test("bpeTrain: greedy merges hand-checked, left-to-right on odd runs") {
+    // words: aaab x2, aab x1, ab x1
+    // round 1: (a,a)=5 beats (a,b)=4; LEFT-TO-RIGHT merge turns the
+    //   "a a a" run into [aa, a], never [a, aa]
+    // round 2: (a,b)=3 (aaab->aa,a,b twice + ab) beats (aa,a)=2
+    // round 3: (aa,ab)=2 (both aaab, now [aa,ab])
+    val out = TextAnalysis.bpeTrain(docs((1L, "aaab aaab aab"), (2L, "ab")), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 5L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain: equal-count merge candidates tie-break lexicographically") {
+    val out = TextAnalysis.bpeTrain(docs((1L, "ab ba")), 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(("a", "b")), s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain: stops early once every word is a single symbol") {
+    val out = TextAnalysis.bpeTrain(docs((1L, "ab ab")), 5).collect()
+    assert(out.length == 1 && out(0).getString(1) == "a" && out(0).getString(2) == "b")
+  }
+
+  test("bpeApply: per-doc token budget under the trained vocab") {
+    // with 3 merges (see bpeTrain test) applied in rank order:
+    // aaab -> aa,a,b -> aa,ab -> aaab (1 symbol); aab -> aa,b (merge 2
+    // can't fire: aa is one symbol); ab -> ab (1)
+    val out = TextAnalysis.bpeApply(docs((1L, "aaab aaab aab"), (2L, "ab")), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 4L)), s"doc1 got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L)), s"doc2 got ${out(2L)}")
+  }
+
   test("qualityScore bounded and stopword-sensitive") {
     val out = TextAnalysis.qualityScore(
       docs((1L, "the the the the"), (2L, "zq zq zq zq")))

@@ -48,6 +48,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_decontaminate" -> 4,           // train-shingle distinct+count keyed on doc_id; bench side broadcasts
     "q_repetition" -> 5,              // (doc,tok)/(doc,2gram) aggs + doc-keyed join, nothing global
     "q_chunking" -> 0,                // pure map-side: tokenize + explode, NO shuffle at any size
+    "q_bpe_train" -> 0,               // merge rules are driver-collected per
+                                      // round from the vocab table (eager
+                                      // jobs); the emitted plan is a
+                                      // LocalRelation of k rules
+    "q_bpe_apply" -> 0,               // trained replace chain applied in the
+                                      // scan stage: one pass, map-side only
     "q_packing" -> 2,                 // shard-partitioned window + grouped agg
     "q_redact_pii" -> 0,              // pure map-side regex pipeline
     "q_incremental_dedup" -> 0,       // final pass = broadcast anti-join over
