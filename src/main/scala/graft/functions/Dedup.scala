@@ -326,68 +326,81 @@ object Dedup {
     * n-gram family (`ngramJaccardPairsInverted` /
     * `ngramContainmentPairs` — only their acceptance metric differs):
     *
-    *  - ONE aggregation pass builds the per-doc shingle sets; the
-    *    persist is a sharing barrier (pruning would otherwise re-run
-    *    the shingling pipeline per consumer), and its materializing
-    *    count doubles as the corpus-size measurement the auto cap
-    *    derives from — no extra pass;
+    *  - ONE distinct pass builds the (lang, source, doc, shingle)
+    *    posting table; its persist is the sharing barrier for the four
+    *    consumers (doc count, hot detection, candidate join, per-doc
+    *    stats), and the doc-count job that sizes the auto cap doubles
+    *    as its materialization — no extra pass;
     *  - the hot-shingle set comes from hash aggregation + anti-join
     *    (NOT a window over (lang,source,sh) — that would sort-shuffle
     *    the whole posting table just to count); it is tiny by
     *    construction (heavy tail), so AQE broadcasts the anti-join;
     *  - candidates are doc pairs sharing a sub-cap shingle within
-    *    their (lang, source) group.
+    *    their (lang, source) group, RETAINING the shared-rare-shingle
+    *    count the posting join already produced;
+    *  - per-doc stats are the exact set size plus the doc's (tiny)
+    *    HOT-shingle array. Together those make the verify stage exact
+    *    WITHOUT ever shuffling a full shingle-set array:
+    *    |A∩B| = rare_shared + |hot_A ∩ hot_B|, because every shared
+    *    shingle is counted by the rare posting join or sits in both
+    *    docs' hot arrays. At 100 TB the full sets are the corpus; the
+    *    stats rows are scalars plus a capped-cardinality array.
     *
-    * Returns (sets, candidates); the CALLER owns `sets`' unpersist
-    * after materializing its verified output. */
+    * Both returned frames are eagerly localCheckpointed (the posting
+    * persist is released before returning). */
   private def invertedCandidates(docs: DataFrame, n: Int, maxDocFreq: Int,
                                  op: String): (DataFrame, DataFrame) = {
-    val sets = shingleRows(docs, n, Seq("lang", "source"))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(collect_set(col("sh")).as("shs"))
+    val post = shingleRows(docs, n, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("doc_id"), col("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(sets.count())
-    val ex = sets.select(col("lang"), col("source"), col("doc_id"),
-      explode(col("shs")).as("sh"))
+    val cap = if (maxDocFreq > 0) maxDocFreq
+      else autoDocFreqCap(post.select(col("doc_id")).distinct().count())
     val hot = checkpointHot(
-      ex.groupBy(col("lang"), col("source"), col("sh"))
+      post.groupBy(col("lang"), col("source"), col("sh"))
         .agg(count(lit(1)).as("_df"))
         .filter(col("_df") > cap)
         .select(col("lang"), col("source"), col("sh")),
       cap, op)
-    val rare = ex.join(hot, Seq("lang", "source", "sh"), "left_anti")
+    val rare = post.join(hot, Seq("lang", "source", "sh"), "left_anti")
     val cand = rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_a"))
       .join(rare.select(col("lang"), col("source"), col("sh"), col("doc_id").as("doc_b")),
         Seq("lang", "source", "sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("_rare_shared"))
-      .select(col("doc_a"), col("doc_b"))
-    (sets, cand)
+      .agg(count(lit(1)).as("rare_shared"))
+      .localCheckpoint()
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hotPerDoc = post.join(hot, Seq("lang", "source", "sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("hot_sh"))
+    val docStats = sizes.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("hot_sh"), array().cast("array<string>")).as("hot_sh"))
+      .localCheckpoint()
+    post.unpersist()
+    (docStats, cand)
   }
 
   def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
                                 maxDocFreq: Int = 0): DataFrame = {
-    val (sets, cand) = invertedCandidates(docs, n, maxDocFreq,
+    val (stats, cand) = invertedCandidates(docs, n, maxDocFreq,
       "ngramJaccardPairsInverted")
-    val out = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+    cand
+      .join(stats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("hot_sh").as("hot_a")), Seq("doc_a"))
+      .join(stats.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("hot_sh").as("hot_b")), Seq("doc_b"))
       // Size-ratio prune: J >= t implies min(|A|,|B|)*(1+t) >= t*(|A|+|B|)
       // (since |A∩B| <= min) — necessary condition only, result
-      // unchanged; the expensive intersect never runs for pairs that
-      // cannot qualify.
-      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") * (1.0 + minJaccard)
-        >= lit(minJaccard) * (size(col("sh_a")) + size(col("sh_b"))).cast("double"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      // unchanged; the hot intersect never runs for pairs that cannot
+      // qualify.
+      .filter(least(col("n_a"), col("n_b")).cast("double") * (1.0 + minJaccard)
+        >= lit(minJaccard) * (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("inter",
+        col("rare_shared") + size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"))
+      .withColumn("uni", (col("n_a") + col("n_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
-    val pairs = out.localCheckpoint()
-    sets.unpersist()
-    pairs
   }
 
   /** Cross-source overlap matrix — the corpus-governance view of
@@ -435,20 +448,19 @@ object Dedup {
     * differs. */
   def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
                             maxDocFreq: Int = 0): DataFrame = {
-    val (sets, cand) = invertedCandidates(docs, n, maxDocFreq,
+    val (stats, cand) = invertedCandidates(docs, n, maxDocFreq,
       "ngramContainmentPairs")
-    val out = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("min_size",
-        least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+    cand
+      .join(stats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("hot_sh").as("hot_a")), Seq("doc_a"))
+      .join(stats.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("hot_sh").as("hot_b")), Seq("doc_b"))
+      .withColumn("inter",
+        col("rare_shared") + size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"))
+      .withColumn("min_size", least(col("n_a"), col("n_b")))
       .withColumn("containment", col("inter").cast("double") / col("min_size"))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("min_size"), col("containment"))
-    val pairs = out.localCheckpoint()
-    sets.unpersist()
-    pairs
   }
 
   /** MinHash signatures (Broder, "On the resemblance and containment
