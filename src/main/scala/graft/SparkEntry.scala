@@ -680,6 +680,20 @@ object SparkEntry {
     // the 4-merge vocab
     "q_bpe_apply" -> ((s, d) =>
       TextAnalysis.bpeApply(Tables.documents(s, d), 4)),
+    // tokenizer fertility per language (bpe-tokens per word under the
+    // corpus-trained vocab) — the tokenizer-fairness diagnostic; the
+    // ratio is ONE double division of exact integer sums
+    "q_bpe_fertility" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, sum}
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeApply(docs, 4)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .withColumn("fertility",
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+    }),
     // corpus-trained bigram-LM typicality score (the portable form of
     // perplexity-bucket quality filtering): mean quantized P(w2|w1)
     "q_bigram_lm" -> ((s, d) =>
@@ -2256,6 +2270,7 @@ object SparkEntry {
            |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "q_bpe_train" -> bpeTrainSql(4),
     "q_bpe_apply" -> bpeApplySql(4),
+    "q_bpe_fertility" -> bpeFertilitySql(4),
     // corpus-trained bigram LM: per-bigram P(w2|w1) from exact counts,
     // quantized to floor(1e9·p) BEFORE summation so the per-doc sum is
     // an order-free integer (ln-based perplexity would hash-diverge)
@@ -3303,19 +3318,34 @@ object SparkEntry {
       (0 until k).map(i => s"""SELECT ${i + 1} AS "rank", l AS lhs, r AS rhs, n FROM b$i""")
         .mkString(" UNION ALL ") + """ ORDER BY "rank""""
 
-  private def bpeApplySql(k: Int): String = {
-    val wrapped = raw"regexp_replace(lower(text), '(\S)', ' \1 ', 'g')"
-    val merged = (0 until k).foldLeft(wrapped) { (acc, i) =>
+  /** The nested literal-replace chain applying merges b0..b{k-1} in
+    * rank order to the whole-text wrap (mirror of `bpeApply`). */
+  private def bpeMergedExprSql(k: Int): String =
+    (0 until k).foldLeft(raw"regexp_replace(lower(text), '(\S)', ' \1 ', 'g')") { (acc, i) =>
       s"replace($acc, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
         s"' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ')"
     }
+
+  private def bpeApplySql(k: Int): String =
     bpeStagesSql(k) +
       raw"""
           |SELECT doc_id,
           |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
-          |  CAST(len(string_split_regex(trim($merged), '\s+')) AS BIGINT) AS n_bpe_tokens
+          |  CAST(len(string_split_regex(trim(${bpeMergedExprSql(k)}), '\s+')) AS BIGINT) AS n_bpe_tokens
           |FROM documents""".stripMargin
-  }
+
+  private def bpeFertilitySql(k: Int): String =
+    bpeStagesSql(k) +
+      raw"""
+          |SELECT lang,
+          |  CAST(sum(w) AS BIGINT) AS n_words,
+          |  CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+          |  CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+          |FROM (SELECT lang,
+          |        len(string_split_regex(trim(lower(text)), '\s+')) AS w,
+          |        len(string_split_regex(trim(${bpeMergedExprSql(k)}), '\s+')) AS b
+          |      FROM documents)
+          |GROUP BY lang""".stripMargin
 
   /** md5-hyperplane LSH bucket CTEs (mirror of `Similarity.planeSign`
     * / `lshBucketsMulti`): plane j's ±1 for dimension d reads md5(d)'s

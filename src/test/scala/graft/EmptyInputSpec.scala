@@ -50,6 +50,8 @@ class EmptyInputSpec extends SparkSpec {
     })
     assert(Dedup.ngramJaccardPairsInverted(emptyDocs, 3, 0.5).count() == 0)
     assert(Dedup.minhashLshPairs(emptyDocs, 3, 8, 4, 0.5).count() == 0)
+    assert(TextAnalysis.bpeTrain(emptyDocs, 3).count() == 0)
+    assert(TextAnalysis.bpeApply(emptyDocs, 3).count() == 0)
     assert(TextAnalysis.qualityScore(
       emptyDocs.withColumn("n_chars", lit(0L))).count() == 0)
   }
