@@ -663,6 +663,14 @@ object SparkEntry {
         col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
         m = 2, ksub = 4, iters = 1)
     }),
+    // IVFADC + exact re-rank: the probed-ADC pool refined by exact
+    // quantized cosine (the full FAISS IVFPQ,R serving stack)
+    "q_ivfpq_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.ivfpqTopKRerank(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
+        m = 2, ksub = 4, iters = 1, pool = 50)
+    }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2162,86 +2170,29 @@ object SparkEntry {
     // md5(vec_id || 'p')), probe = 2 nearest cells by exact integer
     // L2, ADC over the probed cells' codes only.
     "q_ivfpq_topk" ->
-      s"""WITH n AS ($quantizedSql),
-         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
-         |              unnest(q) + 1048576 AS x FROM n),
-         |cs AS (SELECT vec_id,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
-         |       FROM n QUALIFY cell_id < 4),
-         |cc0 AS (SELECT cs.cell_id, vd.d, vd.x AS c
-         |        FROM vd JOIN cs USING (vec_id)),
-         |ca1 AS (SELECT vec_id, cell_id FROM (
-         |    SELECT vd.vec_id, cc0.cell_id,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - cc0.c)*(vd.x - cc0.c)), cc0.cell_id) AS rn
-         |    FROM vd JOIN cc0 ON vd.d = cc0.d
-         |    GROUP BY vd.vec_id, cc0.cell_id QUALIFY rn = 1)),
-         |cc1 AS (SELECT ca1.cell_id, vd.d,
-         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM vd JOIN ca1 USING (vec_id)
-         |       GROUP BY 1, vd.d),
-         |ca AS (SELECT vec_id, cell_id FROM (
-         |    SELECT vd.vec_id, cc1.cell_id,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
-         |    FROM vd JOIN cc1 ON vd.d = cc1.d
-         |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
-         |rd AS (SELECT vd.vec_id, vd.d // 32 AS s, vd.d,
-         |              vd.x - cc1.c + 2097152 AS rx
-         |       FROM vd JOIN ca USING (vec_id)
-         |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
-         |ps AS (SELECT vec_id,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'p'), vec_id) - 1 AS code
-         |       FROM n QUALIFY code < 4),
-         |pc0 AS (SELECT rd.s, ps.code, rd.d, rd.rx AS c
-         |        FROM rd JOIN ps USING (vec_id)),
-         |pa1 AS (SELECT vec_id, s, code FROM (
-         |    SELECT rd.vec_id, rd.s, pc0.code,
-         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
-         |             ORDER BY sum((rd.rx - pc0.c)*(rd.rx - pc0.c)), pc0.code) AS rn
-         |    FROM rd JOIN pc0 ON rd.s = pc0.s AND rd.d = pc0.d
-         |    GROUP BY rd.vec_id, rd.s, pc0.code QUALIFY rn = 1)),
-         |pc1 AS (SELECT pa1.s, pa1.code, rd.d,
-         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM rd JOIN pa1 ON rd.vec_id = pa1.vec_id AND rd.s = pa1.s
-         |       GROUP BY 1, 2, rd.d),
-         |pa2 AS (SELECT vec_id, s, code FROM (
-         |    SELECT rd.vec_id, rd.s, pc1.code,
-         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
-         |             ORDER BY sum((rd.rx - pc1.c)*(rd.rx - pc1.c)), pc1.code) AS rn
-         |    FROM rd JOIN pc1 ON rd.s = pc1.s AND rd.d = pc1.d
-         |    GROUP BY rd.vec_id, rd.s, pc1.code QUALIFY rn = 1)),
-         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
-         |qc AS (SELECT qd.query_id, cc1.cell_id,
-         |              sum((qd.x - cc1.c)*(qd.x - cc1.c)) AS cd
-         |       FROM qd JOIN cc1 ON qd.d = cc1.d GROUP BY 1, 2),
-         |probe AS (SELECT query_id, cell_id FROM (
-         |    SELECT query_id, cell_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= 2),
-         |qrd AS (SELECT p.query_id, p.cell_id, qd.d // 32 AS s, qd.d,
-         |               qd.x - cc1.c + 2097152 AS rqx
-         |        FROM probe p
-         |        JOIN qd ON qd.query_id = p.query_id
-         |        JOIN cc1 ON cc1.cell_id = p.cell_id AND cc1.d = qd.d),
-         |adc AS (SELECT qrd.query_id, qrd.cell_id, pc1.s, pc1.code,
-         |               sum((qrd.rqx - pc1.c)*(qrd.rqx - pc1.c)) AS pd
-         |        FROM qrd JOIN pc1 ON pc1.s = qrd.s AND pc1.d = qrd.d
-         |        GROUP BY 1, 2, 3, 4),
-         |codes AS (SELECT pa2.vec_id, ca.cell_id, pa2.s, pa2.code
-         |          FROM pa2 JOIN ca USING (vec_id)),
-         |dist AS (SELECT adc.query_id, codes.vec_id,
-         |                CAST(sum(adc.pd) AS BIGINT) AS adist
-         |         FROM codes JOIN adc ON codes.cell_id = adc.cell_id
-         |           AND codes.s = adc.s AND codes.code = adc.code
-         |         WHERE codes.vec_id <> adc.query_id
-         |         GROUP BY 1, 2),
-         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
-         |             row_number() OVER (PARTITION BY query_id
-         |               ORDER BY adist, vec_id) AS rnk
-         |      FROM dist)
+      s"""$ivfpqBaseSql
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // IVFADC + exact re-rank: the probed-ADC pool (50) refined by
+    // exact quantized cosine — mirror of q_pq_rerank over the
+    // cell-restricted index
+    "q_ivfpq_rerank" ->
+      s"""$ivfpqBaseSql,
+         |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
+         |x AS (SELECT p.query_id, p.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM pool p
+         |      JOIN n qq ON qq.vec_id = p.query_id
+         |      JOIN n cc ON cc.vec_id = p.neighbor_id),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM x)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+         |FROM f WHERE rnk <= 10""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT qq.vec_id AS query_id, qq.label AS query_label,
@@ -3239,6 +3190,90 @@ object SparkEntry {
     * 1 certified iteration, queries = vec_id % 100 = 0): CTEs through
     * `dist` (query → candidate ADC distance). `q_pq_topk` ranks it
     * directly; `q_pq_rerank` re-ranks the 50-pool by exact cosine. */
+  /** The IVFADC replay chain (coarse certified k-means -> residuals
+    * -> PQ-on-residual training -> probe -> cell-restricted ADC),
+    * through the ranked candidate CTE `r`. Shared by q_ivfpq_topk
+    * (ADC top-k) and q_ivfpq_rerank (pool + exact-cosine refine). */
+  private lazy val ivfpqBaseSql =
+    s"""WITH n AS ($quantizedSql),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM n),
+         |cs AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+         |       FROM n QUALIFY cell_id < 4),
+         |cc0 AS (SELECT cs.cell_id, vd.d, vd.x AS c
+         |        FROM vd JOIN cs USING (vec_id)),
+         |ca1 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, cc0.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - cc0.c)*(vd.x - cc0.c)), cc0.cell_id) AS rn
+         |    FROM vd JOIN cc0 ON vd.d = cc0.d
+         |    GROUP BY vd.vec_id, cc0.cell_id QUALIFY rn = 1)),
+         |cc1 AS (SELECT ca1.cell_id, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN ca1 USING (vec_id)
+         |       GROUP BY 1, vd.d),
+         |ca AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, cc1.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
+         |    FROM vd JOIN cc1 ON vd.d = cc1.d
+         |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
+         |rd AS (SELECT vd.vec_id, vd.d // 32 AS s, vd.d,
+         |              vd.x - cc1.c + 2097152 AS rx
+         |       FROM vd JOIN ca USING (vec_id)
+         |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
+         |ps AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'p'), vec_id) - 1 AS code
+         |       FROM n QUALIFY code < 4),
+         |pc0 AS (SELECT rd.s, ps.code, rd.d, rd.rx AS c
+         |        FROM rd JOIN ps USING (vec_id)),
+         |pa1 AS (SELECT vec_id, s, code FROM (
+         |    SELECT rd.vec_id, rd.s, pc0.code,
+         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
+         |             ORDER BY sum((rd.rx - pc0.c)*(rd.rx - pc0.c)), pc0.code) AS rn
+         |    FROM rd JOIN pc0 ON rd.s = pc0.s AND rd.d = pc0.d
+         |    GROUP BY rd.vec_id, rd.s, pc0.code QUALIFY rn = 1)),
+         |pc1 AS (SELECT pa1.s, pa1.code, rd.d,
+         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM rd JOIN pa1 ON rd.vec_id = pa1.vec_id AND rd.s = pa1.s
+         |       GROUP BY 1, 2, rd.d),
+         |pa2 AS (SELECT vec_id, s, code FROM (
+         |    SELECT rd.vec_id, rd.s, pc1.code,
+         |           row_number() OVER (PARTITION BY rd.vec_id, rd.s
+         |             ORDER BY sum((rd.rx - pc1.c)*(rd.rx - pc1.c)), pc1.code) AS rn
+         |    FROM rd JOIN pc1 ON rd.s = pc1.s AND rd.d = pc1.d
+         |    GROUP BY rd.vec_id, rd.s, pc1.code QUALIFY rn = 1)),
+         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
+         |qc AS (SELECT qd.query_id, cc1.cell_id,
+         |              sum((qd.x - cc1.c)*(qd.x - cc1.c)) AS cd
+         |       FROM qd JOIN cc1 ON qd.d = cc1.d GROUP BY 1, 2),
+         |probe AS (SELECT query_id, cell_id FROM (
+         |    SELECT query_id, cell_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= 2),
+         |qrd AS (SELECT p.query_id, p.cell_id, qd.d // 32 AS s, qd.d,
+         |               qd.x - cc1.c + 2097152 AS rqx
+         |        FROM probe p
+         |        JOIN qd ON qd.query_id = p.query_id
+         |        JOIN cc1 ON cc1.cell_id = p.cell_id AND cc1.d = qd.d),
+         |adc AS (SELECT qrd.query_id, qrd.cell_id, pc1.s, pc1.code,
+         |               sum((qrd.rqx - pc1.c)*(qrd.rqx - pc1.c)) AS pd
+         |        FROM qrd JOIN pc1 ON pc1.s = qrd.s AND pc1.d = qrd.d
+         |        GROUP BY 1, 2, 3, 4),
+         |codes AS (SELECT pa2.vec_id, ca.cell_id, pa2.s, pa2.code
+         |          FROM pa2 JOIN ca USING (vec_id)),
+         |dist AS (SELECT adc.query_id, codes.vec_id,
+         |                CAST(sum(adc.pd) AS BIGINT) AS adist
+         |         FROM codes JOIN adc ON codes.cell_id = adc.cell_id
+         |           AND codes.s = adc.s AND codes.code = adc.code
+         |         WHERE codes.vec_id <> adc.query_id
+         |         GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)""".stripMargin
+
   private lazy val pqBaseSql =
     s"""WITH n AS ($quantizedSql),
        |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,

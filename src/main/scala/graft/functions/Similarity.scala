@@ -873,7 +873,34 @@ object Similarity {
                    m: Int, ksub: Int, iters: Int, pool: Int): DataFrame = {
     require(pool >= k, s"rerank pool $pool must be >= k=$k")
     val e = ensureQuantized(embeddings)
-    val cand = pqTopK(e, queryPred, pool, m, ksub, iters)
+    exactRerank(e, queryPred,
+      pqTopK(e, queryPred, pool, m, ksub, iters), k)
+  }
+
+  /** IVFADC + exact re-rank: the coarse-probed ADC scan proposes a
+    * `pool`-sized candidate set, exact quantized cosine orders the
+    * final top-k — the same refine step as `pqTopKRerank`, applied to
+    * the cell-restricted index (the full FAISS IVFPQ,R serving stack).
+    * Same scale shape as its parts: only the pool's vectors are
+    * fetched (broadcast semi-join), the corpus scans once. */
+  def ivfpqTopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
+                      nCells: Int, nProbe: Int, m: Int, ksub: Int,
+                      iters: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must be >= k=$k")
+    val e = ensureQuantized(embeddings)
+    exactRerank(e, queryPred,
+      ivfpqTopK(e, queryPred, pool, nCells, nProbe, m, ksub, iters), k)
+  }
+
+  /** Shared refine stage: exact quantized cosine over an approximate
+    * method's (query_id, neighbor_id) candidate pool. The pool ids are
+    * checkpointed (one materialization of the proposer's plan), pool
+    * VECTORS arrive by broadcast semi-join — the corpus never shuffles
+    * for the re-rank — and the final top-k is a per-query window over
+    * pool-sized groups. */
+  private def exactRerank(e: DataFrame, queryPred: Column,
+                          candidates: DataFrame, k: Int): DataFrame = {
+    val cand = candidates
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val ids = cand.select(col("neighbor_id").as("vec_id")).distinct()
@@ -1129,10 +1156,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     // ivfpq: IVFADC at pq's exact bit budget (m=4, ksub=16) — PQ on
     // RESIDUALS to 16 coarse cells, 4 probed; measures the Jégou
-    // residual-quantization gain over flat pq head-to-head
-    val ivfpqPairs = ivfpqTopK(emb, queryPred, k, nCells = 16, nProbe = 4,
+    // residual-quantization gain over flat pq head-to-head. The 5k
+    // ADC pool doubles as ivfpq_rerank's candidate set (the shared
+    // true-cosine ranking below IS the exact refine), mirroring pq /
+    // pq_rerank.
+    val ivfpqAll = ivfpqTopK(emb, queryPred, 5 * k, nCells = 16, nProbe = 4,
         m = 4, ksub = 16, iters = 1)
+      .localCheckpoint()
+    val ivfpqPairs = ivfpqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    val ivfpqRerankPairs = ivfpqAll.select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -1140,6 +1173,7 @@ object Similarity {
       .unionByName(pqRerankPairs.withColumn("method", lit("pq_rerank")))
       .unionByName(rqPairs.withColumn("method", lit("rq")))
       .unionByName(ivfpqPairs.withColumn("method", lit("ivfpq")))
+      .unionByName(ivfpqRerankPairs.withColumn("method", lit("ivfpq_rerank")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint()
     val wm = Window.partitionBy(col("method"), col("query_id"))
@@ -1152,7 +1186,8 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "ivfpq").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "ivfpq",
+        "ivfpq_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
