@@ -693,9 +693,7 @@ object SparkEntry {
     // ratio is ONE double division of exact integer sums
     "q_bpe_fertility" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, sum}
-      val docs = Tables.documents(s, d)
-      TextAnalysis.bpeApply(docs, 4)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.bpeApply(Tables.documents(s, d), 4, extraCols = Seq("lang"))
         .groupBy(col("lang"))
         .agg(sum(col("n_words")).as("n_words"),
           sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
@@ -3337,8 +3335,8 @@ object SparkEntry {
            |  GROUP BY l, r),
            |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
            |s${i + 1} AS (SELECT replace(sym,
-           |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-           |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym, freq FROM s$i)"""
+           |    coalesce(' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', chr(1)),
+           |    coalesce(' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ', chr(1))) AS sym, freq FROM s$i)"""
         .stripMargin
     }
     raw"""WITH w AS (
@@ -3354,11 +3352,16 @@ object SparkEntry {
         .mkString(" UNION ALL ") + """ ORDER BY "rank""""
 
   /** The nested literal-replace chain applying merges b0..b{k-1} in
-    * rank order to the whole-text wrap (mirror of `bpeApply`). */
+    * rank order to the whole-text wrap (mirror of `bpeApply`). A dry
+    * round (empty b_i — the corpus merged out before k rounds, which
+    * Spark's trainer handles by stopping early) must be a NO-OP here,
+    * not a NULL: the scalar subqueries go NULL and replace(x, NULL, …)
+    * would NULL-poison every doc, so each level coalesces to the
+    * identity replace (search == replacement == chr(1)). */
   private def bpeMergedExprSql(k: Int): String =
     (0 until k).foldLeft(raw"regexp_replace(lower(text), '(\S)', ' \1 ', 'g')") { (acc, i) =>
-      s"replace($acc, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
-        s"' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ')"
+      s"replace($acc, coalesce(' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', chr(1)), " +
+        s"coalesce(' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ', chr(1)))"
     }
 
   private def bpeApplySql(k: Int): String =

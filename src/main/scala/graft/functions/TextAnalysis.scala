@@ -88,8 +88,11 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
     bpeMerges(docs, nMerges)._2
 
-  /** The trained state: (word-frequency table after all merges, the
-    * merge-rule DataFrame). Shared by `bpeTrain` and `bpeApply`. */
+  /** The trained merge rules, as (collected (l, r, count) triples in
+    * rank order, the same rules as a DataFrame). Shared by `bpeTrain`
+    * (returns the frame) and `bpeApply` (folds the triples into a
+    * replace chain); the post-merge word-frequency state itself is
+    * training-internal and discarded. */
   private def bpeMerges(docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
@@ -115,10 +118,13 @@ object TextAnalysis {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((l, r, n))
-        state = state
-          .withColumn("sym", replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint()
         round += 1
+        // Materialize the merged state only if another round will read
+        // it — the final round's state has no consumer.
+        if (round < nMerges)
+          state = state
+            .withColumn("sym", replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+            .localCheckpoint()
       }
     }
     import spark.implicits._
@@ -139,16 +145,17 @@ object TextAnalysis {
     * so cross-word symbol gaps never equal the TWO-space intra-word
     * separator and no merge can span words. Map-side only — one scan,
     * zero exchanges. */
-  def bpeApply(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeApply(docs: DataFrame, nMerges: Int,
+               extraCols: Seq[String] = Nil): DataFrame = {
     val (merges, _) = bpeMerges(docs, nMerges)
     val wrapped = regexp_replace(lower(col("text")), "(\\S)", " $1 ")
     val merged = merges.foldLeft(wrapped) { case (c, (l, r, _)) =>
       replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }
     docs.select(
-      col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_words"),
-      size(split(trim(merged), "\\s+")).cast("long").as("n_bpe_tokens"))
+      col("doc_id") +: extraCols.map(col) :+
+        size(tokens(col("text"))).cast("long").as("n_words") :+
+        size(split(trim(merged), "\\s+")).cast("long").as("n_bpe_tokens"): _*)
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
