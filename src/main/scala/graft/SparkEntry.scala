@@ -655,6 +655,13 @@ object SparkEntry {
       Similarity.rqTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, k1 = 4, k2 = 4, iters = 1)
     }),
+    // RQ + exact re-rank: the additive-code ADC pool refined by
+    // exact quantized cosine
+    "q_rq_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.rqTopKRerank(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, k1 = 4, k2 = 4, iters = 1, pool = 50)
+    }),
     // IVFADC (FAISS IVFPQ): coarse cells + PQ on the residuals,
     // queries probe nProbe cells and ADC-score only their codes
     "q_ivfpq_topk" -> ((s, d) => {
@@ -2097,72 +2104,29 @@ object SparkEntry {
     // residuals re-shifted +2^21, stage-2 certified k-means on them
     // (seeds by md5(vec_id || 'r')), ADC off the combined c1+c2 table.
     "q_rq_topk" ->
-      s"""WITH n AS ($quantizedSql),
-         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
-         |              unnest(q) + 1048576 AS x FROM n),
-         |s1 AS (SELECT vec_id,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code1
-         |       FROM n QUALIFY code1 < 4),
-         |c10 AS (SELECT s1.code1, vd.d, vd.x AS c
-         |        FROM vd JOIN s1 USING (vec_id)),
-         |a10 AS (SELECT vec_id, code1 FROM (
-         |    SELECT vd.vec_id, c10.code1,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - c10.c)*(vd.x - c10.c)), c10.code1) AS rn
-         |    FROM vd JOIN c10 ON vd.d = c10.d
-         |    GROUP BY vd.vec_id, c10.code1 QUALIFY rn = 1)),
-         |c1 AS (SELECT a10.code1, vd.d,
-         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM vd JOIN a10 USING (vec_id)
-         |       GROUP BY 1, vd.d),
-         |a1 AS (SELECT vec_id, code1 FROM (
-         |    SELECT vd.vec_id, c1.code1,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.code1) AS rn
-         |    FROM vd JOIN c1 ON vd.d = c1.d
-         |    GROUP BY vd.vec_id, c1.code1 QUALIFY rn = 1)),
-         |rd AS (SELECT vd.vec_id, vd.d, vd.x - c1.c + 2097152 AS rx
-         |       FROM vd JOIN a1 USING (vec_id)
-         |       JOIN c1 ON c1.code1 = a1.code1 AND c1.d = vd.d),
-         |s2 AS (SELECT vec_id,
-         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'r'), vec_id) - 1 AS code2
-         |       FROM n QUALIFY code2 < 4),
-         |c20 AS (SELECT s2.code2, rd.d, rd.rx AS c
-         |        FROM rd JOIN s2 USING (vec_id)),
-         |b10 AS (SELECT vec_id, code2 FROM (
-         |    SELECT rd.vec_id, c20.code2,
-         |           row_number() OVER (PARTITION BY rd.vec_id
-         |             ORDER BY sum((rd.rx - c20.c)*(rd.rx - c20.c)), c20.code2) AS rn
-         |    FROM rd JOIN c20 ON rd.d = c20.d
-         |    GROUP BY rd.vec_id, c20.code2 QUALIFY rn = 1)),
-         |c2 AS (SELECT b10.code2, rd.d,
-         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM rd JOIN b10 USING (vec_id)
-         |       GROUP BY 1, rd.d),
-         |b2 AS (SELECT vec_id, code2 FROM (
-         |    SELECT rd.vec_id, c2.code2,
-         |           row_number() OVER (PARTITION BY rd.vec_id
-         |             ORDER BY sum((rd.rx - c2.c)*(rd.rx - c2.c)), c2.code2) AS rn
-         |    FROM rd JOIN c2 ON rd.d = c2.d
-         |    GROUP BY rd.vec_id, c2.code2 QUALIFY rn = 1)),
-         |comb AS (SELECT c1.code1, c2.code2, c1.d, c1.c + c2.c - 2097152 AS cc
-         |         FROM c1 JOIN c2 ON c1.d = c2.d),
-         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
-         |t AS (SELECT qd.query_id, comb.code1, comb.code2,
-         |             CAST(sum((qd.x - comb.cc)*(qd.x - comb.cc)) AS BIGINT) AS adist
-         |      FROM qd JOIN comb ON qd.d = comb.d
-         |      GROUP BY 1, 2, 3),
-         |codes AS (SELECT a1.vec_id, a1.code1, b2.code2
-         |          FROM a1 JOIN b2 USING (vec_id)),
-         |dist AS (SELECT t.query_id, codes.vec_id, t.adist
-         |         FROM codes JOIN t ON codes.code1 = t.code1 AND codes.code2 = t.code2
-         |         WHERE codes.vec_id <> t.query_id),
-         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
-         |             row_number() OVER (PARTITION BY query_id
-         |               ORDER BY adist, vec_id) AS rnk
-         |      FROM dist)
+      s"""$rqBaseSql
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // RQ + exact re-rank: the additive-code ADC pool (50) refined by
+    // exact quantized cosine — the refine sibling of q_pq_rerank /
+    // q_ivfpq_rerank for the residual-quantized index
+    "q_rq_rerank" ->
+      s"""$rqBaseSql,
+         |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
+         |x AS (SELECT p.query_id, p.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM pool p
+         |      JOIN n qq ON qq.vec_id = p.query_id
+         |      JOIN n cc ON cc.vec_id = p.neighbor_id),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM x)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+         |FROM f WHERE rnk <= 10""".stripMargin,
     // IVFADC replay: coarse certified k-means (cells), residuals to
     // the assigned centroid, PQ codebooks on the residuals (seeds by
     // md5(vec_id || 'p')), probe = 2 nearest cells by exact integer
@@ -3192,6 +3156,75 @@ object SparkEntry {
     * -> PQ-on-residual training -> probe -> cell-restricted ADC),
     * through the ranked candidate CTE `r`. Shared by q_ivfpq_topk
     * (ADC top-k) and q_ivfpq_rerank (pool + exact-cosine refine). */
+  /** The RQ replay chain (two-stage certified k-means -> additive
+    * codes -> combined-table ADC), through the ranked candidate CTE
+    * `r`. Shared by q_rq_topk and q_rq_rerank. */
+  private lazy val rqBaseSql =
+    s"""WITH n AS ($quantizedSql),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM n),
+         |s1 AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code1
+         |       FROM n QUALIFY code1 < 4),
+         |c10 AS (SELECT s1.code1, vd.d, vd.x AS c
+         |        FROM vd JOIN s1 USING (vec_id)),
+         |a10 AS (SELECT vec_id, code1 FROM (
+         |    SELECT vd.vec_id, c10.code1,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c10.c)*(vd.x - c10.c)), c10.code1) AS rn
+         |    FROM vd JOIN c10 ON vd.d = c10.d
+         |    GROUP BY vd.vec_id, c10.code1 QUALIFY rn = 1)),
+         |c1 AS (SELECT a10.code1, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN a10 USING (vec_id)
+         |       GROUP BY 1, vd.d),
+         |a1 AS (SELECT vec_id, code1 FROM (
+         |    SELECT vd.vec_id, c1.code1,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.code1) AS rn
+         |    FROM vd JOIN c1 ON vd.d = c1.d
+         |    GROUP BY vd.vec_id, c1.code1 QUALIFY rn = 1)),
+         |rd AS (SELECT vd.vec_id, vd.d, vd.x - c1.c + 2097152 AS rx
+         |       FROM vd JOIN a1 USING (vec_id)
+         |       JOIN c1 ON c1.code1 = a1.code1 AND c1.d = vd.d),
+         |s2 AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'r'), vec_id) - 1 AS code2
+         |       FROM n QUALIFY code2 < 4),
+         |c20 AS (SELECT s2.code2, rd.d, rd.rx AS c
+         |        FROM rd JOIN s2 USING (vec_id)),
+         |b10 AS (SELECT vec_id, code2 FROM (
+         |    SELECT rd.vec_id, c20.code2,
+         |           row_number() OVER (PARTITION BY rd.vec_id
+         |             ORDER BY sum((rd.rx - c20.c)*(rd.rx - c20.c)), c20.code2) AS rn
+         |    FROM rd JOIN c20 ON rd.d = c20.d
+         |    GROUP BY rd.vec_id, c20.code2 QUALIFY rn = 1)),
+         |c2 AS (SELECT b10.code2, rd.d,
+         |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM rd JOIN b10 USING (vec_id)
+         |       GROUP BY 1, rd.d),
+         |b2 AS (SELECT vec_id, code2 FROM (
+         |    SELECT rd.vec_id, c2.code2,
+         |           row_number() OVER (PARTITION BY rd.vec_id
+         |             ORDER BY sum((rd.rx - c2.c)*(rd.rx - c2.c)), c2.code2) AS rn
+         |    FROM rd JOIN c2 ON rd.d = c2.d
+         |    GROUP BY rd.vec_id, c2.code2 QUALIFY rn = 1)),
+         |comb AS (SELECT c1.code1, c2.code2, c1.d, c1.c + c2.c - 2097152 AS cc
+         |         FROM c1 JOIN c2 ON c1.d = c2.d),
+         |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
+         |t AS (SELECT qd.query_id, comb.code1, comb.code2,
+         |             CAST(sum((qd.x - comb.cc)*(qd.x - comb.cc)) AS BIGINT) AS adist
+         |      FROM qd JOIN comb ON qd.d = comb.d
+         |      GROUP BY 1, 2, 3),
+         |codes AS (SELECT a1.vec_id, a1.code1, b2.code2
+         |          FROM a1 JOIN b2 USING (vec_id)),
+         |dist AS (SELECT t.query_id, codes.vec_id, t.adist
+         |         FROM codes JOIN t ON codes.code1 = t.code1 AND codes.code2 = t.code2
+         |         WHERE codes.vec_id <> t.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)""".stripMargin
+
   private lazy val ivfpqBaseSql =
     s"""WITH n AS ($quantizedSql),
          |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,

@@ -727,6 +727,17 @@ object Similarity {
     rqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, c1, c2, k)
   }
 
+  /** RQ + exact re-rank: the additive-code ADC pool refined by exact
+    * quantized cosine through the shared `exactRerank` stage — the
+    * refine sibling of `pqTopKRerank`/`ivfpqTopKRerank` for the
+    * residual-quantized index. */
+  def rqTopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
+                   k1: Int, k2: Int, iters: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must be >= k=$k")
+    val e = ensureQuantized(embeddings)
+    exactRerank(e, queryPred, rqTopK(e, queryPred, pool, k1, k2, iters), k)
+  }
+
   /** IVFADC — the canonical billion-scale serving index (FAISS's
     * IVFPQ; Jégou/Douze/Schmid, "Product Quantization for Nearest
     * Neighbor Search", TPAMI 2011 §V): a COARSE quantizer of `nCells`
@@ -1152,8 +1163,11 @@ object Similarity {
     // more full assignment passes PER STAGE in the bench's most
     // expensive query, and the recall deltas are pinned at the
     // 1-iteration operating point the gated queries certify.
-    val rqPairs = rqTopK(emb, queryPred, k, k1 = 16, k2 = 16, iters = 1)
+    val rqAll = rqTopK(emb, queryPred, 5 * k, k1 = 16, k2 = 16, iters = 1)
+      .localCheckpoint()
+    val rqPairs = rqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    val rqRerankPairs = rqAll.select(col("query_id"), col("neighbor_id"))
     // ivfpq: IVFADC at pq's exact bit budget (m=4, ksub=16) — PQ on
     // RESIDUALS to 16 coarse cells, 4 probed; measures the Jégou
     // residual-quantization gain over flat pq head-to-head. The 5k
@@ -1172,6 +1186,7 @@ object Similarity {
       .unionByName(pqPairs.withColumn("method", lit("pq")))
       .unionByName(pqRerankPairs.withColumn("method", lit("pq_rerank")))
       .unionByName(rqPairs.withColumn("method", lit("rq")))
+      .unionByName(rqRerankPairs.withColumn("method", lit("rq_rerank")))
       .unionByName(ivfpqPairs.withColumn("method", lit("ivfpq")))
       .unionByName(ivfpqRerankPairs.withColumn("method", lit("ivfpq_rerank")))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1186,8 +1201,8 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "ivfpq",
-        "ivfpq_rerank").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "rq_rerank",
+        "ivfpq", "ivfpq_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -1406,10 +1406,11 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq",
-      "ivfpq", "ivfpq_rerank"))
+      "rq_rerank", "ivfpq", "ivfpq_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
+    assert(out("rq_rerank")._3 >= out("rq")._3)
     val nTruth = out("lsh")._2
     assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
       "all methods score against the same ground truth")
@@ -1425,8 +1426,8 @@ class SimilaritySpec extends SparkSpec {
     // restriction — at scale it additionally buys the ~nCells/nProbe
     // scan reduction, which flat pq cannot.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.10, "ivfpq" -> 0.18,
-      "ivfpq_rerank" -> 0.46)
+      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.10, "rq_rerank" -> 0.34,
+      "ivfpq" -> 0.18, "ivfpq_rerank" -> 0.46)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
