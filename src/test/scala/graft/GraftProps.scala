@@ -292,4 +292,51 @@ object GraftProps extends Properties("graft") {
       }
       Prop(a == run(d.repartition(parts)) && gridOk) :| s"parts=$parts"
     }
+
+  property("shingleRows slice/zip form equals the window-lead reference (multiset)") =
+    forAll(genDocRows, Gen.choose(1, 4)) { (rows, n) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val d = toDocs(rows)
+      // the r1-r7 construction, inlined as the reference semantics:
+      // posexplode + per-doc window lead, tail positions dropped
+      val toks = d.select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val reference =
+        if (n == 1) toks.select(col("doc_id"), col("tok").as("sh"))
+        else {
+          val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+          toks.withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
+            .withColumn("_last", leads.last)
+            .filter(col("_last").isNotNull)
+            .select(col("doc_id"), col("sh"))
+        }
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val zip = multiset(graft.functions.Dedup.shingleRows(d, n))
+      val ref = multiset(reference)
+      Prop(zip == ref) :| s"n=$n zip=$zip ref=$ref"
+    }
+
+  property("posShingleRows positions: sh at pos p rebuilds from the token stream") =
+    forAll(genDocRows, Gen.choose(1, 4)) { (rows, n) =>
+      val d = toDocs(rows)
+      val byDoc = d.collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq).toMap
+      val out = graft.functions.Dedup.posShingleRows(d, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val posOk = out.forall { case (id, pos, sh) =>
+        val t = byDoc(id)
+        pos >= 1 && pos + n - 1 <= t.length &&
+          t.slice(pos.toInt - 1, pos.toInt - 1 + n).mkString(" ") == sh
+      }
+      // completeness: every valid start position emits exactly one row
+      val countOk = byDoc.forall { case (id, t) =>
+        out.count(_._1 == id) == math.max(0, t.length - n + 1)
+      }
+      Prop(posOk && countOk) :| s"n=$n out=${out.toSeq}"
+    }
 }
