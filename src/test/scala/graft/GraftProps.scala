@@ -339,4 +339,58 @@ object GraftProps extends Properties("graft") {
       }
       Prop(posOk && countOk) :| s"n=$n out=${out.toSeq}"
     }
+
+  /** Driver-side reference BPE trainer: word-frequency table, greedy
+    * argmax (count DESC, pair ASC), LEFT-TO-RIGHT merge — the
+    * textbook loop the distributed string-replace implementation must
+    * reproduce exactly. */
+  private def referenceBpe(texts: Seq[String], nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+").toSeq)
+      .groupBy(identity).map { case (w, ws) => w.toVector.map(_.toString) -> ws.length.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var dry = false
+    while (out.length < nMerges && !dry) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val max = counts.values.max
+        val (l, r) = counts.collect { case (p, c) if c == max => p }.toSeq.min
+        out += ((l, r, max))
+        vocab = vocab.groupBy { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length)
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          b.result()
+        }.map { case (merged, entries) => merged -> entries.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  private val genBpeRows: Gen[List[String]] =
+    Gen.nonEmptyListOf(for {
+      nw <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(nw, Gen.oneOf("ab", "aab", "abab", "ba", "a", "bb", "aba"))
+    } yield ws.mkString(" "))
+
+  property("bpeTrain equals the driver-side reference trainer; repartition-invariant") =
+    forAll(genBpeRows, Gen.choose(1, 4), Gen.choose(1, 7)) { (texts, k, parts) =>
+      val d = toDocs(texts.zipWithIndex.map { case (t, _) => ("sA", t) })
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.TextAnalysis.bpeTrain(df, k).collect()
+          .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val got = run(d)
+      val ref = referenceBpe(texts, k)
+      Prop(got == ref && got == run(d.repartition(parts))) :|
+        s"k=$k got=$got ref=$ref"
+    }
 }
