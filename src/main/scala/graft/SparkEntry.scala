@@ -3375,7 +3375,7 @@ object SparkEntry {
     raw"""WITH w AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents) GROUP BY w),
-         |s0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq FROM w),
+         |s0 AS (SELECT regexp_replace(w, '(?s)(.)', ' \1 ', 'g') AS sym, freq FROM w),
          |""".stripMargin + stages.mkString(",\n")
   }
 

@@ -99,7 +99,13 @@ object TextAnalysis {
     var state = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("freq"))
+      // (?s): Java's "." skips Unicode line terminators (u0085, u2028,
+      // u2029) that are NOT \s in Java and so can sit INSIDE a word —
+      // unwrapped they'd glue onto the neighboring symbol here while
+      // the apply-side \S wrap (and the oracle's RE2 ".") treats them
+      // as ordinary chars. DOTALL makes every word char a symbol in
+      // all three places.
+      .select(regexp_replace(col("w"), "(?s)(.)", " $1 ").as("sym"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0

@@ -323,9 +323,12 @@ object GraftProps extends Properties("graft") {
   property("posShingleRows positions: sh at pos p rebuilds from the token stream") =
     forAll(genDocRows, Gen.choose(1, 4)) { (rows, n) =>
       val d = toDocs(rows)
+      // engine tokenizer semantics: space-only trim, locale-pinned
+      // lowercase, keep-empty split (see referenceBpe's note)
       val byDoc = d.collect().map(r =>
         r.getAs[Long]("doc_id") ->
-          r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq).toMap
+          r.getAs[String]("text").toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("^ +| +$", "").split("\\s+", -1).toSeq).toMap
       val out = graft.functions.Dedup.posShingleRows(d, n).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       val posOk = out.forall { case (id, pos, sh) =>
@@ -345,8 +348,16 @@ object GraftProps extends Properties("graft") {
     * textbook loop the distributed string-replace implementation must
     * reproduce exactly. */
   private def referenceBpe(texts: Seq[String], nMerges: Int): Seq[(String, String, Long)] = {
+    // Tokenize with the ENGINE's semantics, which ScalaCheck shrinking
+    // probes with arbitrary control characters: Spark's trim (and the
+    // DuckDB oracle's) strips ASCII SPACES only — Java's String.trim
+    // would also strip NUL/control chars <= U+0020 and spuriously
+    // empty a NUL-only word the engine correctly pairs. Locale-
+    // pinned lowercase for the same reason (Spark lower is
+    // locale-independent).
+    def spaceTrim(s: String) = s.replaceAll("^ +| +$", "")
     var vocab: Map[Vector[String], Long] = texts
-      .flatMap(_.trim.toLowerCase.split("\\s+").toSeq)
+      .flatMap(t => spaceTrim(t.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1).toSeq)
       .groupBy(identity).map { case (w, ws) => w.toVector.map(_.toString) -> ws.length.toLong }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var dry = false
@@ -360,7 +371,10 @@ object GraftProps extends Properties("graft") {
       if (counts.isEmpty) dry = true
       else {
         val max = counts.values.max
-        val (l, r) = counts.collect { case (p, c) if c == max => p }.toSeq.min
+        // NOTE: collect-to-pairs on a Map would rebuild a MAP and
+        // collapse candidates sharing a left symbol (second insert
+        // wins, hash-order dependent) — go through a Seq for the argmin
+        val (l, r) = counts.toSeq.collect { case (p, c) if c == max => p }.min
         out += ((l, r, max))
         vocab = vocab.groupBy { case (syms, _) =>
           val b = Vector.newBuilder[String]
@@ -390,7 +404,9 @@ object GraftProps extends Properties("graft") {
           .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
       val got = run(d)
       val ref = referenceBpe(texts, k)
+      def hex(s: String) = s.map(c => f"u${c.toInt}%04x").mkString(" ")
+      def hexed(m: Seq[(String, String, Long)]) = m.map(t => (hex(t._1), hex(t._2), t._3))
       Prop(got == ref && got == run(d.repartition(parts))) :|
-        s"k=$k got=$got ref=$ref"
+        s"k=$k texts=${texts.map(hex)} got=${hexed(got)} ref=${hexed(ref)}"
     }
 }
