@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.functions.{DataQuality, Dedup, Similarity, TextAnalysis}
 import graft.operators.{Relational, ReportUpsert, SpendingReport, Temporal}
 
@@ -26,14 +26,26 @@ object SparkEntry {
 
   private def tx(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
 
-  /** DEMO-TIER queries: kept on the board as oracle-portability
-    * vehicles, but their shapes deliberately do NOT scale (the 16-bit
-    * simhash bands into only 16 buckets/band, so its self-join tends
-    * toward N²/16 candidates as the corpus grows — the production
-    * sibling is `q_simhash64_neardup`). Scale-up runs and capacity
-    * planning should exclude this set mechanically; `Bench` honors
+  /** DEMO/DIAGNOSTIC-TIER queries: kept on the board as
+    * oracle-portability or measurement vehicles, but excluded from
+    * scale-up runs and capacity planning because their cost is not a
+    * serving cost:
+    *  - `q_simhash_neardup`: the 16-bit demo bands into only 16
+    *    buckets/band, so its self-join tends toward N²/16 candidates
+    *    as the corpus grows — the production sibling is
+    *    `q_simhash64_neardup`;
+    *  - `q_ann_recall`: the brute-force query×corpus ground truth plus
+    *    all 9 method pipelines is the POINT of the diagnostic — its
+    *    cost grows with every method added and linearly with the
+    *    corpus; per-method recall floors stay pinned in `sbt test`
+    *    (FunctionsSpec), so recall regressions still fail red there;
+    *  - `q_candidate_stats`: runs all four blocking families under
+    *    their caps on purpose (the feasibility artifact) — cost IS its
+    *    job.
+    * Scale-up runs exclude this set mechanically; `Bench` honors
     * SPARK_GRAFT_SKIP_DEMO=1. */
-  val demo: Set[String] = Set("q_simhash_neardup")
+  val demo: Set[String] =
+    Set("q_simhash_neardup", "q_ann_recall", "q_candidate_stats")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
@@ -374,15 +386,27 @@ object SparkEntry {
           variant_get(col("details"), "$.total_spent", "double").as("total_spent"),
           variant_get(col("details"), "$.total_transactions", "bigint").as("total_transactions"))
     }),
-    // --- A7 at scale: HLL approximate-distinct toggle (rows-only; the
-    // estimate is engine-specific so there is no cross-engine oracle) ---
+    // --- A7 at scale: HLL approximate-distinct toggle ---
+    // HLL++ sketch promoted from rows-only to a BOUNDED-ERROR gate:
+    // the row carries the exact counts plus a within-bound flag
+    // (|approx-exact| <= 10% of exact — 5× the sketch's 2% rsd; the
+    // sketch is deterministic per dataset, so the flag is stable), and
+    // the oracle computes the exact counts with literal-1 flags — the
+    // hash matches iff the sketch honors its documented bound.
     "q_approx_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      def ok(approx: Column, exact: Column): Column =
+        when(abs(approx - exact).cast("double") <= exact.cast("double") * 0.10, 1L)
+          .otherwise(0L)
       tx(s, d).agg(
         countDistinct(col("vendor")).as("exact_vendors"),
-        approx_count_distinct(col("vendor"), 0.02).as("approx_vendors"),
+        approx_count_distinct(col("vendor"), 0.02).as("_av"),
         countDistinct(col("category")).as("exact_categories"),
-        approx_count_distinct(col("category"), 0.02).as("approx_categories"))
+        approx_count_distinct(col("category"), 0.02).as("_ac"))
+        .select(col("exact_vendors"),
+          ok(col("_av"), col("exact_vendors")).as("vendors_ok"),
+          col("exact_categories"),
+          ok(col("_ac"), col("exact_categories")).as("categories_ok"))
     }),
     // --- SQL entry surface (correlated subquery, CASE agg, LIKE) ---
     "q_above_nation_avg" -> ((s, d) =>
@@ -473,16 +497,31 @@ object SparkEntry {
         .select(col("category"), col("qs").getItem(0).as("q25"),
           col("qs").getItem(1).as("q50"), col("qs").getItem(2).as("q75"), col("n"))
     }),
-    // approx-percentile scale toggle (rows-only like the HLL toggle:
-    // the sketch estimate is engine-specific; spec bounds it against
-    // the exact oracle-gated percentiles)
+    // KLL-style approx_percentile promoted from rows-only to a
+    // BOUNDED-ERROR gate: each returned quantile v must satisfy the
+    // rank guarantee |rank(v) - p·n| <= δ·n (δ = 0.005, 5× the
+    // sketch's 1/accuracy = 0.001) — verified as count(< v) <=
+    // (p+δ)·n AND count(<= v) >= (p-δ)·n per category. The row
+    // carries (category, n, ok-flags); the oracle computes n with
+    // literal-1 flags, so the hash matches iff the sketch honors its
+    // documented rank bound.
     "q_approx_percentiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      tx(s, d).groupBy(col("category"))
-        .agg(expr("approx_percentile(amount, array(0.25, 0.5, 0.75), 1000)").as("qs"),
-             count(lit(1)).as("n"))
-        .select(col("category"), col("qs").getItem(0).as("q25"),
-          col("qs").getItem(1).as("q50"), col("qs").getItem(2).as("q75"), col("n"))
+      val appr = tx(s, d).groupBy(col("category"))
+        .agg(expr("approx_percentile(amount, array(0.25, 0.5, 0.75), 1000)").as("qs"))
+      def okFlag(p: Double, q: Column): Column = {
+        val delta = 0.005
+        val le = sum(when(col("amount") <= q, 1L).otherwise(0L)).cast("double")
+        val lt = sum(when(col("amount") < q, 1L).otherwise(0L)).cast("double")
+        val n = count(lit(1)).cast("double")
+        when(lt <= lit(p + delta) * n && le >= lit(p - delta) * n, 1L).otherwise(0L)
+      }
+      tx(s, d).join(broadcast(appr), Seq("category"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"),
+          okFlag(0.25, col("qs").getItem(0)).as("ok25"),
+          okFlag(0.50, col("qs").getItem(1)).as("ok50"),
+          okFlag(0.75, col("qs").getItem(2)).as("ok75"))
     }),
     // SpaceSaving degenerates to exact counts while the vocabulary fits
     // the sketch capacity (this corpus: ~40 distinct tokens < 64 at
@@ -1026,6 +1065,22 @@ object SparkEntry {
       "'u' || user_id AS vendor, value AS amount FROM events"
 
   def oracleSql: Map[String, String] = Map(
+    // Bounded-error sketch gates: the oracle computes the EXACT side
+    // plus literal-1 within-bound flags; the Spark row computes the
+    // flags from the sketch's documented bound — hash matches iff the
+    // sketch honors it (see the queries' comments for the bounds).
+    "q_approx_distinct" ->
+      s"""SELECT count(DISTINCT vendor) AS exact_vendors,
+         |       CAST(1 AS BIGINT) AS vendors_ok,
+         |       count(DISTINCT category) AS exact_categories,
+         |       CAST(1 AS BIGINT) AS categories_ok
+         |FROM ($txSql)""".stripMargin,
+    "q_approx_percentiles" ->
+      s"""SELECT category, count(*) AS n,
+         |       CAST(1 AS BIGINT) AS ok25,
+         |       CAST(1 AS BIGINT) AS ok50,
+         |       CAST(1 AS BIGINT) AS ok75
+         |FROM ($txSql) GROUP BY category""".stripMargin,
     "q_global_summary" ->
       s"""SELECT cast(sum(cast(amount AS DECIMAL(14,2))) AS double) AS total_spent,
          |       count(*) AS total_transactions,

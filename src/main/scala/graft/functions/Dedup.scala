@@ -346,10 +346,15 @@ object Dedup {
     *    docs' hot arrays. At 100 TB the full sets are the corpus; the
     *    stats rows are scalars plus a capped-cardinality array.
     *
-    * Both returned frames are eagerly localCheckpointed (the posting
-    * persist is released before returning). */
+    * The returned frame is the candidate pairs ALREADY joined to both
+    * docs' stats and filtered by `prune` (a metric-specific necessary
+    * condition over rare_shared / n_a / n_b / hot_a / hot_b), then
+    * eagerly localCheckpointed. Pruning BEFORE the checkpoint matters
+    * at scale: the unfiltered pair set (every pair sharing >=1 rare
+    * shingle) can be far larger than the post-prune set when near-dup
+    * density is high, and checkpoint storage would grow with it. */
   private def invertedCandidates(docs: DataFrame, n: Int, maxDocFreq: Int,
-                                 op: String): (DataFrame, DataFrame) = {
+                                 op: String, prune: Column): DataFrame = {
     val post = shingleRows(docs, n, Seq("lang", "source"))
       .select(col("lang"), col("source"), col("doc_id"), col("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -368,7 +373,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("rare_shared"))
-      .localCheckpoint()
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hotPerDoc = post.join(hot, Seq("lang", "source", "sh"))
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("hot_sh"))
@@ -376,25 +380,40 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("hot_sh"), array().cast("array<string>")).as("hot_sh"))
       .localCheckpoint()
+    val pruned = cand
+      .join(docStats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("hot_sh").as("hot_a")), Seq("doc_a"))
+      .join(docStats.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("hot_sh").as("hot_b")), Seq("doc_b"))
+      .filter(prune)
+      .localCheckpoint()
     post.unpersist()
-    (docStats, cand)
+    pruned
   }
+
+  /** Shared exact-intersection upper bound for candidate pruning:
+    * |A∩B| = rare_shared + |hot_A ∩ hot_B| <= rare_shared +
+    * min(|hot_A|,|hot_B|), and always <= min(|A|,|B|). Monotone in the
+    * true intersection, so any threshold on a metric increasing in
+    * |A∩B| can be pre-filtered on this bound without changing the
+    * result. */
+  private def interUpperBound: Column =
+    least(col("rare_shared") + least(size(col("hot_a")), size(col("hot_b"))).cast("long"),
+      least(col("n_a"), col("n_b")))
 
   def ngramJaccardPairsInverted(docs: DataFrame, n: Int, minJaccard: Double,
                                 maxDocFreq: Int = 0): DataFrame = {
-    val (stats, cand) = invertedCandidates(docs, n, maxDocFreq,
-      "ngramJaccardPairsInverted")
-    cand
-      .join(stats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
-        col("hot_sh").as("hot_a")), Seq("doc_a"))
-      .join(stats.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
-        col("hot_sh").as("hot_b")), Seq("doc_b"))
-      // Size-ratio prune: J >= t implies min(|A|,|B|)*(1+t) >= t*(|A|+|B|)
-      // (since |A∩B| <= min) — necessary condition only, result
-      // unchanged; the hot intersect never runs for pairs that cannot
-      // qualify.
-      .filter(least(col("n_a"), col("n_b")).cast("double") * (1.0 + minJaccard)
+    // Prune BEFORE the candidate checkpoint: J >= t ⟺ inter >=
+    // t/(1+t)*(|A|+|B|), and inter <= interUpperBound — a necessary
+    // condition only, result unchanged (strictly stronger than the
+    // old min(|A|,|B|) size-ratio form, which is this bound with the
+    // hot term dropped); the hot intersect never runs, and the pair
+    // never reaches checkpoint storage, if it cannot qualify.
+    val cand = invertedCandidates(docs, n, maxDocFreq,
+      "ngramJaccardPairsInverted",
+      interUpperBound.cast("double") * (1.0 + minJaccard)
         >= lit(minJaccard) * (col("n_a") + col("n_b")).cast("double"))
+    cand
       .withColumn("inter",
         col("rare_shared") + size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"))
       .withColumn("uni", (col("n_a") + col("n_b")) - col("inter"))
@@ -448,13 +467,13 @@ object Dedup {
     * differs. */
   def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
                             maxDocFreq: Int = 0): DataFrame = {
-    val (stats, cand) = invertedCandidates(docs, n, maxDocFreq,
-      "ngramContainmentPairs")
+    // Prune before checkpoint: C >= t ⟺ inter >= t*min(|A|,|B|), and
+    // inter <= interUpperBound — necessary condition, result unchanged.
+    val cand = invertedCandidates(docs, n, maxDocFreq,
+      "ngramContainmentPairs",
+      interUpperBound.cast("double")
+        >= lit(minContainment) * least(col("n_a"), col("n_b")).cast("double"))
     cand
-      .join(stats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
-        col("hot_sh").as("hot_a")), Seq("doc_a"))
-      .join(stats.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
-        col("hot_sh").as("hot_b")), Seq("doc_b"))
       .withColumn("inter",
         col("rare_shared") + size(array_intersect(col("hot_a"), col("hot_b"))).cast("long"))
       .withColumn("min_size", least(col("n_a"), col("n_b")))

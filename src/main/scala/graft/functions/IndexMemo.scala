@@ -2,27 +2,34 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-scoped memo of derived-index frames keyed on (tag, session,
-  * input plan, params) — the in-session form of "compute the
-  * signature / pair / bucket / label index ONCE per corpus". At 100 TB
-  * these indexes are persisted at ingest (DESIGN.md); in-session, any
-  * two operators deriving the same index from the same input plan
-  * (`sameResult`) share one localCheckpointed materialization.
+/** Session-scoped memo of derived-index artifacts keyed on (tag,
+  * session, input plan, params) — the in-session form of "compute the
+  * signature / pair / bucket / codebook index ONCE per corpus". At
+  * 100 TB these indexes are persisted at ingest (DESIGN.md);
+  * in-session, any two operators deriving the same index from the
+  * same input plan (`sameResult`) share one localCheckpointed
+  * materialization.
   *
-  * Entries hold only checkpointed frames that are bounded relative to
-  * the corpus (pair graphs, label maps, id+bucket tables); the list is
-  * capped, and a plan mismatch or new session just recomputes — the
-  * memo is an optimization, never a correctness dependency.
+  * Entries hold only checkpointed frames (or small tuples of them —
+  * e.g. a PQ codebook + code table) that are bounded relative to the
+  * corpus (pair graphs, label maps, id+bucket tables, k×dims centroid
+  * tables); the list is capped, and a plan mismatch or new session
+  * just recomputes — the memo is an optimization, never a correctness
+  * dependency.
   */
-private[functions] object IndexMemo {
+private[graft] object IndexMemo {
   private var entries: List[((String, Any), org.apache.spark.sql.SparkSession,
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)] = Nil
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any)] = Nil
 
   /** Observable for the sharing specs: total memo hits this JVM. */
   @volatile var hits: Long = 0L
 
-  def apply(tag: String, input: DataFrame, params: Any)
-           (compute: => DataFrame): DataFrame = synchronized {
+  /** Generic form: memoize any artifact derived from `input` — used
+    * for multi-frame index bundles (codes + centroids). The cached
+    * value must be fully materialized (checkpointed frames / collected
+    * rules), never a lazy plan over unpersisted state. */
+  def of[T](tag: String, input: DataFrame, params: Any)
+           (compute: => T): T = synchronized {
     val sess = input.sparkSession
     val plan = input.queryExecution.analyzed
     val key = (tag, params)
@@ -31,11 +38,15 @@ private[functions] object IndexMemo {
     } match {
       case Some((_, _, _, cached)) =>
         hits += 1
-        cached
+        cached.asInstanceOf[T]
       case None =>
         val res = compute
-        entries = ((key, sess, plan, res) :: entries).take(8)
+        entries = ((key, sess, plan, (res: Any)) :: entries).take(16)
         res
     }
   }
+
+  def apply(tag: String, input: DataFrame, params: Any)
+           (compute: => DataFrame): DataFrame =
+    of[DataFrame](tag, input, params)(compute)
 }

@@ -393,7 +393,13 @@ object Similarity {
     * run long-form (posexplode + joins/groupBy — fully codegen);
     * each round localCheckpoints to truncate lineage. Returns
     * (cell_id, centroid ARRAY<DOUBLE>). Seeds = the k lowest vec_ids. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    // Memoized per (input plan, k, iters): centroids are k×dims
+    // corpus-derived state shared by every IVF consumer — see pqTrain.
+    IndexMemo("kmeans_cents", embeddings, (k, iters))(
+      kmeansCentroidsCompute(embeddings, k, iters))
+
+  private def kmeansCentroidsCompute(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val vdims = v.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
       .localCheckpoint()
@@ -510,8 +516,19 @@ object Similarity {
   def pqTrain(embeddings: DataFrame, m: Int, ksub: Int,
               iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"pqTrain needs at least one iteration, got $iters")
+    // Memoized per (quantized input plan, m, ksub, iters): the trained
+    // index (checkpointed codes + centroids) is corpus-derived state,
+    // and the topk / rerank siblings over the same corpus would
+    // otherwise each re-run the full Lloyd loop.
+    val e = ensureQuantized(embeddings)
+    IndexMemo.of[(DataFrame, DataFrame)]("pq_train", e, (m, ksub, iters))(
+      pqTrainCompute(e, m, ksub, iters))
+  }
+
+  private def pqTrainCompute(e: DataFrame, m: Int, ksub: Int,
+                             iters: Int): (DataFrame, DataFrame) = {
     val shift = 1048576L // 2^20 (see kmeansFixedPoint)
-    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val v = e.select(col("vec_id"), col("q"))
     val dims = v.select(size(col("q"))).head().getInt(0)
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val subDim = dims / m
@@ -640,9 +657,17 @@ object Similarity {
   def rqTrain(embeddings: DataFrame, k1: Int, k2: Int,
               iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, s"rqTrain needs at least one iteration, got $iters")
+    // Memoized per (quantized input plan, k1, k2, iters) — see pqTrain.
+    val e = ensureQuantized(embeddings)
+    IndexMemo.of[(DataFrame, DataFrame, DataFrame)]("rq_train", e, (k1, k2, iters))(
+      rqTrainCompute(e, k1, k2, iters))
+  }
+
+  private def rqTrainCompute(e: DataFrame, k1: Int, k2: Int,
+                             iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
     val shift2 = 2097152L  // 2^21: residuals in [-2^21, 2^21] re-shift non-negative
-    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val v = e.select(col("vec_id"), col("q"))
     val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
       .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
       .localCheckpoint()
@@ -770,7 +795,58 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
     val shift2 = 2097152L  // 2^21 residual re-shift (see rqTrain)
-    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+    val e = ensureQuantized(embeddings)
+    // Memoized per (quantized input plan, nCells, m, ksub, iters) —
+    // the trained IVFADC index (codes + coarse centroids + residual
+    // codebooks) is shared by the topk / rerank siblings; see pqTrain.
+    val (codes, cc, pc, subDim) =
+      IndexMemo.of[(DataFrame, DataFrame, DataFrame, Int)](
+        "ivfpq_train", e, (nCells, m, ksub, iters))(
+        ivfpqTrainCompute(e, nCells, m, ksub, iters))
+    // --- search ---
+    val qd = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+      .localCheckpoint() // consumed twice: cell ranking + residuals
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val probed = qd.join(broadcast(cc), Seq("d"))
+      .groupBy(col("query_id"), col("cell_id"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("cd"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val qrd = probed.join(qd, Seq("query_id"))
+      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
+      .select(col("query_id"), col("cell_id"),
+        expr(s"d div $subDim").cast("int").as("s"),
+        col("d"), (col("x") - col("_cc") + shift2).as("rqx"))
+    val adc = qrd.join(broadcast(pc), Seq("s", "d"))
+      .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
+      .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    // a candidate lives in exactly one cell, so a (query, candidate)
+    // group holds exactly its m subspace entries — no dedup needed
+    codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+  }
+
+  /** The training block of `ivfpqTopK`: coarse fixed-point k-means,
+    * residuals, PQ codebooks on the residuals, and the final code
+    * index. Returns (codes, coarse centroids, PQ codebooks, subDim),
+    * every frame checkpointed. */
+  private def ivfpqTrainCompute(e: DataFrame, nCells: Int, m: Int, ksub: Int,
+                                iters: Int): (DataFrame, DataFrame, DataFrame, Int) = {
+    val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
+    val shift2 = 2097152L  // 2^21 residual re-shift (see rqTrain)
+    val v = e.select(col("vec_id"), col("q"))
     val dims = v.select(size(col("q"))).head().getInt(0)
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val subDim = dims / m
@@ -833,39 +909,7 @@ object Similarity {
     }
     // the inverted index: (vec, cell, s, code) — all the search scans
     val codes = assignP(pc).join(ca, Seq("vec_id")).localCheckpoint()
-    // --- search ---
-    val qd = ensureQuantized(embeddings).filter(queryPred)
-      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
-      .localCheckpoint() // consumed twice: cell ranking + residuals
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cd").asc, col("cell_id").asc)
-    val probed = qd.join(broadcast(cc), Seq("d"))
-      .groupBy(col("query_id"), col("cell_id"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("cd"))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("cell_id"))
-    val qrd = probed.join(qd, Seq("query_id"))
-      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
-      .select(col("query_id"), col("cell_id"),
-        expr(s"d div $subDim").cast("int").as("s"),
-        col("d"), (col("x") - col("_cc") + shift2).as("rqx"))
-    val adc = qrd.join(broadcast(pc), Seq("s", "d"))
-      .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
-      .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    // a candidate lives in exactly one cell, so a (query, candidate)
-    // group holds exactly its m subspace entries — no dedup needed
-    codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+    (codes, cc, pc, subDim)
   }
 
   /** PQ search with exact re-ranking — the production retrieval shape

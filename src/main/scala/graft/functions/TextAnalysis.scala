@@ -92,8 +92,22 @@ object TextAnalysis {
     * rank order, the same rules as a DataFrame). Shared by `bpeTrain`
     * (returns the frame) and `bpeApply` (folds the triples into a
     * replace chain); the post-merge word-frequency state itself is
-    * training-internal and discarded. */
+    * training-internal and discarded.
+    *
+    * Training is memoized per (input plan, nMerges) via `IndexMemo`:
+    * the eager per-round driver-collected argmax loop is the expensive
+    * part, and `bpeTrain` / `bpeApply` / `bpeFertility` over the same
+    * corpus would otherwise each re-run it. The cached artifact is the
+    * rules frame — a LocalRelation of at most nMerges rows — so the
+    * triples re-collect from it for free on a hit. */
   private def bpeMerges(docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    val rules = IndexMemo("bpeMerges", docs, nMerges)(trainMerges(docs, nMerges))
+    val triples = rules.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    (triples, rules)
+  }
+
+  private def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     var state = docs
@@ -134,10 +148,25 @@ object TextAnalysis {
       }
     }
     import spark.implicits._
-    val out = merges.toSeq.zipWithIndex
+    merges.toSeq.zipWithIndex
       .map { case ((l, r, n), i) => (i + 1, l, r, n) }
       .toDF("rank", "lhs", "rhs", "n")
-    (merges.toSeq, out)
+  }
+
+  /** `bpeApply` with PRE-TRAINED merge rules — the composition seam
+    * for callers chaining several apply-side queries (fertility,
+    * budgeting) over one training pass: train once with `bpeTrain` /
+    * `bpeMerges`, fold the same rules many times. */
+  def bpeApplyTrained(docs: DataFrame, merges: Seq[(String, String, Long)],
+                      extraCols: Seq[String] = Nil): DataFrame = {
+    val wrapped = regexp_replace(lower(col("text")), "(\\S)", " $1 ")
+    val merged = merges.foldLeft(wrapped) { case (c, (l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    docs.select(
+      col("doc_id") +: extraCols.map(col) :+
+        size(tokens(col("text"))).cast("long").as("n_words") :+
+        size(split(trim(merged), "\\s+")).cast("long").as("n_bpe_tokens"): _*)
   }
 
   /** Apply-side of the trained tokenizer: per-doc token counts under
@@ -152,17 +181,8 @@ object TextAnalysis {
     * separator and no merge can span words. Map-side only — one scan,
     * zero exchanges. */
   def bpeApply(docs: DataFrame, nMerges: Int,
-               extraCols: Seq[String] = Nil): DataFrame = {
-    val (merges, _) = bpeMerges(docs, nMerges)
-    val wrapped = regexp_replace(lower(col("text")), "(\\S)", " $1 ")
-    val merged = merges.foldLeft(wrapped) { case (c, (l, r, _)) =>
-      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
-    docs.select(
-      col("doc_id") +: extraCols.map(col) :+
-        size(tokens(col("text"))).cast("long").as("n_words") :+
-        size(split(trim(merged), "\\s+")).cast("long").as("n_bpe_tokens"): _*)
-  }
+               extraCols: Seq[String] = Nil): DataFrame =
+    bpeApplyTrained(docs, bpeMerges(docs, nMerges)._1, extraCols)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 

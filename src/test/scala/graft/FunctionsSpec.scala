@@ -291,13 +291,15 @@ class NormalizeTextSpec extends SparkSpec {
 }
 
 class ApproxDistinctSpec extends SparkSpec {
-  test("HLL approx distinct within configured 2% tolerance at sf0.01") {
+  test("HLL approx distinct within documented bound at sf0.01 (gated flags)") {
     val r = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.01").head()
-    val (exactV, approxV) = (r.getLong(0), r.getLong(1))
-    assert(math.abs(approxV - exactV).toDouble / exactV < 0.05,
-      s"vendors: exact=$exactV approx=$approxV")
-    val (exactC, approxC) = (r.getLong(2), r.getLong(3))
-    assert(math.abs(approxC - exactC) <= math.max(1, (0.05 * exactC).toLong))
+    // the within-bound flags ARE the gate (|approx-exact| <= 10% of
+    // exact); the DuckDB oracle hashes them against literal 1s
+    assert(r.getAs[Long]("vendors_ok") == 1L,
+      s"vendors sketch out of bound: exact=${r.getAs[Long]("exact_vendors")}")
+    assert(r.getAs[Long]("categories_ok") == 1L,
+      s"categories sketch out of bound: exact=${r.getAs[Long]("exact_categories")}")
+    assert(r.getAs[Long]("exact_vendors") > 0 && r.getAs[Long]("exact_categories") > 0)
   }
 }
 

@@ -54,6 +54,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // LocalRelation of k rules
     "q_bpe_apply" -> 0,               // trained replace chain applied in the
                                       // scan stage: one pass, map-side only
+    "q_bpe_fertility" -> 1,           // the apply plan (map-side) + ONE
+                                      // lang-keyed fertility agg
     "q_packing" -> 2,                 // shard-partitioned window + grouped agg
     "q_redact_pii" -> 0,              // pure map-side regex pipeline
     "q_incremental_dedup" -> 0,       // final pass = broadcast anti-join over
@@ -155,6 +157,13 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // id distinct + the semi-join
                                       // id exchange + final rerank
                                       // window (vectors broadcast)
+    "q_rq_rerank" -> 3,               // mirror of q_pq_rerank: RQ pool is
+                                      // checkpointed; pool id distinct +
+                                      // semi-join id exchange + final
+                                      // rerank window (vectors broadcast)
+    "q_ivfpq_rerank" -> 3,            // same refine shape: IVFADC pool
+                                      // checkpoint + distinct + semi-join
+                                      // + rerank window
     "q_quality_calibrated" -> 3,      // globalRank's range partition is
                                       // checkpointed; the _pid rank
                                       // window subtree feeds BOTH the

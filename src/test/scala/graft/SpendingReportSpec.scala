@@ -148,17 +148,18 @@ class SpendingReportSpec extends SparkSpec {
     }
   }
 
-  test("approx_percentile toggle stays within sketch error of exact percentiles") {
+  test("approx_percentile rank-bound flags all pass (gated against literal-1 oracle)") {
     val sf = "/root/testdata/sf0.001"
-    def byCat(name: String, col: String) =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .map(r => r.getString(0) -> r.getAs[Double](col)).toMap
-    val exact = byCat("q_percentiles", "q50")
-    val approx = byCat("q_approx_percentiles", "q50")
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (cat, q) =>
-      assert(math.abs(approx(cat) - q) <= math.max(1.0, math.abs(q)) * 0.05,
-        s"approx median for $cat too far: ${approx(cat)} vs $q")
+    val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the ok-flags encode the sketch's documented rank guarantee
+    // (count(< v) <= (p+δ)n AND count(<= v) >= (p-δ)n, δ = 0.005);
+    // the DuckDB oracle hashes them against literal 1s per category
+    rows.foreach { r =>
+      val cat = r.getAs[String]("category")
+      assert(r.getAs[Long]("n") > 0, s"$cat: empty group")
+      Seq("ok25", "ok50", "ok75").foreach(c =>
+        assert(r.getAs[Long](c) == 1L, s"$cat: $c rank bound violated"))
     }
   }
 
