@@ -30,6 +30,10 @@ object Smoke {
     else if (args.headOption.contains("scale")) scaleProbe(spark,
       args.lift(1).map(_.toLong).getOrElse(5000L),
       args.lift(2).map(_.toInt).getOrElse(10))
+    else if (args.headOption.contains("gendata")) genData(spark,
+      args.lift(1).getOrElse("/tmp/scale/gen1x"),
+      args.lift(2).map(_.toInt).getOrElse(1),
+      args.lift(3).getOrElse("/root/testdata/sf0.1"))
     else if (args.headOption.contains("drift")) {
       val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
       val drift = Tables.schemaDrift(spark, dir)
@@ -188,6 +192,52 @@ object Smoke {
 
   /** Time one query in isolation, repeated (rep 1 is cold after a
     * Bench-style warmup; later reps may hit plan-level caches). */
+  /** Scale-up corpus generator (`Smoke gendata <outDir> <factor>
+    * [baseSfDir]`): writes a /root/testdata-shaped directory whose
+    * FACT tables (orders, lineitem, events) are the base tables
+    * replicated `factor`× with consistent key remaps (each replica k
+    * offsets its join keys, so orders↔lineitem clusters stay intact
+    * and no artificial hot keys appear), dims copied as-is (fact-side
+    * scaling isolates the scan/shuffle growth the scaling exponents
+    * measure), and documents/embeddings from `Synthetic` at
+    * `factor`× their sf0.1 cardinality — the planted-dup generator is
+    * prefix-consistent, so a gen1x vs gen10x pair measures REAL
+    * corpus growth with the generator held constant (comparing
+    * generated docs against driver docs would conflate distribution
+    * differences with scale). Run Bench with SPARK_GRAFT_SKIP_DEMO=1
+    * against the two dirs and regress per-family exponents. */
+  private def genData(spark: SparkSession, outDir: String, factor: Int,
+                      baseSf: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val reps = spark.range(factor).select(col("id").as("_k"))
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(8).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      println(s"GENDATA $name rows=${spark.read.parquet(s"$outDir/$name.parquet").count()}")
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$baseSf/$t.parquet"), t)
+    }
+    val orders = spark.read.parquet(s"$baseSf/orders.parquet")
+    write(orders.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("_k"))
+      .drop("_k"), "orders")
+    val lineitem = spark.read.parquet(s"$baseSf/lineitem.parquet")
+    write(lineitem.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") * factor + col("_k"))
+      .drop("_k"), "lineitem")
+    val events = spark.read.parquet(s"$baseSf/events.parquet")
+    write(events.crossJoin(reps)
+      .withColumn("event_id", col("event_id") * factor + col("_k"))
+      // shift each replica by k seconds so (user, ts) stays distinct
+      .withColumn("ts", expr("timestampadd(SECOND, _k, ts)"))
+      .drop("_k"), "events")
+    write(graft.sources.Synthetic.documents(spark, 5000L * factor)
+      .repartition(32), "documents")
+    write(graft.sources.Synthetic.embeddings(spark, 2000L * factor)
+      .repartition(8), "embeddings")
+  }
+
   /** Plan audit over EVERY SparkEntry query: shuffle exchanges, scans,
     * whole-stage-codegen spans, broadcast joins, and pushed filters —
     * the per-query evidence behind the 100 TB shuffle-budget story.

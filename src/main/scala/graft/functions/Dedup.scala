@@ -327,10 +327,11 @@ object Dedup {
     * `ngramContainmentPairs` — only their acceptance metric differs):
     *
     *  - ONE distinct pass builds the (lang, source, doc, shingle)
-    *    posting table; its persist is the sharing barrier for the four
-    *    consumers (doc count, hot detection, candidate join, per-doc
-    *    stats), and the doc-count job that sizes the auto cap doubles
-    *    as its materialization — no extra pass;
+    *    posting table; its IndexMemo-checkpointed materialization is
+    *    the sharing barrier for the four in-query consumers (doc
+    *    count, hot detection, candidate join, per-doc stats) AND for
+    *    the sibling metric's query in the same session — jaccard and
+    *    containment read one posting build;
     *  - the hot-shingle set comes from hash aggregation + anti-join
     *    (NOT a window over (lang,source,sh) — that would sort-shuffle
     *    the whole posting table just to count); it is tiny by
@@ -355,11 +356,22 @@ object Dedup {
     * density is high, and checkpoint storage would grow with it. */
   private def invertedCandidates(docs: DataFrame, n: Int, maxDocFreq: Int,
                                  op: String, prune: Column): DataFrame = {
-    val post = shingleRows(docs, n, Seq("lang", "source"))
-      .select(col("lang"), col("source"), col("doc_id"), col("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cap = if (maxDocFreq > 0) maxDocFreq
-      else autoDocFreqCap(post.select(col("doc_id")).distinct().count())
+    // The distinct posting table is the expensive shared interior of
+    // the whole inverted family (jaccard + containment ask for the
+    // SAME postings; only their acceptance metric differs), so it is
+    // memoized per (docs plan, n): in-session the second consumer
+    // reads one checkpointed materialization; at 100 TB this table is
+    // the ingest-time persisted n-gram index (DESIGN.md), not an
+    // in-memory artifact. The doc count that sizes the auto cap rides
+    // the same memo entry (one count job per materialization).
+    val (post, nDocs) = IndexMemo.of[(DataFrame, Long)](
+      "ngram_postings", docs, (n, "lang,source")) {
+      val p = shingleRows(docs, n, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("doc_id"), col("sh")).distinct()
+        .localCheckpoint()
+      (p, p.select(col("doc_id")).distinct().count())
+    }
+    val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(nDocs)
     val hot = checkpointHot(
       post.groupBy(col("lang"), col("source"), col("sh"))
         .agg(count(lit(1)).as("_df"))
@@ -387,7 +399,6 @@ object Dedup {
         col("hot_sh").as("hot_b")), Seq("doc_b"))
       .filter(prune)
       .localCheckpoint()
-    post.unpersist()
     pruned
   }
 
