@@ -30,6 +30,11 @@ object Smoke {
     else if (args.headOption.contains("scale")) scaleProbe(spark,
       args.lift(1).map(_.toLong).getOrElse(5000L),
       args.lift(2).map(_.toInt).getOrElse(10))
+    else if (args.headOption.contains("count")) {
+      val n = SparkEntry.queries(args(1))(spark,
+        args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
+      println(s"COUNT[${args(1)}]=$n")
+    }
     else if (args.headOption.contains("gendata")) genData(spark,
       args.lift(1).getOrElse("/tmp/scale/gen1x"),
       args.lift(2).map(_.toInt).getOrElse(1),
@@ -234,8 +239,10 @@ object Smoke {
       .drop("_k"), "events")
     write(graft.sources.Synthetic.documents(spark, 5000L * factor)
       .repartition(32), "documents")
-    write(graft.sources.Synthetic.embeddings(spark, 2000L * factor)
-      .repartition(8), "embeddings")
+    // cluster count scales with the corpus (constant cluster size) so
+    // near-dup answers grow linearly — see Synthetic.embeddings
+    write(graft.sources.Synthetic.embeddings(spark, 2000L * factor,
+      nLabels = 20 * factor).repartition(8), "embeddings")
   }
 
   /** Plan audit over EVERY SparkEntry query: shuffle exchanges, scans,

@@ -175,8 +175,24 @@ object Similarity {
     * Oracle-gated (`q_embedding_neardup_lsh`): the md5-portable
     * hyperplanes let DuckDB reproduce the buckets, so the banded plan
     * is hash-checked against a cross-engine mirror, not just rows>0. */
+  /** Hyperplane count sized to the corpus: expected bucket occupancy
+    * n / 2^bits stays ~`targetBucket`, so the per-bucket self-join is
+    * occupancy²·2^bits ∝ n·targetBucket — LINEAR in the corpus. A
+    * FIXED bits is the classic LSH scale trap (the 10× scale probe
+    * measured the 4-bit demo setting going quadratic: bucket occupancy
+    * grows with n, candidates with n²/2^bits); recall per table drops
+    * as bits grow (p^bits), which is what multi-table probing (the
+    * `tables` knob, recall ≈ 1-(1-p^bits)^L) exists to buy back. */
+  def autoLshBits(nVecs: Long, targetBucket: Int = 256): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, nVecs.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** `bits <= 0` auto-sizes the hyperplane count from the measured
+    * corpus via `autoLshBits` (one count job) — the scale-safe default;
+    * explicit bits pins the demo/oracle-gated shapes. */
   def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double,
                       bits: Int, tables: Int): DataFrame = {
+    val bitsEff = if (bits > 0) bits else autoLshBits(embeddings.count())
     // Checkpoint the quantized vectors: both self-join sides consume
     // them, and without the materialization barrier column pruning
     // specializes the quantize+norm subtree per side and runs it twice
@@ -184,7 +200,7 @@ object Similarity {
     val e = ensureQuantized(embeddings)
       .select(col("vec_id"), col("q"), col("nq"))
       .localCheckpoint()
-    val buckets = lshBucketsMulti(embeddings, bits, tables) // memoized + checkpointed
+    val buckets = lshBucketsMulti(embeddings, bitsEff, tables) // memoized + checkpointed
     val side = e.join(buckets, Seq("vec_id"))
     val a = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("nq").as("na"))

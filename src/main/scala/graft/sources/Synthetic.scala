@@ -67,11 +67,19 @@ object Synthetic {
         concat(lit("src"), (col("base") % 20).cast("string")).as("source"),
         length(col("text")).cast("long").as("n_chars"))
 
-  def embeddings(spark: SparkSession, nVecs: Long, dims: Int = 64): DataFrame =
+  /** `nLabels` defaults to the sf0.1-shaped 20 clusters; scale probes
+    * should grow it WITH nVecs (constant cluster size) — with a fixed
+    * label count the intra-cluster near-dup ANSWER is quadratic in
+    * nVecs (every same-cluster pair clears a 0.4-cosine threshold:
+    * 2k vecs / 20 clusters → 20·C(100,2) ≈ 98k pairs, measured), and
+    * an output-bound operator then measures the answer's growth, not
+    * its own. */
+  def embeddings(spark: SparkSession, nVecs: Long, dims: Int = 64,
+                 nLabels: Int = 20): DataFrame =
     spark.range(nVecs)
       .withColumn("base",
         when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
-      .withColumn("label", (col("base") % 20).cast("int"))
+      .withColumn("label", (col("base") % nLabels).cast("int"))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${dims - 1}), d ->
            |  CAST((CAST(conv(substring(md5(concat(label, 'c', d)), 1, 6), 16, 10) AS BIGINT) % 2001 - 1000) / 1250.0

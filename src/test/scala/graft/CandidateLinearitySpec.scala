@@ -64,6 +64,36 @@ class CandidateLinearitySpec extends SparkSpec {
       s"combi tables must not generate more candidates than plain bands: $c4")
   }
 
+  test("autoLshBits holds bucket occupancy ~constant: candidates linear where fixed bits go quadratic") {
+    import graft.functions.Similarity
+    // formula: bits = ceil(log2(n / targetBucket))
+    assert(Similarity.autoLshBits(2000, 256) == 3)
+    assert(Similarity.autoLshBits(20000, 256) == 7)
+    assert(Similarity.autoLshBits(2000000, 256) == 13)
+    assert(Similarity.autoLshBits(100, 256) == 1) // floor
+    // empirical, fully md5-deterministic: planted-cluster embeddings
+    // with cluster COUNT ∝ n (constant cluster size -> linear true
+    // answer). Under auto bits the banded candidate count stays ~110-130
+    // per row across 16× growth; under the fixed 4-bit demo setting the
+    // same 4× corpus is already ~2.9× per-row denser (the quadratic
+    // n²/2^bits bucket term the auto knob exists to fence).
+    def cand(nv: Long, bits: Int): Long = {
+      val emb = Synthetic.embeddings(spark, nv, nLabels = (nv / 100).toInt)
+      Similarity.lshBucketsMulti(emb, bits, 2)
+        .as("x").join(Similarity.lshBucketsMulti(emb, bits, 2).as("y"),
+          Seq("tbl", "bucket"))
+        .filter(col("x.vec_id") < col("y.vec_id")).count()
+    }
+    val auto1 = cand(1000, Similarity.autoLshBits(1000, 64))
+    val auto4 = cand(4000, Similarity.autoLshBits(4000, 64))
+    assert(auto1 == 129407L && auto4 == 437509L,
+      s"md5-deterministic candidate counts moved: $auto1 / $auto4")
+    assert(auto4 <= 4 * auto1, "auto-bits candidates grew superlinearly")
+    val fixed4 = cand(4000, 4)
+    assert(fixed4 > 2 * auto4,
+      s"fixed 4-bit candidates should exceed auto at 4x: $fixed4 vs $auto4")
+  }
+
   test("autoDocFreqCap keeps the admitted posting fan-out linear (√N contract)") {
     // cap(N)² / N is the constant c² above the floor — the per-shingle
     // worst-case candidate fan-out per corpus row
