@@ -977,6 +977,20 @@ object SparkEntry {
     // identical iterations in DuckDB
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansFixedPoint(Tables.embeddings(s, d), 8, 2)),
+    // SemDeDup (Abbas et al. 2023): embedding-space near-dup removal —
+    // certified-integer k-means clusters bound the pair candidates,
+    // within-cell quantized cosine >= ε drops the higher id. ε = 0.35
+    // sits at this corpus's ~99.9th cosine percentile (its max pair is
+    // 0.51 — the driver embeddings have no 0.95-grade semantic dups),
+    // so the gate exercises real drops; per-cell summary output.
+    "q_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Similarity.semDedup(Tables.embeddings(s, d), 8, 2, 0.35)
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    }),
     // rank-family windows at scale: distributed global rank + the
     // explicit integer ntile formula (no single-partition window, no
     // engine-specific tile boundary convention)
@@ -2943,6 +2957,47 @@ object SparkEntry {
         |       CAST(sum(vd.x - 1048576) AS BIGINT) AS s0
         |FROM a2 JOIN vd USING (vec_id) WHERE vd.d = 0
         |GROUP BY 1""".stripMargin,
+    // SemDeDup replay: the q_kmeans fixed-point CTE chain (identical
+    // k=8 / 2-iteration assignment a2) + within-cell quantized-cosine
+    // pair join + the keep-lowest-id rule
+    "q_semdedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM v),
+         |seeds AS (SELECT vec_id,
+         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+         |          FROM v QUALIFY cell_id < 8),
+         |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
+         |a1 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c0.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c0.c)*(vd.x - c0.c)), c0.cell_id) AS rn
+         |    FROM vd JOIN c0 USING (d)
+         |    GROUP BY vd.vec_id, c0.cell_id QUALIFY rn = 1)),
+         |c1 AS (SELECT a1.cell_id, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1,2),
+         |a2 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c1.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.cell_id) AS rn
+         |    FROM vd JOIN c1 USING (d)
+         |    GROUP BY vd.vec_id, c1.cell_id QUALIFY rn = 1)),
+         |qn AS ($quantizedSql),
+         |m AS (SELECT a2.vec_id, a2.cell_id, qn.q, qn.nq
+         |      FROM a2 JOIN qn USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |        WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
+         |              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.35)
+         |SELECT m.cell_id, count(*) AS n,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         |GROUP BY 1""".stripMargin,
     // same explicit integer tile formula — the oracle's row_number
     // window stands in for the engine's distributed rank
     "q_customer_quartiles" ->

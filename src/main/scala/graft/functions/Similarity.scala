@@ -49,6 +49,31 @@ object Similarity {
   private def ensureQuantized(embeddings: DataFrame): DataFrame =
     if (embeddings.columns.contains("q")) embeddings else quantized(embeddings)
 
+  /** Per-query bounded top-k via the native `graft.plans.TopK`
+    * aggregate, ascending by (`distCol`, neighbor_id) — the scale
+    * shape shared by every ADC/distance search: partial aggregation
+    * collapses each map task to <= k rows per query BEFORE the
+    * exchange, so the shuffle carries |Q|·k answer rows where the
+    * rank-window idiom ships and sorts every scored candidate. */
+  private def topKAsc(scored: DataFrame, k: Int, distCol: String): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopK.top_k(
+        struct(col(distCol), col("neighbor_id")), k).as("_t"))
+      .select(col("query_id"), posexplode(col("_t")).as(Seq("_p", "_s")))
+      .select(col("query_id"), (col("_p") + 1).cast("long").as("rnk"),
+        col("_s.neighbor_id").as("neighbor_id"), col(s"_s.$distCol").as(distCol))
+
+  /** Same, descending by `simCol` (ties to lowest neighbor_id): the
+    * cosine-similarity form — direction encoded by negating the sort
+    * key inside the struct (exact for doubles). */
+  private def topKDesc(scored: DataFrame, k: Int, simCol: String): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopK.top_k(
+        struct((-col(simCol)).as("_o"), col("neighbor_id"), col(simCol)), k).as("_t"))
+      .select(col("query_id"), posexplode(col("_t")).as(Seq("_p", "_s")))
+      .select(col("query_id"), (col("_p") + 1).cast("long").as("rnk"),
+        col("_s.neighbor_id").as("neighbor_id"), col(s"_s.$simCol").as(simCol))
+
   /** Brute-force cosine top-k: for each query vector (`queryPred` picks
     * the query subset), the k nearest candidates by quantized cosine,
     * rank-deterministic via (cosine DESC, id ASC). `candPred` restricts
@@ -64,17 +89,24 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
     val c = e.filter(candPred)
       .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    // Broadcast the tiny query set against the candidate scan: the
-    // candidates never shuffle; only the per-query top-k window does.
+    // Broadcast the tiny query set against the candidate scan, then
+    // collapse to the answer with the native bounded top-k AGGREGATE
+    // (graft.plans.TopK) instead of a rank window: partial aggregation
+    // reduces each map task's slice to <= k rows per query BEFORE the
+    // exchange, so the one shuffle carries |Q|·k answer rows — a
+    // window would ship and sort every scored (query, candidate) pair,
+    // O(|Q|·N), to rank them. Ordering (cosine DESC, id ASC) is
+    // encoded as the struct (-cosine, neighbor_id).
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopK.top_k(
+        struct((-col("cosine")).as("_o"), col("neighbor_id"), col("cosine")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rnk"),
+        col("_t.neighbor_id").as("neighbor_id"), col("_t.cosine").as("cosine"))
   }
 
   /** Hard-negative mining for contrastive training: for each query
@@ -93,18 +125,24 @@ object Similarity {
         col("q").as("qv"), col("nq").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
       col("q").as("cv"), col("nq").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") &&
         col("query_label") =!= col("neighbor_label"))
       .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("query_label"), col("rnk"),
-        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+      // same bounded top-k aggregate as bruteForceTopK: the exchange
+      // carries |Q|·k answer rows, not every scored pair
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(graft.plans.TopK.top_k(
+        struct((-col("cosine")).as("_o"), col("neighbor_id"),
+          col("neighbor_label"), col("cosine")), k).as("_top"))
+      .select(col("query_id"), col("query_label"),
+        posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("query_label"),
+        (col("_pos") + 1).cast("long").as("rnk"),
+        col("_t.neighbor_id").as("neighbor_id"),
+        col("_t.neighbor_label").as("neighbor_label"), col("_t.cosine").as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (the
@@ -362,18 +400,14 @@ object Similarity {
       .join(buckets, Seq("vec_id"))
       .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"),
         col("cv"), col("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(cands, Seq("tbl", "bucket"))
+    topKDesc(probes.join(cands, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))),
+      k, "cosine")
   }
 
   /** Reciprocal-rank fusion — the hybrid-retrieval combiner: two ANN
@@ -479,36 +513,94 @@ object Similarity {
     * engine can reproduce. */
   def kmeansFixedPoint(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeansFixedPoint needs at least one iteration, got $iters")
-    val shift = 1048576L // 2^20
-    val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
-    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
-      .localCheckpoint()
-    // k seeds by md5 order: distributed top-k, then a k-row window
-    val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(k)
-      .withColumn("cell_id",
-        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-      .select(col("vec_id"), col("cell_id"))
-    var cents = vd.join(seeds, Seq("vec_id"))
-      .select(col("cell_id"), col("d"), col("x").as("c"))
-      .localCheckpoint()
-    var assign: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val dist = vd.join(broadcast(cents), Seq("d"))
-        .groupBy(col("vec_id"), col("cell_id"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
-      assign = dist.groupBy(col("vec_id"))
-        .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
-        .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
-      cents = vd.join(assign, Seq("vec_id"))
-        .groupBy(col("cell_id"), col("d"))
-        .agg(expr("sum(x) div count(1)").as("c"))
-        .localCheckpoint()
-    }
-    assign.join(vd.filter(col("d") === 0), Seq("vec_id"))
+    // Rides the memoized certified assignment (shared with semDedup);
+    // the dim-0 checksum recomputes map-side off the scan — cheap, and
+    // identical to joining the training's own vd.
+    val assign = kmeansFixedPointAssign(embeddings, k, iters)
+    val d0 = ensureQuantized(embeddings)
+      .select(col("vec_id"), col("q").getItem(0).as("x0"))
+    assign.join(d0, Seq("vec_id"))
       .groupBy(col("cell_id"))
-      .agg(count(lit(1)).as("n"), sum(col("x") - shift).as("s0"))
+      .agg(count(lit(1)).as("n"), sum(col("x0")).as("s0"))
+  }
+
+  /** The certified fixed-point Lloyd ASSIGNMENT (vec_id, cell_id) —
+    * `kmeansFixedPoint`'s loop exposed for consumers that need the
+    * membership itself (SemDeDup's cluster blocking), same integer
+    * discipline so DuckDB replays it. Memoized per (input plan, k,
+    * iters) like every trained index. */
+  def kmeansFixedPointAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansFixedPointAssign needs at least one iteration, got $iters")
+    IndexMemo("kmeans_fp_assign", embeddings, (k, iters)) {
+      val shift = 1048576L
+      val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+      val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+        .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+        .localCheckpoint()
+      val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(k)
+        .withColumn("cell_id",
+          row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+        .select(col("vec_id"), col("cell_id"))
+      var cents = vd.join(seeds, Seq("vec_id"))
+        .select(col("cell_id"), col("d"), col("x").as("c"))
+        .localCheckpoint()
+      var assign: DataFrame = null
+      (1 to iters).foreach { i =>
+        val dist = vd.join(broadcast(cents), Seq("d"))
+          .groupBy(col("vec_id"), col("cell_id"))
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+        assign = dist.groupBy(col("vec_id"))
+          .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
+          .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
+        if (i < iters)
+          cents = vd.join(assign, Seq("vec_id"))
+            .groupBy(col("cell_id"), col("d"))
+            .agg(expr("sum(x) div count(1)").as("c"))
+            .localCheckpoint()
+      }
+      assign.localCheckpoint()
+    }
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-duplicate REMOVAL — cluster the corpus, and
+    * within each cluster drop every vector that has a same-cluster
+    * neighbor above `minCosine` with a SMALLER vec_id (the canonical
+    * keep-lowest rule; the paper keeps one member per ε-ball — this is
+    * its deterministic, engine-portable variant). Returns every vector
+    * as (vec_id, cell_id, kept).
+    *
+    * Oracle-portable end to end: the cluster assignment is the
+    * certified integer fixed-point k-means
+    * (`kmeansFixedPointAssign`), and similarity is exact quantized
+    * cosine — DuckDB replays both.
+    *
+    * Scale shape: clustering bounds the candidate pairs — only
+    * within-cell pairs are scored, so the all-pairs cost drops from
+    * N² to Σ|cell|² ≈ N²/k. k must SCALE with the corpus (constant
+    * expected cell size, like `autoLshBits` for LSH buckets): the
+    * paper runs k ~ √N clusters at web scale; a fixed k at 100 TB
+    * makes cells corpus-sized. The cell self-join broadcasts nothing
+    * and shuffles only (cell, id, q) rows — raw embeddings move once. */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int,
+               minCosine: Double): DataFrame = {
+    val e = ensureQuantized(embeddings).select(col("vec_id"), col("q"), col("nq"))
+    val assign = kmeansFixedPointAssign(embeddings, k, iters)
+    val m = e.join(assign, Seq("vec_id"))
+    val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = m.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("nq").as("nb"))
+    val dupIds = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotQ("qa", "qb").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cell_id"))
+      .join(dupIds.withColumn("_dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("_dup").isNull.as("kept"))
   }
 
   /** Product quantization (PQ): split each vector into `m` contiguous
@@ -614,16 +706,12 @@ object Similarity {
     val adc = qd.join(broadcast(cents), Seq("d"))
       .groupBy(col("query_id"), col("s"), col("code"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(adc), Seq("s", "code"))
+    topKAsc(codes.join(broadcast(adc), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      k, "adist")
   }
 
   /** Encode vectors against FIXED PQ centroids — one assignment pass,
@@ -750,14 +838,10 @@ object Similarity {
     val adc = qd.join(broadcast(comb), Seq("d"))
       .groupBy(col("query_id"), col("code1"), col("code2"))
       .agg(sum((col("x") - col("cc")) * (col("x") - col("cc"))).as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(adc), Seq("code1", "code2"))
+    topKAsc(codes.join(broadcast(adc), Seq("code1", "code2"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      k, "adist")
   }
 
   /** Train + search in one call (the `q_rq_topk` shape; composes
@@ -840,18 +924,14 @@ object Similarity {
     val adc = qrd.join(broadcast(pc), Seq("s", "d"))
       .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
       .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
     // a candidate lives in exactly one cell, so a (query, candidate)
     // group holds exactly its m subspace entries — no dedup needed
-    codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
+    topKAsc(codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      k, "adist")
   }
 
   /** The training block of `ivfpqTopK`: coarse fixed-point k-means,
@@ -979,16 +1059,12 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.join(broadcast(vecs), Seq("neighbor_id"))
+    topKDesc(cand.join(broadcast(vecs), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine",
         dotQ("qv", "cv").cast("double") /
-          sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+          sqrt(col("qn").cast("double") * col("cn").cast("double"))),
+      k, "cosine")
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
@@ -1041,17 +1117,13 @@ object Similarity {
     val probes = e.filter(queryPred).join(nearestCells(e.filter(queryPred), nProbe), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id").as("query_id"),
         col("q").as("qv"), col("nq").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(assigned, Seq("cell_id"))
+    topKDesc(probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dotQ("qv", "nv").cast("double") /
-          sqrt(col("qn").cast("double") * col("nn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))),
+      k, "cosine")
   }
 
   /** MMR-diversified re-ranking — the RAG retrieval tail: greedy
@@ -1289,17 +1361,13 @@ object Similarity {
         }: _*)).as("bucket"))
     val cands = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("q").as("cv"), col("nq").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(cands, Seq("bucket"))
+    topKDesc(probes.join(cands, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))),
+      k, "cosine")
   }
 }

@@ -428,4 +428,29 @@ object GraftProps extends Properties("graft") {
       Prop(got == ref && got == run(d.repartition(parts))) :|
         s"k=$k texts=${texts.map(hex)} got=${hexed(got)} ref=${hexed(ref)}"
     }
+
+  property("top_k aggregate equals the rank window, incl. ties; repartition-invariant") = {
+    import org.apache.spark.sql.functions.{col, struct, posexplode, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val genRows = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 3)
+      id <- Gen.choose(0L, 40L) // small id space forces duplicate ids too
+      v <- Gen.oneOf(1.0, 2.0, 3.0, -1.5, 0.0) // few values -> many ties
+    } yield (g, id, v)).map(_.distinctBy(r => (r._1, r._2)))
+    forAll(genRows, Gen.choose(1, 5), Gen.choose(1, 7)) { (rows, k, parts) =>
+      val df = rows.toDF("g", "id", "v").repartition(parts)
+      val agg = df.groupBy(col("g"))
+        .agg(graft.plans.TopK.top_k(
+          struct((-col("v")).as("_o"), col("id"), col("v")), k).as("_t"))
+        .select(col("g"), posexplode(col("_t")).as(Seq("_p", "_s")))
+        .select(col("g"), (col("_p") + 1).cast("long").as("rnk"),
+          col("_s.id").as("id"), col("_s.v").as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val win = df.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k).select(col("g"), col("rnk"), col("id"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      Prop(agg == win) :| s"k=$k parts=$parts agg=$agg win=$win"
+    }
+  }
 }

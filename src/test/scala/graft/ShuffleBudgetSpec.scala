@@ -157,6 +157,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // id distinct + the semi-join
                                       // id exchange + final rerank
                                       // window (vectors broadcast)
+    "q_semdedup" -> 5,                // assignment read from the kmeans
+                                      // checkpoint; cell self-join pair
+                                      // sides + dup distinct + final
+                                      // cell summary agg — all id-keyed,
+                                      // raw embeddings move once
     "q_rq_rerank" -> 3,               // mirror of q_pq_rerank: RQ pool is
                                       // checkpointed; pool id distinct +
                                       // semi-join id exchange + final
