@@ -977,6 +977,12 @@ object SparkEntry {
     // identical iterations in DuckDB
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansFixedPoint(Tables.embeddings(s, d), 8, 2)),
+    // fastText/CCNet-style hashed linear quality classifier: unigram +
+    // bigram hashing trick, md5-derived integer stub weights (the seam
+    // a trained vector plugs into), whole score computed INSIDE the
+    // row — 0 exchanges at any corpus size
+    "q_quality_classifier" -> ((s, d) =>
+      TextAnalysis.hashedQualityScore(Tables.documents(s, d))),
     // SemDeDup (Abbas et al. 2023): embedding-space near-dup removal —
     // certified-integer k-means clusters bound the pair candidates,
     // within-cell quantized cosine >= ε drops the higher id. ε = 0.35
@@ -2957,6 +2963,29 @@ object SparkEntry {
         |       CAST(sum(vd.x - 1048576) AS BIGINT) AS s0
         |FROM a2 JOIN vd USING (vec_id) WHERE vd.d = 0
         |GROUP BY 1""".stripMargin,
+    // hashing-trick replay: same md5 bucket, same md5 centi-weight,
+    // exact integer sum, one final double division
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             generate_subscripts(string_split_regex(trim(lower(text)),'\s+'),1)-1 AS pos,
+        |             unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        |           FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, tok AS feat FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, tok || ' ' || lead(tok) OVER w AS feat
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok) OVER w IS NOT NULL),
+        |wts AS (SELECT doc_id, lang,
+        |          CAST('0x'||substring(md5('w' ||
+        |            CAST(CAST('0x'||substring(md5(feat),1,8) AS BIGINT) % 1048576 AS VARCHAR)
+        |          ),1,8) AS BIGINT) % 2001 - 1000 AS w
+        |        FROM f)
+        |SELECT doc_id, lang, count(*) AS n_feats,
+        |       CAST(sum(w) AS BIGINT) AS w_sum,
+        |       CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score,
+        |       CASE WHEN sum(w) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+        |FROM wts GROUP BY doc_id, lang""".stripMargin,
     // SemDeDup replay: the q_kmeans fixed-point CTE chain (identical
     // k=8 / 2-iteration assignment a2) + within-cell quantized-cosine
     // pair join + the keep-lowest-id rule

@@ -218,6 +218,43 @@ object TextAnalysis {
       compositeQuality.as("quality_score"))
   }
 
+  /** Hashed linear quality classifier — the fastText/CCNet-style
+    * filter shape (Joulin et al. 2016; Wenzek et al., "CCNet", 2020):
+    * features are unigrams + bigrams hashed into `dim` buckets
+    * (hashing trick), the doc's score is the mean bucket weight, and
+    * keep = score >= 0. Weights here are a DETERMINISTIC md5-derived
+    * stub in [-1000, 1000] centi-units standing in for a trained
+    * vector — the integer weight-table seam is exactly where a real
+    * model's array plugs in (broadcast lookup or generated expression,
+    * same plan either way).
+    *
+    * Scale shape: everything happens INSIDE the row — tokenize,
+    * bigram zip, hash, weight lookup and the integer sum are one
+    * whole-stage-codegen'd projection over the scan; 0 exchanges at
+    * any corpus size. The emitted sum is an exact int64 (|w| <= 1000,
+    * so overflow needs 9·10^15 features in one doc) and `score` is
+    * ONE double division of exact integers — oracle-portable. */
+  def hashedQualityScore(docs: DataFrame, dim: Long = 1L << 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val m1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), m1), slice(toks, lit(2), m1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = concat(toks, bigrams)
+    // w(f) = md5-derived centi-weight of f's hash bucket
+    def bucket(f: Column): Column =
+      conv(substring(md5(f), 1, 8), 16, 10).cast("long") % dim
+    def weight(f: Column): Column =
+      conv(substring(md5(concat(lit("w"), bucket(f).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2001L - 1000L
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(feats).cast("long").as("n_feats"),
+      aggregate(feats, lit(0L), (acc, f) => acc + weight(f)).as("w_sum"))
+      .withColumn("score",
+        col("w_sum").cast("double") / (col("n_feats").cast("double") * 1000.0))
+      .withColumn("keep", when(col("w_sum") >= 0L, 1L).otherwise(0L))
+  }
+
   /** Cross-source quality calibration: within each source, the doc's
     * percentile rank of `quality_score` in [0,1] — so ONE global
     * threshold on the calibrated value selects the same FRACTION from

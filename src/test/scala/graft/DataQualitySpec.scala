@@ -162,4 +162,30 @@ class DataQualitySpec extends SparkSpec {
     assert(out("A") == ((3L, 2L, 4.0 / 9.0, 555555L)), s"got $out")
     assert(out("B") == ((1L, 1L, 0.0, 1000000L)), s"got $out")
   }
+
+  test("hashedQualityScore equals a driver-side hashing-trick reference") {
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "Alpha beta GAMMA", "en"), (2L, "x", "fr"), (3L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.hashedQualityScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def w(feat: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5hex(feat).take(8), 16) % (1L << 20)
+      java.lang.Long.parseLong(md5hex("w" + bucket).take(8), 16) % 2001L - 1000L
+    }
+    def ref(text: String): (Long, Long, Long) = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      val feats = toks.toSeq ++ toks.toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val s = feats.map(w).sum
+      (feats.length.toLong, s, if (s >= 0) 1L else 0L)
+    }
+    assert(got(1L) == ref("Alpha beta GAMMA"), s"got $got")
+    assert(got(2L) == ref("x"))
+    assert(got(3L) == ref(""), "empty text must score the single empty token")
+  }
 }

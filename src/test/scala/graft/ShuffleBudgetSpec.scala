@@ -58,6 +58,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // lang-keyed fertility agg
     "q_packing" -> 2,                 // shard-partitioned window + grouped agg
     "q_redact_pii" -> 0,              // pure map-side regex pipeline
+    "q_quality_classifier" -> 0,      // hashing-trick features, weight
+                                      // lookup and integer sum all
+                                      // inside the row — scan-stage only
     "q_incremental_dedup" -> 0,       // final pass = broadcast anti-join over
                                       // the batch scan; the bloom/verify jobs
                                       // ran eagerly and never shuffle either
