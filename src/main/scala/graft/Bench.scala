@@ -76,13 +76,19 @@ object Bench {
     // driver artifact carried five 4-12× spikes only a quiesced re-run
     // could explain).
     val top10 = results.filter(_._3.isEmpty).sortBy(-_._2).take(10).map(_._1)
+    val rep2Errs = scala.collection.mutable.Map.empty[String, String]
     val rep2 = top10.flatMap { name =>
       val h0 = graft.functions.IndexMemo.hits
       val t0 = System.nanoTime()
       try { materialize(SparkEntry.queries(name)(spark, sfDir))
             Some(name -> ((System.nanoTime() - t0) / 1e9,
               graft.functions.IndexMemo.hits > h0)) }
-      catch { case _: Throwable => None }
+      catch { case e: Throwable =>
+        // a rep1-green query failing its re-run is itself a signal —
+        // record it so the artifact distinguishes "failed rep2" from
+        // "not selected"
+        rep2Errs(name) = e.toString.replaceAll("\\s+", " ").take(200)
+        None }
     }.toMap
     // A warm rep (IndexMemo hit — signatures/codebooks reused) is
     // EXPECTED to be much faster than its cold rep1; only a >3× gap
@@ -103,6 +109,8 @@ object Bench {
     val rep2Json = rep2.toSeq.sortBy(_._1)
       .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val warmJson = warm.map(jstr).mkString("[", ",", "]")
+    val rep2ErrJson = rep2Errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val spikesJson = spikes.map(jstr).mkString("[", ",", "]")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
@@ -114,7 +122,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try {

@@ -237,12 +237,11 @@ object Smoke {
       // shift each replica by k seconds so (user, ts) stays distinct
       .withColumn("ts", expr("timestampadd(SECOND, _k, ts)"))
       .drop("_k"), "events")
-    write(graft.sources.Synthetic.documents(spark, 5000L * factor)
-      .repartition(32), "documents")
+    write(graft.sources.Synthetic.documents(spark, 5000L * factor), "documents")
     // cluster count scales with the corpus (constant cluster size) so
     // near-dup answers grow linearly — see Synthetic.embeddings
     write(graft.sources.Synthetic.embeddings(spark, 2000L * factor,
-      nLabels = 20 * factor).repartition(8), "embeddings")
+      nLabels = 20 * factor), "embeddings")
   }
 
   /** Plan audit over EVERY SparkEntry query: shuffle exchanges, scans,

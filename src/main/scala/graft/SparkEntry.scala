@@ -41,11 +41,22 @@ object SparkEntry {
     *    (FunctionsSpec), so recall regressions still fail red there;
     *  - `q_candidate_stats`: runs all four blocking families under
     *    their caps on purpose (the feasibility artifact) — cost IS its
-    *    job.
+    *    job;
+    *  - `q_semdedup`: pins k=8 clusters for the DuckDB replay, so its
+    *    within-cell self-join is ~N²/8 at fixed k — the scalable form
+    *    grows k with the corpus (see `Similarity.semDedup` scaladoc),
+    *    exactly like `autoLshBits` vs the pinned demo bits;
+    *  - `q_embedding_neardup_lsh`: pins 4 hyperplane bits (16 buckets)
+    *    for the oracle, so bucket occupancy — and the per-bucket
+    *    self-join — grows with the corpus (measured n²/2^bits at 10×);
+    *    the scale path is `q_embedding_neardup_lsh_auto`
+    *    (occupancy-constant `autoLshBits`), which stays on the
+    *    scale-up board.
     * Scale-up runs exclude this set mechanically; `Bench` honors
     * SPARK_GRAFT_SKIP_DEMO=1. */
   val demo: Set[String] =
-    Set("q_simhash_neardup", "q_ann_recall", "q_candidate_stats")
+    Set("q_simhash_neardup", "q_ann_recall", "q_candidate_stats", "q_semdedup",
+      "q_embedding_neardup_lsh")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
@@ -331,6 +342,15 @@ object SparkEntry {
     // the precision-1.0 verify remains spec-proven
     "q_embedding_neardup_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4, 4, 4)),
+    // the SCALE-PATH sibling: bits auto-sized from the measured corpus
+    // (autoLshBits keeps bucket occupancy ~constant, so candidates
+    // grow linearly where the pinned 4-bit demo's grow n²/16). The
+    // oracle pins bits=1 — autoLshBits(500, 256) at BOTH gated scale
+    // factors (sf0.001 and sf0.01 embeddings are 500 rows); if the
+    // driver regenerates embeddings at another cardinality the hash
+    // flags it loudly rather than silently diverging.
+    "q_embedding_neardup_lsh_auto" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4, 0, 4)),
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4)),
@@ -2414,6 +2434,23 @@ object SparkEntry {
     "q_embedding_neardup_lsh" ->
       s"""WITH n AS ($quantizedSql),
          |${lshBucketsSql(4, 4)},
+         |tb AS (SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM tb x JOIN tb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+         |pr AS (SELECT c.id_a, c.id_b,
+         |             CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         |             a.nq AS na, b.nq AS nb
+         |       FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b,
+         |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+         |FROM pr
+         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
+    // same pair machinery at the AUTO bit-width: bits=1 IS
+    // autoLshBits(500, 256) at the gated scale factors (see the query's
+    // comment) — a regenerated embeddings table flags via hash mismatch
+    "q_embedding_neardup_lsh_auto" ->
+      s"""WITH n AS ($quantizedSql),
+         |${lshBucketsSql(1, 4)},
          |tb AS (SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt),
          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |         FROM tb x JOIN tb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),

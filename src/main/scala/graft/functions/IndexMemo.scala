@@ -10,12 +10,25 @@ import org.apache.spark.sql.DataFrame
   * same input plan (`sameResult`) share one localCheckpointed
   * materialization.
   *
-  * Entries hold only checkpointed frames (or small tuples of them —
-  * e.g. a PQ codebook + code table) that are bounded relative to the
-  * corpus (pair graphs, label maps, id+bucket tables, k×dims centroid
-  * tables); the list is capped, and a plan mismatch or new session
+  * Entries hold checkpointed frames (or small tuples of them — e.g. a
+  * PQ codebook + code table). Most are bounded relative to the corpus
+  * (pair graphs, label maps, id+bucket tables, k×dims centroid
+  * tables); the n-gram POSTING table is the deliberate exception —
+  * corpus-scale, admitted because its cross-query sharing is the
+  * point and MEMORY_AND_DISK-backed like the per-query persist it
+  * replaced. The list is capped, and a plan mismatch or new session
   * just recomputes — the memo is an optimization, never a correctness
   * dependency.
+  *
+  * Lifetime: eviction (`take(cap)`) drops the REFERENCE only; the
+  * checkpoint blocks are freed lazily by GC + ContextCleaner once no
+  * caller plan holds the frame. Proactive unpersist-on-evict would be
+  * UNSAFE — a localCheckpointed RDD cannot be recomputed, so freeing
+  * blocks under a still-referenced plan turns eviction into a query
+  * failure. The bounded-session contract (a bench/verify run, then
+  * the JVM exits) is what makes lazy reclamation acceptable; a
+  * long-lived serving session should persist indexes at ingest
+  * (DESIGN.md) rather than lean on this memo.
   */
 private[graft] object IndexMemo {
   private var entries: List[((String, Any), org.apache.spark.sql.SparkSession,

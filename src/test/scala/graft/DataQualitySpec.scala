@@ -165,7 +165,8 @@ class DataQualitySpec extends SparkSpec {
 
   test("hashedQualityScore equals a driver-side hashing-trick reference") {
     import graft.functions.TextAnalysis
-    val docs = Seq((1L, "Alpha beta GAMMA", "en"), (2L, "x", "fr"), (3L, "", "en"))
+    val docs = Seq((1L, "Alpha beta GAMMA", "en"), (2L, "x", "fr"), (3L, "", "en"),
+        (4L, " a b\n", "en")) // space-trim + trailing-\n edge: tokens ["a","b",""]
       .toDF("doc_id", "text", "lang")
     val got = TextAnalysis.hashedQualityScore(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
@@ -179,7 +180,11 @@ class DataQualitySpec extends SparkSpec {
       java.lang.Long.parseLong(md5hex("w" + bucket).take(8), 16) % 2001L - 1000L
     }
     def ref(text: String): (Long, Long, Long) = {
-      val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      // mirror ENGINE semantics (and the DuckDB oracle's): Spark trim
+      // strips SPACES only (Java String.trim would also strip \n and
+      // controls <= U+0020) and split keeps trailing empties
+      val toks = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
       val feats = toks.toSeq ++ toks.toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" "))
       val s = feats.map(w).sum
       (feats.length.toLong, s, if (s >= 0) 1L else 0L)
@@ -187,5 +192,7 @@ class DataQualitySpec extends SparkSpec {
     assert(got(1L) == ref("Alpha beta GAMMA"), s"got $got")
     assert(got(2L) == ref("x"))
     assert(got(3L) == ref(""), "empty text must score the single empty token")
+    assert(got(4L) == ref(" a b\n"), s"trim/split edge diverged: $got")
+    assert(got(4L)._1 == 5L, "expected tokens [a, b, \"\"] -> 3 unigrams + 2 bigrams")
   }
 }

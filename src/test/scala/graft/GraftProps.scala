@@ -356,25 +356,6 @@ object GraftProps extends Properties("graft") {
     // pinned lowercase for the same reason (Spark lower is
     // locale-independent).
     def spaceTrim(s: String) = s.replaceAll("^ +| +$", "")
-    // Tie-break in UTF-8 BYTE order (= code-point order), matching the
-    // engine's UTF8String and DuckDB's binary collation: Scala tuple
-    // .min would compare UTF-16 code units, which diverges for
-    // supplementary-plane chars vs U+E000..U+FFFF.
-    def utf8Cmp(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0; val n = math.min(x.length, y.length)
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
-    val utf8PairOrd: Ordering[(String, String)] =
-      (p: (String, String), q: (String, String)) => {
-        val c = utf8Cmp(p._1, q._1); if (c != 0) c else utf8Cmp(p._2, q._2)
-      }
     var vocab: Map[Vector[String], Long] = texts
       .flatMap(t => spaceTrim(t.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1).toSeq)
       .groupBy(identity).map { case (w, ws) => w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) -> ws.length.toLong }
@@ -393,7 +374,7 @@ object GraftProps extends Properties("graft") {
         // NOTE: collect-to-pairs on a Map would rebuild a MAP and
         // collapse candidates sharing a left symbol (second insert
         // wins, hash-order dependent) — go through a Seq for the argmin
-        val (l, r) = counts.toSeq.collect { case (p, c) if c == max => p }.min(utf8PairOrd)
+        val (l, r) = counts.toSeq.collect { case (p, c) if c == max => p }.min(TestRefs.utf8PairOrd)
         out += ((l, r, max))
         vocab = vocab.groupBy { case (syms, _) =>
           val b = Vector.newBuilder[String]
