@@ -1212,22 +1212,27 @@ object Similarity {
     // looks its cosines up here by id, instead of re-running its own
     // DotI64 scoring + top-k plan (the r3 shape: three independent
     // top-k plans, 23 exchanges / 36 codegen spans / ~6s for 3 rows).
-    // truth_rnk <= k IS the ground-truth membership test, so the
-    // former per-method left_semi against a truth table collapses into
-    // a predicate on a column that is already on the row.
+    // Truth membership is the only use of ranking here, so the ground
+    // truth comes from the bounded TopK AGGREGATE (|Q|·k rows through
+    // the exchange) rather than a window that would sort all |Q|·N
+    // scored pairs; the scored store itself stays unranked and serves
+    // every method's cosine lookups.
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
-    val wt = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val allScored = emb
+    val scored = emb
       .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotQ("qv", "cv").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .withColumn("truth_rnk", row_number().over(wt).cast("long"))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("truth_rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .localCheckpoint()
-    val nTruth = allScored.filter(col("truth_rnk") <= k).count()
+    val truth = topKDesc(scored, k, "cosine")
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
+      .localCheckpoint()
+    val allScored = scored.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        coalesce(col("is_truth"), lit(false)).as("is_truth"))
+    val nTruth = truth.count()
     val qIds = emb.filter(queryPred).select(col("vec_id"))
     // One multi-table bucketing pass serves BOTH LSH methods: table 0
     // of lshBucketsMulti reads planeSign plane indices 0..bits-1 —
@@ -1329,7 +1334,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wm))
       .filter(col("rnk") <= k)
       .groupBy(col("method"))
-      .agg(sum(when(col("truth_rnk") <= k, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .agg(sum(when(col("is_truth"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
