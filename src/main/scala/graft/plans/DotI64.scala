@@ -196,5 +196,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[ExactPercentiles].getName, "exact_percentiles"),
         ExactPercentiles.forSql _))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("top_k"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopK].getName, "top_k"),
+        TopK.forSql _))
   }
 }

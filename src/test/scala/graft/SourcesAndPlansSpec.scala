@@ -85,6 +85,23 @@ class DotI64Spec extends SparkSpec {
     assert(df.limit(1).selectExpr("cosine_f64(a, b)").head().getDouble(0) == 1.0)
   }
 
+  test("top_k SQL registration: literal k, smallest-first structs") {
+    import graft.plans.TopK
+    TopK.register(spark)
+    val df = Seq((1, 5L, 3.0), (1, 2L, 1.0), (1, 9L, 2.0), (2, 4L, 7.0))
+      .toDF("g", "id", "v")
+    val out = df.groupBy(col("g"))
+      .agg(expr("top_k(struct(v, id), 2)").as("t"))
+      .selectExpr("g", "transform(t, s -> s.id) AS ids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1) == List(2L, 9L), s"got $out") // v asc: 1.0, 2.0
+    assert(out(2) == List(4L))
+    // non-literal k rejected
+    intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("top_k(struct(v, id), g)")).collect()
+    }
+  }
+
   test("fused cosine degenerates to NULL, never NaN (zero norm, length mismatch)") {
     import graft.plans.CosineF64
     val df = Seq(
