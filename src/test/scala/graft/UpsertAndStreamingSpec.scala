@@ -143,6 +143,40 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L) == "ping <EMAIL> twice" && out(2L) == "clean text only here")
   }
 
+  test("quality-gated ingest: classifier rejects at the door, dedup after, stats ledger exact") {
+    import spark.implicits._
+    import graft.streaming.{StreamingIngest, StreamingQualityIngest}
+    import graft.functions.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_qingest").toString
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    // learn the classifier's deterministic verdicts for a candidate pool
+    val pool = (0L until 40L).map(i => i -> s"w$i alpha beta gamma token$i")
+    val verdicts = TextAnalysis.hashedQualityScore(df(pool: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val keeps = pool.filter(p => verdicts(p._1) == 1L).take(3)
+    val rejects = pool.filter(p => verdicts(p._1) == 0L).take(2)
+    assert(keeps.size == 3 && rejects.size == 2,
+      s"need both verdicts in the pool: ${verdicts.values.groupBy(identity).view.mapValues(_.size).toMap}")
+    // batch 0: 3 keeps + 2 quality-rejects
+    StreamingQualityIngest.gatedBatch(df(keeps ++ rejects: _*), dir, 0L)
+    // batch 1: one landed dup (same text, new id) + one fresh keep + one reject
+    val dupOfKeep = (900L, keeps.head._2)
+    val freshKeep = keeps(1) match { case (_, _) =>
+      pool.filter(p => verdicts(p._1) == 1L)(3) }
+    StreamingQualityIngest.gatedBatch(df(dupOfKeep, freshKeep, rejects.head.copy(_1 = 901L)), dir, 1L)
+    val landed = StreamingIngest.corpus(spark, dir).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed == (keeps.map(_._1) :+ freshKeep._1).sorted, s"landed=$landed")
+    val st = StreamingQualityIngest.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(st(0L) == ((5L, 2L, 0L, 3L)), s"batch0 stats: $st")
+    assert(st(1L) == ((3L, 1L, 1L, 1L)), s"batch1 stats: $st")
+    // replay of batch 1 rewrites itself: corpus and ledger unchanged
+    StreamingQualityIngest.gatedBatch(df(dupOfKeep, freshKeep, rejects.head.copy(_1 = 901L)), dir, 1L)
+    assert(StreamingIngest.corpus(spark, dir).count() == 4)
+    assert(StreamingQualityIngest.stats(spark, dir).count() == 2)
+  }
+
   test("streaming ingest dedups against the full landed corpus, idempotently") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
