@@ -107,14 +107,22 @@ object Relational {
 
   /** Ranking window: top-n orders per customer (deterministic
     * tie-break on orderkey). One shuffle on o_custkey. */
-  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame =
+    // the native bounded top-k aggregate (graft.plans.TopK) instead of
+    // a rank window: partial aggregation collapses each map task to
+    // <= n rows per customer BEFORE the exchange, so the shuffle
+    // carries |customers|·n answer rows where the window would ship
+    // AND sort the whole orders table. Ordering (price DESC, key ASC)
+    // encoded as the struct (-price, key).
     orders
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= n)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-  }
+      .groupBy(col("o_custkey"))
+      .agg(graft.plans.TopK.top_k(
+        struct((-col("o_totalprice")).as("_o"), col("o_orderkey"),
+          col("o_totalprice")), n).as("_t"))
+      .select(col("o_custkey"), posexplode(col("_t")).as(Seq("_p", "_s")))
+      .select(col("o_custkey"), col("_s.o_orderkey").as("o_orderkey"),
+        col("_s.o_totalprice").as("o_totalprice"),
+        (col("_p") + 1).cast("long").as("rn"))
 
   /** TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
     * orders for one market segment, top-k by revenue. Plan: the
