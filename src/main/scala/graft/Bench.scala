@@ -115,6 +115,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Headline split: `value` (everything run, backward-comparable)
+    // plus `value_serving` (scale-representative queries only) and
+    // `value_demo` (the SparkEntry.demo oracle-portability vehicles,
+    // whose shapes deliberately don't scale). The gate number for
+    // round-over-round comparison is value_serving — see BASELINE.md —
+    // and the artifact records the demo-set membership it excluded, so
+    // a SKIP_DEMO total is self-describing without reading the source.
+    val demoRun = results.filter { case (n, _, _) => SparkEntry.demo(n) }
+    val valueDemo = demoRun.map(_._2).sum
+    val valueServing = total - valueDemo
+    val demoJson = demoRun.map(_._1).sorted.map(jstr).mkString("[", ",", "]")
     // The driver captures a bounded tail of stdout; at 128 queries the
     // per-query map pushed the single JSON line past that window and the
     // leading "metric":"total" was cut off (BENCH_r02..r04 all parsed
@@ -122,7 +133,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try {
@@ -130,7 +141,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,8 +37,9 @@ object SparkEntry {
     *  - `q_ann_recall`: the brute-force query×corpus ground truth plus
     *    all 9 method pipelines is the POINT of the diagnostic — its
     *    cost grows with every method added and linearly with the
-    *    corpus; per-method recall floors stay pinned in `sbt test`
-    *    (FunctionsSpec), so recall regressions still fail red there;
+    *    corpus; recall regressions fail BOTH gates: cross-scale
+    *    recall_ok/rerank_ok flags are oracle-hashed by the driver, and
+    *    the tighter per-corpus floors stay pinned in FunctionsSpec;
     *  - `q_candidate_stats`: runs all four blocking families under
     *    their caps on purpose (the feasibility artifact) — cost IS its
     *    job;
@@ -370,15 +371,42 @@ object SparkEntry {
         Similarity.ivfTopK(emb, probe, 10, 16, 4), 10)
     }),
     // measured recall of every approximate ANN method against the
-    // oracle-gated brute-force top-k: one (method, n_hits, n_truth,
-    // recall) row each. Rows-only by design: every COMPONENT is now
-    // individually oracle-gated (brute force, lsh, lsh_multi, ivf) —
-    // this row is their composition, and the recall FLOORS are
-    // spec-pinned alongside a spec equating it to the standalone
-    // top-ks' overlap.
-    "q_ann_recall" -> ((s, d) =>
-      Similarity.annRecall(Tables.embeddings(s, d),
-        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)),
+    // oracle-gated brute-force top-k, promoted from rows-only to a
+    // BOUNDED-FLOOR gate (the q_approx_distinct sketch pattern): each
+    // method row carries n_truth plus two 0/1 flags — recall_ok
+    // (recall >= a cross-scale floor: min of the sf0.001 spec floor
+    // and the measured sf0.01 value, with margin — certifies
+    // non-collapse at whatever scale the driver gates) and rerank_ok
+    // (a rerank method's recall is >= its base method's; monotone by
+    // construction since reranking a superset pool exactly rescores
+    // it). The oracle computes n_truth = |Q|*k from the embeddings
+    // table and hashes literal-1 flags, so a retrieval regression now
+    // fails the DRIVER gate, not just the tighter per-corpus floors
+    // pinned in FunctionsSpec.
+    "q_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val floors = Seq(
+        ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
+        ("pq", 0.18), ("pq_rerank", 0.46), ("rq", 0.10),
+        ("rq_rerank", 0.30), ("ivfpq", 0.14), ("ivfpq_rerank", 0.36))
+        .toDF("method", "floor")
+      val bases = Seq(("pq_rerank", "pq"), ("rq_rerank", "rq"),
+        ("ivfpq_rerank", "ivfpq")).toDF("method", "base_method")
+      // 9-row result; checkpoint so the base-recall self-join doesn't
+      // re-run the 9 method pipelines.
+      val r = Similarity.annRecall(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, 4, 4, 16, 4).localCheckpoint()
+      val baseRec = r.select(col("method").as("base_method"),
+        col("recall").as("base_recall"))
+      r.join(broadcast(floors), Seq("method"))
+        .join(broadcast(bases), Seq("method"), "left")
+        .join(broadcast(baseRec), Seq("base_method"), "left")
+        .select(col("method"), col("n_truth"),
+          when(col("recall") >= col("floor"), 1L).otherwise(0L).as("recall_ok"),
+          when(col("base_recall").isNull || col("recall") >= col("base_recall"), 1L)
+            .otherwise(0L).as("rerank_ok"))
+    }),
     // --- multimodal plumbing ---
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(
@@ -1664,6 +1692,19 @@ object SparkEntry {
          |                        neighbor_id ASC) AS rnk
          |      FROM p)
          |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10""".stripMargin,
+    // Floor-flag gate: the Spark row computes recall_ok/rerank_ok from
+    // the measured recalls (see the query's comment for the floors);
+    // the oracle derives n_truth = |Q|*k structurally and hashes
+    // literal-1 flags — the hash matches iff every method clears its
+    // cross-scale floor AND every rerank stage is monotone.
+    "q_ann_recall" ->
+      """WITH q AS (SELECT count(*) * 10 AS n_truth FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT m.method, q.n_truth,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS rerank_ok
+        |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
+        |             ('rq'), ('rq_rerank'), ('ivfpq'), ('ivfpq_rerank')) AS m(method)
+        |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
         |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
