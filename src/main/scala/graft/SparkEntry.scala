@@ -1031,6 +1031,15 @@ object SparkEntry {
     // row — 0 exchanges at any corpus size
     "q_quality_classifier" -> ((s, d) =>
       TextAnalysis.hashedQualityScore(Tables.documents(s, d))),
+    // the TRAINED-weight seam exercised end-to-end: a nontrivial
+    // (bucket, w) table (salt "w2" — a different weight vector than
+    // the in-row stub) routed through the broadcast-lookup overload;
+    // the oracle re-derives the same table and replays the join path
+    "q_quality_weighted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.hashedQualityScoreWith(docs,
+        TextAnalysis.stubWeightTable(docs, "w2"))
+    }),
     // SemDeDup (Abbas et al. 2023): embedding-space near-dup removal —
     // certified-integer k-means clusters bound the pair candidates,
     // within-cell quantized cosine >= ε drops the higher id. ε = 0.35
@@ -1044,6 +1053,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+    // the SCALE path of SemDeDup (the autoLshBits pattern): k <= 0
+    // auto-sizes the cluster count to constant cell occupancy —
+    // autoSemDedupK(500, 64) = 8 at BOTH gated scale factors, so the
+    // oracle replays the identical k=8 fixed-point chain AND pins the
+    // derived k as a literal column; a regenerated embeddings table at
+    // another cardinality flags loudly via hash mismatch. Unlike
+    // q_semdedup this stays on the scale-up board: cells stay ~64 docs
+    // as the corpus grows, so the within-cell join stays linear.
+    "q_semdedup_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val kAuto = Similarity.autoSemDedupK(Tables.embeddings(s, d).count())
+      Similarity.semDedup(Tables.embeddings(s, d), 0, 2, 0.35)
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("k_auto", lit(kAuto.toLong))
     }),
     // rank-family windows at scale: distributed global rank + the
     // explicit integer ntile formula (no single-partition window, no
@@ -3064,47 +3091,43 @@ object SparkEntry {
         |       CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score,
         |       CASE WHEN sum(w) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
         |FROM wts GROUP BY doc_id, lang""".stripMargin,
+    // trained-weight overload under the salt-"w2" table: same feature
+    // CTE, weight = md5('w2' || bucket) centi-units — replaying the
+    // broadcast-lookup path's arithmetic exactly (missing buckets
+    // cannot occur here: the table covers every corpus bucket)
+    "q_quality_weighted" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             generate_subscripts(string_split_regex(trim(lower(text)),'\s+'),1)-1 AS pos,
+        |             unnest(string_split_regex(trim(lower(text)),'\s+')) AS tok
+        |           FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, tok AS feat FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, tok || ' ' || lead(tok) OVER w AS feat
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok) OVER w IS NOT NULL),
+        |wts AS (SELECT doc_id, lang,
+        |          CAST('0x'||substring(md5('w2' ||
+        |            CAST(CAST('0x'||substring(md5(feat),1,8) AS BIGINT) % 1048576 AS VARCHAR)
+        |          ),1,8) AS BIGINT) % 2001 - 1000 AS w
+        |        FROM f)
+        |SELECT doc_id, lang, count(*) AS n_feats,
+        |       CAST(sum(w) AS BIGINT) AS w_sum,
+        |       CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score,
+        |       CASE WHEN sum(w) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+        |FROM wts GROUP BY doc_id, lang""".stripMargin,
     // SemDeDup replay: the q_kmeans fixed-point CTE chain (identical
     // k=8 / 2-iteration assignment a2) + within-cell quantized-cosine
     // pair join + the keep-lowest-id rule
-    "q_semdedup" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
-         |              unnest(q) + 1048576 AS x FROM v),
-         |seeds AS (SELECT vec_id,
-         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
-         |          FROM v QUALIFY cell_id < 8),
-         |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
-         |a1 AS (SELECT vec_id, cell_id FROM (
-         |    SELECT vd.vec_id, c0.cell_id,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - c0.c)*(vd.x - c0.c)), c0.cell_id) AS rn
-         |    FROM vd JOIN c0 USING (d)
-         |    GROUP BY vd.vec_id, c0.cell_id QUALIFY rn = 1)),
-         |c1 AS (SELECT a1.cell_id, vd.d,
-         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
-         |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1,2),
-         |a2 AS (SELECT vec_id, cell_id FROM (
-         |    SELECT vd.vec_id, c1.cell_id,
-         |           row_number() OVER (PARTITION BY vd.vec_id
-         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.cell_id) AS rn
-         |    FROM vd JOIN c1 USING (d)
-         |    GROUP BY vd.vec_id, c1.cell_id QUALIFY rn = 1)),
-         |qn AS ($quantizedSql),
-         |m AS (SELECT a2.vec_id, a2.cell_id, qn.q, qn.nq
-         |      FROM a2 JOIN qn USING (vec_id)),
-         |dup AS (SELECT DISTINCT b.vec_id
-         |        FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-         |        WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
-         |              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.35)
-         |SELECT m.cell_id, count(*) AS n,
-         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
-         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept
-         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
-         |GROUP BY 1""".stripMargin,
+    "q_semdedup" -> semDedupCellsSql,
+    // auto-k sibling: autoSemDedupK(500, 64) = 8 at the gated scale
+    // factors, so the replay chain is IDENTICAL and the derived k is
+    // pinned as a literal column (the lsh_auto bits=1 pattern)
+    "q_semdedup_auto" ->
+      s"""WITH base AS ($semDedupCellsSql)
+         |SELECT cell_id, n, n_dropped, n_kept, CAST(8 AS BIGINT) AS k_auto
+         |FROM base""".stripMargin,
+
     // same explicit integer tile formula — the oracle's row_number
     // window stands in for the engine's distributed rank
     "q_customer_quartiles" ->
@@ -3913,6 +3936,50 @@ object SparkEntry {
     * is equivalent to the engine's per-side computation), with the
     * band self-join restricted to batch (doc_id%5=0) x corpus
     * (doc_id%3=0). */
+  /** Shared SemDeDup per-cell replay (k=8 / 2-iteration certified
+    * fixed-point chain + within-cell cosine pair join + keep-lowest-id
+    * rule) — the oracle body of BOTH q_semdedup and q_semdedup_auto
+    * (auto derives the same k=8 at the gated cardinality). Lazy: it
+    * interpolates quantizedSql, defined later in the object body. */
+  private lazy val semDedupCellsSql: String =
+    s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM v),
+         |seeds AS (SELECT vec_id,
+         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+         |          FROM v QUALIFY cell_id < 8),
+         |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
+         |a1 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c0.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c0.c)*(vd.x - c0.c)), c0.cell_id) AS rn
+         |    FROM vd JOIN c0 USING (d)
+         |    GROUP BY vd.vec_id, c0.cell_id QUALIFY rn = 1)),
+         |c1 AS (SELECT a1.cell_id, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1,2),
+         |a2 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c1.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.cell_id) AS rn
+         |    FROM vd JOIN c1 USING (d)
+         |    GROUP BY vd.vec_id, c1.cell_id QUALIFY rn = 1)),
+         |qn AS ($quantizedSql),
+         |m AS (SELECT a2.vec_id, a2.cell_id, qn.q, qn.nq
+         |      FROM a2 JOIN qn USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |        WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
+         |              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.35)
+         |SELECT m.cell_id, count(*) AS n,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         |GROUP BY 1""".stripMargin
+
   private val minhashProbeSql = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
     val bandRows = (0 until 4).map(b =>

@@ -512,6 +512,48 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Distinct (doc_id, sh) posting rows — the minhash family's
+    * exact-verify substrate, memoized per (docs plan, n) like the
+    * inverted family's posting table. At 100 TB this is the persisted
+    * ingest-time shingle index (DESIGN.md); in-session, every minhash
+    * consumer of the same corpus shares one checkpointed
+    * materialization. Row form on purpose: posting ROWS spill and
+    * shuffle per-shingle, where the per-doc `collect_set` arrays this
+    * replaced pinned whole documents' shingle sets as single values
+    * (corpus-scale array state, r9 verdict's weak-query finding). */
+  def shinglePostings(docs: DataFrame, n: Int): DataFrame =
+    IndexMemo.of[DataFrame]("minhash_postings", docs, n) {
+      shingleRows(docs, n).select(col("doc_id"), col("sh")).distinct()
+        .localCheckpoint()
+    }
+
+  /** Exact distinct-shingle overlap for an ids-only (tiny) candidate
+    * pair set, computed from posting ROWS — the posting-count shape of
+    * the inverted family, with the candidate set supplied instead of
+    * derived: each posting stream is first semi-filtered to candidate
+    * docs (broadcast — only candidates' postings ever shuffle), the
+    * intersection is a count over the (pair, shared-shingle) join, and
+    * set sizes are per-doc row counts. No per-doc shingle array is
+    * ever materialized. Pairs with an empty intersection are retained
+    * (inter = 0) so callers see every candidate. */
+  private def exactOverlap(cand: DataFrame, aPost: DataFrame, bPost: DataFrame,
+                           aCol: String, bCol: String): DataFrame = {
+    val pa = aPost.select(col("doc_id").as(aCol), col("sh"))
+      .join(broadcast(cand.select(col(aCol)).distinct()), Seq(aCol), "left_semi")
+    val pb = bPost.select(col("doc_id").as(bCol), col("sh"))
+      .join(broadcast(cand.select(col(bCol)).distinct()), Seq(bCol), "left_semi")
+    val inter = broadcast(cand).join(pa, Seq(aCol))
+      .join(pb, Seq(bCol, "sh"))
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("inter"))
+    val na = pa.groupBy(col(aCol)).agg(count(lit(1)).as("n_a"))
+    val nb = pb.groupBy(col(bCol)).agg(count(lit(1)).as("n_b"))
+    broadcast(cand)
+      .join(na, Seq(aCol)).join(nb, Seq(bCol))
+      .join(inter, Seq(aCol, bCol), "left")
+      .select(col(aCol), col(bCol),
+        coalesce(col("inter"), lit(0L)).as("inter"), col("n_a"), col("n_b"))
+  }
+
   /** MinHash-LSH candidate pairs: band the k-row signature into
     * `bands` groups of k/bands rows; docs sharing any band-key are
     * candidates; candidates are verified with exact Jaccard.
@@ -562,20 +604,13 @@ object Dedup {
                                      minJaccard: Double,
                                      maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // ONE grouped aggregation produces both the k-min signature and the
-    // rebuilt shingle set. The result is persisted: without the cache
-    // barrier, column pruning specializes the subtree per consumer
-    // (banding + both verify joins) and the whole shingling pipeline
-    // runs four times — with it, one pass. At 100 TB you persist the
-    // signature table for exactly the same reason.
-    val exploded = shingleRows(docs, n)
-      .withColumn("m", md5(col("sh")))
-      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
+    // Signature rows are k longs per doc — persisted so banding and
+    // the bucket-cap count share one shingling pass. Exact verify goes
+    // through the memoized posting-ROW table (`shinglePostings`), not
+    // per-doc collect_set arrays: at 100 TB the signature table and
+    // the shingle index are both ingest-time artifacts, and the verify
+    // join touches only candidate docs' posting rows.
+    val sig = minhashSignatures(docs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The count materializes the persist AND supplies the corpus size
     // the auto bucket cap derives from (same dual use as the inverted
@@ -587,19 +622,14 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard on the shingle sets; the
-    // candidate set is tiny, so broadcast it against the shared sig.
-    val s = sig.select(col("doc_id"), col("shingles"))
-    val out = broadcast(cand)
-      .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .localCheckpoint()
+    val post = shinglePostings(docs, n)
+    val out = exactOverlap(cand, post, post, "doc_a", "doc_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // Materialize the (tiny) verified-pair set eagerly so the big
+    // Materialize the (tiny) verified-pair set eagerly so the
     // signature cache can be released NOW instead of leaking for the
     // session lifetime; downstream consumers (dedupCorpus's connected
     // components re-read pairs every iteration) hit the checkpoint.
@@ -622,14 +652,11 @@ object Dedup {
   def minhashEstimateQuality(docs: DataFrame, n: Int, k: Int,
                              bands: Int, maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val exploded = shingleRows(docs, n)
-      .withColumn("m", md5(col("sh")))
-      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shingles"): _*)
+    // Signature rows are k longs per doc (no shingle arrays); the
+    // exact side of the report rides the memoized posting-ROW table,
+    // so the diagnostic carries no corpus-scale array state — the r9
+    // weak-query fix, same shape as minhashLshPairsCompute's verify.
+    val sig = minhashSignatures(docs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(sig.count())
     val banded = bandedColdKeys(bandKeysOf(sig, k, bands), bCap,
@@ -638,20 +665,21 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    val ov = exactOverlap(cand, shinglePostings(docs, n),
+      shinglePostings(docs, n), "doc_a", "doc_b")
     val a = sig.select(col("doc_id").as("doc_a") +:
-      (0 until k).map(i => col(s"s$i").as(s"a$i")) :+ col("shingles").as("sh_a"): _*)
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:
-      (0 until k).map(i => col(s"s$i").as(s"b$i")) :+ col("shingles").as("sh_b"): _*)
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
     val nMatch = (0 until k)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val out = broadcast(cand)
+    val out = broadcast(ov)
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("n_match", nMatch)
       .withColumn("est_jaccard", col("n_match").cast("double") / k)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
@@ -962,44 +990,43 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsig = minhashSigTable(batch, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashProbeSigs(csig, bsig, k, bands, minJaccard).localCheckpoint()
+    val pairs = minhashProbeSigs(csig, bsig,
+      shinglePostings(corpus, n), shinglePostings(batch, n),
+      k, bands, minJaccard).localCheckpoint()
     csig.unpersist(); bsig.unpersist()
     pairs
   }
 
-  /** MinHash signature table (doc_id, s0..s{k-1}, shs): the PERSISTED
+  /** MinHash signature table (doc_id, s0..s{k-1}): the PERSISTED
     * index of the incremental near-dup path — production appends each
     * ingest batch's rows to this table on disk and never recomputes
     * corpus signatures (`streaming/StreamingNearDupIngest` does exactly
-    * that). Signatures depend only on a doc's own shingles, so a table
+    * that, alongside a posting-row store for the exact verify).
+    * Signatures depend only on a doc's own shingles, so a table
     * built incrementally equals one built in a single pass. */
-  def minhashSigTable(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val exploded = shingleRows(docs, n)
-      .withColumn("m", md5(col("sh")))
-      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("shs"): _*)
-  }
+  def minhashSigTable(docs: DataFrame, n: Int, k: Int): DataFrame =
+    minhashSignatures(docs, n, k)
 
   /** Probe one signature table against another: band-join candidates
     * (batch side x corpus side — never a self-join of the corpus),
-    * broadcast exact-Jaccard verify on the stored shingle sets. Both
-    * inputs must come from `minhashSigTable` with the same n/k. */
-  def minhashProbeSigs(corpusSig: DataFrame, batchSig: DataFrame, k: Int,
-                       bands: Int, minJaccard: Double): DataFrame = {
+    * then exact-Jaccard verify through posting ROWS (`corpusPost` /
+    * `batchPost` are (doc_id, sh) frames — `shinglePostings` in
+    * session, the persisted shingle index at ingest). The corpus
+    * posting stream is semi-filtered to candidate docs before any
+    * shuffle, so verify cost scales with the candidate set, and no
+    * per-doc shingle array exists anywhere — the signature store
+    * stays k longs per doc. Sig and posting inputs must describe the
+    * same docs at the same n/k. */
+  def minhashProbeSigs(corpusSig: DataFrame, batchSig: DataFrame,
+                       corpusPost: DataFrame, batchPost: DataFrame,
+                       k: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val cand = bandKeysOf(batchSig, k, bands, "batch_doc")
       .join(bandKeysOf(corpusSig, k, bands, "corpus_doc"), Seq("band", "key"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
-    broadcast(cand)
-      .join(batchSig.select(col("doc_id").as("batch_doc"), col("shs").as("sh_a")), Seq("batch_doc"))
-      .join(corpusSig.select(col("doc_id").as("corpus_doc"), col("shs").as("sh_b")), Seq("corpus_doc"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .localCheckpoint()
+    exactOverlap(cand, batchPost, corpusPost, "batch_doc", "corpus_doc")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))

@@ -37,6 +37,12 @@ private[graft] object IndexMemo {
   /** Observable for the sharing specs: total memo hits this JVM. */
   @volatile var hits: Long = 0L
 
+  /** Per-tag hit counts — lets a spec assert that one index family
+    * missed the memo (e.g. a re-banded pair graph) while another
+    * legitimately hit (the band-independent posting table). */
+  private val tagHits = scala.collection.mutable.Map.empty[String, Long]
+  def hitsFor(tag: String): Long = synchronized { tagHits.getOrElse(tag, 0L) }
+
   /** Generic form: memoize any artifact derived from `input` — used
     * for multi-frame index bundles (codes + centroids). The cached
     * value must be fully materialized (checkpointed frames / collected
@@ -51,6 +57,7 @@ private[graft] object IndexMemo {
     } match {
       case Some((_, _, _, cached)) =>
         hits += 1
+        tagHits(tag) = tagHits.getOrElse(tag, 0L) + 1
         cached.asInstanceOf[T]
       case None =>
         val res = compute

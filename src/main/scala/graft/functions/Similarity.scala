@@ -584,10 +584,24 @@ object Similarity {
     * paper runs k ~ √N clusters at web scale; a fixed k at 100 TB
     * makes cells corpus-sized. The cell self-join broadcasts nothing
     * and shuffles only (cell, id, q) rows — raw embeddings move once. */
+  /** Cluster count sized to the corpus (the SemDeDup analog of
+    * `autoLshBits`): k = ceil(n / targetCell) keeps expected cell
+    * occupancy ~`targetCell`, so the within-cell self-join cost
+    * Σ|cell|² ≈ n·targetCell stays LINEAR in the corpus. A fixed k is
+    * the same scale trap as fixed LSH bits — cells grow with n and
+    * the pair join goes quadratic (the paper runs k ~ √N at web
+    * scale; constant-occupancy is the stronger, self-tuning form). */
+  def autoSemDedupK(nVecs: Long, targetCell: Int = 64): Int =
+    math.max(1, math.ceil(nVecs.toDouble / targetCell).toInt)
+
   def semDedup(embeddings: DataFrame, k: Int, iters: Int,
                minCosine: Double): DataFrame = {
+    // k <= 0 auto-sizes the cluster count from the measured corpus
+    // (one count job) — the scale-safe default; explicit k pins the
+    // demo/oracle-gated shape, mirroring nearDupPairsLsh's bits knob.
+    val kEff = if (k > 0) k else autoSemDedupK(embeddings.count())
     val e = ensureQuantized(embeddings).select(col("vec_id"), col("q"), col("nq"))
-    val assign = kmeansFixedPointAssign(embeddings, k, iters)
+    val assign = kmeansFixedPointAssign(embeddings, kEff, iters)
     val m = e.join(assign, Seq("vec_id"))
     val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("nq").as("na"))

@@ -234,12 +234,18 @@ object TextAnalysis {
     * any corpus size. The emitted sum is an exact int64 (|w| <= 1000,
     * so overflow needs 9·10^15 features in one doc) and `score` is
     * ONE double division of exact integers — oracle-portable. */
-  def hashedQualityScore(docs: DataFrame, dim: Long = 1L << 20): DataFrame = {
+  /** Unigram + bigram feature array of a doc's text (the hashing-trick
+    * feature space shared by the stub and trained classifier paths). */
+  private def qualityFeats: Column = {
     val toks = tokens(col("text"))
     val m1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), m1), slice(toks, lit(2), m1),
       (a, b) => concat(a, lit(" "), b))
-    val feats = concat(toks, bigrams)
+    concat(toks, bigrams)
+  }
+
+  def hashedQualityScore(docs: DataFrame, dim: Long = 1L << 20): DataFrame = {
+    val feats = qualityFeats
     // w(f) = md5-derived centi-weight of f's hash bucket
     def bucket(f: Column): Column =
       conv(substring(md5(f), 1, 8), 16, 10).cast("long") % dim
@@ -254,6 +260,53 @@ object TextAnalysis {
         col("w_sum").cast("double") / (col("n_feats").cast("double") * 1000.0))
       .withColumn("keep", when(col("w_sum") >= 0L, 1L).otherwise(0L))
   }
+
+  /** TRAINED-weight form of `hashedQualityScore` — the seam a real
+    * fastText/CCNet model plugs into: `weights` is a (bucket: long,
+    * w: long) table of integer centi-weights (at most `dim` rows — a
+    * 2^20-bucket model is ~16 MB, always broadcastable); buckets
+    * absent from the table weigh 0, the sparse-model convention.
+    * Same output contract as the stub (n_feats, exact int64 w_sum,
+    * score = w_sum / (n_feats·1000), keep = w_sum >= 0).
+    *
+    * Scale shape: features explode map-side, the weight lookup is a
+    * BROADCAST hash join (no shuffle of the feature stream), and the
+    * per-doc re-aggregation partial-aggregates before its one
+    * doc_id-keyed exchange — the unavoidable cost of table-driven
+    * weights vs the stub's in-row arithmetic. Docs with zero features
+    * keep their row (w_sum = 0) via the left join back to the base. */
+  def hashedQualityScoreWith(docs: DataFrame, weights: DataFrame,
+                             dim: Long = 1L << 20): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(qualityFeats).cast("long").as("n_feats"), qualityFeats.as("_feats"))
+    val sums = base.select(col("doc_id"), explode(col("_feats")).as("f"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % dim).as("bucket"))
+      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("_ws"))
+    base.drop("_feats").join(sums, Seq("doc_id"), "left")
+      .withColumn("w_sum", coalesce(col("_ws"), lit(0L))).drop("_ws")
+      .withColumn("score",
+        col("w_sum").cast("double") / (col("n_feats").cast("double") * 1000.0))
+      .withColumn("keep", when(col("w_sum") >= 0L, 1L).otherwise(0L))
+  }
+
+  /** Stub-derived sparse weight table: one (bucket, w) row per
+    * DISTINCT feature bucket present in the corpus, centi-weights
+    * md5-derived under `salt` — the deterministic stand-in that lets
+    * the trained-weight path be oracle-gated (DuckDB re-derives the
+    * same table) and spec-checked for equivalence with the in-row
+    * stub (salt "w" reproduces `hashedQualityScore` exactly). */
+  def stubWeightTable(docs: DataFrame, salt: String,
+                      dim: Long = 1L << 20): DataFrame =
+    docs.select(explode(qualityFeats).as("f"))
+      .select((conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % dim)
+        .as("bucket"))
+      .distinct()
+      .select(col("bucket"),
+        (conv(substring(md5(concat(lit(salt), col("bucket").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001L - 1000L).as("w"))
 
   /** Cross-source quality calibration: within each source, the doc's
     * percentile rank of `quality_score` in [0,1] — so ONE global

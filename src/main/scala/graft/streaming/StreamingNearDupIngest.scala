@@ -23,8 +23,11 @@ import graft.functions.Dedup
   * the index they probe. */
 object StreamingNearDupIngest {
 
-  /** Layout: `<corpusDir>/docs/batch=<id>` (landed rows) and
-    * `<corpusDir>/sigs/batch=<id>` (their MinHash signature rows). */
+  /** Layout: `<corpusDir>/docs/batch=<id>` (landed rows),
+    * `<corpusDir>/sigs/batch=<id>` (their MinHash signature rows —
+    * k longs per doc), and `<corpusDir>/post/batch=<id>` (their
+    * distinct (doc_id, sh) posting rows — the exact-verify shingle
+    * index; row form so the store never holds per-doc arrays). */
   def start(docs: DataFrame, corpusDir: String, checkpointDir: String,
             n: Int = 3, k: Int = 8, bands: Int = 4,
             minJaccard: Double = 0.5): StreamingQuery =
@@ -53,15 +56,21 @@ object StreamingNearDupIngest {
     val bsig = survivors
       .transform(Dedup.minhashSigTable(_, n, k))
       .localCheckpoint()
+    val bpost = Dedup.shinglePostings(survivors, n)
     val index = sigStore(spark, corpusDir, k)
       .filter(col("batch") < batchId).drop("batch")
-    val dupIds = Dedup.minhashProbeSigs(index, bsig, k, bands, minJaccard)
+    val postIndex = postStore(spark, corpusDir)
+      .filter(col("batch") < batchId).drop("batch")
+    val dupIds = Dedup.minhashProbeSigs(index, bsig, postIndex, bpost,
+        k, bands, minJaccard)
       .select(col("batch_doc").as("doc_id")).distinct()
     val freshSig = bsig.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
     val fresh = survivors.join(freshSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val freshPost = bpost.join(freshSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
     // 3. Idempotent writes: a replayed batch rewrites its own output.
     fresh.write.mode("overwrite").parquet(s"$corpusDir/docs/batch=$batchId")
     freshSig.write.mode("overwrite").parquet(s"$corpusDir/sigs/batch=$batchId")
+    freshPost.write.mode("overwrite").parquet(s"$corpusDir/post/batch=$batchId")
   }
 
   /** Highest batch id already landed in the signature store (-1 if none). */
@@ -82,10 +91,17 @@ object StreamingNearDupIngest {
     else {
       val sigCols = (0 until k).map(i => lit(0L).as(s"s$i"))
       spark.range(0).select(
-        (col("id").as("doc_id") +: sigCols :+
-          array().cast("array<string>").as("shs") :+
-          lit(0L).as("batch")): _*)
+        (col("id").as("doc_id") +: sigCols :+ lit(0L).as("batch")): _*)
     }
+
+  /** The posting-row store ((doc_id, sh) shingle index) with its
+    * `batch` partition column; empty-shaped when nothing has landed. */
+  def postStore(spark: SparkSession, corpusDir: String): DataFrame =
+    if (new java.io.File(s"$corpusDir/post").exists())
+      spark.read.parquet(s"$corpusDir/post")
+    else
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("sh"), lit(0L).as("batch"))
 
   /** The landed corpus (all surviving docs across batches). */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =

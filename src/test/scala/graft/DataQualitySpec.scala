@@ -195,4 +195,35 @@ class DataQualitySpec extends SparkSpec {
     assert(got(4L) == ref(" a b\n"), s"trim/split edge diverged: $got")
     assert(got(4L)._1 == 5L, "expected tokens [a, b, \"\"] -> 3 unigrams + 2 bigrams")
   }
+
+  test("hashedQualityScoreWith: stub-derived table reproduces the in-row stub; missing buckets weigh 0") {
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "Alpha beta GAMMA", "en"), (2L, "x", "fr"), (3L, "", "en"),
+        (4L, " a b\n", "en"), (5L, "alpha beta alpha beta gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "n_feats", "w_sum", "score", "keep")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1).toSeq
+    // the salt-"w" table IS the stub's weight vector -> exact equality
+    // of the whole output (including score doubles: same integer
+    // operands, one identical division)
+    val viaTable = rows(TextAnalysis.hashedQualityScoreWith(docs,
+      TextAnalysis.stubWeightTable(docs, "w")))
+    val viaStub = rows(TextAnalysis.hashedQualityScore(docs))
+    assert(viaTable == viaStub,
+      s"trained-weight path diverged from stub:\n$viaTable\nvs\n$viaStub")
+    // missing buckets weigh 0: an empty table scores every doc 0/keep
+    val empty = spark.range(0).select(col("id").as("bucket"), col("id").as("w"))
+    val zeroed = rows(TextAnalysis.hashedQualityScoreWith(docs, empty))
+    assert(zeroed.forall(r => r._4 == 0L && r._6 == 1L),
+      s"empty weight table must score 0 and keep all: $zeroed")
+    // n_feats preserved from the base row even with no weights
+    assert(zeroed.map(z => (z._1, z._3)) == viaStub.map(v => (v._1, v._3)))
+    // a different salt is a genuinely different weight vector
+    val w2 = rows(TextAnalysis.hashedQualityScoreWith(docs,
+      TextAnalysis.stubWeightTable(docs, "w2")))
+    assert(w2.map(_._4) != viaStub.map(_._4),
+      "salt w2 must produce different weight sums than the stub")
+  }
 }

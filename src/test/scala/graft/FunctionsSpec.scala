@@ -673,10 +673,17 @@ class DedupSpec extends SparkSpec {
     assert(minId == Seq(1L, 3L, 4L) && best == Seq(2L, 3L, 4L))
     assert(Dedup.ccMemoHits > hits0,
       s"second dedup call must hit the CC memo (hits $hits0 -> ${Dedup.ccMemoHits})")
-    // different params must NOT share (a 2-band run is a different graph)
-    val hits1 = Dedup.ccMemoHits
+    // different params must NOT share the pair graph or CC fixpoint
+    // (a 2-band run is a different graph) — but the band-INDEPENDENT
+    // posting table legitimately hits (same docs, same n), so assert
+    // per-tag, not on the global counter
+    val pairHits1 = graft.functions.IndexMemo.hitsFor("minhash_pairs")
+    val ccHits1 = graft.functions.IndexMemo.hitsFor("cc")
     Dedup.dedupCorpus(d, 3, 8, 2, 0.5).collect()
-    assert(Dedup.ccMemoHits == hits1, "different params must miss the memo")
+    assert(graft.functions.IndexMemo.hitsFor("minhash_pairs") == pairHits1,
+      "different band params must miss the pair memo")
+    assert(graft.functions.IndexMemo.hitsFor("cc") == ccHits1,
+      "different band params must miss the CC memo")
     // the pair index itself is memoized too: a repeated identical
     // minhashLshPairs call (the LSH query next to a dedup apply over
     // one corpus) reuses the verified-pair checkpoint

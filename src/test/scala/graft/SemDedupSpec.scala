@@ -32,4 +32,29 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
     assert(again.toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("autoSemDedupK: constant cell occupancy; auto path equals pinned k") {
+    // k = ceil(n / targetCell): occupancy stays ~targetCell as n grows
+    assert(Similarity.autoSemDedupK(0) == 1)
+    assert(Similarity.autoSemDedupK(64) == 1)
+    assert(Similarity.autoSemDedupK(65) == 2)
+    assert(Similarity.autoSemDedupK(500) == 8)   // the gated testdata point
+    assert(Similarity.autoSemDedupK(2000) == 32) // sf0.1 bench point
+    assert(Similarity.autoSemDedupK(2000000) == 31250)
+    // 10x corpus at constant occupancy: k grows 10x, cells stay ~64
+    val k1 = Similarity.autoSemDedupK(100000)
+    val k10 = Similarity.autoSemDedupK(1000000)
+    assert(k10 >= 9 * k1 && k10 <= 11 * k1)
+    // k <= 0 auto-sizes from the measured corpus: 400 vecs -> k = 7,
+    // and the result must EQUAL the explicitly pinned k = 7 run
+    val emb = Synthetic.embeddings(spark, 400, nLabels = 8)
+    val auto = Similarity.semDedup(emb, 0, 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    val pinned = Similarity.semDedup(emb, Similarity.autoSemDedupK(400), 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    assert(Similarity.autoSemDedupK(400) == 7)
+    assert(auto.toSeq == pinned.toSeq)
+    // partition of the corpus holds on the auto path too
+    assert(auto.length == 400 && auto.map(_._1).distinct.length == 400)
+  }
 }
