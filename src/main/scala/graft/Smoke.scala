@@ -234,8 +234,15 @@ object Smoke {
     val events = spark.read.parquet(s"$baseSf/events.parquet")
     write(events.crossJoin(reps)
       .withColumn("event_id", col("event_id") * factor + col("_k"))
-      // shift each replica by k seconds so (user, ts) stays distinct
-      .withColumn("ts", expr("timestampadd(SECOND, _k, ts)"))
+      // remap users per replica (the same consistent-key scheme as
+      // o_orderkey/l_orderkey): each replica is a fresh user
+      // population with the base per-user timelines intact, so
+      // (user, ts) can never collide ACROSS replicas — the previous
+      // +k-seconds ts shift collided whenever a base user had two
+      // events < factor seconds apart — and user-keyed operators
+      // (sessions, funnels, dedup windows) scale in #users, which is
+      // the real growth mode.
+      .withColumn("user_id", col("user_id") * factor + col("_k"))
       .drop("_k"), "events")
     write(graft.sources.Synthetic.documents(spark, 5000L * factor), "documents")
     // cluster count scales with the corpus (constant cluster size) so

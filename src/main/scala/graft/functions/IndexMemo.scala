@@ -43,26 +43,45 @@ private[graft] object IndexMemo {
   private val tagHits = scala.collection.mutable.Map.empty[String, Long]
   def hitsFor(tag: String): Long = synchronized { tagHits.getOrElse(tag, 0L) }
 
+  /** Per-(tag, params) compute locks: two threads deriving DIFFERENT
+    * indexes proceed concurrently (the old single global lock held
+    * across `compute` serialized every memo consumer behind the
+    * longest training job); two threads racing the SAME key serialize
+    * so the index trains once. Nested `of` calls only ever go from an
+    * outer index to a strictly finer one (ivfpq -> pq codebooks, pairs
+    * -> postings), never back, so the lock graph is acyclic — no
+    * deadlock. Both monitors are reentrant for the self-nested case. */
+  private val keyLocks = scala.collection.mutable.Map.empty[(String, Any), Object]
+
   /** Generic form: memoize any artifact derived from `input` — used
     * for multi-frame index bundles (codes + centroids). The cached
     * value must be fully materialized (checkpointed frames / collected
     * rules), never a lazy plan over unpersisted state. */
   def of[T](tag: String, input: DataFrame, params: Any)
-           (compute: => T): T = synchronized {
+           (compute: => T): T = {
     val sess = input.sparkSession
     val plan = input.queryExecution.analyzed
     val key = (tag, params)
-    entries.find { case (k2, s2, p2, _) =>
-      k2 == key && (s2 eq sess) && p2.sameResult(plan)
-    } match {
-      case Some((_, _, _, cached)) =>
+    def lookup(): Option[T] = synchronized {
+      // entries of stopped sessions can never hit again (the session
+      // identity check fails) but their plans/frames would pin memory
+      // and crowd the cap for the session's whole JVM — drop them now.
+      entries = entries.filter { case (_, s2, _, _) => !s2.sparkContext.isStopped }
+      entries.find { case (k2, s2, p2, _) =>
+        k2 == key && (s2 eq sess) && p2.sameResult(plan)
+      }.map { case (_, _, _, cached) =>
         hits += 1
         tagHits(tag) = tagHits.getOrElse(tag, 0L) + 1
         cached.asInstanceOf[T]
-      case None =>
+      }
+    }
+    val lock = synchronized { keyLocks.getOrElseUpdate(key, new Object) }
+    lock.synchronized {
+      lookup().getOrElse {
         val res = compute
-        entries = ((key, sess, plan, (res: Any)) :: entries).take(16)
+        synchronized { entries = ((key, sess, plan, (res: Any)) :: entries).take(16) }
         res
+      }
     }
   }
 

@@ -28,15 +28,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * into O(|Q|·k) — the difference between shipping the scored corpus
   * and shipping the answer.
   *
-  * Ordering contract: the interpreted ordering of the child STRUCT
-  * (lexicographic over fields, each field its type's canonical
-  * ordering). Callers encode direction by construction — e.g.
+  * Ordering contract (normative, spec-enforced): the interpreted
+  * ordering of the child STRUCT (lexicographic over fields, each
+  * field its type's canonical ordering — for doubles, NaN is the
+  * LARGEST value). Callers encode direction by construction — e.g.
   * "cosine DESC, id ASC" is `struct(-cosine, id, ...payload)`.
-  * (Caveat: double negation maps NaN to NaN, which sorts LAST
-  * ascending while NaN-first under a window's DESC — identical
-  * results whenever the sort key is NaN-free, which every gated
-  * query's cosine/distance is.) Memory: O(k) per group — the heap
-  * never holds more than k rows, unlike collect_list+slice. */
+  * Double negation maps NaN to NaN, so a NaN sort key ranks LAST
+  * ascending here while a window's DESC would rank it FIRST; this
+  * aggregate's NaN-last behavior is the contract (pinned by the
+  * SourcesAndPlansSpec NaN test, deterministic incl. ties and
+  * repartition), and the gated queries additionally keep their keys
+  * NaN-free (cosine_f64 degenerates to NULL, never NaN). Memory:
+  * O(k) per group — the heap never holds more than k rows, unlike
+  * collect_list+slice. */
 case class TopK(
     child: Expression,
     k: Int,
@@ -144,11 +148,23 @@ object TopK {
     GraftSqlBridge.column(
       TopK(GraftSqlBridge.expression(ord), k).toAggregateExpression())
 
-  /** SQL builder: `top_k(struct(...), k)` with literal k. */
+  /** SQL builder: `top_k(struct(...), k)` with literal k. Argument
+    * errors surface as readable analysis-time messages, not NPE /
+    * ClassCastException from a blind eval-and-cast. */
   def forSql(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "top_k(struct, k) takes exactly two arguments")
-    require(exprs(1).foldable, "k must be a literal")
-    TopK(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    require(exprs(1).foldable,
+      s"top_k: k must be a literal, got non-foldable ${exprs(1).sql}")
+    val kv = exprs(1).eval()
+    require(kv != null, "top_k: k must be a non-null integer literal")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val k = (exprs(1).dataType, kv) match {
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) => n.longValue()
+      case (dt, _) => throw new IllegalArgumentException(
+        s"top_k: k must be an integer literal, got ${dt.simpleString} (${exprs(1).sql})")
+    }
+    require(k >= 1 && k <= Int.MaxValue, s"top_k needs k >= 1, got $k")
+    TopK(exprs.head, k.toInt)
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -102,6 +102,45 @@ class DotI64Spec extends SparkSpec {
     }
   }
 
+  test("top_k forSql argument errors are readable; NaN ordering contract enforced") {
+    import graft.plans.TopK
+    TopK.register(spark)
+    val df = Seq((1, 5L, 3.0), (1, 2L, 1.0)).toDF("g", "id", "v")
+    // null k -> named message, not an NPE
+    val eNull = intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("top_k(struct(v, id), CAST(NULL AS INT))")).collect()
+    }
+    assert(eNull.getMessage.contains("non-null integer"), eNull.getMessage)
+    // non-integral k -> named message, not a ClassCastException
+    val eFrac = intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("top_k(struct(v, id), 2.5)")).collect()
+    }
+    assert(eFrac.getMessage.contains("integer literal"), eFrac.getMessage)
+    val eStr = intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("top_k(struct(v, id), 'two')")).collect()
+    }
+    assert(eStr.getMessage.contains("integer literal"), eStr.getMessage)
+    // k < 1 -> named message
+    val eZero = intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("top_k(struct(v, id), 0)")).collect()
+    }
+    assert(eZero.getMessage.contains("k >= 1"), eZero.getMessage)
+    // NaN contract (scaladoc at TopK.scala): struct natural ASCENDING
+    // ordering — NaN is the LARGEST double, so NaN-keyed rows rank
+    // LAST and can only enter a top-k that isn't already full of real
+    // keys. Pinned here, deterministically, incl. under repartition —
+    // the behavior is enforced by test, not assumed prose.
+    val nan = Seq((1, 10L, Double.NaN), (1, 2L, 1.0), (1, 9L, 2.0), (1, 11L, Double.NaN))
+      .toDF("g", "id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame, k: Int) = d.groupBy(col("g"))
+      .agg(expr(s"top_k(struct(v, id), $k)").as("t"))
+      .selectExpr("transform(t, s -> s.id) AS ids")
+      .head().getSeq[Long](0).toList
+    assert(ids(nan, 2) == List(2L, 9L), "real keys must crowd out NaN")
+    assert(ids(nan, 3) == List(2L, 9L, 10L), "NaN ranks last, id breaks the NaN tie")
+    assert(ids(nan.repartition(5), 3) == List(2L, 9L, 10L), "repartition-invariant")
+  }
+
   test("fused cosine degenerates to NULL, never NaN (zero norm, length mismatch)") {
     import graft.plans.CosineF64
     val df = Seq(
