@@ -20,6 +20,7 @@ object Smoke {
     else if (args.headOption.contains("uploads")) uploadsProbe(spark)
     else if (args.headOption.contains("formats")) formatsProbe(spark)
     else if (args.headOption.contains("ingest")) ingestProbe(spark)
+    else if (args.headOption.contains("quality")) qualityIngestProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -143,6 +144,47 @@ object Smoke {
       .distinct().count()
     println(s"INGEST_WAVE1=$afterWave1 INGEST_TOTAL=$n DISTINCT_FP=$distinctFp " +
       s"DIGEST_STORE=${StreamingIngest.digestStore(spark, store).count()}")
+  }
+
+  /** Drive the quality-gated streaming ingest end to end (`Smoke
+    * quality`): two waves through `StreamingQualityIngest` (wave 2
+    * half-overlaps wave 1, so both reject kinds fire), then print the
+    * per-batch admission ledger and check its contract —
+    * n_in = n_quality_rejected + n_dup_rejected + n_landed per batch,
+    * Σ n_landed = corpus size, and landed docs all score keep=1. */
+  private def qualityIngestProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{StreamingIngest, StreamingQualityIngest}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val base = java.nio.file.Files.createTempDirectory("graft_quality_probe")
+    val landing = base.toString + "/landing"
+    val store = base.toString + "/store"
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(landing)
+    val q = StreamingQualityIngest.start(
+      spark.readStream.schema(docs.schema).parquet(landing),
+      store, base.toString + "/ck")
+    q.processAllAvailable()
+    // wave 2: half duplicates of wave 1 -> cross-batch dup rejects
+    docs.filter(col("doc_id") >= 125 && col("doc_id") < 375)
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable(); q.stop()
+    val ledger = StreamingQualityIngest.stats(spark, store)
+      .orderBy(col("batch")).collect()
+    ledger.foreach(r => println(
+      s"LEDGER batch=${r.getLong(0)} n_in=${r.getLong(1)} " +
+      s"quality_rejected=${r.getLong(2)} dup_rejected=${r.getLong(3)} " +
+      s"landed=${r.getLong(4)}"))
+    val balanced = ledger.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+    val corpus = StreamingIngest.corpus(spark, store)
+    val landedTotal = ledger.map(_.getLong(4)).sum
+    val gateClean = graft.functions.TextAnalysis.hashedQualityScore(corpus)
+      .filter(col("keep") =!= 1L).count()
+    println(s"LEDGER_BALANCED=$balanced LANDED_TOTAL=$landedTotal " +
+      s"CORPUS=${corpus.count()} GATE_VIOLATIONS=$gateClean")
+    require(balanced, "ledger arithmetic must balance per batch")
+    require(landedTotal == corpus.count(), "ledger landed must equal corpus size")
+    require(gateClean == 0, "no landed doc may fail the quality gate")
   }
 
   /** Drive the format breadth: CSV/ORC roundtrips of lineitem and a
