@@ -31,6 +31,8 @@ object Smoke {
     else if (args.headOption.contains("scale")) scaleProbe(spark,
       args.lift(1).map(_.toLong).getOrElse(5000L),
       args.lift(2).map(_.toInt).getOrElse(10))
+    else if (args.headOption.contains("annscale")) annScaleProbe(spark,
+      args.lift(1).map(_.toLong).getOrElse(2000L))
     else if (args.headOption.contains("count")) {
       val n = SparkEntry.queries(args(1))(spark,
         args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
@@ -110,6 +112,49 @@ object Smoke {
         Similarity.pqTopK(emb, col("vec_id") % 100 === 0, 10, 2, 4, 1).count())
       timed("rq_topk", mult)(
         Similarity.rqTopK(emb, col("vec_id") % 100 === 0, 10, 4, 4, 1).count())
+    }
+  }
+
+  /** Isolated 3-point ANN-family scaling fit (`Smoke annscale
+    * [nBase]`): gen1x/4x/10x Synthetic embeddings with a FIXED query
+    * set (vec_id < 20 — constant |Q| at every scale, unlike the gated
+    * queries' %100 predicate whose query count grows with the corpus
+    * and contaminates in-suite exponents). Each method family is timed
+    * at each scale in one session; scales use DIFFERENT parquet dirs,
+    * so IndexMemo cannot leak training across scales (keys include the
+    * input plan) — within a scale, topk siblings deliberately ride the
+    * family's one training run, same as production. Pinned-parameter
+    * shapes (the gated configs) are measured next to their auto-sized
+    * production siblings: pinned LSH/IVF are EXPECTED to trend linear
+    * (fixed 2^bits buckets / fixed cells ⇒ occupancy grows with n);
+    * the auto rows are the scale story. */
+  private def annScaleProbe(spark: SparkSession, nBase: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Similarity
+    import graft.sources.Synthetic
+    val base = java.nio.file.Files.createTempDirectory("graft_annscale").toString
+    val pred = col("vec_id") < 20 // FIXED |Q| = 20 at every scale
+    Seq(1, 4, 10).foreach { mult =>
+      val n = nBase * mult
+      Synthetic.embeddings(spark, n, nLabels = (20 * mult))
+        .write.mode("overwrite").parquet(s"$base/x$mult/embeddings.parquet")
+      val emb = spark.read.parquet(s"$base/x$mult/embeddings.parquet")
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"ANNSCALE mult=$mult%-3d n=$n%-7d method=$label%-14s sec=${(System.nanoTime() - t0) / 1e9}%8.2f out_rows=$rows")
+      }
+      timed("brute_force")(Similarity.bruteForceTopK(emb, pred, 10).count())
+      timed("lsh_pinned")(Similarity.lshTopK(emb, pred, 10, 4).count())
+      timed("lsh_auto")(Similarity.lshTopK(emb, pred, 10,
+        Similarity.autoLshBits(n)).count())
+      timed("lsh_multi")(Similarity.lshTopKMulti(emb, pred, 10, 4, 4).count())
+      timed("ivf_pinned")(Similarity.ivfTopK(emb, pred, 10, 16, 4).count())
+      timed("ivf_auto")(Similarity.ivfTopK(emb, pred, 10,
+        Similarity.autoSemDedupK(n), 4).count())
+      timed("pq_topk")(Similarity.pqTopK(emb, pred, 10, 4, 16, 1).count())
+      timed("rq_topk")(Similarity.rqTopK(emb, pred, 10, 16, 16, 1).count())
+      timed("ivfpq_topk")(Similarity.ivfpqTopK(emb, pred, 10, 16, 4, 4, 16, 1).count())
     }
   }
 
