@@ -244,15 +244,25 @@ object Similarity {
       col("q").as("qa"), col("nq").as("na"))
     val b = side.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
       col("q").as("qb"), col("nq").as("nb"))
+    // Verify BEFORE the dedup exchange: the exact cosine is computed
+    // map-side on each (tbl, bucket) collision row and the minCosine
+    // filter applied there, so the dropDuplicates shuffle carries only
+    // slim (id_a, id_b, cosine) SURVIVORS — not every candidate row
+    // with both full quantized vectors attached (candidate-count ×
+    // ~1 KB/row, the shape that dominated this operator at scale). A
+    // pair colliding in several tables recomputes its cosine per
+    // collision (bounded ×tables, codegen'd integer dot), which is the
+    // right trade: shuffle bytes, not map-side ALU, are the scarce
+    // resource at 100 TB. Cosine is deterministic, so duplicate
+    // collisions agree and the dedup result is unchanged.
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("qa"), col("na"), col("qb"), col("nb"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
         dotQ("qa", "qb").cast("double") /
           sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Per-label centroid of the quantized embeddings, LONG FORM
