@@ -410,13 +410,18 @@ object Similarity {
       .join(buckets, Seq("vec_id"))
       .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"),
         col("cv"), col("cn"))
+    // Score map-side on each collision row, then dedup SLIM
+    // (query_id, neighbor_id, cosine) rows: cosine is deterministic so
+    // multi-table duplicates agree, and the dedup exchange stops
+    // carrying both full vectors per candidate (the nearDupPairsLsh
+    // shuffle-shape fix).
     topKDesc(probes.join(cands, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))),
+        dotQ("qv", "cv").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id"),
       k, "cosine")
   }
 
@@ -1141,12 +1146,15 @@ object Similarity {
     val probes = e.filter(queryPred).join(nearestCells(e.filter(queryPred), nProbe), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id").as("query_id"),
         col("q").as("qv"), col("nq").as("qn"))
+    // Slim-row dedup (see lshTopKMulti): score on the collision row,
+    // ship only (query_id, neighbor_id, cosine) through the exchange.
     topKDesc(probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dotQ("qv", "nv").cast("double") /
-          sqrt(col("qn").cast("double") * col("nn").cast("double"))),
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id"),
       k, "cosine")
   }
 
@@ -1390,13 +1398,16 @@ object Similarity {
         }: _*)).as("bucket"))
     val cands = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("q").as("cv"), col("nq").as("cn"))
+    // Slim-row dedup (see lshTopKMulti): a pair surfacing through
+    // several probed buckets recomputes its deterministic cosine per
+    // collision, and only (query_id, neighbor_id, cosine) shuffles.
     topKDesc(probes.join(cands, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"), col("cv"), col("cn"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("dot", dotQ("qv", "cv"))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))),
+        dotQ("qv", "cv").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id"),
       k, "cosine")
   }
 }
