@@ -200,4 +200,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") && p.contains("HashAggregate"),
       s"expected codegen spans:\n$p")
   }
+
+  test("ANN pair-dedup exchanges ship slim rows — no vector arrays cross them") {
+    // The shuffle-width contract behind scoring candidates BEFORE the
+    // (id_a,id_b)/(query_id,neighbor_id) dropDuplicates: the dedup
+    // exchange carries ids + one double per candidate, never the two
+    // full quantized vectors (~1 KB/row at dim 64, the shape that made
+    // this family shuffle-bound). The bucketed self-join may still move
+    // vectors ONCE to co-locate collision rows — only the pair-keyed
+    // dedup exchanges are pinned slim here.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import graft.functions.Similarity
+    // AQE off for the assertion window: the pre-adaptive executedPlan
+    // then holds plain ShuffleExchangeExec nodes whose output schema is
+    // inspectable (AQE wraps them in opaque query stages).
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val probe = org.apache.spark.sql.functions.col("vec_id") % 100 === 0
+      val frames = Seq(
+        "nearDupPairsLsh" -> Similarity.nearDupPairsLsh(emb, 0.4, 4, 4),
+        "lshTopKMulti" -> Similarity.lshTopKMulti(emb, probe, 10, 4, 4),
+        "lshTopK" -> Similarity.lshTopK(emb, probe, 10, 4))
+      val pairKeys = Seq(Set("id_a", "id_b"), Set("query_id", "neighbor_id"))
+      frames.foreach { case (name, df) =>
+        val dedupExchanges = df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+          .filter(_.outputPartitioning match {
+            case h: HashPartitioning =>
+              val names = h.expressions.flatMap(_.references.map(_.name)).toSet
+              pairKeys.exists(_.subsetOf(names))
+            case _ => false
+          })
+        assert(dedupExchanges.nonEmpty,
+          s"$name: expected a pair-keyed dedup exchange in the plan")
+        dedupExchanges.foreach { e =>
+          val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(wide.isEmpty,
+            s"$name: vector arrays cross the dedup exchange: ${wide.map(_.name).mkString(", ")}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
 }
