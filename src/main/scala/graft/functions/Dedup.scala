@@ -502,15 +502,23 @@ object Dedup {
     * regardless of k (8x less hashing than md5-per-seed). Engine-
     * portable: DuckDB computes the identical integers via
     * CAST('0x'||substr(md5,...) AS BIGINT). */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val exploded = shingleRows(docs, n)
-      .withColumn("m", md5(col("sh")))
-      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
-    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    // Memoized per (docs plan, n, k) like `shinglePostings`: the
+    // signature table is the family's ingest-time index (k longs per
+    // doc) and every in-session consumer of the same corpus — LSH
+    // pairing, the estimate diagnostic, dedupCorpus, the incremental
+    // probe — shares ONE checkpointed shingling pass instead of each
+    // re-paying the shingle shuffle.
+    IndexMemo.of[DataFrame]("minhash_sigs", docs, (n, k)) {
+      val exploded = shingleRows(docs, n)
+        .withColumn("m", md5(col("sh")))
+        .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+      val mins = (0 until k).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+      exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .localCheckpoint()
+    }
 
   /** Distinct (doc_id, sh) posting rows — the minhash family's
     * exact-verify substrate, memoized per (docs plan, n) like the
@@ -604,17 +612,14 @@ object Dedup {
                                      minJaccard: Double,
                                      maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // Signature rows are k longs per doc — persisted so banding and
-    // the bucket-cap count share one shingling pass. Exact verify goes
-    // through the memoized posting-ROW table (`shinglePostings`), not
-    // per-doc collect_set arrays: at 100 TB the signature table and
-    // the shingle index are both ingest-time artifacts, and the verify
-    // join touches only candidate docs' posting rows.
+    // The signature table arrives memoized + checkpointed (k longs per
+    // doc), so banding and the bucket-cap count share the one
+    // shingling pass. Exact verify goes through the memoized
+    // posting-ROW table (`shinglePostings`), not per-doc collect_set
+    // arrays: at 100 TB the signature table and the shingle index are
+    // both ingest-time artifacts, and the verify join touches only
+    // candidate docs' posting rows.
     val sig = minhashSignatures(docs, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The count materializes the persist AND supplies the corpus size
-    // the auto bucket cap derives from (same dual use as the inverted
-    // path's).
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(sig.count())
     val banded = bandedColdKeys(bandKeysOf(sig, k, bands), bCap,
       "minhashLshPairs")
@@ -629,13 +634,10 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // Materialize the (tiny) verified-pair set eagerly so the
-    // signature cache can be released NOW instead of leaking for the
-    // session lifetime; downstream consumers (dedupCorpus's connected
-    // components re-read pairs every iteration) hit the checkpoint.
-    val pairs = out.localCheckpoint()
-    sig.unpersist()
-    pairs
+    // Materialize the (tiny) verified-pair set eagerly: downstream
+    // consumers (dedupCorpus's connected components re-read pairs
+    // every iteration) hit the checkpoint.
+    out.localCheckpoint()
   }
 
   /** MinHash estimator-quality report — the k/bands TUNING diagnostic:
@@ -657,7 +659,6 @@ object Dedup {
     // so the diagnostic carries no corpus-scale array state — the r9
     // weak-query fix, same shape as minhashLshPairsCompute's verify.
     val sig = minhashSignatures(docs, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(sig.count())
     val banded = bandedColdKeys(bandKeysOf(sig, k, bands), bCap,
       "minhashEstimateQuality")
@@ -684,9 +685,7 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         col("est_jaccard"), col("jaccard"), col("abs_err"))
-    val res = out.localCheckpoint()
-    sig.unpersist()
-    res
+    out.localCheckpoint()
   }
 
   /** Portable 16-bit SimHash (Charikar, "Similarity estimation
@@ -986,15 +985,11 @@ object Dedup {
     * near-dup analog of `incrementalDedupFp`'s exact-digest path. */
   def minhashProbePairs(corpus: DataFrame, batch: DataFrame, n: Int, k: Int,
                         bands: Int, minJaccard: Double): DataFrame = {
-    val csig = minhashSigTable(corpus, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bsig = minhashSigTable(batch, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashProbeSigs(csig, bsig,
+    // Both signature tables arrive memoized + checkpointed from
+    // minhashSignatures — no per-call persist/unpersist needed.
+    minhashProbeSigs(minhashSigTable(corpus, n, k), minhashSigTable(batch, n, k),
       shinglePostings(corpus, n), shinglePostings(batch, n),
       k, bands, minJaccard).localCheckpoint()
-    csig.unpersist(); bsig.unpersist()
-    pairs
   }
 
   /** MinHash signature table (doc_id, s0..s{k-1}): the PERSISTED
