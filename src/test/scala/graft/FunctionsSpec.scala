@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, IndexMemo, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 class TextAnalysisSpec extends SparkSpec {
@@ -582,6 +582,23 @@ class DedupSpec extends SparkSpec {
     // with a non-binding cap, the identical cluster IS reported (15 pairs + (1,2))
     val all = Dedup.ngramJaccardPairsInverted(d, 3, 0.5, maxDocFreq = 1000).count()
     assert(all == 16L, s"expected 16 pairs uncapped, got $all")
+  }
+
+  test("minhash signature table is memoized across family consumers") {
+    // A plan-canonicalization mismatch would silently recompute the
+    // shingling pass per consumer instead of sharing the checkpointed
+    // index — this pins the memo actually hitting on a re-request of
+    // the SAME corpus/params and missing on different params.
+    val d = docs((1L, near1), (2L, near2), (3L, other)).localCheckpoint()
+    val first = Dedup.minhashSignatures(d, 3, 8)
+    val hitsBefore = IndexMemo.hitsFor("minhash_sigs")
+    val second = Dedup.minhashSignatures(d, 3, 8)
+    assert(IndexMemo.hitsFor("minhash_sigs") == hitsBefore + 1,
+      "second request of the same (corpus, n, k) must hit the memo")
+    assert(second eq first, "memo hit must return the cached frame")
+    Dedup.minhashSignatures(d, 3, 4)
+    assert(IndexMemo.hitsFor("minhash_sigs") == hitsBefore + 1,
+      "different k must be a distinct index, not a memo hit")
   }
 
   test("minhashLshPairs finds the same planted near-dup") {
