@@ -762,6 +762,75 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("_m.code").as("code"))
   }
 
+  /** Scalar quantization (SQ8 — FAISS's ScalarQuantizer QT_8bit shape):
+    * per-dimension affine 8-bit codes, `c = (x - mn_d) * 255 div
+    * (mx_d - mn_d)` over the exact integer quantized grid, with the
+    * per-dim (mn, mx) bounds learned from the corpus. Training is ONE
+    * min/max aggregation (vs PQ/RQ's Lloyd loops) and the index is a
+    * byte per dimension — the cheap rung of the compression ladder.
+    * All operands are non-negative integers, so truncating (Spark
+    * `div`) and flooring (DuckDB `//`) division coincide and the codes
+    * — hence every downstream distance — replay bit-exactly
+    * cross-engine (`q_sq8_topk`).
+    *
+    * Returns (vec_id, c, ncc): the code vector and its exact squared
+    * norm. Memoized per corpus plan like the other trained indexes;
+    * the bounds (dims-sized — metadata) collect to the driver and ride
+    * the code construction as literals, so encoding is ONE map-side
+    * pass over the vector scan: no shuffle at any corpus size. */
+  def sq8CodeTable(embeddings: DataFrame): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    IndexMemo.of[DataFrame]("sq8_codes", e, ()) {
+      val bounds = e.select(posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy(col("d")).collect()
+      val mn = bounds.map(_.getLong(1)).toSeq
+      val mx = bounds.map(_.getLong(2)).toSeq
+      e.select(col("vec_id"), col("q"))
+        .withColumn("_mn", typedLit(mn))
+        .withColumn("_mx", typedLit(mx))
+        .withColumn("c", expr(
+          "transform(q, (x, i) -> CASE WHEN element_at(_mx, i+1) > element_at(_mn, i+1)" +
+            " THEN ((x - element_at(_mn, i+1)) * 255) div (element_at(_mx, i+1) - element_at(_mn, i+1))" +
+            " ELSE CAST(0 AS BIGINT) END)"))
+        .withColumn("ncc", normQ("c"))
+        .select(col("vec_id"), col("c"), col("ncc"))
+        .localCheckpoint()
+    }
+  }
+
+  /** SQ8 top-k by symmetric code-space squared distance: both sides
+    * use their 8-bit codes, and `|qc - cc|² = ncc_q + ncc_c - 2·qc·cc`
+    * rides the same native DotI64 inner loop as exact cosine — one
+    * codegen'd pass per (query, candidate), integer-exact, so the
+    * ranking is oracle-gateable. Scale shape = bruteForceTopK over the
+    * COMPRESSED index: broadcast query codes against the code scan,
+    * bounded TopK aggregate tail (|Q|·k rows through the exchange);
+    * the raw vectors are touched only by the (memoized) encoder. */
+  def sq8TopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    val codes = sq8CodeTable(e)
+    val qIds = e.filter(queryPred).select(col("vec_id"))
+    val q = codes.join(broadcast(qIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("c").as("qc"), col("ncc").as("qn"))
+    val cands = codes.select(col("vec_id").as("neighbor_id"),
+      col("c").as("cc"), col("ncc").as("cn"))
+    topKAsc(cands.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", col("qn") + col("cn") - lit(2L) * dotQ("qc", "cc"))
+      .select(col("query_id"), col("neighbor_id"), col("adist")),
+      k, "adist")
+  }
+
+  /** SQ8 + exact re-rank: the code-space scan proposes a `pool`-sized
+    * candidate set, exact quantized cosine orders the final top-k —
+    * the same refine stage as the PQ/RQ/IVFPQ siblings. */
+  def sq8TopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
+                    pool: Int): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must be >= k=$k")
+    val e = ensureQuantized(embeddings)
+    exactRerank(e, queryPred, sq8TopK(e, queryPred, pool), k)
+  }
+
   /** Residual quantization (RQ): two-stage ADDITIVE vector
     * quantization — stage 1 trains a `k1`-centroid codebook over the
     * FULL vector with the `kmeansFixedPoint` integer discipline
