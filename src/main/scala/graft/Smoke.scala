@@ -33,6 +33,16 @@ object Smoke {
       args.lift(2).map(_.toInt).getOrElse(10))
     else if (args.headOption.contains("annscale")) annScaleProbe(spark,
       args.lift(1).map(_.toLong).getOrElse(2000L))
+    else if (args.headOption.contains("annrecall")) {
+      // Per-method measured recall at a given sf dir (the harness the
+      // gated q_ann_recall flags and the FunctionsSpec floors read).
+      import org.apache.spark.sql.functions.col
+      graft.functions.Similarity.annRecall(
+          Tables.embeddings(spark, args.lift(1).getOrElse("/root/testdata/sf0.01")),
+          col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
+        .collect().foreach(r => println(
+          f"ANNRECALL method=${r.getString(0)}%-14s hits=${r.getLong(1)}%-4d truth=${r.getLong(2)}%-4d recall=${r.getDouble(3)}%.3f"))
+    }
     else if (args.headOption.contains("count")) {
       val n = SparkEntry.queries(args(1))(spark,
         args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
@@ -155,6 +165,7 @@ object Smoke {
       timed("pq_topk")(Similarity.pqTopK(emb, pred, 10, 4, 16, 1).count())
       timed("rq_topk")(Similarity.rqTopK(emb, pred, 10, 16, 16, 1).count())
       timed("ivfpq_topk")(Similarity.ivfpqTopK(emb, pred, 10, 16, 4, 4, 16, 1).count())
+      timed("sq8_topk")(Similarity.sq8TopK(emb, pred, 10).count())
     }
   }
 

@@ -389,12 +389,14 @@ object SparkEntry {
       val floors = Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
         ("pq", 0.18), ("pq_rerank", 0.46), ("rq", 0.10),
-        ("rq_rerank", 0.30), ("ivfpq", 0.14), ("ivfpq_rerank", 0.36))
+        ("rq_rerank", 0.30), ("ivfpq", 0.14), ("ivfpq_rerank", 0.36),
+        ("sq8", 0.70), ("sq8_rerank", 0.90))
         .toDF("method", "floor")
       val bases = Seq(("pq_rerank", "pq"), ("rq_rerank", "rq"),
-        ("ivfpq_rerank", "ivfpq")).toDF("method", "base_method")
-      // 9-row result; checkpoint so the base-recall self-join doesn't
-      // re-run the 9 method pipelines.
+        ("ivfpq_rerank", "ivfpq"), ("sq8_rerank", "sq8"))
+        .toDF("method", "base_method")
+      // 11-row result; checkpoint so the base-recall self-join doesn't
+      // re-run the 11 method pipelines.
       val r = Similarity.annRecall(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, 4, 4, 16, 4).localCheckpoint()
       val baseRec = r.select(col("method").as("base_method"),
@@ -764,6 +766,21 @@ object SparkEntry {
       Similarity.ivfpqTopKRerank(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
         m = 2, ksub = 4, iters = 1, pool = 50)
+    }),
+    // SQ8 scalar quantization (FAISS QT_8bit shape): per-dim affine
+    // 8-bit codes from ONE min/max training pass, symmetric code-space
+    // squared distance — all integer, so the ranking replays exactly
+    "q_sq8_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.sq8TopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10)
+    }),
+    // SQ8 + exact re-rank: code-space 50-pool, exact quantized-cosine
+    // final order (the refine sibling of q_pq_rerank on the cheap rung)
+    "q_sq8_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.sq8TopKRerank(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, pool = 50)
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -1730,7 +1747,8 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS recall_ok,
         |       CAST(1 AS BIGINT) AS rerank_ok
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
-        |             ('rq'), ('rq_rerank'), ('ivfpq'), ('ivfpq_rerank')) AS m(method)
+        |             ('rq'), ('rq_rerank'), ('ivfpq'), ('ivfpq_rerank'),
+        |             ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
@@ -2303,6 +2321,31 @@ object SparkEntry {
     // cell-restricted index
     "q_ivfpq_rerank" ->
       s"""$ivfpqBaseSql,
+         |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
+         |x AS (SELECT p.query_id, p.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM pool p
+         |      JOIN n qq ON qq.vec_id = p.query_id
+         |      JOIN n cc ON cc.vec_id = p.neighbor_id),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM x)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+         |FROM f WHERE rnk <= 10""".stripMargin,
+    // SQ8 replay: affine 8-bit codes off per-dim min/max bounds, then
+    // symmetric integer code-space distance — see sq8BaseSql
+    "q_sq8_topk" ->
+      s"""$sq8BaseSql
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    // SQ8 code-space proposes the 50-pool; exact quantized cosine
+    // re-ranks it — the same refine stage as q_pq_rerank
+    "q_sq8_rerank" ->
+      s"""$sq8BaseSql,
          |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
          |x AS (SELECT p.query_id, p.neighbor_id,
          |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
@@ -3582,6 +3625,40 @@ object SparkEntry {
        |         FROM a2 JOIN adc ON a2.s = adc.s AND a2.code = adc.code
        |         WHERE a2.vec_id <> adc.query_id
        |         GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB replay of the SQ8 code table + symmetric code-space scan
+    * (Similarity.sq8CodeTable / sq8TopK): per-dim (mn, mx) bounds over
+    * the quantized grid, affine 8-bit codes `((x - mn) * 255) // (mx -
+    * mn)` — every operand non-negative, so DuckDB's flooring `//` and
+    * Spark's truncating `div` coincide — then `|qc - cc|² = ncc_q +
+    * ncc_c - 2·qc·cc` ranked (adist ASC, id ASC). */
+  private lazy val sq8BaseSql =
+    s"""WITH n AS ($quantizedSql),
+       |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+       |              unnest(q) AS x FROM n),
+       |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM vd GROUP BY d),
+       |cd AS (SELECT vd.vec_id, vd.d,
+       |         CASE WHEN b.mx > b.mn
+       |              THEN ((vd.x - b.mn) * 255) // (b.mx - b.mn)
+       |              ELSE CAST(0 AS BIGINT) END AS c
+       |       FROM vd JOIN b USING (d)),
+       |cn AS (SELECT vec_id, CAST(sum(c*c) AS BIGINT) AS ncc
+       |       FROM cd GROUP BY vec_id),
+       |qd AS (SELECT vec_id AS query_id, d, c AS qc
+       |       FROM cd WHERE vec_id % 100 = 0),
+       |dt AS (SELECT qd.query_id, cd.vec_id,
+       |              CAST(sum(qd.qc * cd.c) AS BIGINT) AS dp
+       |       FROM qd JOIN cd ON qd.d = cd.d AND cd.vec_id <> qd.query_id
+       |       GROUP BY 1, 2),
+       |dist AS (SELECT dt.query_id, dt.vec_id,
+       |                CAST(qn.ncc + nn.ncc - 2 * dt.dp AS BIGINT) AS adist
+       |         FROM dt
+       |         JOIN cn qn ON qn.vec_id = dt.query_id
+       |         JOIN cn nn ON nn.vec_id = dt.vec_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY adist, vec_id) AS rnk
+       |      FROM dist)""".stripMargin
 
   private val quantizedSql =
     """SELECT vec_id, label,

@@ -1418,6 +1418,14 @@ object Similarity {
     val ivfpqPairs = ivfpqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val ivfpqRerankPairs = ivfpqAll.select(col("query_id"), col("neighbor_id"))
+    // sq8: scalar-quantized (8-bit affine per-dim) symmetric code-space
+    // top-k — the cheap rung of the compression ladder (one min/max
+    // training pass vs the Lloyd loops above). The 5k code-space pool
+    // doubles as sq8_rerank's candidate set, mirroring pq / pq_rerank.
+    val sq8All = sq8TopK(emb, queryPred, 5 * k).localCheckpoint()
+    val sq8Pairs = sq8All.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq8RerankPairs = sq8All.select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -1427,6 +1435,8 @@ object Similarity {
       .unionByName(rqRerankPairs.withColumn("method", lit("rq_rerank")))
       .unionByName(ivfpqPairs.withColumn("method", lit("ivfpq")))
       .unionByName(ivfpqRerankPairs.withColumn("method", lit("ivfpq_rerank")))
+      .unionByName(sq8Pairs.withColumn("method", lit("sq8")))
+      .unionByName(sq8RerankPairs.withColumn("method", lit("sq8_rerank")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint()
     val wm = Window.partitionBy(col("method"), col("query_id"))
@@ -1440,7 +1450,7 @@ object Similarity {
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
     Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "rq_rerank",
-        "ivfpq", "ivfpq_rerank").toDF("method")
+        "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -1432,11 +1432,12 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq",
-      "rq_rerank", "ivfpq", "ivfpq_rerank"))
+      "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
     assert(out("rq_rerank")._3 >= out("rq")._3)
+    assert(out("sq8_rerank")._3 >= out("sq8")._3)
     val nTruth = out("lsh")._2
     assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
       "all methods score against the same ground truth")
@@ -1451,9 +1452,14 @@ class SimilaritySpec extends SparkSpec {
     // residual-precision gain exactly offsets the 4-of-16 probed-cell
     // restriction — at scale it additionally buys the ~nCells/nProbe
     // scan reduction, which flat pq cannot.
+    // sq8's floor is the highest: 8 bits PER DIM (512 bits/vector) is
+    // 32× pq's 16-bit budget — near-lossless by design, it buys memory
+    // locality (byte codes) rather than deep compression, and its
+    // 5k-pool exact re-rank recovers recall 1.0 on this corpus.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
       "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.10, "rq_rerank" -> 0.34,
-      "ivfpq" -> 0.18, "ivfpq_rerank" -> 0.46)
+      "ivfpq" -> 0.18, "ivfpq_rerank" -> 0.46,
+      "sq8" -> 0.90, "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
@@ -1484,7 +1490,9 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
       "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)),
       "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 1)),
-      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 1)))
+      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 1)),
+      "sq8" -> ids(Similarity.sq8TopK(e, pred, k)),
+      "sq8_rerank" -> ids(Similarity.sq8TopKRerank(e, pred, k, 5 * k)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     slow.foreach { case (m, topk) =>
