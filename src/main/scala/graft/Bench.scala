@@ -135,7 +135,12 @@ object Bench {
     // bench_detail.json) for anyone who wants the breakdown.
     val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
+    // bench-comparison discipline): route its sidecar to a different
+    // default file so a targeted triage run can never overwrite
+    // bench_detail.json, the committed full-suite artifact of record.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (only.isDefined) "bench_partial.json" else "bench_detail.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
