@@ -708,6 +708,29 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 5 === 0), 3, 8, 4, 0.5)
     }),
+    // the PERSISTED-index form of the probe: land the corpus's sig +
+    // posting rows as `batch=<id>` parquet (the StreamingNearDupIngest
+    // store layout), then probe reading the STORE — gates the on-disk
+    // post/batch=* exact-verify path end-to-end. Exact verification
+    // makes the result storage-independent, so it shares
+    // q_minhash_probe's brute-force oracle.
+    "q_minhash_probe_store" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import graft.streaming.StreamingNearDupIngest
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_probe_store").toString
+      Dedup.minhashSigTable(corpus, 3, 8)
+        .write.mode("overwrite").parquet(s"$dir/sigs/batch=0")
+      Dedup.shinglePostings(corpus, 3)
+        .write.mode("overwrite").parquet(s"$dir/post/batch=0")
+      Dedup.minhashProbeSigs(
+        StreamingNearDupIngest.sigStore(s, dir, 8).drop("batch"),
+        Dedup.minhashSigTable(batch, 3, 8),
+        StreamingNearDupIngest.postStore(s, dir).drop("batch"),
+        Dedup.shinglePostings(batch, 3), 8, 4, 0.5)
+    }),
     // graph analytics over the dup graph: triangles = tight template
     // clusters (all-pairwise near-dups), vs CC's chains
     "q_dup_triangles" -> ((s, d) =>
@@ -2199,6 +2222,9 @@ object SparkEntry {
          |FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin,
     "q_minhash_probe" -> minhashProbeSql,
+    // store-backed probe is exact-verified, hence storage-independent:
+    // same brute-force batch × corpus oracle
+    "q_minhash_probe_store" -> minhashProbeSql,
     "q_dup_triangles" ->
       s"""WITH v AS ($simhash64Sql),
          |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -45,6 +45,18 @@ object StreamingNearDupIngest {
       s"ingest batch id $batchId is behind the store frontier $frontier at " +
         s"$corpusDir — this sink is single-writer per checkpoint; a new " +
         "checkpoint needs a new corpusDir")
+    // Upgrade guard: a store written before the posting index existed
+    // has sigs/ batches but no post/. Probing it would NOT fail — the
+    // empty posting frame makes exactOverlap verify zero candidates,
+    // so every near-duplicate silently lands as fresh. Refuse loudly
+    // instead; backfillPostings rebuilds post/ from the landed docs.
+    if (frontier >= 0 && !new java.io.File(s"$corpusDir/post").exists())
+      throw new IllegalStateException(
+        s"near-dup store at $corpusDir has landed sigs/ batches (frontier " +
+          s"$frontier) but no post/ shingle index — exact verification " +
+          "would drop every candidate pair and near-duplicates would land " +
+          "as fresh docs; run StreamingNearDupIngest.backfillPostings(" +
+          "spark, corpusDir, n) once to rebuild post/ from docs/")
     // 1. WITHIN-batch near-dup resolution: one representative per
     //    exact/near-dup cluster (min doc_id — deterministic under
     //    replay), so a batch cannot land two copies of one document.
@@ -102,6 +114,22 @@ object StreamingNearDupIngest {
     else
       spark.range(0).select(col("id").as("doc_id"),
         lit("").as("sh"), lit(0L).as("batch"))
+
+  /** Rebuild `post/` from the landed docs — the one-time upgrade path
+    * for stores written before the posting index existed (ingestBatch
+    * refuses such stores). One `shinglePostings` pass per landed batch
+    * with idempotent `batch=<id>` overwrites, so a crashed backfill
+    * just re-runs; `n` must match the shingle width the store's
+    * signatures were built with. */
+  def backfillPostings(spark: SparkSession, corpusDir: String, n: Int): Unit = {
+    val d = new java.io.File(s"$corpusDir/docs")
+    if (!d.exists()) return
+    d.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted
+      .foreach { b =>
+        Dedup.shinglePostings(spark.read.parquet(s"$corpusDir/docs/$b"), n)
+          .write.mode("overwrite").parquet(s"$corpusDir/post/$b")
+      }
+  }
 
   /** The landed corpus (all surviving docs across batches). */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =

@@ -270,6 +270,37 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
   }
 
+  test("near-dup ingest refuses a legacy store missing post/; backfill repairs it") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDupIngest
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val fresh = "some entirely new material about streaming signature indexes landing"
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_legacy").toString
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingNearDupIngest.ingestBatch(
+        rows.toSeq.toDF("doc_id", "text"), dir, id, 3, 8, 4, 0.5)
+    ingest(0L, 1L -> near1, 3L -> fresh)
+    // Simulate a store written before the posting index existed:
+    // sigs/ batches present, post/ gone.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(s"$dir/post"))
+    // Probing with an empty posting index would silently verify zero
+    // candidates — the ingest must refuse loudly instead.
+    val e = intercept[IllegalStateException] { ingest(1L, 10L -> near2) }
+    assert(e.getMessage.contains("post/") && e.getMessage.contains("backfill"),
+      s"error must name the missing index and the repair: ${e.getMessage}")
+    // Repair path: rebuild post/ from the landed docs, then the same
+    // batch ingests and the probe catches the cross-batch near-dup.
+    StreamingNearDupIngest.backfillPostings(spark, dir, 3)
+    ingest(1L, 10L -> near2,
+      11L -> "unrelated prose covering backfill repair of shingle stores")
+    assert(StreamingNearDupIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
+  }
+
   test("streaming windowed agg over events matches batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
