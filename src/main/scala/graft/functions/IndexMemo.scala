@@ -43,15 +43,28 @@ private[graft] object IndexMemo {
   private val tagHits = scala.collection.mutable.Map.empty[String, Long]
   def hitsFor(tag: String): Long = synchronized { tagHits.getOrElse(tag, 0L) }
 
-  /** Per-(tag, params) compute locks: two threads deriving DIFFERENT
-    * indexes proceed concurrently (the old single global lock held
-    * across `compute` serialized every memo consumer behind the
-    * longest training job); two threads racing the SAME key serialize
-    * so the index trains once. Nested `of` calls only ever go from an
-    * outer index to a strictly finer one (ivfpq -> pq codebooks, pairs
-    * -> postings), never back, so the lock graph is acyclic — no
-    * deadlock. Both monitors are reentrant for the self-nested case. */
-  private val keyLocks = scala.collection.mutable.Map.empty[(String, Any), Object]
+  /** Per-(tag, params, session, plan-semantic-hash) compute locks: two
+    * threads deriving DIFFERENT indexes proceed concurrently (the old
+    * single global lock held across `compute` serialized every memo
+    * consumer behind the longest training job), and — since the
+    * session and the input plan's canonical hash are part of the key —
+    * so do two builds of the SAME index family over different corpora
+    * or sessions; only threads racing one (corpus, params) index
+    * serialize, so it trains once. A semantic-hash collision merely
+    * over-serializes two unrelated builds — never a correctness issue.
+    * Nested `of` calls only ever go from an outer index to a strictly
+    * finer one (ivfpq -> pq codebooks, pairs -> postings), never back,
+    * so the lock graph is acyclic — no deadlock. Both monitors are
+    * reentrant for the self-nested case. Lock entries of stopped
+    * sessions are pruned alongside the entry sweep in `lookup` (the
+    * object itself stays valid for any residual holder — only the map
+    * reference is dropped), so the map cannot grow without bound
+    * across a JVM's sessions. */
+  private val keyLocks = scala.collection.mutable.Map.empty[
+    (String, Any, org.apache.spark.sql.SparkSession, Int), Object]
+
+  /** Observable for the lock-hygiene spec. */
+  private[graft] def lockCount: Int = synchronized { keyLocks.size }
 
   /** Generic form: memoize any artifact derived from `input` — used
     * for multi-frame index bundles (codes + centroids). The cached
@@ -65,8 +78,10 @@ private[graft] object IndexMemo {
     def lookup(): Option[T] = synchronized {
       // entries of stopped sessions can never hit again (the session
       // identity check fails) but their plans/frames would pin memory
-      // and crowd the cap for the session's whole JVM — drop them now.
+      // and crowd the cap for the session's whole JVM — drop them now,
+      // and their lock objects with them (same unbounded-growth risk).
       entries = entries.filter { case (_, s2, _, _) => !s2.sparkContext.isStopped }
+      keyLocks.filterInPlace { case ((_, _, s2, _), _) => !s2.sparkContext.isStopped }
       entries.find { case (k2, s2, p2, _) =>
         k2 == key && (s2 eq sess) && p2.sameResult(plan)
       }.map { case (_, _, _, cached) =>
@@ -75,7 +90,9 @@ private[graft] object IndexMemo {
         cached.asInstanceOf[T]
       }
     }
-    val lock = synchronized { keyLocks.getOrElseUpdate(key, new Object) }
+    val lock = synchronized {
+      keyLocks.getOrElseUpdate((tag, params, sess, plan.semanticHash()), new Object)
+    }
     lock.synchronized {
       lookup().getOrElse {
         val res = compute

@@ -601,6 +601,23 @@ class DedupSpec extends SparkSpec {
       "different k must be a distinct index, not a memo hit")
   }
 
+  test("IndexMemo compute locks are per-corpus and bounded") {
+    // The lock key includes the input plan's semantic hash: two builds
+    // of the same index family over DIFFERENT corpora must not share a
+    // lock entry (sharing would serialize unrelated training jobs),
+    // and a memo hit on an already-built index must not grow the map.
+    val a = docs((1L, near1), (3L, other)).localCheckpoint()
+    val b = docs((5L, near2), (7L, other + " more")).localCheckpoint()
+    Dedup.minhashSignatures(a, 3, 8)
+    val n1 = IndexMemo.lockCount
+    Dedup.minhashSignatures(b, 3, 8) // same (tag, params), other corpus
+    val n2 = IndexMemo.lockCount
+    assert(n2 > n1, "a different corpus must get its own lock entry")
+    Dedup.minhashSignatures(a, 3, 8) // memo hit
+    assert(IndexMemo.lockCount == n2,
+      "a repeat request must not grow the lock map")
+  }
+
   test("minhashLshPairs finds the same planted near-dup") {
     val pairs = Dedup.minhashLshPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 8, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
