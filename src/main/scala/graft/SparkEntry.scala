@@ -413,6 +413,12 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
+    // content-level dedup for binary payloads: 64-bit window-SimHash
+    // fingerprint computed in the batched decoder, banded Hamming
+    // join (recall 1.0 ⟹ blocking-independent), exact-bytes flag
+    "q_multimodal_dedup" -> ((s, d) =>
+      graft.multimodal.Multimodal.fingerprintDedup(
+        graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
     // --- JSON VARIANT roundtrip (F6/F7/P6: to_json -> get_json_object) ---
     "q_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2045,6 +2051,18 @@ object SparkEntry {
         |       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // brute-force replay of the window-SimHash fingerprint (recall-1.0
+    // banding makes the engine result blocking-independent); is_exact
+    // compares the payloads' full hex — byte equality, not a hash
+    "q_multimodal_dedup" ->
+      s"""$fingerprint64Sql
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+         |       CAST(CASE WHEN ma.hx = mb.hx THEN 1 ELSE 0 END AS BIGINT) AS is_exact
+         |FROM ph a JOIN ph b ON a.id < b.id
+         |JOIN m ma ON ma.id = a.id
+         |JOIN m mb ON mb.id = b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH n AS ($quantizedSql),
          |p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4203,6 +4221,36 @@ object SparkEntry {
        |       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
        |                 THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash64
        |FROM u""".stripMargin
+  }
+
+  /** DuckDB replay of `Multimodal.contentFingerprint64`: each sliding
+    * 4-byte window of the payload becomes the token
+    * `substring(hex(content), (i-1)*2+1, 8)` (UPPERCASE hex — exactly
+    * the string the engine's decoder hashes), then the simhash64Sql
+    * vote/bit convention verbatim. Payloads under 4 bytes have no
+    * windows and are excluded on both sides. */
+  private val fingerprint64Sql = {
+    val votes = (0 until 64).map { j =>
+      val digits =
+        if (j < 32) "('8','9','a','b','c','d','e','f')"
+        else "('2','3','6','7','a','b','e','f')"
+      s"sum(CASE WHEN substring(md5(tok), ${(j % 32) + 1}, 1) IN $digits THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n       ")
+    val bits = (0 until 64).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    raw"""WITH m AS (SELECT doc_id AS id, hex(encode(text)) AS hx
+       |           FROM documents WHERE octet_length(encode(text)) >= 4),
+       |e AS (SELECT id, substring(hx, (i-1)*2+1, 8) AS tok
+       |      FROM m, UNNEST(range(1, length(hx)//2 - 2)) AS u(i)),
+       |v AS (SELECT id,
+       |       $votes
+       |      FROM e GROUP BY id),
+       |u AS (SELECT id, $bits AS s FROM v),
+       |ph AS (SELECT id,
+       |         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |              THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS fp
+       |       FROM u)""".stripMargin
   }
 
   /** W1/W2 oracle: dense date×key grid, 0-imputed, lag pct-change of the

@@ -122,6 +122,83 @@ object Multimodal {
       }.toDF("id", "phash")
   }
 
+  /** 64-bit content fingerprint, computed IN the batched decoder: a
+    * Charikar SimHash over the payload's sliding 4-byte windows, each
+    * window hashed as md5 of its UPPERCASE-hex string (the exact token
+    * `substring(hex(content), (i-1)*2+1, 8)` yields in any engine —
+    * that portability is what upgrades this family from spec-only to
+    * oracle-gated). Bit-vote convention mirrors `Dedup.simhash64`:
+    * vote bit j (j<32) reads the top bit of md5 hex nibble j+1, bit
+    * j>=32 reads bit 1 of nibble j-31 — so the DuckDB replay is the
+    * same vote SQL as the text family's. Unlike `perceptualHash`'s
+    * byte HISTOGRAM (position-blind, degenerate on same-alphabet
+    * payloads), window hashing keys on local byte SEQUENCES, so the
+    * fingerprint discriminates documents the way text simhash does —
+    * while still colliding for re-encodes that perturb a few windows.
+    * Payloads under 4 bytes have no windows and must be pre-filtered
+    * (fingerprintDedup does); runs in the same per-partition batched
+    * shape as `extractFeatures` (one MessageDigest per partition). */
+  def contentFingerprint64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val HEX = "0123456789ABCDEF"
+    media.select(col("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val votes = new Array[Int](64)
+          var i = 0
+          while (i + 4 <= bytes.length) {
+            val sb = new java.lang.StringBuilder(8)
+            var p = 0
+            while (p < 4) {
+              val b = bytes(i + p) & 0xff
+              sb.append(HEX.charAt(b >> 4)).append(HEX.charAt(b & 0xf))
+              p += 1
+            }
+            md.reset()
+            val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            var j = 0
+            while (j < 64) {
+              val n = j % 32 // hex nibble index; high nibble of byte n/2 when n even
+              val nib = if (n % 2 == 0) (h(n / 2) >> 4) & 0xf else h(n / 2) & 0xf
+              val bit = if (j < 32) (nib >> 3) & 1 else (nib >> 1) & 1
+              votes(j) += (if (bit == 1) 1 else -1)
+              j += 1
+            }
+            i += 1
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+          (id, fp)
+        }
+      }.toDF("id", "fp64")
+  }
+
+  /** Content-level dedup for binary payloads (oracle-gated): banded
+    * Hamming join over `contentFingerprint64` — the text simhash
+    * pigeonhole plan (maxHamming < bands ⟹ recall 1.0, per-bucket
+    * equi-joins, never all-pairs) applied to media — with an exactness
+    * flag marking byte-identical payloads (md5 equality) among the
+    * near-dup pairs. Blocking-independent by the recall-1.0 guarantee,
+    * so DuckDB gates it by brute-force replay of the fingerprint.
+    * Returns (id_a, id_b, hamming, is_exact 0/1). */
+  def fingerprintDedup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val m = media.filter(length(col("content")) >= 4)
+    val sums = m.select(col("id"), md5(col("content")).as("_c"))
+      .localCheckpoint()
+    graft.functions.Dedup.simhashBandPairs(
+        contentFingerprint64(m).select(col("id").as("doc_id"), col("fp64")),
+        "fp64", 64, 4, maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+      .join(sums.select(col("id").as("id_a"), col("_c").as("_ca")), Seq("id_a"))
+      .join(sums.select(col("id").as("id_b"), col("_c").as("_cb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(col("_ca") === col("_cb"), lit(1L)).otherwise(lit(0L)).as("is_exact"))
+  }
+
   /** Media near-duplicate pairs: banded Hamming join over the 64-bit
     * perceptual hash — the SAME pigeonhole plan as the text simhash
     * family (`Dedup.simhashBandPairs`: maxHamming < bands ⟹ recall 1.0

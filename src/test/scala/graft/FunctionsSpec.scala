@@ -1611,4 +1611,31 @@ class MultimodalSpec extends SparkSpec {
       if (bins(j) > base.length / 64.0) 1L << j else 0L).sum
     assert(h == expected)
   }
+
+  test("fingerprintDedup: exact dup flagged, planted near-dup within budget, unrelated apart") {
+    import spark.implicits._
+    // window-SimHash keys on byte SEQUENCES, so varied content (where
+    // the histogram phash above needs concentrated bins) is fine
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(2048)(rnd.nextInt(256).toByte)
+    val corrupted = base.clone(); corrupted(1000) = (corrupted(1000) ^ 0x5a).toByte
+    val unrelated = Array.fill(2048)(rnd.nextInt(256).toByte)
+    val tiny = Array[Byte](1, 2) // < 4 bytes: no windows, must be excluded
+    val m = Seq(
+      (1L, base), (2L, base.clone()), // byte-identical -> hamming 0, is_exact 1
+      (3L, corrupted),                // one flipped byte = 4 perturbed windows
+      (4L, unrelated), (5L, tiny)
+    ).toDF("id", "content")
+    val pairs = Multimodal.fingerprintDedup(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(pairs(((1L, 2L))) == ((0L, 1L)), "byte-identical pair: hamming 0, exact flag set")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L))._1 <= 3L && pairs((1L, 3L))._2 == 0L,
+      s"planted near-dup must pair within the hamming budget, not exact: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "unrelated content must not pair")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L), "windowless payloads are excluded")
+    // deterministic: the fingerprint of identical content is identical
+    val fps = Multimodal.contentFingerprint64(m.filter(col("id") <= 2))
+      .collect().map(_.getLong(1)).toSet
+    assert(fps.size == 1)
+  }
 }
