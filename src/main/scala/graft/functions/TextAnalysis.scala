@@ -308,6 +308,31 @@ object TextAnalysis {
         (conv(substring(md5(concat(lit(salt), col("bucket").cast("string"))), 1, 8), 16, 10)
           .cast("long") % 2001L - 1000L).as("w"))
 
+  /** Count-ratio trainer for the `hashedQualityScoreWith` seam: fit
+    * integer centi-weights from a LABELED sample (doc_id, text,
+    * label ∈ {0, 1}; 1 = keep-worthy). Per feature bucket b,
+    * `w(b) = (1000 · (n_pos − n_neg)) div (n_pos + n_neg)` over the
+    * bucket's occurrence counts in positive vs negative docs — the
+    * bounded [-1000, 1000] discretized log-odds-sign a CCNet-style
+    * filter learns, all-integer so the fitted table is deterministic
+    * for a given sample. Zero-weight buckets are dropped (the sparse
+    * convention `hashedQualityScoreWith` treats as w = 0).
+    *
+    * Scale shape: features explode map-side off the labeled SAMPLE
+    * (training data, not the corpus), one bucket-keyed partial-
+    * aggregating exchange, and the result is at most `dim` rows —
+    * always broadcastable into the scoring join. */
+  def trainQualityWeights(labeled: DataFrame, dim: Long = 1L << 20): DataFrame =
+    labeled.select(col("label"), explode(qualityFeats).as("f"))
+      .select(col("label"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("label") === 1L, 1L).otherwise(0L)).as("np"),
+           sum(when(col("label") === 1L, 0L).otherwise(1L)).as("nn"))
+      .select(col("bucket"),
+        expr("CAST((1000 * (np - nn)) div (np + nn) AS LONG)").as("w"))
+      .filter(col("w") =!= 0L)
+
   /** Cross-source quality calibration: within each source, the doc's
     * percentile rank of `quality_score` in [0,1] — so ONE global
     * threshold on the calibrated value selects the same FRACTION from

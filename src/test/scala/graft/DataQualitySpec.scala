@@ -226,4 +226,41 @@ class DataQualitySpec extends SparkSpec {
     assert(w2.map(_._4) != viaStub.map(_._4),
       "salt w2 must produce different weight sums than the stub")
   }
+
+  test("trainQualityWeights: fitted count-ratio table beats the stub on a held-out planted set") {
+    import graft.functions.TextAnalysis
+    // Two disjoint vocabularies; labels follow the vocabulary. The
+    // held-out docs are UNSEEN combinations drawn from the same pools,
+    // so a trainer that learns per-bucket polarity classifies them
+    // perfectly while the md5-salt stub weights sit near chance.
+    val goodVocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val badVocab = Vector("zork", "quux", "blarg", "snarf", "grue", "yuzz")
+    def doc(vocab: Vector[String], seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(12)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    val train = ((0 until 20).map(i => (i.toLong, doc(goodVocab, i), 1L)) ++
+                 (20 until 40).map(i => (i.toLong, doc(badVocab, i), 0L)))
+      .toDF("doc_id", "text", "label")
+    val held = ((100 until 110).map(i => (i.toLong, doc(goodVocab, 1000 + i), 1L)) ++
+                (110 until 120).map(i => (i.toLong, doc(badVocab, 1000 + i), 0L)))
+      .toDF("doc_id", "text", "label")
+    val w = TextAnalysis.trainQualityWeights(train)
+    // pure-polarity sample: every fitted weight saturates at ±1000
+    assert(w.collect().forall(r => math.abs(r.getLong(1)) == 1000L))
+    def accuracy(weights: org.apache.spark.sql.DataFrame): Double = {
+      val scored = TextAnalysis.hashedQualityScoreWith(
+        held.withColumn("lang", lit("en")), weights)
+      val hits = scored.join(held.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .filter(col("keep") === col("label")).count()
+      hits.toDouble / 20.0
+    }
+    val accTrained = accuracy(w)
+    val accStub = accuracy(TextAnalysis.stubWeightTable(
+      held.withColumn("lang", lit("en")), "w"))
+    assert(accTrained == 1.0,
+      s"disjoint-vocabulary held-out set must classify perfectly, got $accTrained")
+    assert(accTrained > accStub,
+      s"trained table ($accTrained) must beat the salt stub ($accStub)")
+  }
 }
