@@ -187,14 +187,23 @@ object Multimodal {
     * Returns (id_a, id_b, hamming, is_exact 0/1). */
   def fingerprintDedup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val m = media.filter(length(col("content")) >= 4)
-    val sums = m.select(col("id"), md5(col("content")).as("_c"))
-      .localCheckpoint()
-    graft.functions.Dedup.simhashBandPairs(
+    val pairs = graft.functions.Dedup.simhashBandPairs(
         contentFingerprint64(m).select(col("id").as("doc_id"), col("fp64")),
         "fp64", 64, 4, maxHamming)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
-      .join(sums.select(col("id").as("id_a"), col("_c").as("_ca")), Seq("id_a"))
-      .join(sums.select(col("id").as("id_b"), col("_c").as("_cb")), Seq("id_b"))
+      .localCheckpoint()
+    // The exactness flag needs payload digests only for docs that
+    // PAIRED — semi-filter the corpus to pair ids by broadcast (the
+    // exactRerank pattern), so the enrich joins broadcast pair-bounded
+    // digest rows and the payload scan never shuffles.
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sums = m.join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("id"), md5(col("content")).as("_c"))
+      .localCheckpoint()
+    pairs
+      .join(broadcast(sums.select(col("id").as("id_a"), col("_c").as("_ca"))), Seq("id_a"))
+      .join(broadcast(sums.select(col("id").as("id_b"), col("_c").as("_cb"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"),
         when(col("_ca") === col("_cb"), lit(1L)).otherwise(lit(0L)).as("is_exact"))
   }

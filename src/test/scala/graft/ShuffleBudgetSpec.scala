@@ -160,6 +160,15 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // id distinct + the semi-join
                                       // id exchange + final rerank
                                       // window (vectors broadcast)
+    "q_sq8_topk" -> 1,                // byte-code index reads the memoized
+                                      // checkpoint, queries broadcast —
+                                      // ONE bounded TopK agg exchange
+    "q_sq8_rerank" -> 3,              // the shared refine shape: pool
+                                      // checkpoint + id distinct +
+                                      // semi-join exchange + rerank tail
+    "q_multimodal_dedup" -> 0,        // banding+distinct live in the pair
+                                      // checkpoint job; digest enrich is
+                                      // broadcast-only downstream
     "q_semdedup" -> 5,                // assignment read from the kmeans
                                       // checkpoint; cell self-join pair
                                       // sides + dup distinct + final
