@@ -166,6 +166,11 @@ object Smoke {
       timed("rq_topk")(Similarity.rqTopK(emb, pred, 10, 16, 16, 1).count())
       timed("ivfpq_topk")(Similarity.ivfpqTopK(emb, pred, 10, 16, 4, 4, 16, 1).count())
       timed("sq8_topk")(Similarity.sq8TopK(emb, pred, 10).count())
+      // flat auto semDedup (k = n/64 cells: n²/64 assignment work) vs
+      // the two-level assignment (k1 = k2 = √(n/64): n·2√(n/64)) —
+      // the head-to-head the hierarchical fix exists for
+      timed("semdedup_flat")(Similarity.semDedup(emb, 0, 2, 0.35).count())
+      timed("semdedup_hier")(Similarity.semDedupHier(emb, 0, 0, 2, 0.35).count())
     }
   }
 

@@ -1118,6 +1118,25 @@ object SparkEntry {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("k_auto", lit(kAuto.toLong))
     }),
+    // the HIERARCHICAL scale path of SemDeDup: two-level certified
+    // k-means (k1 coarse cells, k2 sub-cells per coarse cell trained
+    // JOINTLY — the coarse id rides every key) keeps the constant
+    // ~64-doc cell occupancy of q_semdedup_auto while each assignment
+    // pass scores only its level's √(n/64) centroids: n^1.5-ish
+    // assignment work vs the flat auto form's n²/64 (the measured
+    // 0.88 exponent on the r12 scale board). k1 = k2 =
+    // autoSemDedupHierK(500) = 3 at both gated scale factors; the
+    // oracle replays BOTH levels and pins the derived k as a literal.
+    "q_semdedup_hier" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val kAuto = Similarity.autoSemDedupHierK(Tables.embeddings(s, d).count())
+      Similarity.semDedupHier(Tables.embeddings(s, d), 0, 0, 2, 0.35)
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("k_hier", lit(kAuto.toLong))
+    }),
     // rank-family windows at scale: distributed global rank + the
     // explicit integer ntile formula (no single-partition window, no
     // engine-specific tile boundary convention)
@@ -3214,6 +3233,11 @@ object SparkEntry {
       s"""WITH base AS ($semDedupCellsSql)
          |SELECT cell_id, n, n_dropped, n_kept, CAST(8 AS BIGINT) AS k_auto
          |FROM base""".stripMargin,
+    // two-level replay: the coarse certified chain (k1 = 3, 2 iters),
+    // then per-coarse-cell sub-training (k2 = 3, 'h'-salted seeds, 2
+    // iters) with the coarse id in every key — cell_id = g·3 + code;
+    // autoSemDedupHierK(500) = 3 at both SFs, pinned as a literal
+    "q_semdedup_hier" -> semDedupHierSql(3, 3),
 
     // same explicit integer tile formula — the oracle's row_number
     // window stands in for the engine's distributed rank
@@ -4098,6 +4122,80 @@ object SparkEntry {
          |SELECT m.cell_id, count(*) AS n,
          |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
          |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         |GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of `Similarity.kmeansHierAssign` + the within-cell
+    * dedup (`q_semdedup_hier`): the coarse certified chain (seeds →
+    * c0 → a1 → c1 → a2, 2 iterations — semDedupCellsSql's level with
+    * `k1` cells), then the per-coarse-cell sub-chain with the coarse
+    * id in every key: 'h'-salted per-cell seeds, hc0 → ha1 → hc1 →
+    * ha2, cell_id = g·k2 + code. Same integer discipline throughout
+    * (+2^20 shift, `//` == `div` on the non-negative grid, argmin
+    * ties (dist, code)). */
+  private def semDedupHierSql(k1: Int, k2: Int): String =
+    s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+         |              unnest(q) + 1048576 AS x FROM v),
+         |seeds AS (SELECT vec_id,
+         |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+         |          FROM v QUALIFY cell_id < $k1),
+         |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
+         |a1 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c0.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c0.c)*(vd.x - c0.c)), c0.cell_id) AS rn
+         |    FROM vd JOIN c0 USING (d)
+         |    GROUP BY vd.vec_id, c0.cell_id QUALIFY rn = 1)),
+         |c1 AS (SELECT a1.cell_id, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM vd JOIN a1 USING (vec_id) GROUP BY 1,2),
+         |a2 AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vd.vec_id, c1.cell_id,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - c1.c)*(vd.x - c1.c)), c1.cell_id) AS rn
+         |    FROM vd JOIN c1 USING (d)
+         |    GROUP BY vd.vec_id, c1.cell_id QUALIFY rn = 1)),
+         |hseeds AS (SELECT vec_id, cell_id AS g,
+         |             row_number() OVER (PARTITION BY cell_id
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR) || 'h'), vec_id) - 1 AS code
+         |           FROM a2 QUALIFY code < $k2),
+         |hc0 AS (SELECT hs.g, hs.code, vd.d, vd.x AS c
+         |        FROM vd JOIN hseeds hs USING (vec_id)),
+         |ha1 AS (SELECT vec_id, code FROM (
+         |    SELECT vd.vec_id, hc0.code,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - hc0.c)*(vd.x - hc0.c)), hc0.code) AS rn
+         |    FROM vd JOIN a2 USING (vec_id)
+         |    JOIN hc0 ON hc0.g = a2.cell_id AND hc0.d = vd.d
+         |    GROUP BY vd.vec_id, hc0.code QUALIFY rn = 1)),
+         |hc1 AS (SELECT a2.cell_id AS g, ha1.code, vd.d,
+         |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+         |        FROM vd JOIN ha1 USING (vec_id) JOIN a2 USING (vec_id)
+         |        GROUP BY 1, 2, vd.d),
+         |ha2 AS (SELECT vec_id, code FROM (
+         |    SELECT vd.vec_id, hc1.code,
+         |           row_number() OVER (PARTITION BY vd.vec_id
+         |             ORDER BY sum((vd.x - hc1.c)*(vd.x - hc1.c)), hc1.code) AS rn
+         |    FROM vd JOIN a2 USING (vec_id)
+         |    JOIN hc1 ON hc1.g = a2.cell_id AND hc1.d = vd.d
+         |    GROUP BY vd.vec_id, hc1.code QUALIFY rn = 1)),
+         |hcells AS (SELECT a2.vec_id, a2.cell_id * $k2 + ha2.code AS cell_id
+         |           FROM a2 JOIN ha2 USING (vec_id)),
+         |qn AS ($quantizedSql),
+         |m AS (SELECT hcells.vec_id, hcells.cell_id, qn.q, qn.nq
+         |      FROM hcells JOIN qn USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |        WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2])) AS DOUBLE)
+         |              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.35)
+         |SELECT m.cell_id, count(*) AS n,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept,
+         |       CAST($k2 AS BIGINT) AS k_hier
          |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
          |GROUP BY 1""".stripMargin
 

@@ -615,8 +615,16 @@ object Similarity {
     // (one count job) — the scale-safe default; explicit k pins the
     // demo/oracle-gated shape, mirroring nearDupPairsLsh's bits knob.
     val kEff = if (k > 0) k else autoSemDedupK(embeddings.count())
+    semDedupWithAssign(embeddings, kmeansFixedPointAssign(embeddings, kEff, iters),
+      minCosine)
+  }
+
+  /** The within-cell dedup stage shared by the flat and hierarchical
+    * cluster blockings: score only same-cell pairs by exact quantized
+    * cosine, drop the higher id of each pair above `minCosine`. */
+  private def semDedupWithAssign(embeddings: DataFrame, assign: DataFrame,
+                                 minCosine: Double): DataFrame = {
     val e = ensureQuantized(embeddings).select(col("vec_id"), col("q"), col("nq"))
-    val assign = kmeansFixedPointAssign(embeddings, kEff, iters)
     val m = e.join(assign, Seq("vec_id"))
     val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("nq").as("na"))
@@ -630,6 +638,98 @@ object Similarity {
     m.select(col("vec_id"), col("cell_id"))
       .join(dupIds.withColumn("_dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"), col("_dup").isNull.as("kept"))
+  }
+
+  /** Per-level cluster count for the HIERARCHICAL cell assignment:
+    * k1 = k2 = ⌈√(n/targetCell)⌉, so k1·k2 ≈ n/targetCell keeps the
+    * constant cell occupancy of `autoSemDedupK` while each ASSIGNMENT
+    * pass scores only its level's centroids. */
+  def autoSemDedupHierK(nVecs: Long, targetCell: Int = 64): Int =
+    math.max(1, math.ceil(math.sqrt(nVecs.toDouble / targetCell)).toInt)
+
+  /** Two-level (hierarchical) certified cell assignment — the flat
+    * k ∝ n assignment's scale fix. `kmeansFixedPointAssign` with
+    * k = n/64 keeps WITHIN-CELL joins linear but pays n·k = n²/64
+    * distance evaluations per assignment pass (the measured 0.88
+    * exponent on the r12 scale board). Here level 1 trains k1 coarse
+    * cells (n·k1), then level 2 trains k2 sub-cells PER coarse cell
+    * JOINTLY — the coarse id `g` rides every key (seeds, assignment,
+    * update), the pqTrain subspace trick, so all k1 sub-codebooks cost
+    * ONE k-means' exchanges and each vector scores only its own
+    * cell's k2 centroids (n·k2). With k1 = k2 = √(n/64) the total
+    * assignment work is n^1.5/8 vs flat's n²/64 — the classic
+    * two-level IVF fix, under the same integer fixed-point discipline
+    * (+2^20 shift, `sum div count` centroids, exact int64 distances,
+    * md5 seeds — level 2 salts with 'h', decorrelated from level 1
+    * like rqTrain's 'r' — lexicographic argmin ties), so DuckDB
+    * replays BOTH levels bit-exactly (`q_semdedup_hier`).
+    *
+    * Returns (vec_id, cell_id) with cell_id = g·k2 + sub. Memoized
+    * per (input plan, k1, k2, iters); level 1 additionally rides the
+    * `kmeans_fp_assign` memo, so a corpus that already trained the
+    * flat k1 clustering reuses it. */
+  def kmeansHierAssign(embeddings: DataFrame, k1: Int, k2: Int,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansHierAssign needs at least one iteration, got $iters")
+    IndexMemo("kmeans_hier_assign", embeddings, (k1, k2, iters)) {
+      val shift = 1048576L
+      val coarse = kmeansFixedPointAssign(embeddings, k1, iters)
+        .select(col("vec_id"), col("cell_id").as("g"))
+      val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
+      // dim rows tagged with the coarse cell: the one join that adds g
+      // to the stream; everything below is (g, …)-keyed.
+      val vdg = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
+        .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+        .join(coarse, Seq("vec_id"))
+        .localCheckpoint()
+      // per-coarse-cell seeds: the k2 smallest md5(vec_id || 'h') of g
+      val wg = Window.partitionBy(col("g"))
+        .orderBy(col("_h"), col("vec_id"))
+      val seeds = v.select(col("vec_id"),
+          md5(concat(col("vec_id").cast("string"), lit("h"))).as("_h"))
+        .join(coarse, Seq("vec_id"))
+        .withColumn("code", row_number().over(wg) - 1)
+        .filter(col("code") < k2)
+        .select(col("vec_id"), col("code"))
+      var cents = vdg.join(seeds, Seq("vec_id"))
+        .select(col("g"), col("code"), col("d"), col("x").as("c"))
+        .localCheckpoint()
+      def assign(c: DataFrame): DataFrame =
+        vdg.join(broadcast(c), Seq("g", "d"))
+          .groupBy(col("vec_id"), col("code"))
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("_dist"), col("code"))).as("_m"))
+          .select(col("vec_id"), col("_m.code").as("code"))
+      var a: DataFrame = null
+      (1 to iters).foreach { i =>
+        a = assign(cents)
+        if (i < iters)
+          cents = vdg.join(a, Seq("vec_id"))
+            .groupBy(col("g"), col("code"), col("d"))
+            .agg(expr("sum(x) div count(1)").as("c"))
+            .localCheckpoint()
+      }
+      coarse.join(a, Seq("vec_id"))
+        .select(col("vec_id"),
+          (col("g") * lit(k2.toLong) + col("code")).as("cell_id"))
+        .localCheckpoint()
+    }
+  }
+
+  /** SemDeDup over the hierarchical assignment — the scale sibling of
+    * `semDedup(k = 0, …)`: same within-cell exact-cosine dedup, but
+    * the cluster blocking costs n^1.5-ish assignment work instead of
+    * n²/64 (see `kmeansHierAssign`). k1/k2 <= 0 auto-size to
+    * `autoSemDedupHierK` (constant expected occupancy, like the flat
+    * auto form). */
+  def semDedupHier(embeddings: DataFrame, k1: Int, k2: Int, iters: Int,
+                   minCosine: Double): DataFrame = {
+    val (k1e, k2e) =
+      if (k1 > 0 && k2 > 0) (k1, k2)
+      else { val k = autoSemDedupHierK(embeddings.count()); (k, k) }
+    semDedupWithAssign(embeddings,
+      kmeansHierAssign(embeddings, k1e, k2e, iters), minCosine)
   }
 
   /** Product quantization (PQ): split each vector into `m` contiguous

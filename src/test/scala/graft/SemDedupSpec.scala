@@ -57,4 +57,38 @@ class SemDedupSpec extends SparkSpec {
     // partition of the corpus holds on the auto path too
     assert(auto.length == 400 && auto.map(_._1).distinct.length == 400)
   }
+
+  test("semDedupHier: planted exact dups co-cell and dropped; cells bounded by k1*k2; auto sizing") {
+    val emb = Synthetic.embeddings(spark, 400, nLabels = 8)
+    val out = Similarity.semDedupHier(emb, 3, 3, 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // partition of the corpus; cell ids live in [0, k1*k2)
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 9))
+    // a vector and its EXACT duplicate take the same path through both
+    // levels (deterministic argmin on identical dims), so every
+    // planted pair is co-cell and the higher id drops at 0.99
+    val byId = out.map(r => r._1 -> r).toMap
+    (0L until 400L).filter(_ % 50 == 1).foreach { id =>
+      assert(byId(id)._2 == byId(id - 1)._2,
+        s"exact dup $id landed in a different cell than its base")
+      assert(!byId(id)._3, s"planted dup $id survived")
+      assert(byId(id - 1)._3, s"base ${id - 1} unexpectedly dropped")
+    }
+    // impossible threshold keeps everything
+    assert(Similarity.semDedupHier(emb, 3, 3, 2, 1.01)
+      .filter(!col("kept")).count() == 0)
+    // k <= 0 auto-sizes both levels: 400 vecs -> ceil(sqrt(400/64)) = 3,
+    // and must equal the explicitly pinned (3, 3) run
+    assert(Similarity.autoSemDedupHierK(400) == 3)
+    assert(Similarity.autoSemDedupHierK(500) == 3)    // the gated point
+    assert(Similarity.autoSemDedupHierK(2000000) == 177) // vs flat 31250
+    val auto = Similarity.semDedupHier(emb, 0, 0, 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(auto.toSeq == out.sortBy(_._1).toSeq)
+    // repartition-invariant, like the flat form
+    val again = Similarity.semDedupHier(emb.repartition(7), 3, 3, 2, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+  }
 }
