@@ -419,6 +419,13 @@ object SparkEntry {
     "q_multimodal_dedup" -> ((s, d) =>
       graft.multimodal.Multimodal.fingerprintDedup(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
+    // per-frame video dedup: videos sharing >= 2 distinct sampled
+    // frame contents, via a df-capped frame-digest inverted index
+    // (cap floor 1000 never binds at gate scale — oracle replays the
+    // uncapped join on the frame bytes themselves)
+    "q_multimodal_frame_dup" -> ((s, d) =>
+      graft.multimodal.Multimodal.frameDedupPairs(
+        graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
     // --- JSON VARIANT roundtrip (F6/F7/P6: to_json -> get_json_object) ---
     "q_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2070,6 +2077,18 @@ object SparkEntry {
         |       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // frame equality replays on the hex windows directly (hex is
+    // injective, so joining fr strings == joining frame bytes; the
+    // engine's md5 digesting is internal to its join key)
+    "q_multimodal_frame_dup" ->
+      """WITH v AS (SELECT doc_id AS id, hex(encode(text)) AS hx
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT DISTINCT id, substring(hx, (i-1)*32+1, 32) AS fr
+        |      FROM v, UNNEST(range(1, length(hx)//32 + 1, 2)) AS u(i)),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM f a JOIN f b ON a.fr = b.fr AND a.id < b.id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
     // brute-force replay of the window-SimHash fingerprint (recall-1.0
     // banding makes the engine result blocking-independent); is_exact
     // compares the payloads' full hex — byte equality, not a hash

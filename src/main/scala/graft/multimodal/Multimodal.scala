@@ -88,6 +88,46 @@ object Multimodal {
       .select(col("id"), col("frame_idx"),
         expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
 
+  /** Per-frame video dedup (oracle-gated): two videos near-duplicate
+    * when they share >= `minShared` DISTINCT frame contents — the
+    * shared-scene detection a video pipeline runs off its frame
+    * sampler. Frames come from `sampleFrames` (every `everyK`-th
+    * `frameBytes` window; short tail windows excluded so both engines
+    * see identical frame sets), digest to md5 (16 bytes however large
+    * the real frame is — the join never carries frame payloads), and
+    * build a frame-digest INVERTED INDEX: (digest, id) distinct rows,
+    * hot digests capped at `autoDocFreqCap(√n)` (a black frame shared
+    * by half the corpus would otherwise square the self-join — the
+    * n-gram posting-list discipline verbatim; cap never binds at the
+    * gated scales, floor 1000, so the uncapped oracle replays
+    * exactly). Pair generation is the capped posting self-join —
+    * never all-pairs — and `n_shared` counts distinct shared
+    * contents, so a frame repeated WITHIN one video counts once.
+    * Returns (id_a, id_b, n_shared >= minShared). */
+  def frameDedupPairs(media: DataFrame, frameBytes: Int = 16,
+                      everyK: Int = 2, minShared: Long = 2,
+                      maxFrameDf: Int = 0): DataFrame = {
+    val frames = sampleFrames(media, frameBytes, everyK)
+      .filter(length(col("frame")) === frameBytes)
+      .select(col("id"), md5(col("frame")).as("fd"))
+      .distinct()
+      .localCheckpoint()
+    val cap =
+      if (maxFrameDf > 0) maxFrameDf.toLong
+      else graft.functions.Dedup.autoDocFreqCap(
+        frames.select(col("id")).distinct().count()).toLong
+    val cold = frames.join(
+      frames.groupBy(col("fd")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= cap).select(col("fd")),
+      Seq("fd"), "left_semi")
+    cold.select(col("fd"), col("id").as("id_a"))
+      .join(cold.select(col("fd"), col("id").as("id_b")), Seq("fd"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Portable metadata projection (oracle-gated): byte length + md5 of
     * the payload — the checks any media pipeline runs before decode. */
   def mediaMeta(media: DataFrame): DataFrame =

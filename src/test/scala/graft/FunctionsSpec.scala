@@ -1638,4 +1638,33 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(fps.size == 1)
   }
+
+  test("frameDedupPairs: shared scenes pair, distinct contents count once, hot frames capped") {
+    import spark.implicits._
+    def frame(seed: Int) = Array.tabulate(16)(i => (seed * 31 + i).toByte)
+    def video(frames: Array[Byte]*) = frames.flatten.toArray
+    // sampler takes every 2nd frame (indices 0, 2, 4): A and B share
+    // sampled frames 0 and 4 (B's middle differs); C is disjoint; D
+    // repeats ONE content at two sampled positions shared with A —
+    // must count once, so (A, D) stays below minShared = 2
+    val a = video(frame(1), frame(2), frame(3), frame(4), frame(5))
+    val b = video(frame(1), frame(2), frame(9), frame(4), frame(5))
+    val c = video(frame(20), frame(21), frame(22), frame(23), frame(24))
+    val dD = video(frame(1), frame(2), frame(1), frame(4), frame(1))
+    val m = Seq((1L, "video", a), (2L, "video", b), (3L, "video", c),
+        (4L, "video", dD), (5L, "image", a)) // non-video never pairs
+      .toDF("id", "modality", "content")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = pairs(Multimodal.frameDedupPairs(m))
+    assert(got == Map((1L, 2L) -> 2L),
+      s"A,B share sampled frames 0 and 4 only; D's repeats collapse: $got")
+    // minShared = 1 surfaces the single-content overlaps too
+    val loose = pairs(Multimodal.frameDedupPairs(m, minShared = 1))
+    assert(loose((1L, 4L)) == 1L && loose((2L, 4L)) == 1L)
+    // a frame every video shares is a hot posting: an explicit df cap
+    // of 1 drops every pair (each shared digest exceeds the cap)
+    val capped = pairs(Multimodal.frameDedupPairs(m, minShared = 1, maxFrameDf = 1))
+    assert(capped.isEmpty, s"df-capped hot frames must not generate pairs: $capped")
+  }
 }
