@@ -301,6 +301,81 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("streaming MEDIA ingest: fingerprint probe drops near-dup payloads, digests catch windowless dups") {
+    import spark.implicits._
+    import graft.streaming.StreamingMediaIngest
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(2048)(rnd.nextInt(256).toByte)
+    def corrupt(src: Array[Byte], at: Int): Array[Byte] = {
+      val c = src.clone(); c(at) = (c(at) ^ 0x5a).toByte; c
+    }
+    val unrelated = Array.fill(2048)(rnd.nextInt(256).toByte)
+    val tiny = Array[Byte](9, 9)
+    // A flipped byte perturbs 4 windows; whether that crosses <= 3 bit
+    // margins depends on the base's vote margins at those windows.
+    // Pick corruption positions MEASURED to stay inside the Hamming
+    // budget, so the spec tests the ingest plumbing, not fingerprint
+    // statistics (all inputs fixed-seed, so the choice is stable).
+    val candidates = (0 until 16).map(i => 64 + i * 128)
+    val fps = graft.multimodal.Multimodal.contentFingerprint64(
+        ((-1L, base) +: candidates.map(p => (p.toLong, corrupt(base, p))))
+          .toDF("id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPos = candidates.filter(p =>
+      java.lang.Long.bitCount(fps(-1L) ^ fps(p.toLong)) <= 3)
+    assert(nearPos.size >= 3, s"need 3 within-budget corruption positions, got $nearPos")
+    val Seq(p1, p2, p3) = nearPos.take(3).map(_.toInt).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_ingest").toString
+    def ingest(id: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamingMediaIngest.ingestBatch(
+        rows.toSeq.map { case (i, c) => (i, "image", c) }
+          .toDF("id", "modality", "content"), dir, id, 3)
+    def landed = StreamingMediaIngest.corpus(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    // batch 0: 2 = near-dup of 1 (one flipped byte), 3 = exact copy of
+    // 1, 4 unrelated, 5 windowless -> only 1, 4, 5 land
+    ingest(0L, 1L -> base, 2L -> corrupt(base, p1), 3L -> base.clone(),
+      4L -> unrelated, 5L -> tiny)
+    assert(landed == Seq(1L, 4L, 5L))
+    // batch 1: 10 near-dups landed 1 (fingerprint probe), 11 is
+    // byte-identical to landed 4 (digest probe), 12 duplicates the
+    // windowless 5 (digest-only path), 13 is fresh
+    val fresh13 = Array.fill(2048)(rnd.nextInt(256).toByte)
+    ingest(1L, 10L -> corrupt(base, p2), 11L -> unrelated.clone(),
+      12L -> tiny.clone(), 13L -> fresh13)
+    assert(landed == Seq(1L, 4L, 5L, 13L))
+    // the index is id-table-sized: one row per landed payload, with
+    // fp64 NULL exactly for the windowless one
+    val fp = StreamingMediaIngest.fpStore(spark, dir)
+    assert(fp.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L, 13L))
+    assert(fp.filter(col("fp64").isNull).select("id").as[Long].collect().toSeq == Seq(5L))
+    // at-least-once replay of batch 1 rewrites itself, no duplicates
+    ingest(1L, 10L -> corrupt(base, p2), 11L -> unrelated.clone(),
+      12L -> tiny.clone(), 13L -> fresh13)
+    assert(landed == Seq(1L, 4L, 5L, 13L))
+    // fresh-checkpoint id reset is rejected
+    intercept[IllegalArgumentException] { ingest(0L, 99L -> fresh13) }
+    // end-to-end through a real file stream in its own store
+    import org.apache.spark.sql.types._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_media2").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_media_src")
+    Seq((20L, "image", base), (21L, "image", unrelated))
+      .toDF("id", "modality", "content").coalesce(1)
+      .write.parquet(landing.toString + "/b")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("modality", StringType), StructField("content", BinaryType)))
+    val q = StreamingMediaIngest.start(
+      spark.readStream.schema(schema).parquet(landing.toString + "/b"),
+      dir2, java.nio.file.Files.createTempDirectory("graft_media_ck").toString)
+    q.processAllAvailable()
+    Seq((30L, "image", corrupt(base, p3)), (31L, "image", fresh13))
+      .toDF("id", "modality", "content").coalesce(1)
+      .write.mode("append").parquet(landing.toString + "/b")
+    q.processAllAvailable(); q.stop()
+    assert(StreamingMediaIngest.corpus(spark, dir2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
+  }
+
   test("streaming windowed agg over events matches batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stx = StreamingReport.transactionsStream(spark, eventsDir)
