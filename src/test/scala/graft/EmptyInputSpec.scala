@@ -304,6 +304,45 @@ class EmptyInputSpec extends SparkSpec {
     assert(q19.isNullAt(0) && q19.getLong(1) == 0L)
   }
 
+  test("round-12 operators on empty and degenerate inputs") {
+    import graft.functions.Similarity
+    import graft.multimodal.Multimodal
+    val emptyEmb = Seq.empty[(Long, Long, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    // sq8CodeTable collects per-dim bounds off the driver — an empty
+    // corpus must yield empty codes/top-ks, not a head() failure
+    assert(Similarity.sq8CodeTable(emptyEmb).count() == 0)
+    assert(Similarity.sq8TopK(emptyEmb, col("vec_id") % 100 === 0, 10).count() == 0)
+    assert(Similarity.sq8TopKRerank(emptyEmb, col("vec_id") % 100 === 0, 10, 50)
+      .count() == 0)
+    // a constant dimension (mx == mn) must code 0, not divide by zero
+    import spark.implicits._
+    val const = Seq((1L, 0L, Array(0.5f, 0.25f)), (2L, 0L, Array(0.5f, 0.75f)))
+      .toDF("vec_id", "label", "embedding")
+    val codes = Similarity.sq8CodeTable(const).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(1L).head == 0L && codes(2L).head == 0L,
+      s"constant dim must code 0 on every vector: $codes")
+    // hierarchical semdedup on empty / smaller-than-k corpora
+    assert(Similarity.semDedupHier(emptyEmb, 0, 0, 2, 0.5).count() == 0)
+    val two = Seq((1L, 0L, Array(1f, 0f)), (2L, 1L, Array(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val small = Similarity.semDedupHier(two, 3, 3, 2, 0.99).collect()
+    assert(small.length == 2 && small.forall(_.getBoolean(2)),
+      "fewer vectors than k1*k2: everyone its own cell, all kept")
+    // multimodal dedup family on empty media
+    val emptyMedia = Seq.empty[(Long, String, Array[Byte])]
+      .toDF("id", "modality", "content")
+    assert(Multimodal.contentFingerprint64(emptyMedia).count() == 0)
+    assert(Multimodal.fingerprintDedup(emptyMedia).count() == 0)
+    assert(Multimodal.frameDedupPairs(emptyMedia).count() == 0)
+    // all-windowless media: fingerprint path empty, no pairs, no throw
+    val tinyOnly = Seq((1L, "video", Array[Byte](1)), (2L, "video", Array[Byte](1)))
+      .toDF("id", "modality", "content")
+    assert(Multimodal.fingerprintDedup(tinyOnly).count() == 0)
+    assert(Multimodal.frameDedupPairs(tinyOnly, frameBytes = 16).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping
