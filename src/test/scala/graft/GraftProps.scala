@@ -434,4 +434,72 @@ object GraftProps extends Properties("graft") {
       Prop(agg == win) :| s"k=$k parts=$parts agg=$agg win=$win"
     }
   }
+
+  /** Driver-side reference of `Multimodal.contentFingerprint64`'s
+    * window-SimHash (independent re-derivation of the md5 nibble-vote
+    * convention — a regression in the distributed loop fails here on
+    * arbitrary payloads, not just the fixed oracle corpus). */
+  private def refFingerprint(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    val HEX = "0123456789ABCDEF"
+    for (i <- 0 to bytes.length - 4) {
+      val sb = new StringBuilder(8)
+      (0 until 4).foreach { p =>
+        val b = bytes(i + p) & 0xff
+        sb.append(HEX.charAt(b >> 4)).append(HEX.charAt(b & 0xf))
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes("US-ASCII"))
+      (0 until 64).foreach { j =>
+        val n = j % 32
+        val nib = if (n % 2 == 0) (h(n / 2) >> 4) & 0xf else h(n / 2) & 0xf
+        val bit = if (j < 32) (nib >> 3) & 1 else (nib >> 1) & 1
+        votes(j) += (if (bit == 1) 1 else -1)
+      }
+    }
+    (0 until 64).foldLeft(0L)((a, j) => if (votes(j) > 0) a | (1L << j) else a)
+  }
+
+  private val genPayloads: Gen[List[Array[Byte]]] =
+    Gen.nonEmptyListOf(Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte)).map(_.toArray)))
+
+  property("contentFingerprint64 equals the driver reference; repartition-invariant") =
+    forAll(genPayloads, Gen.choose(1, 7)) { (payloads, parts) =>
+      val m = payloads.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("id", "content")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.multimodal.Multimodal.contentFingerprint64(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = run(m)
+      val ref = payloads.zipWithIndex
+        .map { case (c, i) => i.toLong -> refFingerprint(c) }.toMap
+      Prop(got == ref && got == run(m.repartition(parts))) :| s"parts=$parts"
+    }
+
+  property("sq8 codes match the affine bounds formula, bounded in [0, 255]") = {
+    val genVecs: Gen[List[Array[Float]]] = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4,
+        Gen.choose(-1000, 1000).map(_ / 1000.0f)).map(_.toArray)))
+    forAll(genVecs, Gen.choose(1, 5)) { (vecs, parts) =>
+      val e = vecs.zipWithIndex.map { case (v, i) => (i.toLong, 0L, v) }
+        .toDF("vec_id", "label", "embedding").repartition(parts)
+      val got = graft.functions.Similarity.sq8CodeTable(e)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toList
+      val q = vecs.map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+      val dims = 4
+      val mn = (0 until dims).map(d => q.map(_(d)).min)
+      val mx = (0 until dims).map(d => q.map(_(d)).max)
+      def refCode(v: Array[Long]): Seq[Long] = (0 until dims).map { d =>
+        if (mx(d) > mn(d)) (v(d) - mn(d)) * 255L / (mx(d) - mn(d)) else 0L
+      }
+      val ok = got.forall { case (id, c, ncc) =>
+        c == refCode(q(id.toInt)) &&
+          c.forall(x => x >= 0L && x <= 255L) &&
+          ncc == c.map(x => x * x).sum
+      }
+      Prop(got.size == vecs.size && ok) :| s"got=$got"
+    }
+  }
 }
