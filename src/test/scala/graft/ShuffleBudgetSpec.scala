@@ -169,6 +169,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_multimodal_dedup" -> 0,        // banding+distinct live in the pair
                                       // checkpoint job; digest enrich is
                                       // broadcast-only downstream
+    "q_multimodal_frame_dup" -> 3,    // frame-digest distinct rides the
+                                      // checkpoint; df-count agg + posting
+                                      // self-join pair agg + final filter
+    "q_semdedup_hier" -> 5,           // same shape as q_semdedup: hier
+                                      // assignment reads its checkpoint,
+                                      // cell self-join sides + dup
+                                      // distinct + summary agg
     "q_semdedup" -> 5,                // assignment read from the kmeans
                                       // checkpoint; cell self-join pair
                                       // sides + dup distinct + final
