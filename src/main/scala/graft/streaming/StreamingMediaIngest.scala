@@ -46,9 +46,10 @@ object StreamingMediaIngest {
       s"media ingest batch id $batchId is behind the store frontier " +
         s"$frontier at $corpusDir — this sink is single-writer per " +
         "checkpoint; a new checkpoint needs a new corpusDir")
+    val b = batch.localCheckpoint() // counted for the ledger + deduped
     // 1. WITHIN-batch exact dedup: one representative (min id) per
     //    byte-identical payload — deterministic under replay.
-    val withMd5 = batch.withColumn("_c", md5(col("content")))
+    val withMd5 = b.withColumn("_c", md5(col("content")))
     val reps = withMd5.groupBy(col("_c")).agg(min(col("id")).as("id"))
     val exactSurv = withMd5
       .join(reps, Seq("_c", "id"), "left_semi")
@@ -97,7 +98,28 @@ object StreamingMediaIngest {
     fresh.drop("_c").write.mode("overwrite")
       .parquet(s"$corpusDir/media/batch=$batchId")
     freshFp.write.mode("overwrite").parquet(s"$corpusDir/fp/batch=$batchId")
+    // 5. Admission ledger (the StreamingQualityIngest governance
+    //    contract, media form): every arriving payload accounted to
+    //    exactly one outcome — n_in = n_batch_rejected (within-batch
+    //    exact/near collapse) + n_corpus_rejected (probe hit) +
+    //    n_landed. Derives from the same deterministic decisions as
+    //    the landed data, so a replay rewrites it identically.
+    val nIn = b.count()
+    val nSurv = survivors.count()
+    val nLanded = fresh.count()
+    import spark.implicits._
+    Seq((nIn, nIn - nSurv, nSurv - nLanded, nLanded))
+      .toDF("n_in", "n_batch_rejected", "n_corpus_rejected", "n_landed")
+      .write.mode("overwrite").parquet(s"$corpusDir/stats/batch=$batchId")
   }
+
+  /** Per-batch admission ledger (all batches); `batch` comes from the
+    * partition dirs. */
+  def stats(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(s"$corpusDir/stats")
+      .withColumn("batch", col("batch").cast("long"))
+      .select(col("batch"), col("n_in"), col("n_batch_rejected"),
+        col("n_corpus_rejected"), col("n_landed"))
 
   /** Highest batch id already landed in the fingerprint store (-1 if none). */
   def maxLandedBatch(corpusDir: String): Long = {

@@ -349,10 +349,24 @@ class StreamingSpec extends SparkSpec {
     val fp = StreamingMediaIngest.fpStore(spark, dir)
     assert(fp.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L, 13L))
     assert(fp.filter(col("fp64").isNull).select("id").as[Long].collect().toSeq == Seq(5L))
-    // at-least-once replay of batch 1 rewrites itself, no duplicates
+    // admission ledger: every arriving payload accounted to exactly
+    // one outcome, per batch (batch 0: 5 in, 2 within-batch collapses,
+    // 0 corpus hits, 3 landed; batch 1: 4 in, 0, 3 probe hits, 1)
+    val stats = StreamingMediaIngest.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(stats(0L) == ((5L, 2L, 0L, 3L)), s"batch 0 ledger: ${stats(0L)}")
+    assert(stats(1L) == ((4L, 0L, 3L, 1L)), s"batch 1 ledger: ${stats(1L)}")
+    stats.values.foreach { case (nIn, nb, nc, nl) => assert(nIn == nb + nc + nl) }
+    // at-least-once replay of batch 1 rewrites itself, no duplicates —
+    // ledger included
     ingest(1L, 10L -> corrupt(base, p2), 11L -> unrelated.clone(),
       12L -> tiny.clone(), 13L -> fresh13)
     assert(landed == Seq(1L, 4L, 5L, 13L))
+    assert(StreamingMediaIngest.stats(spark, dir)
+      .filter(col("batch") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == Seq((4L, 0L, 3L, 1L)))
     // fresh-checkpoint id reset is rejected
     intercept[IllegalArgumentException] { ingest(0L, 99L -> fresh13) }
     // end-to-end through a real file stream in its own store
