@@ -21,6 +21,7 @@ object Smoke {
     else if (args.headOption.contains("formats")) formatsProbe(spark)
     else if (args.headOption.contains("ingest")) ingestProbe(spark)
     else if (args.headOption.contains("quality")) qualityIngestProbe(spark)
+    else if (args.headOption.contains("media")) mediaIngestProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -179,6 +180,42 @@ object Smoke {
     * re-lands half of wave one), run ONE file-source stream through
     * `StreamingIngest.start`, and print the landed corpus + digest
     * counts — duplicates across micro-batches must not survive. */
+  /** Drive the streaming MEDIA ingest end-to-end on real corpus-derived
+    * payloads: land sf0.001 documents as binary media in two waves (the
+    * second wave re-lands half of wave one under NEW ids — byte-
+    * identical payloads, the digest-probe path), run ONE file-source
+    * stream through `StreamingMediaIngest.start`, and print corpus +
+    * ledger. Cross-batch dups must not survive, and the ledger must
+    * account every arrival. */
+  private def mediaIngestProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingMediaIngest
+    val media = graft.multimodal.Multimodal.fromDocuments(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("id", "modality", "content")
+    val base = java.nio.file.Files.createTempDirectory("graft_media_probe")
+    val landing = base.toString + "/landing"
+    val store = base.toString + "/store"
+    media.filter(col("id") < 250).coalesce(1).write.parquet(landing)
+    val q = StreamingMediaIngest.start(
+      spark.readStream.schema(media.schema).parquet(landing),
+      store, base.toString + "/ck")
+    q.processAllAvailable()
+    val afterWave1 = StreamingMediaIngest.corpus(spark, store).count()
+    // wave 2: ids 125..374 re-landed under +10000 ids — the first half
+    // byte-duplicates wave-1 payloads and must be probe-rejected
+    media.filter(col("id") >= 125 && col("id") < 375)
+      .withColumn("id", col("id") + 10000)
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable(); q.stop()
+    val n = StreamingMediaIngest.corpus(spark, store).count()
+    println(s"MEDIA_WAVE1=$afterWave1 MEDIA_CORPUS=$n")
+    StreamingMediaIngest.stats(spark, store).orderBy(col("batch"))
+      .collect().foreach(r => println(
+        s"MEDIA_LEDGER batch=${r.getLong(0)} n_in=${r.getLong(1)} " +
+          s"batch_rej=${r.getLong(2)} corpus_rej=${r.getLong(3)} landed=${r.getLong(4)}"))
+  }
+
   private def ingestProbe(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.streaming.StreamingIngest
