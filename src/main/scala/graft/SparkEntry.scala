@@ -266,6 +266,10 @@ object SparkEntry {
     // pair graph + CC fixpoint)
     "q_dup_hops" -> ((s, d) =>
       Dedup.dupClusterHops(Tables.documents(s, d), 3, 8, 4, 0.5)),
+    // dedup governance ledger: per-source docs/chars in vs kept after
+    // the APPLY step — rides the same memoized pair graph + CC
+    "q_dedup_savings" -> ((s, d) =>
+      Dedup.dedupAttrition(Tables.documents(s, d), 3, 8, 4, 0.5, "source")),
     // quality-aware survivor rule: per cluster keep the LONGEST copy
     // (ties -> lowest id) instead of the minimum id
     "q_dedup_corpus_by" -> ((s, d) => {
@@ -426,6 +430,16 @@ object SparkEntry {
     "q_multimodal_frame_dup" -> ((s, d) =>
       graft.multimodal.Multimodal.frameDedupPairs(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
+    // ONE duplicate graph across BOTH channels: text (exact + minhash)
+    // edges unioned with payload-fingerprint edges, one CC, min-id
+    // survivors — dup chains may cross channels
+    "q_crossmodal_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.multimodal.Multimodal.crossModalDedup(
+          docs, graft.multimodal.Multimodal.fromDocuments(docs), 3, 8, 4, 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // --- JSON VARIANT roundtrip (F6/F7/P6: to_json -> get_json_object) ---
     "q_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2098,8 +2112,8 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
          |       CAST(CASE WHEN ma.hx = mb.hx THEN 1 ELSE 0 END AS BIGINT) AS is_exact
          |FROM ph a JOIN ph b ON a.id < b.id
-         |JOIN m ma ON ma.id = a.id
-         |JOIN m mb ON mb.id = b.id
+         |JOIN fp_m ma ON ma.id = a.id
+         |JOIN fp_m mb ON mb.id = b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH n AS ($quantizedSql),
@@ -2550,6 +2564,37 @@ object SparkEntry {
     "q_dedup_corpus" ->
       s"""$dedupCorpusBaseSql,
          |losers AS (SELECT id AS doc_id FROM reach WHERE label < id)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    // governance ledger over the same closure: per-source in/kept
+    "q_dedup_savings" ->
+      s"""$dedupCorpusBaseSql,
+         |losers AS (SELECT id AS doc_id FROM reach WHERE label < id)
+         |SELECT d.source,
+         |       count(*) AS docs_in,
+         |       CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS chars_in,
+         |       CAST(sum(CASE WHEN l.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
+    // cross-modal closure: text edges ∪ fingerprint (hamming <= 3)
+    // edges, one recursive reachability, min-id survivors
+    "q_crossmodal_dedup" ->
+      s"""WITH $dedupEdgesCtes,
+         |$fingerprint64Ctes,
+         |mp AS (SELECT a.id AS doc_a, b.id AS doc_b
+         |       FROM ph a JOIN ph b ON a.id < b.id
+         |       WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |alledges AS (SELECT doc_a, doc_b FROM edges
+         |             UNION SELECT doc_a, doc_b FROM mp
+         |             UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM mp),
+         |xreach AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT doc_a AS id, doc_a AS m FROM alledges
+         |    UNION
+         |    SELECT e.doc_a, r.m FROM alledges e JOIN r ON r.id = e.doc_b
+         |  ) SELECT id, min(m) AS label FROM r GROUP BY id),
+         |losers AS (SELECT id AS doc_id FROM xreach WHERE label < id)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
     // bounded-walk recursive CTE + min(hops) certifies the BFS: edges
@@ -4256,12 +4301,16 @@ object SparkEntry {
     * (vanishing next to the corpus), which is exactly why the engine's
     * pointer-jumping CC is gateable this way: the oracle pays O(n²)
     * closure on a tiny graph to certify the scalable fixpoint. */
-  private val dedupCorpusBaseSql = {
+  /** Text-channel duplicate EDGES only (exact + banded MinHash near-dup,
+    * both orientations) — the reusable prefix `dedupCorpusBaseSql`
+    * closes over with `reach`; `q_crossmodal_dedup` instead unions
+    * these edges with the fingerprint channel's before ITS closure. */
+  private val dedupEdgesCtes = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
       .mkString("\n      UNION ALL ")
-    raw"""WITH s AS ($shinglesSql),
+    raw"""s AS ($shinglesSql),
        |e AS (SELECT doc_id,
        |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
        |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
@@ -4288,14 +4337,17 @@ object SparkEntry {
        |                    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS mn
        |             FROM documents) WHERE doc_id > mn),
        |edges AS (SELECT doc_a, doc_b FROM nearp UNION SELECT doc_a, doc_b FROM exactp
-       |          UNION SELECT doc_b, doc_a FROM nearp UNION SELECT doc_b, doc_a FROM exactp),
+       |          UNION SELECT doc_b, doc_a FROM nearp UNION SELECT doc_b, doc_a FROM exactp)""".stripMargin
+  }
+
+  private val dedupCorpusBaseSql =
+    raw"""WITH $dedupEdgesCtes,
        |reach AS (
        |  WITH RECURSIVE r(id, m) AS (
        |    SELECT doc_a AS id, doc_a AS m FROM edges
        |    UNION
        |    SELECT e.doc_a, r.m FROM edges e JOIN r ON r.id = e.doc_b
        |  ) SELECT id, min(m) AS label FROM r GROUP BY id)""".stripMargin
-  }
 
   private val simhash16Sql = {
     val votes = (0 until 16).map(j =>
@@ -4346,7 +4398,7 @@ object SparkEntry {
     * the string the engine's decoder hashes), then the simhash64Sql
     * vote/bit convention verbatim. Payloads under 4 bytes have no
     * windows and are excluded on both sides. */
-  private val fingerprint64Sql = {
+  private val fingerprint64Ctes = {
     val votes = (0 until 64).map { j =>
       val digits =
         if (j < 32) "('8','9','a','b','c','d','e','f')"
@@ -4356,19 +4408,23 @@ object SparkEntry {
     val bits = (0 until 64).map(j =>
       s"(CASE WHEN v$j > 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
       .mkString(" + ")
-    raw"""WITH m AS (SELECT doc_id AS id, hex(encode(text)) AS hx
+    // CTE names are fp_-prefixed so these compose collision-free with
+    // the text dedup CTEs (q_crossmodal_dedup unions both families)
+    raw"""fp_m AS (SELECT doc_id AS id, hex(encode(text)) AS hx
        |           FROM documents WHERE octet_length(encode(text)) >= 4),
-       |e AS (SELECT id, substring(hx, (i-1)*2+1, 8) AS tok
-       |      FROM m, UNNEST(range(1, length(hx)//2 - 2)) AS u(i)),
-       |v AS (SELECT id,
+       |fp_e AS (SELECT id, substring(hx, (i-1)*2+1, 8) AS tok
+       |      FROM fp_m, UNNEST(range(1, length(hx)//2 - 2)) AS u(i)),
+       |fp_v AS (SELECT id,
        |       $votes
-       |      FROM e GROUP BY id),
-       |u AS (SELECT id, $bits AS s FROM v),
+       |      FROM fp_e GROUP BY id),
+       |fp_u AS (SELECT id, $bits AS s FROM fp_v),
        |ph AS (SELECT id,
        |         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
        |              THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS fp
-       |       FROM u)""".stripMargin
+       |       FROM fp_u)""".stripMargin
   }
+
+  private val fingerprint64Sql = "WITH " + fingerprint64Ctes
 
   /** W1/W2 oracle: dense date×key grid, 0-imputed, lag pct-change of the
     * latest date per key (SURVEY §2.5; engine semantics: 0/missing

@@ -1269,9 +1269,11 @@ object Dedup {
   }
 
   /** Exact + MinHash-LSH duplicate pairs — the shared pair graph the
-    * APPLY steps below resolve. */
-  private def dupPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
-                       minJaccard: Double): DataFrame = {
+    * APPLY steps below resolve. `private[graft]` so cross-family
+    * composers (`Multimodal.crossModalDedup`) can union these edges
+    * with their own pair sources without re-deriving the graph. */
+  private[graft] def dupPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+                              minJaccard: Double): DataFrame = {
     val exactPairs = docs
       .select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
       .groupBy(col("fp"))
@@ -1335,6 +1337,31 @@ object Dedup {
       .filter(col("_rk") > 1)
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Dedup governance ledger — the batch analog of the streaming
+    * ingest's admission ledger: per `by`-group documents/chars in vs
+    * kept after the exact+near-dup APPLY step ("how much did dedup cut
+    * per source?" — the question a 100 TB curation review asks without
+    * wanting to scan the corpus). Rides the SAME memoized pair-graph/
+    * CC fixpoint as `dedupCorpus` (`componentsFor`), so alongside the
+    * apply queries this costs one loser anti-flag join + a group-sized
+    * aggregate; the loser frame is cluster-member-sized (dup docs
+    * only), a vanishing fraction of the corpus at production dup
+    * rates. Output: (by, docs_in, docs_kept, chars_in, chars_kept). */
+  def dedupAttrition(docs: DataFrame, n: Int, k: Int, bands: Int,
+                     minJaccard: Double, by: String): DataFrame = {
+    val losers = componentsFor(docs, n, k, bands, minJaccard)
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"), lit(1L).as("_lost"))
+    docs.join(losers, Seq("doc_id"), "left")
+      .groupBy(col(by))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("_lost").isNull, 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("n_chars")).as("chars_in"),
+        sum(when(col("_lost").isNull, col("n_chars")).otherwise(lit(0L)))
+          .as("chars_kept"))
   }
 
   /** Leakage-safe train/val/test split — the dedup-AWARE form of

@@ -266,4 +266,35 @@ object Multimodal {
         perceptualHash(media).select(col("id").as("doc_id"), col("phash")),
         "phash", 64, 4, maxHamming)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+
+  /** Cross-modal dedup APPLY (oracle-gated): ONE duplicate graph over
+    * BOTH channels of a multimodal corpus — text edges (exact
+    * normalized-text + MinHash-LSH near-dup, `Dedup.dupPairs`) unioned
+    * with binary-payload edges (banded window-SimHash within
+    * `maxHamming`, `fingerprintDedup`) — then the standard connected-
+    * components → keep-the-minimum-id survivor rule. A document is a
+    * duplicate when EITHER channel matches, and transitive chains may
+    * cross channels (A≈B by text, B≈C by payload ⟹ one cluster): the
+    * containment a per-channel dedup cannot express, and the rule a
+    * production multimodal corpus needs (caption edits hide payload
+    * dups; payload re-encodes hide text dups). `media` rows join the
+    * graph by `id` == `docs.doc_id` (the attached-payload contract of
+    * `fromDocuments`). Scale shape: both edge sources are the already-
+    * gated banded/blocked generators (never all-pairs) and both are
+    * pair-frame-slim; the union CC runs on edge-count-sized frames and
+    * the corpus itself only anti-joins the loser ids — exactly
+    * `dedupCorpus`'s cost plus the media banding pass. */
+  def crossModalDedup(docs: DataFrame, media: DataFrame, n: Int, k: Int,
+                      bands: Int, minJaccard: Double,
+                      maxHamming: Int = 3): DataFrame = {
+    val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val mediaEdges = fingerprintDedup(media, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val losers = graft.functions.Dedup
+      .connectedComponents(textEdges.union(mediaEdges))
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

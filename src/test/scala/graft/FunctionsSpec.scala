@@ -671,6 +671,49 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(2L, 3L, 4L))
   }
 
+  test("crossModalDedup: payload-only dups collapse and chains cross channels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def payload() = Array.fill(64)(rnd.nextInt(256).toByte)
+    val shared = payload()
+    val d = docs(
+      (1L, near1), (2L, near2),                       // text edge 1-2
+      (3L, other),                                    // no text edge to anyone
+      (4L, "completely different tokens here now"))   // unrelated both ways
+    // payload channel: 2 and 3 byte-identical; 1 and 4 unrelated
+    val media = Seq(
+      (1L, payload()), (2L, shared), (3L, shared.clone()), (4L, payload()))
+      .toDF("id", "content")
+    val survivors = graft.multimodal.Multimodal
+      .crossModalDedup(d, media, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // chain 1-2 (text) + 2-3 (payload) is ONE cluster -> survivor 1;
+    // text-only dedup cannot see the 2-3 edge and keeps 3
+    assert(survivors == Seq(1L, 4L), s"got $survivors")
+    val textOnly = Dedup.dedupCorpus(d, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(textOnly == Seq(1L, 3L, 4L), s"got $textOnly")
+  }
+
+  test("dedupAttrition: per-group ledger matches the apply step") {
+    val d = docs(
+      (1L, near1), (2L, near2),        // cluster {1,2} -> loser 2
+      (3L, other),
+      (4L, "A  B"), (5L, "a b"))       // exact cluster {4,5} -> loser 5
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", when(col("doc_id") <= 2L, "s1").otherwise("s2"))
+    val led = Dedup.dedupAttrition(d, 3, 8, 4, 0.5, "source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(led("s1")._1 == 2L && led("s1")._2 == 1L, s"got $led")
+    assert(led("s2")._1 == 3L && led("s2")._2 == 2L, s"got $led")
+    assert(led.values.forall(v => v._2 <= v._1 && v._4 <= v._3))
+    // the chars ledger reconciles exactly with the survivor set
+    val survChars = Dedup.dedupCorpus(d, 3, 8, 4, 0.5)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(led.values.map(_._4).sum == survChars)
+  }
+
   test("withClusterSplit: every copy of a doc lands in ONE split, by CC label") {
     val d = docs(
       (1L, near1), (2L, near2),        // near-dup cluster -> label 1
