@@ -341,6 +341,23 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("id", "modality", "content")
     assert(Multimodal.fingerprintDedup(tinyOnly).count() == 0)
     assert(Multimodal.frameDedupPairs(tinyOnly, frameBytes = 16).count() == 0)
+    // cross-modal dedup: empty corpus -> empty; an edge-free corpus
+    // survives intact (CC on zero edges must not drop anyone)
+    val emptyDocs12 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Multimodal.crossModalDedup(emptyDocs12, emptyMedia, 3, 8, 4, 0.5)
+      .count() == 0)
+    val loners = Seq((1L, "alpha beta gamma delta"), (2L, "wholly unrelated words"))
+      .toDF("doc_id", "text")
+    val lonerMedia = Seq((1L, "image", Array.tabulate(32)(_.toByte)),
+        (2L, "image", Array.tabulate(32)(i => (200 - 3 * i).toByte)))
+      .toDF("id", "modality", "content")
+    assert(Multimodal.crossModalDedup(loners, lonerMedia, 3, 8, 4, 0.5)
+      .count() == 2)
+    // attrition ledger on empty input: no groups, no rows, no throw
+    import graft.functions.Dedup
+    val emptyDocsN = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "text", "n_chars", "source")
+    assert(Dedup.dedupAttrition(emptyDocsN, 3, 8, 4, 0.5, "source").count() == 0)
   }
 
   test("temporal operators on empty inputs") {

@@ -92,6 +92,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // beats 1 raw-row exchange at scale
     "q_dedup_corpus_by" -> 3,         // CC labels join + cluster rank
                                       // window + loser anti-join
+    "q_crossmodal_dedup" -> 2,        // both edge families + union CC ran
+                                      // eagerly into checkpoints; final
+                                      // plan is the loser anti-join pair
+    "q_dedup_savings" -> 3,           // loser flag join + per-source agg
+                                      // off the same memoized CC fixpoint
     "q_leakage_split" -> 4,           // CC labels join pair (AQE
                                       // broadcasts the tiny side at
                                       // runtime) + the 2-stage
