@@ -225,13 +225,30 @@ object Multimodal {
     * near-dup pairs. Blocking-independent by the recall-1.0 guarantee,
     * so DuckDB gates it by brute-force replay of the fingerprint.
     * Returns (id_a, id_b, hamming, is_exact 0/1). */
+  /** The raw fingerprint pair frame (id_a, id_b, hamming), memoized
+    * per (session, media plan, maxHamming) — the window-SimHash pass
+    * re-digests every 4-byte window of every payload (the family's CPU
+    * term), and `fingerprintDedup` (the gated exactness report) and
+    * `crossModalDedup` both derive this SAME frame, so it is computed
+    * once per corpus (the `minhash_pairs` discipline). `crossModalDedup` reads
+    * it directly: it discards the exactness flag, so routing it
+    * through `fingerprintDedup` would pay the pair-bounded payload
+    * digest scan for columns it never uses. */
+  private[graft] def fingerprintPairs(media: DataFrame,
+                                      maxHamming: Int): DataFrame = {
+    val m = media.filter(length(col("content")) >= 4)
+    graft.functions.IndexMemo("fp_pairs", m, maxHamming) {
+      graft.functions.Dedup.simhashBandPairs(
+          contentFingerprint64(m).select(col("id").as("doc_id"), col("fp64")),
+          "fp64", 64, 4, maxHamming)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+        .localCheckpoint()
+    }
+  }
+
   def fingerprintDedup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val m = media.filter(length(col("content")) >= 4)
-    val pairs = graft.functions.Dedup.simhashBandPairs(
-        contentFingerprint64(m).select(col("id").as("doc_id"), col("fp64")),
-        "fp64", 64, 4, maxHamming)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
-      .localCheckpoint()
+    val pairs = fingerprintPairs(media, maxHamming)
     // The exactness flag needs payload digests only for docs that
     // PAIRED — semi-filter the corpus to pair ids by broadcast (the
     // exactRerank pattern), so the enrich joins broadcast pair-bounded
@@ -289,10 +306,21 @@ object Multimodal {
                       maxHamming: Int = 3): DataFrame = {
     val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val mediaEdges = fingerprintDedup(media, maxHamming)
+    // The raw memoized pair frame, not fingerprintDedup: the exactness
+    // flag is discarded here, so its pair-bounded payload digest scan
+    // would be pure waste on this path.
+    val mediaEdges = fingerprintPairs(media, maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val losers = graft.functions.Dedup
-      .connectedComponents(textEdges.union(mediaEdges))
+    val edges = textEdges.union(mediaEdges)
+    // The union CC fixpoint is memoized on the EDGES plan (the
+    // `componentsFor` discipline): repeated applies in one session
+    // skip the label iteration entirely. Keying on the edges plan captures both
+    // corpora exactly (the memoized text/media pair frames resolve to
+    // the same checkpointed instances in-session, so `sameResult`
+    // holds), with no reliance on a hash of the media plan alone.
+    val losers = graft.functions.IndexMemo("xcc", edges, ()) {
+        graft.functions.Dedup.connectedComponents(edges).localCheckpoint()
+      }
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")

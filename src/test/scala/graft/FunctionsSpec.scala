@@ -695,6 +695,34 @@ class DedupSpec extends SparkSpec {
     assert(textOnly == Seq(1L, 3L, 4L), s"got $textOnly")
   }
 
+  test("crossModalDedup memo: fingerprint pairs and the union CC compute once per corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def payload() = Array.fill(64)(rnd.nextInt(256).toByte)
+    val shared = payload()
+    val d = docs((1L, near1), (2L, near2), (3L, other))
+    val media = Seq((1L, payload()), (2L, shared), (3L, shared.clone()))
+      .toDF("id", "content")
+    val first = graft.multimodal.Multimodal
+      .crossModalDedup(d, media, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val fpHits = graft.functions.IndexMemo.hitsFor("fp_pairs")
+    val xccHits = graft.functions.IndexMemo.hitsFor("xcc")
+    val second = graft.multimodal.Multimodal
+      .crossModalDedup(d, media, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(second == first)
+    assert(graft.functions.IndexMemo.hitsFor("fp_pairs") > fpHits,
+      "second apply must reuse the memoized fingerprint pair table")
+    assert(graft.functions.IndexMemo.hitsFor("xcc") > xccHits,
+      "second apply must reuse the memoized union-CC label map")
+    // the exactness report derives from the SAME memoized pair frame
+    val fpHits2 = graft.functions.IndexMemo.hitsFor("fp_pairs")
+    graft.multimodal.Multimodal.fingerprintDedup(media).collect()
+    assert(graft.functions.IndexMemo.hitsFor("fp_pairs") > fpHits2,
+      "fingerprintDedup must ride the memoized pair table")
+  }
+
   test("dedupAttrition: per-group ledger matches the apply step") {
     val d = docs(
       (1L, near1), (2L, near2),        // cluster {1,2} -> loser 2
