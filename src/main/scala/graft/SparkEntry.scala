@@ -26,6 +26,26 @@ object SparkEntry {
 
   private def tx(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
 
+  /** One fixed per-JVM scratch dir for q_minhash_probe_store's landed
+    * sig/post parquet: every run overwrites the same `batch=0` dirs
+    * (mode=overwrite), so repeated bench reps / verify / explain runs
+    * cannot accumulate orphaned stores under the system temp dir
+    * (ADVICE r12), and a shutdown hook removes it on JVM exit. */
+  private lazy val probeStoreScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_probe_store")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally walk.close()
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }))
+    p.toString
+  }
+
   /** DEMO/DIAGNOSTIC-TIER queries: kept on the board as
     * oracle-portability or measurement vehicles, but excluded from
     * scale-up runs and capacity planning because their cost is not a
@@ -424,9 +444,12 @@ object SparkEntry {
       graft.multimodal.Multimodal.fingerprintDedup(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
     // per-frame video dedup: videos sharing >= 2 distinct sampled
-    // frame contents, via a df-capped frame-digest inverted index
-    // (cap floor 1000 never binds at gate scale — oracle replays the
-    // uncapped join on the frame bytes themselves)
+    // frame contents, via a df-capped frame-digest inverted index.
+    // The df cap (autoDocFreqCap(n), floor 1000) is ENGINE-side only:
+    // it never binds at the gated scales, so the uncapped DuckDB
+    // replay matches exactly; at scales where it starts binding the
+    // engine deliberately drops hotter-than-√n frame digests (with a
+    // runtime warn) and would diverge from this uncapped oracle.
     "q_multimodal_frame_dup" -> ((s, d) =>
       graft.multimodal.Multimodal.frameDedupPairs(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
@@ -747,7 +770,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val dir = java.nio.file.Files.createTempDirectory("graft_probe_store").toString
+      val dir = probeStoreScratch
       Dedup.minhashSigTable(corpus, 3, 8)
         .write.mode("overwrite").parquet(s"$dir/sigs/batch=0")
       Dedup.shinglePostings(corpus, 3)
@@ -2093,7 +2116,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // frame equality replays on the hex windows directly (hex is
     // injective, so joining fr strings == joining frame bytes; the
-    // engine's md5 digesting is internal to its join key)
+    // engine's md5 digesting is internal to its join key). This
+    // oracle is UNCAPPED: it matches while the engine's df cap
+    // (autoDocFreqCap(n), floor 1000) does not bind — true at every
+    // gated SF; a corpus with a frame digest hotter than the cap
+    // would make the engine (correctly, with a warn) drop that
+    // digest and diverge from this brute-force replay.
     "q_multimodal_frame_dup" ->
       """WITH v AS (SELECT doc_id AS id, hex(encode(text)) AS hx
         |           FROM documents WHERE doc_id % 3 = 2),

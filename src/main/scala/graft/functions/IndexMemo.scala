@@ -56,11 +56,17 @@ private[graft] object IndexMemo {
     * finer one (ivfpq -> pq codebooks, pairs -> postings), never back,
     * so the lock graph is acyclic — no deadlock. Both monitors are
     * reentrant for the self-nested case. Lock entries of stopped
-    * sessions are pruned alongside the entry sweep in `lookup` (the
-    * object itself stays valid for any residual holder — only the map
-    * reference is dropped), so the map cannot grow without bound
-    * across a JVM's sessions. */
-  private val keyLocks = scala.collection.mutable.Map.empty[
+    * sessions are pruned alongside the entry sweep in `lookup`, and
+    * the map itself is capped (insertion-order eviction, like the
+    * 16-entry memo list) so a long-lived session feeding fresh plans
+    * per micro-batch — each localCheckpoint is a new semanticHash —
+    * cannot grow it without bound. Evicting a lock is always safe:
+    * the object stays valid for any residual holder (only the map
+    * reference drops), and a thread that re-creates the key races at
+    * worst into a duplicate compute of one deterministic index — the
+    * memo is an optimization, never a correctness dependency. */
+  private val lockCap = 64
+  private val keyLocks = scala.collection.mutable.LinkedHashMap.empty[
     (String, Any, org.apache.spark.sql.SparkSession, Int), Object]
 
   /** Observable for the lock-hygiene spec. */
@@ -91,7 +97,13 @@ private[graft] object IndexMemo {
       }
     }
     val lock = synchronized {
-      keyLocks.getOrElseUpdate((tag, params, sess, plan.semanticHash()), new Object)
+      val k = (tag, params, sess, plan.semanticHash())
+      // Move-to-back on reuse so the cap evicts the LEAST-recently
+      // requested keys, keeping the hot per-corpus locks resident.
+      val l = keyLocks.remove(k).getOrElse(new Object)
+      keyLocks.put(k, l)
+      while (keyLocks.size > lockCap) keyLocks.remove(keyLocks.head._1)
+      l
     }
     lock.synchronized {
       lookup().getOrElse {

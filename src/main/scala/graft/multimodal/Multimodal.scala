@@ -96,11 +96,14 @@ object Multimodal {
     * see identical frame sets), digest to md5 (16 bytes however large
     * the real frame is — the join never carries frame payloads), and
     * build a frame-digest INVERTED INDEX: (digest, id) distinct rows,
-    * hot digests capped at `autoDocFreqCap(√n)` (a black frame shared
-    * by half the corpus would otherwise square the self-join — the
-    * n-gram posting-list discipline verbatim; cap never binds at the
-    * gated scales, floor 1000, so the uncapped oracle replays
-    * exactly). Pair generation is the capped posting self-join —
+    * hot digests capped at `autoDocFreqCap(n)` for n distinct videos
+    * (a black frame shared by half the corpus would otherwise square
+    * the self-join — the n-gram posting-list discipline verbatim; the
+    * cap is ENGINE-side only and never binds at the gated scales,
+    * floor 1000, so the uncapped oracle replays exactly — past the
+    * point where it starts binding the engine intentionally diverges
+    * from the uncapped semantics, with a runtime warn).
+    * Pair generation is the capped posting self-join —
     * never all-pairs — and `n_shared` counts distinct shared
     * contents, so a frame repeated WITHIN one video counts once.
     * Returns (id_a, id_b, n_shared >= minShared). */

@@ -618,6 +618,20 @@ class DedupSpec extends SparkSpec {
       "a repeat request must not grow the lock map")
   }
 
+  test("IndexMemo lock map is capped within one live session") {
+    // A long-lived session feeding a fresh plan per micro-batch (each
+    // localCheckpoint is a new semanticHash) must not accumulate one
+    // lock entry per batch forever — the map is capped with
+    // least-recently-requested eviction (ADVICE r12).
+    for (i <- 0 until 80) {
+      val d = docs((i.toLong, s"batch $i text $near1"),
+                   (i.toLong + 1000, other)).localCheckpoint()
+      Dedup.minhashSignatures(d, 3, 4)
+    }
+    assert(IndexMemo.lockCount <= 64,
+      s"lock map must stay capped, got ${IndexMemo.lockCount}")
+  }
+
   test("minhashLshPairs finds the same planted near-dup") {
     val pairs = Dedup.minhashLshPairs(docs((1L, near1), (2L, near2), (3L, other)), 3, 8, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
