@@ -290,6 +290,16 @@ object SparkEntry {
     // the APPLY step — rides the same memoized pair graph + CC
     "q_dedup_savings" -> ((s, d) =>
       Dedup.dedupAttrition(Tables.documents(s, d), 3, 8, 4, 0.5, "source")),
+    // cross-modal governance ledger: union-closure attrition decomposed
+    // by channel (text-only / payload-only / cross-channel losers are a
+    // disjoint partition — single-channel components nest in the union
+    // component, so their min labels only decrease); rides the memoized
+    // text-CC, payload-CC and xcc fixpoints
+    "q_crossmodal_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.multimodal.Multimodal.crossModalSavings(
+        docs, graft.multimodal.Multimodal.fromDocuments(docs), 3, 8, 4, 0.5)
+    }),
     // quality-aware survivor rule: per cluster keep the LONGEST copy
     // (ties -> lowest id) instead of the minimum id
     "q_dedup_corpus_by" -> ((s, d) => {
@@ -974,6 +984,13 @@ object SparkEntry {
     "q_tpch_q22" -> ((s, d) =>
       Relational.sql(s, d, Relational.inactiveHighBalanceSql,
         Seq("customer", "nation", "orders"))),
+    // TPC-H Q16 shape (partsupp-free, s_name for s_comment): grouped
+    // count(distinct suppkey) behind a NOT-IN/anti join over a LIKE
+    // exclusion — the one distinct-agg + anti-on-subquery shape
+    "q_tpch_q16" -> ((s, d) =>
+      Relational.supplierCountByPart(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d),
+        "Brand#45", "MEDIUM", Seq(49, 14, 23, 45, 19, 3, 36, 9), "%7%")),
     // training-mix sizing: per-language token budget -> epochs plan
     "q_token_budget_mix" -> ((s, d) =>
       graft.functions.Sampling.tokenBudgetMix(Tables.documents(s, d), "lang",
@@ -2625,6 +2642,56 @@ object SparkEntry {
          |losers AS (SELECT id AS doc_id FROM xreach WHERE label < id)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
+    // channel-decomposed savings: three recursive closures (text-only,
+    // payload-only, union) — single-channel losers nest in the union's,
+    // so text/payload/cross classes partition the union losers
+    "q_crossmodal_savings" ->
+      s"""WITH $dedupEdgesCtes,
+         |$fingerprint64Ctes,
+         |mp AS (SELECT a.id AS doc_a, b.id AS doc_b
+         |       FROM ph a JOIN ph b ON a.id < b.id
+         |       WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |medges AS (SELECT doc_a, doc_b FROM mp
+         |           UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM mp),
+         |alledges AS (SELECT doc_a, doc_b FROM edges
+         |             UNION SELECT doc_a, doc_b FROM medges),
+         |treach AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT doc_a AS id, doc_a AS m FROM edges
+         |    UNION
+         |    SELECT e.doc_a, r.m FROM edges e JOIN r ON r.id = e.doc_b
+         |  ) SELECT id, min(m) AS label FROM r GROUP BY id),
+         |mreach AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT doc_a AS id, doc_a AS m FROM medges
+         |    UNION
+         |    SELECT e.doc_a, r.m FROM medges e JOIN r ON r.id = e.doc_b
+         |  ) SELECT id, min(m) AS label FROM r GROUP BY id),
+         |xreach AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT doc_a AS id, doc_a AS m FROM alledges
+         |    UNION
+         |    SELECT e.doc_a, r.m FROM alledges e JOIN r ON r.id = e.doc_b
+         |  ) SELECT id, min(m) AS label FROM r GROUP BY id),
+         |lt AS (SELECT id FROM treach WHERE label < id),
+         |lm AS (SELECT id FROM mreach WHERE label < id),
+         |lu AS (SELECT id FROM xreach WHERE label < id)
+         |SELECT d.source,
+         |       count(*) AS docs_in,
+         |       CAST(sum(CASE WHEN lu.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |       CAST(sum(CASE WHEN lt.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost_text_docs,
+         |       CAST(sum(CASE WHEN lt.id IS NULL AND lm.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost_payload_docs,
+         |       CAST(sum(CASE WHEN lu.id IS NOT NULL AND lt.id IS NULL AND lm.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost_cross_docs,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS chars_in,
+         |       CAST(sum(CASE WHEN lu.id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+         |       CAST(sum(CASE WHEN lt.id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS lost_text_chars,
+         |       CAST(sum(CASE WHEN lt.id IS NULL AND lm.id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS lost_payload_chars,
+         |       CAST(sum(CASE WHEN lu.id IS NOT NULL AND lt.id IS NULL AND lm.id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS lost_cross_chars
+         |FROM documents d
+         |LEFT JOIN lt ON lt.id = d.doc_id
+         |LEFT JOIN lm ON lm.id = d.doc_id
+         |LEFT JOIN lu ON lu.id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
     // bounded-walk recursive CTE + min(hops) certifies the BFS: edges
     // already holds both orientations, reps seed at hop 0
     "q_dup_hops" ->
@@ -2851,6 +2918,19 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin,
     "q_tpch_q22" -> Relational.inactiveHighBalanceSql,
+    // Q16 shape: the NOT IN is exact (s_suppkey non-null), lineitem
+    // pairs stand in for partsupp, s_name for s_comment
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#45'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -1297,8 +1297,8 @@ object Dedup {
                       (compute: => DataFrame): DataFrame =
     IndexMemo(tag, docs, params)(compute)
 
-  private def componentsFor(docs: DataFrame, n: Int, k: Int, bands: Int,
-                            minJaccard: Double): DataFrame =
+  private[graft] def componentsFor(docs: DataFrame, n: Int, k: Int, bands: Int,
+                                   minJaccard: Double): DataFrame =
     memoized("cc", docs, (n, k, bands, minJaccard)) {
       connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
         .localCheckpoint()

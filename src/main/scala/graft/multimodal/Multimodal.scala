@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A decoded-media record: deterministic fake of what a real image/audio
@@ -327,5 +327,73 @@ object Multimodal {
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Cross-modal governance ledger (oracle-gated): per `by`-group, the
+    * attrition of the cross-modal closure DECOMPOSED BY CHANNEL — the
+    * answer to "what did the second modality buy?" that the text-only
+    * `Dedup.dedupAttrition` cannot give. Per group it reports docs/chars
+    * in and kept plus three disjoint loser classes:
+    * `lost_text_*` (the text-only closure already removes it),
+    * `lost_payload_*` (text keeps it, the payload-only closure removes
+    * it), and `lost_cross_*` (NEITHER single channel removes it — it
+    * falls only to a chain that crosses channels, the transitive
+    * containment `crossModalDedup` exists for). The classes partition
+    * the union losers exactly: a union component is a superset of each
+    * single-channel component, so its min label can only be ≤ — a
+    * single-channel loser is always a union loser, and
+    * docs_kept = docs_in − (lost_text + lost_payload + lost_cross) by
+    * construction (the reconcile spec pins it). Cost discipline: all
+    * three closures ride memoized fixpoints — the text CC is
+    * `componentsFor`'s (shared with every dedup-apply query), the union
+    * CC is `crossModalDedup`'s `xcc`, and the payload CC memoizes here
+    * on the (already-memoized) fingerprint pair frame — so alongside
+    * the apply queries this ledger costs three loser-flag left joins
+    * (each dup-cluster-sized, a vanishing corpus fraction) and one
+    * group-sized aggregate. */
+  def crossModalSavings(docs: DataFrame, media: DataFrame, n: Int, k: Int,
+                        bands: Int, minJaccard: Double,
+                        maxHamming: Int = 3,
+                        by: String = "source"): DataFrame = {
+    val textLosers = graft.functions.Dedup
+      .componentsFor(docs, n, k, bands, minJaccard)
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"), lit(1L).as("_lt"))
+    val mediaEdges = fingerprintPairs(media, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val mediaLosers = graft.functions.IndexMemo("mcc", mediaEdges, ()) {
+        graft.functions.Dedup.connectedComponents(mediaEdges).localCheckpoint()
+      }
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"), lit(1L).as("_lm"))
+    val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = textEdges.union(mediaEdges)
+    val unionLosers = graft.functions.IndexMemo("xcc", edges, ()) {
+        graft.functions.Dedup.connectedComponents(edges).localCheckpoint()
+      }
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"), lit(1L).as("_lu"))
+    val lost = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val lostChars = (c: Column) => sum(when(c, col("n_chars")).otherwise(lit(0L)))
+    val isText = col("_lt").isNotNull
+    val isPayload = col("_lt").isNull && col("_lm").isNotNull
+    val isCross = col("_lu").isNotNull && col("_lt").isNull && col("_lm").isNull
+    docs
+      .join(textLosers, Seq("doc_id"), "left")
+      .join(mediaLosers, Seq("doc_id"), "left")
+      .join(unionLosers, Seq("doc_id"), "left")
+      .groupBy(col(by))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        lost(col("_lu").isNull).as("docs_kept"),
+        lost(isText).as("lost_text_docs"),
+        lost(isPayload).as("lost_payload_docs"),
+        lost(isCross).as("lost_cross_docs"),
+        sum(col("n_chars")).as("chars_in"),
+        lostChars(col("_lu").isNull).as("chars_kept"),
+        lostChars(isText).as("lost_text_chars"),
+        lostChars(isPayload).as("lost_payload_chars"),
+        lostChars(isCross).as("lost_cross_chars"))
   }
 }

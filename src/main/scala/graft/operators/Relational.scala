@@ -937,4 +937,35 @@ object Relational {
       .filter(col(maxName) === col("_gm"))
       .select(col(idCol), col(minName), col(maxName))
   }
+
+  /** TPC-H Q16's SHAPE over this schema: per (brand, type, size),
+    * COUNT(DISTINCT suppkey) among suppliers NOT IN a LIKE-predicated
+    * exclusion subquery. partsupp is absent from the testdata, so
+    * lineitem's (l_partkey, l_suppkey) pairs stand in for it, and
+    * supplier has no s_comment, so the exclusion LIKE runs on s_name.
+    * The NOT-IN subquery compiles to a LEFT ANTI join (s_suppkey is
+    * non-null, so NOT IN ≡ anti — `RelationalShapesSpec` pins the
+    * join), applied to the fact BEFORE the part join so excluded
+    * suppliers' rows never reach the wider join. Part filters (≠
+    * brand, NOT-LIKE type prefix, size IN set) prune the build side
+    * scan-side; the distinct-agg shuffles once on the group keys with
+    * partial aggregation. No broadcast hints: supplier/part are
+    * SF-scaled dims, AQE picks broadcast when the filtered sides fit. */
+  def supplierCountByPart(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame, excludeBrand: String,
+                          excludeTypePrefix: String, sizes: Seq[Int],
+                          excludeNameLike: String): DataFrame = {
+    val p = part
+      .filter(col("p_brand") =!= excludeBrand &&
+              !col("p_type").startsWith(excludeTypePrefix) &&
+              col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = supplier.filter(col("s_name").like(excludeNameLike))
+      .select(col("s_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
 }

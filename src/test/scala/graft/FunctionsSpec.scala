@@ -737,6 +737,53 @@ class DedupSpec extends SparkSpec {
       "fingerprintDedup must ride the memoized pair table")
   }
 
+  test("crossModalSavings: channel classes partition the union losers and reconcile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def payload() = Array.fill(64)(rnd.nextInt(256).toByte)
+    val sharedA = payload()  // payload edge 1-3
+    val sharedB = payload()  // payload edge 5-6
+    // s1: text edge 2-3 (near-dup), payload edge 1-3 ⟹ doc 3 is a
+    // TEXT loser (label 2 < 3), and doc 2 — the min of both its
+    // single-channel components — falls only to the cross-channel
+    // chain 1-(payload)-3-(text)-2: the one CROSS loser.
+    // s2: docs 5,6 text-unrelated but payload-identical ⟹ doc 6 is a
+    // PAYLOAD-only loser; doc 4 pairs in no channel.
+    val d = docs(
+      (1L, other),
+      (2L, near1), (3L, near2),
+      (4L, "completely different tokens here now"),
+      (5L, "five unique words stand alone"),
+      (6L, "yet another disjoint token set"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", when(col("doc_id") <= 3L, "s1").otherwise("s2"))
+    val media = Seq(
+      (1L, sharedA), (2L, payload()), (3L, sharedA.clone()),
+      (4L, payload()), (5L, sharedB), (6L, sharedB.clone()))
+      .toDF("id", "content")
+    val led = graft.multimodal.Multimodal
+      .crossModalSavings(d, media, 3, 8, 4, 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = led("s1"); val s2 = led("s2")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4), s1.getLong(5))
+        == ((3L, 1L, 1L, 0L, 1L)),
+      s"s1 expected in=3 kept=1 text=1 payload=0 cross=1: ${s1}")
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3), s2.getLong(4), s2.getLong(5))
+        == ((3L, 2L, 0L, 1L, 0L)),
+      s"s2 expected in=3 kept=2 text=0 payload=1 cross=0: ${s2}")
+    // the classes PARTITION the union losers: in − (t+p+c) == kept,
+    // for docs and chars both
+    led.values.foreach { r =>
+      assert(r.getLong(1) - r.getLong(3) - r.getLong(4) - r.getLong(5) == r.getLong(2))
+      assert(r.getLong(6) - r.getLong(8) - r.getLong(9) - r.getLong(10) == r.getLong(7))
+    }
+    // chars_kept reconciles exactly with the cross-modal APPLY step
+    val survChars = graft.multimodal.Multimodal
+      .crossModalDedup(d, media, 3, 8, 4, 0.5)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(led.values.map(_.getLong(7)).sum == survChars)
+  }
+
   test("dedupAttrition: per-group ledger matches the apply step") {
     val d = docs(
       (1L, near1), (2L, near2),        // cluster {1,2} -> loser 2

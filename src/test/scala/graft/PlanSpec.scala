@@ -112,6 +112,23 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), s"expected left-anti:\n$anti")
   }
 
+  test("tpch q16's NOT IN plans as an anti join before the part join") {
+    // the exclusion subquery must compile to ONE LeftAnti join (never a
+    // per-row re-scan of supplier), the part predicates must reach the
+    // part scan, and the distinct-agg must keep map-side partials
+    val p = plan(Relational.supplierCountByPart(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf),
+      Tables.supplier(spark, sf),
+      "Brand#45", "MEDIUM", Seq(49, 14, 23, 45, 19, 3, 36, 9), "%7%"))
+    assert(p.contains("LeftAnti"), s"expected left-anti NOT-IN plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"NOT IN must not plan as a nested loop:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand)") ||
+           p.contains("Not(EqualTo(p_brand"),
+      s"part predicates not pushed:\n$p")
+    assert(p.contains("partial_"), s"distinct-agg lost partial aggregation:\n$p")
+  }
+
   test("tpch q4's EXISTS plans as a semi join with the lateness residual") {
     // the date window must still push to the orders scan even with the
     // correlated inequality riding the join

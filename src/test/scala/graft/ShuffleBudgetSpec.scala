@@ -97,6 +97,13 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // plan is the loser anti-join pair
     "q_dedup_savings" -> 3,           // loser flag join + per-source agg
                                       // off the same memoized CC fixpoint
+    "q_crossmodal_savings" -> 5,      // three loser-flag joins (text/
+                                      // payload/union CC, all memoized
+                                      // checkpoints) + per-source agg;
+                                      // loser sides are dup-cluster-sized
+    "q_tpch_q16" -> 2,                // anti + part joins broadcast; the
+                                      // 2-phase distinct-agg pair is the
+                                      // only data movement
     "q_leakage_split" -> 4,           // CC labels join pair (AQE
                                       // broadcasts the tiny side at
                                       // runtime) + the 2-stage
