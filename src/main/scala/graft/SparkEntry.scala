@@ -453,6 +453,15 @@ object SparkEntry {
     "q_multimodal_dedup" -> ((s, d) =>
       graft.multimodal.Multimodal.fingerprintDedup(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)))),
+    // perceptual-hash media near-dup over STRUCTURED synthetic
+    // payloads (Synthetic.mediaPayloads: concentrated md5-palette
+    // byte profiles — the non-degenerate aHash input the text-derived
+    // demo bytes cannot be): banded Hamming join over the 64-bit
+    // histogram hash; the oracle replays the histogram ALGEBRAICALLY
+    // from the palette counts, then brute-forces all pairs
+    "q_media_phash" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaNearDupPairs(
+        graft.sources.Synthetic.mediaPayloads(Tables.documents(s, d)), 3)),
     // per-frame video dedup: videos sharing >= 2 distinct sampled
     // frame contents, via a df-capped frame-digest inverted index.
     // The df cap (autoDocFreqCap(n), floor 1000) is ENGINE-side only:
@@ -2131,6 +2140,12 @@ object SparkEntry {
         |       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // the aHash replayed ALGEBRAICALLY: mediaPayloads' content is
+    // repeated single-byte palette chunks, so the 64-bin byte
+    // histogram is exactly the per-bin sum of palette counts — no
+    // byte unnesting; bit j iff 64*cnt > 240 (integer-exact form of
+    // the engine's cnt > len/64.0), then brute-force Hamming pairs
+    "q_media_phash" -> mediaPhashOracleSql,
     // frame equality replays on the hex windows directly (hex is
     // injective, so joining fr strings == joining frame bytes; the
     // engine's md5 digesting is internal to its join key). This
@@ -4498,6 +4513,56 @@ object SparkEntry {
        |       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
        |                 THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash64
        |FROM u""".stripMargin
+  }
+
+  /** DuckDB replay of the perceptual-hash family over
+    * `Synthetic.mediaPayloads`: the payload is repeated single-byte
+    * palette chunks, so `Multimodal.perceptualHash`'s 64-bin byte
+    * histogram equals the per-bin SUM OF PALETTE COUNTS (bin =
+    * byte/4; same-bin palette collisions merge on both sides) — the
+    * oracle never unnests bytes. Bit j is set iff 64·cnt > 240, the
+    * integer-exact form of the engine's `cnt > len/64.0` (len = 240,
+    * counts integral). The hash assembles in HUGEINT (bit 63) and
+    * wraps to signed BIGINT — `simhash64Sql`'s convention — then all
+    * pairs brute-force through bit_count(xor) ≤ 3, certifying the
+    * engine's banded pigeonhole join (recall 1.0 for hamming < bands
+    * by construction). */
+  private lazy val mediaPhashOracleSql: String = {
+    val bitRows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
+    s"""WITH pal AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+       |              WHEN doc_id % 20 = 2 THEN doc_id - 2
+       |              ELSE doc_id END AS base
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(concat('pal', base, '_', k)), 1, 2) AS BIGINT) AS b,
+       |         CASE WHEN k = 0 AND doc_id % 20 = 1 THEN 112
+       |              WHEN k = 0 THEN 120
+       |              WHEN k = 1 THEN 60 WHEN k = 2 THEN 24 WHEN k = 3 THEN 16
+       |              WHEN k = 4 THEN 12 ELSE 8 END AS cnt
+       |  FROM pal CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k) ks
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(concat('pal', doc_id, '_x')), 1, 2) AS BIGINT) AS b,
+       |         8 AS cnt
+       |  FROM pal WHERE doc_id % 20 = 1),
+       |hbins AS (SELECT doc_id, b // 4 AS bin, sum(cnt) AS c
+       |          FROM chunks GROUP BY 1, 2),
+       |bitv AS (SELECT * FROM (VALUES $bitRows) t(bin, v)),
+       |phu AS (SELECT doc_id, sum(v) AS s
+       |        FROM hbins JOIN bitv USING (bin)
+       |        WHERE 64 * c > 240 GROUP BY doc_id),
+       |ph2 AS (SELECT doc_id,
+       |               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |                         THEN s - 18446744073709551616::HUGEINT
+       |                         ELSE s END AS BIGINT) AS ph
+       |        FROM phu)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM ph2 a JOIN ph2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
   }
 
   /** DuckDB replay of `Multimodal.contentFingerprint64`: each sliding

@@ -273,14 +273,16 @@ object Multimodal {
     * family (`Dedup.simhashBandPairs`: maxHamming < bands ⟹ recall 1.0
     * by construction, per-bucket equi-joins, never all-pairs), so the
     * shape that survives 100 TB of text survives 100 TB of media too.
-    * Spec-gated (the decode stub is not SQL-expressible); the exact
-    * metadata sibling `mediaMeta` carries the oracle gate for this
-    * family. NOT exposed as a gate query on the text-derived demo
-    * media: same-language text bytes share one byte-distribution
-    * fingerprint, so an aHash there identifies the LANGUAGE, not the
-    * document (every pair collides — a degenerate input, not an
-    * operator property; the spec drives it on realistic concentrated
-    * distributions instead). */
+    * Oracle-gated as `q_media_phash` (r13) over
+    * `Synthetic.mediaPayloads` — structured palette-repeat payloads
+    * whose byte histogram the oracle replays ALGEBRAICALLY from the
+    * palette counts, then brute-forces Hamming pairs. The gate runs on
+    * synthetic payloads BY NECESSITY: text-derived demo bytes share
+    * one language-level byte distribution, so an aHash there
+    * identifies the LANGUAGE, not the document (every pair collides —
+    * a degenerate input, not an operator property); the spec
+    * additionally drives re-encode/corruption semantics on
+    * concentrated distributions. */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     graft.functions.Dedup.simhashBandPairs(
         perceptualHash(media).select(col("id").as("doc_id"), col("phash")),

@@ -67,6 +67,46 @@ object Synthetic {
         concat(lit("src"), (col("base") % 20).cast("string")).as("source"),
         length(col("text")).cast("long").as("n_chars"))
 
+  /** Structured binary payloads for the perceptual-hash (aHash) family
+    * — the input class the text-derived demo bytes can NOT provide:
+    * same-language text shares one byte distribution, so a histogram
+    * hash there identifies the language, not the document. Here each
+    * doc's 240 bytes are repeated single-byte chunks drawn from a
+    * 6-byte per-doc md5 palette with a CONCENTRATED count profile
+    * (120/60/24/16/12/8 — a handful of heavy histogram bins, the rest
+    * empty, the shape real media has), so the 64-bin aHash sets ~6
+    * bits and unrelated docs sit ~12 Hamming apart. Planted structure
+    * mirrors `documents`: id%20==1 shares id−1's palette with an
+    * 8-byte perturbation chunk (hamming ≤ 2 generically — a re-encode
+    * analog); id%20==2 is byte-identical to id−2 (hamming 0 — the
+    * exact-dup analog), so each 20-block plants one {0,1,2} triple
+    * and the expected pair population is linear in nDocs. Everything is
+    * md5-from-id expressions (no RNG, no driver loops), and — the
+    * point of the construction — the ORACLE replays the histogram
+    * ALGEBRAICALLY from the palette (chunk byte → bin b/4, counts
+    * summed per bin, bit iff 64·cnt > 240), never unnesting bytes:
+    * the same arithmetic `Multimodal.perceptualHash` runs over the
+    * materialized binary. */
+  def mediaPayloads(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"))
+      .withColumn("base",
+        when(col("id") % 20 === 1, col("id") - 1)
+          .when(col("id") % 20 === 2, col("id") - 2)
+          .otherwise(col("id")))
+      .withColumn("hexstr", expr(
+        """concat(
+          |  repeat(substring(md5(concat('pal', base, '_', 0)), 1, 2),
+          |         CASE WHEN id % 20 = 1 THEN 112 ELSE 120 END),
+          |  repeat(substring(md5(concat('pal', base, '_', 1)), 1, 2), 60),
+          |  repeat(substring(md5(concat('pal', base, '_', 2)), 1, 2), 24),
+          |  repeat(substring(md5(concat('pal', base, '_', 3)), 1, 2), 16),
+          |  repeat(substring(md5(concat('pal', base, '_', 4)), 1, 2), 12),
+          |  repeat(substring(md5(concat('pal', base, '_', 5)), 1, 2), 8),
+          |  CASE WHEN id % 20 = 1
+          |       THEN repeat(substring(md5(concat('pal', id, '_x')), 1, 2), 8)
+          |       ELSE '' END)""".stripMargin))
+      .select(col("id"), unhex(col("hexstr")).as("content"))
+
   /** `nLabels` defaults to the sf0.1-shaped 20 clusters; scale probes
     * should grow it WITH nVecs (constant cluster size) — with a fixed
     * label count the intra-cluster near-dup ANSWER is quadratic in

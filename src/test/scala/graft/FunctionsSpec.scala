@@ -1771,6 +1771,26 @@ class MultimodalSpec extends SparkSpec {
     assert(fps.size == 1)
   }
 
+  test("mediaPayloads plant phash dup triples: exact at 0, re-encode within budget") {
+    // the structured-payload generator behind the q_media_phash gate:
+    // each 20-block's {0,1,2} is a planted triple — id+2 byte-identical
+    // to id (hamming 0), id+1 a palette-sharing perturbation (>0, ≤3)
+    val docs = graft.sources.Synthetic.documents(spark, 40)
+    val m = graft.sources.Synthetic.mediaPayloads(docs)
+    assert(m.selectExpr("length(content) AS l").collect().forall(_.getInt(0) == 240),
+      "every payload is exactly 240 bytes by construction")
+    val got = Multimodal.mediaNearDupPairs(m, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(0L, 20L).foreach { b =>
+      assert(got.get((b, b + 2L)).contains(0L), s"exact dup at block $b: $got")
+      assert(got.get((b, b + 1L)).exists(h => h > 0L && h <= 3L),
+        s"perturbed near-dup at block $b: $got")
+      assert(got.get((b + 1L, b + 2L)).exists(h => h > 0L && h <= 3L),
+        s"triple closes at block $b: $got")
+    }
+    assert(!got.contains((0L, 20L)), "independent palettes must not pair")
+  }
+
   test("frameDedupPairs: shared scenes pair, distinct contents count once, hot frames capped") {
     import spark.implicits._
     def frame(seed: Int) = Array.tabulate(16)(i => (seed * 31 + i).toByte)
