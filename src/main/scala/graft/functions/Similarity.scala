@@ -1435,11 +1435,24 @@ object Similarity {
         coalesce(col("is_truth"), lit(false)).as("is_truth"))
     val nTruth = truth.count()
     val qIds = emb.filter(queryPred).select(col("vec_id"))
+    // EVERY method pipeline below takes the RAW `embeddings` frame,
+    // not the harness's quantized checkpoint: the trained-index memos
+    // (lsh_buckets_multi, pq_train, rq_train, ivfpq_train, sq8_codes)
+    // key on the `ensureQuantized(input)` PLAN, and only the raw frame
+    // plans `sameResult` with what the gated q_lsh_topk_multi /
+    // q_pq_* / q_rq_* / q_ivfpq_* / q_sq8_* queries pass — so the
+    // whole suite trains each index ONCE (this harness runs first
+    // alphabetically and the serving queries ride it warm). Feeding
+    // `emb` would fork a second, unshared training of every index
+    // (the r12 shape: duplicate Lloyd loops at richer params that no
+    // serving query ran). The quantize subtree this re-runs inside
+    // each method is one map-side projection — noise next to a
+    // shared training.
     // One multi-table bucketing pass serves BOTH LSH methods: table 0
     // of lshBucketsMulti reads planeSign plane indices 0..bits-1 —
     // exactly lshBuckets(bits)'s planes — so the single-table method
     // is a filter, not a second projection pass.
-    val buckets = lshBucketsMulti(emb, bits, tables) // memoized + checkpointed
+    val buckets = lshBucketsMulti(embeddings, bits, tables) // memoized + checkpointed
     val t0 = buckets.filter(col("tbl") === 0).select(col("vec_id"), col("bucket"))
     // lsh: query bucket plus every Hamming-1 flip (lshTopK's probing).
     // Probe buckets are pairwise distinct and a candidate has exactly
@@ -1484,10 +1497,11 @@ object Similarity {
     val ivfPairs = probeCells.join(assigned, Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"))
     // pq: the ADC top-k IS the candidate set (exactly k ids per query);
-    // recall@k = |ADC top-k ∩ true top-k| / |true top-k|. Trained on
-    // the same quantized checkpoint; m=4 subspaces × 16-entry codebooks
-    // = 16 code bits (64-dim vectors compress 16×).
-    val pqAll = pqTopK(emb, queryPred, 5 * k, m = 4, ksub = 16, iters = 2)
+    // recall@k = |ADC top-k ∩ true top-k| / |true top-k|. Params are
+    // the SERVED operating point (q_pq_topk's m=2, ksub=4, iters=1):
+    // the harness certifies the recall of the configuration the gated
+    // queries actually run, and its training memo-shares with them.
+    val pqAll = pqTopK(embeddings, queryPred, 5 * k, m = 2, ksub = 4, iters = 1)
       .localCheckpoint()
     val pqPairs = pqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1495,25 +1509,21 @@ object Similarity {
     // 5k-pool candidate set IS the exact re-rank — its recall equals
     // pqTopKRerank(pool = 5k)'s by construction.
     val pqRerankPairs = pqAll.select(col("query_id"), col("neighbor_id"))
-    // rq: two-stage residual codebooks (16+16 = 256 effective cells
-    // for 32 centroids' training cost), single-lookup ADC top-k.
-    // iters = 1 for both new methods: each extra Lloyd round is two
-    // more full assignment passes PER STAGE in the bench's most
-    // expensive query, and the recall deltas are pinned at the
-    // 1-iteration operating point the gated queries certify.
-    val rqAll = rqTopK(emb, queryPred, 5 * k, k1 = 16, k2 = 16, iters = 1)
+    // rq: two-stage residual codebooks at q_rq_topk's served point
+    // (k1 = k2 = 4, iters = 1), single-lookup ADC top-k.
+    val rqAll = rqTopK(embeddings, queryPred, 5 * k, k1 = 4, k2 = 4, iters = 1)
       .localCheckpoint()
     val rqPairs = rqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val rqRerankPairs = rqAll.select(col("query_id"), col("neighbor_id"))
-    // ivfpq: IVFADC at pq's exact bit budget (m=4, ksub=16) — PQ on
-    // RESIDUALS to 16 coarse cells, 4 probed; measures the Jégou
-    // residual-quantization gain over flat pq head-to-head. The 5k
-    // ADC pool doubles as ivfpq_rerank's candidate set (the shared
-    // true-cosine ranking below IS the exact refine), mirroring pq /
-    // pq_rerank.
-    val ivfpqAll = ivfpqTopK(emb, queryPred, 5 * k, nCells = 16, nProbe = 4,
-        m = 4, ksub = 16, iters = 1)
+    // ivfpq: IVFADC at pq's exact bit budget and q_ivfpq_topk's served
+    // point (nCells=4, nProbe=2, m=2, ksub=4) — PQ on RESIDUALS,
+    // measuring the Jégou residual-quantization gain over flat pq
+    // head-to-head. The 5k ADC pool doubles as ivfpq_rerank's
+    // candidate set (the shared true-cosine ranking below IS the
+    // exact refine), mirroring pq / pq_rerank.
+    val ivfpqAll = ivfpqTopK(embeddings, queryPred, 5 * k, nCells = 4,
+        nProbe = 2, m = 2, ksub = 4, iters = 1)
       .localCheckpoint()
     val ivfpqPairs = ivfpqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1522,7 +1532,7 @@ object Similarity {
     // top-k — the cheap rung of the compression ladder (one min/max
     // training pass vs the Lloyd loops above). The 5k code-space pool
     // doubles as sq8_rerank's candidate set, mirroring pq / pq_rerank.
-    val sq8All = sq8TopK(emb, queryPred, 5 * k).localCheckpoint()
+    val sq8All = sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint()
     val sq8Pairs = sq8All.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val sq8RerankPairs = sq8All.select(col("query_id"), col("neighbor_id"))

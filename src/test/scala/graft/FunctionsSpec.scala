@@ -1590,24 +1590,31 @@ class SimilaritySpec extends SparkSpec {
     val nTruth = out("lsh")._2
     assert(nTruth > 0 && out.values.forall(_._2 == nTruth),
       "all methods score against the same ground truth")
-    // Per-method floors pinned to the measured round-7 values on this
-    // corpus (deterministic md5 hashing + fixed testdata → exact): a
+    // Per-method floors pinned to the measured values on this corpus
+    // (deterministic md5 hashing + fixed testdata → exact): a
     // retrieval regression fails RED here, it doesn't drift in prose.
     // Keep in sync with the BUILD_NOTES "ANN recall trend" table.
-    // rq's floor is the lowest by design: 16+16 two-stage codes are 8
-    // bits/vector — HALF pq's budget (4×16 = 16 bits) — so it trades
-    // recall for 2× further index compression. ivfpq shares pq's
-    // 16-bit budget and measures 0.20 here too: on this corpus the
-    // residual-precision gain exactly offsets the 4-of-16 probed-cell
-    // restriction — at scale it additionally buys the ~nCells/nProbe
-    // scan reduction, which flat pq cannot.
-    // sq8's floor is the highest: 8 bits PER DIM (512 bits/vector) is
-    // 32× pq's 16-bit budget — near-lossless by design, it buys memory
-    // locality (byte codes) rather than deep compression, and its
-    // 5k-pool exact re-rank recovers recall 1.0 on this corpus.
+    // The quantizer floors are low by construction: at the served
+    // 4-bit budgets (pq m=2×ksub=4 ≡ rq 4+4 ≡ ivfpq's residual codes)
+    // a 64-dim space compresses 512×, so the ADC ranking mostly
+    // certifies non-collapse; the exact 5k-pool re-rank then lifts
+    // each base ~4-8× (the refine step carrying the serving recall),
+    // and ivfpq additionally buys the ~nCells/nProbe scan reduction
+    // at scale, which flat pq cannot.
+    // sq8's floor is the highest: 8 bits PER DIM (512 bits/vector) —
+    // near-lossless by design, it buys memory locality (byte codes)
+    // rather than deep compression, and its 5k-pool exact re-rank
+    // recovers recall 1.0 on this corpus.
+    // r13: the harness measures the SERVED operating points (m=2/
+    // ksub=4, k1=k2=4, nCells=4/nProbe=2 — the gated queries' params,
+    // memo-shared trainings) instead of a richer config nothing
+    // serves; the quantizer pins dropped accordingly. The small served
+    // code budgets (4-bit pq codes) are the oracle-replayability
+    // trade, and the LADDER still certifies: rerank lifts every base
+    // ~4-8x, sq8's 512-bit codes stay near-lossless.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.20, "pq_rerank" -> 0.56, "rq" -> 0.10, "rq_rerank" -> 0.34,
-      "ivfpq" -> 0.18, "ivfpq_rerank" -> 0.46,
+      "pq" -> 0.04, "pq_rerank" -> 0.22, "rq" -> 0.02, "rq_rerank" -> 0.16,
+      "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18,
       "sq8" -> 0.90, "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
@@ -1636,10 +1643,10 @@ class SimilaritySpec extends SparkSpec {
       "lsh" -> ids(Similarity.lshTopK(e, pred, k, bits)),
       "lsh_multi" -> ids(Similarity.lshTopKMulti(e, pred, k, bits, tables)),
       "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
-      "pq" -> ids(Similarity.pqTopK(e, pred, k, 4, 16, 2)),
-      "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 4, 16, 2, 5 * k)),
-      "rq" -> ids(Similarity.rqTopK(e, pred, k, 16, 16, 1)),
-      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 16, 4, 4, 16, 1)),
+      "pq" -> ids(Similarity.pqTopK(e, pred, k, 2, 4, 1)),
+      "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 2, 4, 1, 5 * k)),
+      "rq" -> ids(Similarity.rqTopK(e, pred, k, 4, 4, 1)),
+      "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 4, 2, 2, 4, 1)),
       "sq8" -> ids(Similarity.sq8TopK(e, pred, k)),
       "sq8_rerank" -> ids(Similarity.sq8TopKRerank(e, pred, k, 5 * k)))
     val fast = Similarity.annRecall(e, pred, k, bits, tables, nCells, nProbe)
