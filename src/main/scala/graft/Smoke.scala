@@ -207,6 +207,12 @@ object Smoke {
     media.filter(col("id") >= 125 && col("id") < 375)
       .withColumn("id", col("id") + 10000)
       .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    // wave 3 (all fresh): gives the store a third committed generation
+    // so the compaction drive below has something to consolidate
+    media.filter(col("id") >= 375 && col("id") < 425)
+      .withColumn("id", col("id") + 10000)
+      .coalesce(1).write.mode("append").parquet(landing)
     q.processAllAvailable(); q.stop()
     val n = StreamingMediaIngest.corpus(spark, store).count()
     println(s"MEDIA_WAVE1=$afterWave1 MEDIA_CORPUS=$n")
@@ -214,6 +220,31 @@ object Smoke {
       .collect().foreach(r => println(
         s"MEDIA_LEDGER batch=${r.getLong(0)} n_in=${r.getLong(1)} " +
           s"batch_rej=${r.getLong(2)} corpus_rej=${r.getLong(3)} landed=${r.getLong(4)}"))
+    // compaction drive: consolidate the committed generations, then
+    // prove the compacted index still probe-rejects — wave 3 re-lands
+    // wave-1 payloads under fresh ids plus one genuinely new payload
+    def dirs(s: String) = new java.io.File(s"$store/$s").listFiles()
+      .map(_.getName).count(_.startsWith("batch="))
+    val dirsBefore = dirs("fp")
+    graft.streaming.StoreCompaction.compactMediaStore(spark, store)
+    val dirsAfter = dirs("fp")
+    require(dirsAfter < dirsBefore,
+      s"compaction must consolidate generations (fp dirs $dirsBefore -> $dirsAfter)")
+    val nCompacted = StreamingMediaIngest.corpus(spark, store).count()
+    val frontier = StreamingMediaIngest.maxLandedBatch(store)
+    import spark.implicits._
+    val wave3 = media.filter(col("id") < 50)
+        .withColumn("id", col("id") + 20000)
+      .union(Seq((30000L, "image",
+        Array.tabulate(512)(i => (i * 37 + 11).toByte))).toDF("id", "modality", "content"))
+    StreamingMediaIngest.ingestBatch(wave3, store, frontier + 1, 3)
+    val nAfter = StreamingMediaIngest.corpus(spark, store).count()
+    println(s"MEDIA_COMPACT dirs=$dirsBefore->$dirsAfter corpus=$n->$nCompacted " +
+      s"wave4_in=${wave3.count()} landed_after=$nAfter")
+    require(nCompacted == n, "compaction must not change the corpus")
+    require(nAfter == n + 1,
+      "re-landed wave-1 payloads must probe-reject against the compacted index; " +
+        "only the one new payload lands")
   }
 
   private def ingestProbe(spark: SparkSession): Unit = {

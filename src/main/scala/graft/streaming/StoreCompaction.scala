@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline compaction for the streaming `batch=<id>` parquet stores
+  * (`StreamingIngest` digests, `StreamingNearDupIngest` docs/sigs/post,
+  * `StreamingMediaIngest` media/fp, `StreamingAnnIngest` codes). Each
+  * ingest tick appends one directory per sub-store; at the reference's
+  * 5-minute cadence (/root/reference/pipelines/dagster_pipeline.py:19-21)
+  * a year of ticks is ~100k directories, and every probe read pays the
+  * file-listing + per-file open cost — the classic small-files problem.
+  * This pass rewrites all FULLY-COMMITTED generations into one
+  * consolidated `batch=<maxCompacted>` directory while preserving the
+  * two contracts the ingest sinks rely on:
+  *
+  *  - **Frontier**: the HIGHEST landed batch dir is never touched, so
+  *    `maxLandedBatch` (the single-writer/fresh-checkpoint guard) is
+  *    unchanged, and a crash-replay of the frontier batch still
+  *    overwrites its own dir.
+  *  - **Replay exclusion**: probes filter `batch < currentBatchId`.
+  *    Compacted rows re-read with `batch = maxCompacted` (the dir name
+  *    supplies the partition value), and `maxCompacted < frontier <=
+  *    any future or replayed batch id`, so exactly the same rows pass
+  *    the filter before and after compaction. Per-row original batch
+  *    ids are NOT needed by any reader — except `StreamingAnnIngest
+  *    .codeIndex`'s latest-generation-per-(vec_id, s) reduction, which
+  *    `compactAnnIndex` therefore applies DURING compaction (while the
+  *    original batch column is still visible), so later re-ingests of
+  *    a vec_id still win the struct-max against the compacted rows.
+  *
+  * Run with the stream STOPPED (the stores are single-writer). The
+  * swap is staged for restartability, not atomicity: (1) write the
+  * consolidated rows to an underscore-prefixed temp dir (invisible to
+  * parquet readers), (2) rename each compacted `batch=<i>` to
+  * `_retired_batch=<i>` (atomic per dir), (3) rename temp to
+  * `batch=<maxCompacted>`, (4) delete the retired dirs. `recover`
+  * runs first on every invocation: a temp dir still present means the
+  * swap never completed — retired dirs are restored and the temp
+  * dropped (rerun redoes the work); a missing temp with retired dirs
+  * left means only cleanup remained. A crash therefore never loses
+  * rows — at worst the store is missing retired generations until the
+  * next compaction call recovers them. */
+object StoreCompaction {
+
+  /** Compact a `StreamingNearDupIngest` store (docs/, sigs/, post/).
+    * The three sub-stores land the same batch ids together, so each
+    * compacts independently to the same consolidated generation. */
+  def compactNearDupStore(spark: SparkSession, corpusDir: String): Unit =
+    Seq("docs", "sigs", "post").foreach(s => compactDir(spark, s"$corpusDir/$s"))
+
+  /** Compact a `StreamingMediaIngest` store (media/, fp/). The stats/
+    * ledger is deliberately NOT compacted: it is the per-batch
+    * admission audit log (one row per tick, `batch` IS its key), and
+    * no probe path ever joins it. */
+  def compactMediaStore(spark: SparkSession, corpusDir: String): Unit =
+    Seq("media", "fp").foreach(s => compactDir(spark, s"$corpusDir/$s"))
+
+  /** Compact a `StreamingIngest` full-history store (docs/, digests/). */
+  def compactIngestStore(spark: SparkSession, corpusDir: String): Unit =
+    Seq("docs", "digests").foreach(s => compactDir(spark, s"$corpusDir/$s"))
+
+  /** Compact a `StreamingAnnIngest` code index. The latest-generation
+    * reduction (the `codeIndex` contract) is applied WITHIN the
+    * compacted set while the original batch ids are visible: a
+    * (vec_id, s) re-ingested across compacted batches keeps only its
+    * newest code, and the consolidated dir's `batch = maxCompacted`
+    * still loses the struct-max to any later re-ingest. `centroids`
+    * (the codebook generation, written once) is untouched. */
+  def compactAnnIndex(spark: SparkSession, indexDir: String): Unit =
+    compactDir(spark, s"$indexDir/codes", reduce = df =>
+      df.groupBy(col("vec_id"), col("s"))
+        .agg(max(struct(col("batch"), col("code"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.code").as("code")))
+
+  /** Landed batch ids under `store` (visible `batch=` dirs only). */
+  private def landed(spark: SparkSession, store: String): Seq[Long] = {
+    val p = new Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+  }
+
+  /** Core pass over one sub-store. `reduce` sees the union of the
+    * compacted generations WITH their original `batch` column and
+    * returns the rows to persist (without it); default keeps every
+    * row (the batch column is dropped — the consolidated dir name
+    * supplies the new partition value on read). */
+  private[streaming] def compactDir(spark: SparkSession, store: String,
+                                    reduce: DataFrame => DataFrame =
+                                      _.drop("batch")): Unit = {
+    val storePath = new Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storePath)) return
+    recover(spark, store)
+    val ids = landed(spark, store)
+    if (ids.size <= 2) return // one generation + the frontier: nothing to gain
+    val frontier = ids.max
+    val compactable = ids.filter(_ < frontier).sorted
+    val maxC = compactable.max
+    val tmp = new Path(s"$store/_tmp_compact")
+    // (1) consolidated write — underscore prefix keeps it invisible to
+    // every parquet reader until the swap.
+    reduce(spark.read.parquet(store).filter(col("batch") < frontier))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // (2) retire the originals (atomic per-dir renames).
+    compactable.foreach { i =>
+      require(fs.rename(new Path(s"$store/batch=$i"),
+                        new Path(s"$store/_retired_batch=$i")),
+        s"compaction could not retire $store/batch=$i")
+    }
+    // (3) the consolidated generation takes the highest retired id.
+    require(fs.rename(tmp, new Path(s"$store/batch=$maxC")),
+      s"compaction could not install $store/batch=$maxC")
+    // (4) cleanup.
+    compactable.foreach(i =>
+      fs.delete(new Path(s"$store/_retired_batch=$i"), true))
+  }
+
+  /** Finish or roll back a crashed swap — see the object doc. */
+  private def recover(spark: SparkSession, store: String): Unit = {
+    val storePath = new Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = fs.listStatus(storePath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_retired_batch="))
+      .map(_.stripPrefix("_retired_batch=").toLong)
+    val tmp = new Path(s"$store/_tmp_compact")
+    if (fs.exists(tmp)) {
+      // Swap never completed (step 3 renames tmp away): restore the
+      // originals and drop the temp — the rerun redoes the work.
+      retired.foreach { i =>
+        val orig = new Path(s"$store/batch=$i")
+        if (!fs.exists(orig))
+          require(fs.rename(new Path(s"$store/_retired_batch=$i"), orig),
+            s"compaction recovery could not restore $store/batch=$i")
+        else fs.delete(new Path(s"$store/_retired_batch=$i"), true)
+      }
+      fs.delete(tmp, true)
+    } else
+      // Swap completed; only the cleanup step remained.
+      retired.foreach(i =>
+        fs.delete(new Path(s"$store/_retired_batch=$i"), true))
+  }
+}

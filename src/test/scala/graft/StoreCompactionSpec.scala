@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{StoreCompaction, StreamingAnnIngest, StreamingMediaIngest, StreamingNearDupIngest}
+
+/** The streaming-store compaction contract: consolidating committed
+  * `batch=<id>` generations must change NOTHING observable — corpus,
+  * index rows (modulo the batch attribution), probe decisions, the
+  * replay frontier, the idempotence guards — while collapsing the
+  * per-tick directory count the probe reads pay for. */
+class StoreCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val near2 = "the quick brown fox jumps over the lazy dog again and once"
+  private val other = "completely different content with no shared shingles at all here"
+  private val fresh = "some entirely new material about streaming signature indexes landing"
+
+  private def batchDirs(store: String): Seq[String] = {
+    val d = new java.io.File(store)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted
+  }
+
+  test("near-dup store compaction: same corpus, same probe decisions, frontier kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_nd").toString
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingNearDupIngest.ingestBatch(
+        rows.toSeq.toDF("doc_id", "text"), dir, id, 3, 8, 4, 0.5)
+    def docIds = StreamingNearDupIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    ingest(0L, 1L -> near1, 3L -> other)
+    ingest(1L, 11L -> fresh)
+    ingest(2L, 21L -> "yet more wholly disjoint prose about directory compaction passes")
+    val sigRowsBefore = StreamingNearDupIngest.sigStore(spark, dir, 8)
+      .drop("batch").collect().map(_.toSeq).toSet
+    val postRowsBefore = StreamingNearDupIngest.postStore(spark, dir)
+      .drop("batch").collect().map(_.toSeq).toSet
+    val idsBefore = docIds
+    StoreCompaction.compactNearDupStore(spark, dir)
+    // batches 0 and 1 consolidated into batch=1; the frontier dir
+    // (batch=2) untouched — maxLandedBatch (the replay/fresh-checkpoint
+    // guard) is unchanged
+    assert(batchDirs(s"$dir/sigs") == Seq("batch=1", "batch=2"), batchDirs(s"$dir/sigs"))
+    assert(batchDirs(s"$dir/docs") == Seq("batch=1", "batch=2"))
+    assert(batchDirs(s"$dir/post") == Seq("batch=1", "batch=2"))
+    assert(StreamingNearDupIngest.maxLandedBatch(dir) == 2L)
+    assert(docIds == idsBefore)
+    assert(StreamingNearDupIngest.sigStore(spark, dir, 8)
+      .drop("batch").collect().map(_.toSeq).toSet == sigRowsBefore)
+    assert(StreamingNearDupIngest.postStore(spark, dir)
+      .drop("batch").collect().map(_.toSeq).toSet == postRowsBefore)
+    // probe decisions against the compacted index are unchanged: a
+    // near-dup of a COMPACTED doc still rejects, fresh content lands
+    ingest(3L, 30L -> near2, 31L -> "brand new words that match nothing previously landed")
+    assert(docIds == idsBefore :+ 31L)
+    // replay of the frontier batch stays idempotent
+    ingest(3L, 30L -> near2, 31L -> "brand new words that match nothing previously landed")
+    assert(docIds == idsBefore :+ 31L)
+    // and the single-writer frontier guard still fires
+    intercept[IllegalArgumentException] { ingest(1L, 99L -> fresh) }
+  }
+
+  test("compaction recovery: a crashed swap is rolled back, then compacts cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingNearDupIngest.ingestBatch(
+        rows.toSeq.toDF("doc_id", "text"), dir, id, 3, 8, 4, 0.5)
+    ingest(0L, 1L -> near1, 3L -> other)
+    ingest(1L, 11L -> fresh)
+    ingest(2L, 21L -> "frontier content that stays out of every compaction")
+    val before = StreamingNearDupIngest.sigStore(spark, dir, 8)
+      .drop("batch").collect().map(_.toSeq).toSet
+    // Simulate a crash mid-swap: batch=0 already retired (invisible to
+    // readers), the temp dir written but never renamed in.
+    assert(new java.io.File(s"$dir/sigs/batch=0")
+      .renameTo(new java.io.File(s"$dir/sigs/_retired_batch=0")))
+    val tmp = new java.io.File(s"$dir/sigs/_tmp_compact"); tmp.mkdirs()
+    // The crashed state hides batch 0's rows; compaction must first
+    // RESTORE it (the swap never completed), then compact normally.
+    StoreCompaction.compactNearDupStore(spark, dir)
+    assert(batchDirs(s"$dir/sigs") == Seq("batch=1", "batch=2"))
+    assert(StreamingNearDupIngest.sigStore(spark, dir, 8)
+      .drop("batch").collect().map(_.toSeq).toSet == before,
+      "recovery + compaction must preserve every signature row")
+    assert(!new java.io.File(s"$dir/sigs/_tmp_compact").exists())
+    assert(!new java.io.File(s"$dir/sigs/_retired_batch=0").exists())
+  }
+
+  test("media store compaction: fp index rows identical, digest probe still rejects") {
+    val rnd = new scala.util.Random(3)
+    def payload() = Array.fill(512)(rnd.nextInt(256).toByte)
+    val a = payload(); val b = payload(); val c = payload(); val d = payload()
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_media").toString
+    def ingest(id: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamingMediaIngest.ingestBatch(
+        rows.toSeq.map { case (i, p) => (i, "image", p) }
+          .toDF("id", "modality", "content"), dir, id, 3)
+    ingest(0L, 1L -> a, 2L -> b)
+    ingest(1L, 10L -> c)
+    ingest(2L, 20L -> d)
+    val fpBefore = StreamingMediaIngest.fpStore(spark, dir)
+      .drop("batch").collect().map(_.toSeq).toSet
+    val statsBefore = StreamingMediaIngest.stats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    StoreCompaction.compactMediaStore(spark, dir)
+    assert(batchDirs(s"$dir/fp") == Seq("batch=1", "batch=2"))
+    assert(StreamingMediaIngest.fpStore(spark, dir)
+      .drop("batch").collect().map(_.toSeq).toSet == fpBefore)
+    // the per-batch admission ledger is an audit log — NOT compacted
+    assert(batchDirs(s"$dir/stats").size == 3)
+    assert(StreamingMediaIngest.stats(spark, dir)
+      .collect().map(_.toSeq).toSet == statsBefore)
+    // exact dups of COMPACTED payloads still digest-reject; near-dups
+    // of compacted fingerprints still Hamming-reject
+    ingest(3L, 30L -> a.clone(), 31L -> payload())
+    assert(StreamingMediaIngest.corpus(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 10L, 20L, 31L))
+  }
+
+  test("ANN code-index compaction: codeIndex identical, later generations still win") {
+    def emb(rows: (Long, Seq[Float], Int)*) =
+      rows.toSeq.toDF("vec_id", "embedding", "label")
+    val seed = Seq(
+      (0L, Seq(1f, 0f, 1f, 0f), 0), (1L, Seq(0.95f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 1f), 0), (3L, Seq(0f, 0.95f, 0f, 1f), 0))
+    val ix = java.nio.file.Files.createTempDirectory("graft_compact_ann").toString + "/ix"
+    StreamingAnnIngest.buildIndex(emb(seed: _*), ix, m = 2, ksub = 2, iters = 1)
+    // batch=1 lands vec 100 near cluster A; batch=2 RE-INGESTS vec 100
+    // near cluster B (latest generation must win) and lands vec 101;
+    // batch=3 is the frontier
+    StreamingAnnIngest.ingestBatch(emb((100L, Seq(1f, 0f, 1f, 0f), 0)).toDF(), ix, 0L)
+    StreamingAnnIngest.ingestBatch(
+      emb((100L, Seq(0f, 1f, 0f, 1f), 0), (101L, Seq(1f, 0f, 1f, 0f), 0)).toDF(), ix, 1L)
+    StreamingAnnIngest.ingestBatch(emb((102L, Seq(0f, 1f, 0f, 1f), 0)).toDF(), ix, 2L)
+    def index = StreamingAnnIngest.codeIndex(spark, ix)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val before = index
+    StoreCompaction.compactAnnIndex(spark, ix)
+    assert(batchDirs(s"$ix/codes") == Seq("batch=2", "batch=3"))
+    assert(index == before,
+      "compaction must preserve the latest-generation-per-key reduction")
+    // vec 100's surviving codes are its batch=2 (cluster B) generation
+    Seq(0, 1).foreach(s => assert(index((100L, s)) == before((102L, s))))
+    // a post-compaction re-ingest still outranks the compacted rows
+    StreamingAnnIngest.ingestBatch(emb((100L, Seq(1f, 0f, 1f, 0f), 0)).toDF(), ix, 3L)
+    Seq(0, 1).foreach(s => assert(index((100L, s)) == before((101L, s)),
+      "a later batch must win the struct-max against compacted rows"))
+  }
+}
