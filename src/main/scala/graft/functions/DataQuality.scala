@@ -23,19 +23,56 @@ object DataQuality {
     * parent): the join-soundness check a lakehouse runs before
     * promoting a snapshot, since every downstream inner join silently
     * DROPS orphaned rows. `relations` is (name, child, fkCol, parent,
-    * pkCol). Each relation costs one scalar count plus one left-anti
-    * probe of the parent's key projection (semi-join-shaped: ids only,
-    * the child's payload never shuffles); output is one row per
-    * relation. */
+    * pkCol).
+    *
+    * One-scan discipline (the Profiler rule, r13): relations sharing a
+    * CHILD plan fuse onto a single scan of it — the child's fk columns
+    * left-join every parent's DISTINCT key projection in one chain,
+    * then ONE aggregate emits the shared row count plus a null-count
+    * per relation (a fact that is child to 3 dims, like lineitem, is
+    * read once instead of 6 times — 3 scalar counts + 3 anti probes in
+    * the r12 shape). The parent-side distinct makes the left-join
+    * count-exact under ANY input (a duplicated parent key can never
+    * multiply child rows, so n_child reads off the same aggregate),
+    * and its exchange co-partitions the parent for the join it feeds.
+    * Orphan semantics are unchanged: distinct does not affect
+    * match-existence, so the DuckDB oracle keeps its plain LEFT JOIN
+    * per relation. Output: one (relation, n_child, n_orphans) row per
+    * relation, exploded from the per-child 1-row aggregate. */
   def referentialIntegrity(relations: Seq[(String, DataFrame, String,
-      DataFrame, String)]): DataFrame =
-    relations.map { case (name, child, fkCol, parent, pkCol) =>
-      val orphans = child.select(col(fkCol))
-        .join(parent.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+      DataFrame, String)]): DataFrame = {
+    // Group relations on the child's analyzed plan (sameResult), in
+    // first-appearance order so the output row order is stable.
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, scala.collection.mutable.ArrayBuffer[(String, String, DataFrame, String)])]
+    relations.foreach { case (name, child, fkCol, parent, pkCol) =>
+      groups.find(_._1.queryExecution.analyzed
+          .sameResult(child.queryExecution.analyzed)) match {
+        case Some((_, rels)) => rels += ((name, fkCol, parent, pkCol))
+        case None => groups += ((child,
+          scala.collection.mutable.ArrayBuffer((name, fkCol, parent, pkCol))))
+      }
+    }
+    groups.toList.map { case (child, relsBuf) =>
+      val rels = relsBuf.toList
+      val fks = rels.map(_._2).distinct
+      val joined = rels.zipWithIndex.foldLeft(
+          child.select(fks.map(col): _*)) {
+        case (acc, ((_, fkCol, parent, pkCol), i)) =>
+          acc.join(parent.select(col(pkCol).as(s"_pk$i")).distinct(),
+            col(fkCol) === col(s"_pk$i"), "left")
+      }
+      val aggCols = count(lit(1)).as("n_child") +:
+        rels.indices.map(i =>
+          sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"_o$i"))
+      val one = joined.agg(aggCols.head, aggCols.tail: _*)
+      one.select(explode(array(rels.zipWithIndex.map { case ((name, _, _, _), i) =>
+          struct(lit(name).as("relation"), col("n_child"),
+            col(s"_o$i").as("n_orphans"))
+        }: _*)).as("_r"))
+        .select(col("_r.relation"), col("_r.n_child"), col("_r.n_orphans"))
     }.reduce(_.unionByName(_))
+  }
 
   /** Z-score outliers per group: rows whose value sits more than
     * `zThreshold` sample standard deviations from their group mean.

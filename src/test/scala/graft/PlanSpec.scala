@@ -153,6 +153,23 @@ class PlanSpec extends SparkSpec {
       s"correlated subquery must not plan as a nested loop:\n$p")
   }
 
+  test("ref-integrity audit scans each child table ONCE for all its relations") {
+    // the r13 fusion contract: lineitem is child to 3 dims, and the
+    // audit must read it once (one fk projection through a left-join
+    // chain + one aggregate), not once per relation side — at 100 TB
+    // the fact scan IS the query's cost
+    val p = plan(SparkEntry.queries("q_ref_integrity")(spark, sf))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"lineitem must scan once, got $liScans:\n$p")
+    // and only the fk columns reach the scan
+    val readSchema = p.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_partkey")
+      && readSchema.contains("l_suppkey") && !readSchema.contains("l_quantity"),
+      s"fk-only projection expected: $readSchema")
+  }
+
   test("profiler reads the table ONCE for all columns") {
     // the staged projection is materialized at construction (one
     // parquet scan); the per-column aggregates must all read the

@@ -301,10 +301,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // rest are the global-sum scalar
                                       // subqueries' 1-row SinglePartition
                                       // aggs (same class as q_tpch_q22)
-    "q_ref_integrity" -> 14,          // 7 FK relations x two 1-row
-                                      // scalar count aggs; the anti
-                                      // probes are ids-only and
-                                      // broadcast-or-shuffle by size
+    "q_ref_integrity" -> 12,          // r13 one-scan-per-child fusion:
+                                      // lineitem read ONCE for its 3
+                                      // relations (was 6 scans); the
+                                      // remaining exchanges are parent
+                                      // key distincts (co-partitioning
+                                      // the join they feed), slim
+                                      // child-side join shuffles, and
+                                      // one 1-row agg per child group
     "q_tpch_q8" -> 3,                 // orderkey join + year agg; the
                                       // region-pruned cust side joins
                                       // by size
