@@ -62,9 +62,12 @@ object DataQuality {
           acc.join(parent.select(col(pkCol).as(s"_pk$i")).distinct(),
             col(fkCol) === col(s"_pk$i"), "left")
       }
+      // coalesce: sum over an EMPTY child is NULL, but the audit row
+      // for an empty table is (name, 0, 0)
       val aggCols = count(lit(1)).as("n_child") +:
         rels.indices.map(i =>
-          sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"_o$i"))
+          coalesce(sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"_o$i"))
       val one = joined.agg(aggCols.head, aggCols.tail: _*)
       one.select(explode(array(rels.zipWithIndex.map { case ((name, _, _, _), i) =>
           struct(lit(name).as("relation"), col("n_child"),

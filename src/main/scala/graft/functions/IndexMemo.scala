@@ -65,7 +65,7 @@ private[graft] object IndexMemo {
     * reference drops), and a thread that re-creates the key races at
     * worst into a duplicate compute of one deterministic index — the
     * memo is an optimization, never a correctness dependency. */
-  private val lockCap = 64
+  private[graft] val lockCap = 64
   private val keyLocks = scala.collection.mutable.LinkedHashMap.empty[
     (String, Any, org.apache.spark.sql.SparkSession, Int), Object]
 

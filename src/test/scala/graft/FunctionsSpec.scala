@@ -612,7 +612,11 @@ class DedupSpec extends SparkSpec {
     val n1 = IndexMemo.lockCount
     Dedup.minhashSignatures(b, 3, 8) // same (tag, params), other corpus
     val n2 = IndexMemo.lockCount
-    assert(n2 > n1, "a different corpus must get its own lock entry")
+    // under the r13 cap, a saturated map inserts the new per-corpus
+    // key by EVICTING the least-recently-used one (size stays at the
+    // cap) — growth is only observable below saturation
+    assert(n2 > n1 || n2 == IndexMemo.lockCap,
+      s"a different corpus must get its own lock entry ($n1 -> $n2)")
     Dedup.minhashSignatures(a, 3, 8) // memo hit
     assert(IndexMemo.lockCount == n2,
       "a repeat request must not grow the lock map")

@@ -104,6 +104,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q16" -> 2,                // anti + part joins broadcast; the
                                       // 2-phase distinct-agg pair is the
                                       // only data movement
+    "q_media_phash" -> 1,             // payload synthesis + aHash are
+                                      // map-side; one slim banded
+                                      // self-join dedup exchange
+    "q_zorder_skip" -> 2,             // scalar bounds agg (broadcast
+                                      // back) + ONE bucket-keyed agg —
+                                      // the interleave is map-side
+    "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
+                                      // their 1-row rollups + bounds;
+                                      // every frame is bucket-sized
     "q_leakage_split" -> 4,           // CC labels join pair (AQE
                                       // broadcasts the tiny side at
                                       // runtime) + the 2-stage
