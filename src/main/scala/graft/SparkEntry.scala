@@ -811,6 +811,12 @@ object SparkEntry {
     // clusters (all-pairwise near-dups), vs CC's chains
     "q_dup_triangles" -> ((s, d) =>
       Dedup.nearDupTriangles(Tables.documents(s, d))),
+    // centrality over the dup graph: scaled-integer PageRank (damping
+    // 0.85, 3 fixed iterations, floor division) — the "which doc is
+    // the template" signal; exact-integer so DuckDB replays the whole
+    // rank table from 3 unrolled CTE iterations
+    "q_dup_pagerank" -> ((s, d) =>
+      Dedup.dupPageRank(Tables.documents(s, d), 3, 8, 4, 0.5)),
     // LOCF gap-fill over the dense category x calendar grid
     "q_locf_spend" -> ((s, d) => Temporal.locfDailySpend(tx(s, d))),
     // ABC/Pareto cumulative contribution, distributed prefix sums
@@ -2751,6 +2757,28 @@ object SparkEntry {
          |LEFT JOIN lm ON lm.id = d.doc_id
          |LEFT JOIN lu ON lu.id = d.doc_id
          |GROUP BY d.source""".stripMargin,
+    // PageRank unrolled: 3 exact-integer iterations over the
+    // symmetrized edges (deg >= 1 and in-edges >= 1 for every node, so
+    // the incoming sum is never NULL); HUGEINT intermediates wrap to
+    // BIGINT only at the end
+    "q_dup_pagerank" -> {
+      val iter = (prev: String, next: String) =>
+        s"""c$next AS (SELECT e.doc_b AS id, sum(p.pr // d.deg) AS s
+           |           FROM edges e
+           |           JOIN p$prev p ON p.id = e.doc_a
+           |           JOIN pdeg d ON d.id = e.doc_a
+           |           GROUP BY 1),
+           |p$next AS (SELECT c$next.id, 150000000 + (85 * c$next.s) // 100 AS pr
+           |           FROM c$next)""".stripMargin
+      s"""WITH $dedupEdgesCtes,
+         |pdeg AS (SELECT doc_a AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, 1000000000 AS pr FROM pdeg),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT p3.id AS doc_id, pdeg.deg, CAST(p3.pr AS BIGINT) AS pr_scaled
+         |FROM p3 JOIN pdeg ON pdeg.id = p3.id""".stripMargin
+    },
     // bounded-walk recursive CTE + min(hops) certifies the BFS: edges
     // already holds both orientations, reps seed at hop 0
     "q_dup_hops" ->

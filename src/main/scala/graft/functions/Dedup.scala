@@ -1268,6 +1268,54 @@ object Dedup {
     visited.select(col("doc_id"), col("label"), col("hops"))
   }
 
+  /** Integer fixed-point PageRank over the duplicate graph — the
+    * centrality rung of the graph-analytics family (CC → degree →
+    * triangles → hops → PageRank): within a dup cluster, the highest-
+    * rank doc is the TEMPLATE every variant derives from, the signal a
+    * curation review reads next to the min-id survivor rule. Public
+    * algorithm (Brin/Page 1998), damping 0.85, SYMMETRIZED edges (the
+    * same both-orientation union `connectedComponents` uses), so every
+    * node has deg ≥ 1 and in-edges ≥ 1 — no dangling mass.
+    *
+    * Oracle-exactness: all arithmetic is scaled-integer with floor
+    * division — pr₀ = SCALE per node; contrib(u) = pr(u) div deg(u);
+    * pr'(v) = (15·SCALE) div 100 + (85 · Σ_{u→v} contrib(u)) div 100 —
+    * so a FIXED iteration count unrolls into exact BIGINT CTEs in
+    * DuckDB and the whole rank table hash-matches (the float form
+    * could never gate: cross-engine summation order differs). Scale
+    * shape: per iteration one edge-keyed join + one dst-keyed agg,
+    * both edge-frame-sized (the dup graph is a vanishing fraction of
+    * the corpus), riding the memoized `dupPairs`; floor-division drift
+    * only ever LOSES sub-ulp mass, it never diverges. */
+  def dupPageRank(docs: DataFrame, n: Int, k: Int, bands: Int,
+                  minJaccard: Double, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"dupPageRank needs at least one iteration, got $iters")
+    val SCALE = 1000000000L
+    val pairs = dupPairs(docs, n, k, bands, minJaccard)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("id"), lit(SCALE).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = pr.join(deg, pr("id") === deg("src"))
+        .select(col("src"), call_function("div", col("pr"), col("deg")).as("c"))
+      val incoming = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("s"))
+      pr = pr.select(col("id"))
+        .join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          (lit(15L * SCALE / 100L) +
+            call_function("div", lit(85L) * coalesce(col("s"), lit(0L)), lit(100L)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.join(deg, pr("id") === deg("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_scaled"))
+  }
+
   /** Exact + MinHash-LSH duplicate pairs — the shared pair graph the
     * APPLY steps below resolve. `private[graft]` so cross-family
     * composers (`Multimodal.crossModalDedup`) can union these edges

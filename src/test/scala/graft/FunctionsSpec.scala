@@ -678,6 +678,25 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, 0L)), 5L -> ((4L, 1L))), s"got $out")
   }
 
+  test("dupPageRank: the template hub outranks its variants, exact integer ranks") {
+    // exact-dup STAR: docs 1,2,3 share one canonical text, so the
+    // exact-pair generator emits min-id star edges 1-2, 1-3 — doc 1 is
+    // the hub (deg 2, two incoming contributions per iteration), 2 and
+    // 3 are symmetric leaves; doc 4 is isolated (no rank row — the
+    // graph, not the corpus, defines the node set)
+    val d = docs((1L, "A  B"), (2L, "a b"), (3L, "a  b "), (4L, other))
+    val out = Dedup.dupPageRank(d, 3, 8, 4, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"isolated docs carry no rank: $out")
+    // hand-unrolled 3 iterations of the scaled-integer recurrence
+    // (pr0 = 1e9; hub contrib halves on its degree; floor division):
+    // hub 1.85e9 -> 1.1275e9 -> 1741625000; leaf 5.75e8 -> 9.3625e8
+    // -> 629187500
+    assert(out(1L) == ((2L, 1741625000L)), s"hub: ${out(1L)}")
+    assert(out(2L) == ((1L, 629187500L)) && out(3L) == out(2L), s"leaves: $out")
+    assert(out(1L)._2 > out(2L)._2, "the template hub must outrank its variants")
+  }
+
   test("dedupCorpusBy keeps the best-scoring copy; ties fall back to min id") {
     val d = docs(
       (1L, near1), (2L, near2),        // cluster {1,2}: 2 scores higher

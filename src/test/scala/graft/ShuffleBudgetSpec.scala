@@ -110,6 +110,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_zorder_skip" -> 2,             // scalar bounds agg (broadcast
                                       // back) + ONE bucket-keyed agg —
                                       // the interleave is map-side
+    "q_dup_pagerank" -> 2,            // iterations ran eagerly into
+                                      // edge-sized checkpoints; the
+                                      // final plan is one rank-deg join
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
