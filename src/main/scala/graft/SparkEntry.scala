@@ -534,6 +534,15 @@ object SparkEntry {
           col("exact_categories"),
           ok(col("_ac"), col("exact_categories")).as("categories_ok"))
     }),
+    // sketch ALGEBRA: per-day HLL sketches unioned into monthly
+    // distinct-user counts — est_ok bounds the merged estimate,
+    // merge_ok pins union-of-sketches ≡ sketch-of-union (the law that
+    // licenses precomputing slice sketches at ingest)
+    "q_hll_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.Sketches.mergedDistinct(Tables.events(s, d),
+        to_date(col("ts")), trunc(col("ts"), "month"), col("user_id"))
+    }),
     // --- SQL entry surface (correlated subquery, CASE agg, LIKE) ---
     "q_above_nation_avg" -> ((s, d) =>
       Relational.sql(s, d, Relational.aboveNationAvgSql, Seq("customer"))),
@@ -1330,6 +1339,15 @@ object SparkEntry {
          |       count(DISTINCT category) AS exact_categories,
          |       CAST(1 AS BIGINT) AS categories_ok
          |FROM ($txSql)""".stripMargin,
+    // the merge gate: exact monthly distincts + literal-1 flags — the
+    // hash matches iff the merged estimate honors its bound AND the
+    // union-of-sketches equals the direct sketch on every range
+    "q_hll_merge" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS range_key,
+        |       count(DISTINCT user_id) AS n_exact,
+        |       CAST(1 AS BIGINT) AS est_ok,
+        |       CAST(1 AS BIGINT) AS merge_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q_approx_percentiles" ->
       s"""SELECT category, count(*) AS n,
          |       CAST(1 AS BIGINT) AS ok25,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch ALGEBRA — the re-aggregation story behind approximate
+  * distinct counts at 100 TB: a KB-sized Datasketches HLL sketch per
+  * (range, slice) is computed once at ingest, and any range's distinct
+  * count is answered by UNIONING its slices' sketches — register-wise
+  * max, so union-of-sketches ≡ sketch-of-union — without rescanning a
+  * byte of raw data. `q_approx_distinct` gates the single-shot
+  * estimator; this family gates the MERGE. */
+object Sketches {
+
+  /** Per-range distinct counts three ways: exact (the gate column),
+    * the merged per-slice sketch union's estimate, and the direct
+    * whole-range sketch's estimate. Emits one row per range with the
+    * exact count plus two 0/1 flags the oracle hashes against literal
+    * truth — `est_ok` (the merged estimate is within `relErr` of
+    * exact: the sketch honors its documented error bound through the
+    * union) and `merge_ok` (merged estimate EQUALS the direct
+    * whole-range sketch's estimate bit-for-bit: the mergeability law
+    * itself, which is what licenses precomputing slice sketches at
+    * ingest). Scale shape: the slice sketch table is
+    * (ranges × slices)-sized with KB rows; the union agg moves
+    * sketches, never keys. */
+  def mergedDistinct(df: DataFrame, sliceCol: Column, rangeCol: Column,
+                     key: Column, relErr: Double = 0.05): DataFrame = {
+    val base = df.select(sliceCol.as("_slice"), rangeCol.as("_range"),
+      key.as("_key"))
+    val sliceSketches = base.groupBy(col("_range"), col("_slice"))
+      .agg(hll_sketch_agg(col("_key")).as("_sk"))
+    val merged = sliceSketches.groupBy(col("_range"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_est"))
+    val direct = base.groupBy(col("_range"))
+      .agg(countDistinct(col("_key")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("_key"))).as("_direct"))
+    merged.join(direct, Seq("_range"))
+      .select(col("_range").as("range_key"), col("n_exact"),
+        when(abs(col("_est") - col("n_exact")).cast("double")
+               <= col("n_exact").cast("double") * relErr, 1L)
+          .otherwise(0L).as("est_ok"),
+        when(col("_est") === col("_direct"), 1L).otherwise(0L).as("merge_ok"))
+  }
+}

@@ -678,6 +678,24 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, 0L)), 5L -> ((4L, 1L))), s"got $out")
   }
 
+  test("mergedDistinct: sketch union never double-counts cross-slice repeats") {
+    import spark.implicits._
+    // user 1 appears in EVERY slice of range A: a naive sum of
+    // per-slice distincts says 6, the truth is 4 — the union must
+    // agree with the truth (and at this cardinality HLL is exact)
+    val df = Seq(
+      ("A", 1, 1L), ("A", 1, 2L), ("A", 2, 1L), ("A", 2, 3L),
+      ("A", 3, 1L), ("A", 3, 4L),
+      ("B", 1, 10L), ("B", 2, 10L))
+      .toDF("range", "slice", "user")
+    val out = graft.functions.Sketches.mergedDistinct(df,
+        col("slice"), col("range"), col("user"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") == ((4L, 1L, 1L)), s"range A: ${out("A")}")
+    assert(out("B") == ((1L, 1L, 1L)), s"range B: ${out("B")}")
+  }
+
   test("dupPageRank: the template hub outranks its variants, exact integer ranks") {
     // exact-dup STAR: docs 1,2,3 share one canonical text, so the
     // exact-pair generator emits min-id star edges 1-2, 1-3 — doc 1 is

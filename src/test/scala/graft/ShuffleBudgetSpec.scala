@@ -113,6 +113,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_dup_pagerank" -> 2,            // iterations ran eagerly into
                                       // edge-sized checkpoints; the
                                       // final plan is one rank-deg join
+    "q_hll_merge" -> 4,               // (range,slice) sketch agg +
+                                      // range union agg + the exact
+                                      // 2-phase distinct + range join;
+                                      // sketches cross wires, not keys
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
