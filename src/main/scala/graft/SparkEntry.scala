@@ -543,6 +543,15 @@ object SparkEntry {
       graft.functions.Sketches.mergedDistinct(Tables.events(s, d),
         to_date(col("ts")), trunc(col("ts"), "month"), col("user_id"))
     }),
+    // theta-sketch SET ops: audience overlap/union/difference between
+    // the purchase and view audiences — intersection is what HLL
+    // cannot merge; exact counts gate, estimate flags bound
+    "q_theta_setops" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.Sketches.thetaSetOps(Tables.events(s, d),
+        col("user_id"),
+        col("event_type") === "purchase", col("event_type") === "view")
+    }),
     // --- SQL entry surface (correlated subquery, CASE agg, LIKE) ---
     "q_above_nation_avg" -> ((s, d) =>
       Relational.sql(s, d, Relational.aboveNationAvgSql, Seq("customer"))),
@@ -1339,6 +1348,19 @@ object SparkEntry {
          |       count(DISTINCT category) AS exact_categories,
          |       CAST(1 AS BIGINT) AS categories_ok
          |FROM ($txSql)""".stripMargin,
+    // exact set arithmetic per distinct user sets; literal-1 flags
+    // for the three theta estimates
+    "q_theta_setops" ->
+      """SELECT count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_a,
+        |       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_b,
+        |       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |         + count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        |         - count(DISTINCT CASE WHEN event_type IN ('purchase', 'view') THEN user_id END) AS n_inter,
+        |       count(DISTINCT CASE WHEN event_type IN ('purchase', 'view') THEN user_id END) AS n_union,
+        |       CAST(1 AS BIGINT) AS inter_ok,
+        |       CAST(1 AS BIGINT) AS union_ok,
+        |       CAST(1 AS BIGINT) AS diff_ok
+        |FROM events""".stripMargin,
     // the merge gate: exact monthly distincts + literal-1 flags — the
     // hash matches iff the merged estimate honors its bound AND the
     // union-of-sketches equals the direct sketch on every range

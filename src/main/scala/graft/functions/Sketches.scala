@@ -42,4 +42,38 @@ object Sketches {
           .otherwise(0L).as("est_ok"),
         when(col("_est") === col("_direct"), 1L).otherwise(0L).as("merge_ok"))
   }
+
+  /** Theta-sketch SET operations — what HLL cannot do: distinct
+    * INTERSECTION and DIFFERENCE across audiences without holding the
+    * key sets (audience overlap, incremental-ingest novelty, consent
+    * subtraction — the segment arithmetic a 100 TB events store
+    * answers from KB-sized sketches). One pass over the fact builds
+    * both audience sketches AND the exact reference counts
+    * (conditional distinct aggs); the output row carries the exact
+    * |A|, |B|, |A∩B|, |A∪B| plus bounded-error 0/1 flags for the
+    * sketch estimates of ∩, ∪ and A∖B, which the oracle hashes
+    * against literal truth (the q_approx_distinct contract). Below
+    * the sketch's nominal-entry budget theta estimates are EXACT, so
+    * the gated flags are deterministic with margin to spare. */
+  def thetaSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
+                  relErr: Double = 0.05, absSlack: Long = 2L): DataFrame = {
+    def ok(est: Column, exact: Column): Column =
+      when(abs(est.cast("double") - exact.cast("double"))
+             <= greatest(exact.cast("double") * relErr, lit(absSlack.toDouble)),
+        1L).otherwise(0L)
+    df.agg(
+        theta_sketch_agg(when(inA, key)).as("_ska"),
+        theta_sketch_agg(when(inB, key)).as("_skb"),
+        countDistinct(when(inA, key)).as("n_a"),
+        countDistinct(when(inB, key)).as("n_b"),
+        countDistinct(when(inA || inB, key)).as("n_union"))
+      .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        ok(theta_sketch_estimate(theta_intersection(col("_ska"), col("_skb"))),
+          col("n_inter")).as("inter_ok"),
+        ok(theta_sketch_estimate(theta_union(col("_ska"), col("_skb"))),
+          col("n_union")).as("union_ok"),
+        ok(theta_sketch_estimate(theta_difference(col("_ska"), col("_skb"))),
+          col("n_a") - col("n_inter")).as("diff_ok"))
+  }
 }

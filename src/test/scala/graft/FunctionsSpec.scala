@@ -696,6 +696,21 @@ class DedupSpec extends SparkSpec {
     assert(out("B") == ((1L, 1L, 1L)), s"range B: ${out("B")}")
   }
 
+  test("thetaSetOps: planted overlap arithmetic, estimates exact at small cardinality") {
+    import spark.implicits._
+    // A = {1..6}, B = {4..9}: |A| = |B| = 6, |A∩B| = 3, |A∪B| = 9;
+    // below the nominal-entry budget the theta estimates are exact,
+    // so every flag must be 1
+    val df = ((1 to 6).map(u => (u.toLong, "p")) ++
+              (4 to 9).map(u => (u.toLong, "v"))).toDF("user", "t")
+    val r = graft.functions.Sketches.thetaSetOps(df,
+      col("user"), col("t") === "p", col("t") === "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((6L, 6L, 3L, 9L)), s"set arithmetic: $r")
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((1L, 1L, 1L)),
+      s"theta estimates must be exact here: $r")
+  }
+
   test("dupPageRank: the template hub outranks its variants, exact integer ranks") {
     // exact-dup STAR: docs 1,2,3 share one canonical text, so the
     // exact-pair generator emits min-id star edges 1-2, 1-3 — doc 1 is

@@ -117,6 +117,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // range union agg + the exact
                                       // 2-phase distinct + range join;
                                       // sketches cross wires, not keys
+    "q_theta_setops" -> 2,            // one scalar agg builds both
+                                      // audience sketches + the exact
+                                      // conditional distincts (expand
+                                      // + final): set ops are driver-
+                                      // free column functions
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
