@@ -543,6 +543,15 @@ object SparkEntry {
       graft.functions.Sketches.mergedDistinct(Tables.events(s, d),
         to_date(col("ts")), trunc(col("ts"), "month"), col("user_id"))
     }),
+    // KLL quantile-sketch merge: per-day sketches of l_extendedprice
+    // merged per month; flags check the returned quantiles' EXACT
+    // ranks against the probe probabilities (the published guarantee)
+    "q_kll_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.Sketches.mergedQuantiles(Tables.lineitem(s, d),
+        to_date(col("l_shipdate")), trunc(col("l_shipdate"), "month"),
+        col("l_extendedprice"), Seq(0.5, 0.9))
+    }),
     // theta-sketch SET ops: audience overlap/union/difference between
     // the purchase and view audiences — intersection is what HLL
     // cannot merge; exact counts gate, estimate flags bound
@@ -1348,6 +1357,13 @@ object SparkEntry {
          |       count(DISTINCT category) AS exact_categories,
          |       CAST(1 AS BIGINT) AS categories_ok
          |FROM ($txSql)""".stripMargin,
+    // exact monthly row counts + literal-1 rank flags
+    "q_kll_merge" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS range_key,
+        |       count(*) AS n_rows,
+        |       CAST(1 AS BIGINT) AS ok_q50,
+        |       CAST(1 AS BIGINT) AS ok_q90
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // exact set arithmetic per distinct user sets; literal-1 flags
     // for the three theta estimates
     "q_theta_setops" ->

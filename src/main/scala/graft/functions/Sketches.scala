@@ -43,6 +43,44 @@ object Sketches {
         when(col("_est") === col("_direct"), 1L).otherwise(0L).as("merge_ok"))
   }
 
+  /** KLL quantile-sketch MERGE — the percentile sibling of
+    * `mergedDistinct`: a KB-sized KLL sketch of a value column per
+    * (range, slice) at ingest, merged per range to answer any range's
+    * quantiles without re-scanning values. The gate is the published
+    * guarantee itself: for each probe probability p, the EXACT
+    * normalized rank of the merged sketch's returned quantile must sit
+    * within `rankTol` of p. KLL's compaction is randomized, so the
+    * flag uses the q_approx_distinct margin discipline — `rankTol` =
+    * 0.10 ≈ 6× the k=200 sketch's 1.65% rank error, making a flag flip
+    * astronomically unlikely while still failing RED on a broken
+    * estimator (a random value misses a 10% window easily). One
+    * sketch-agg pass + one flag pass over the fact; only sketches and
+    * range-keyed scalars cross the wire. */
+  def mergedQuantiles(df: DataFrame, sliceCol: Column, rangeCol: Column,
+                      value: Column, probs: Seq[Double],
+                      rankTol: Double = 0.10): DataFrame = {
+    val base = df.select(sliceCol.as("_slice"), rangeCol.as("_range"),
+      value.cast("double").as("_v"))
+    val sliceSk = base.groupBy(col("_range"), col("_slice"))
+      .agg(kll_sketch_agg_double(col("_v")).as("_sk"))
+    val ests = sliceSk.groupBy(col("_range"))
+      .agg(kll_merge_agg_double(col("_sk")).as("_msk"))
+      .select(col("_range") +: probs.indices.map(i =>
+        kll_sketch_get_quantile_double(col("_msk"), lit(probs(i)))
+          .as(s"_q$i")): _*)
+    val rankAggs = count(lit(1)).as("n_rows") +: probs.indices.map(i =>
+      sum(when(col("_v") <= col(s"_q$i"), 1L).otherwise(0L)).as(s"_r$i"))
+    base.join(broadcast(ests), Seq("_range"))
+      .groupBy(col("_range"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .select(col("_range").as("range_key") +: col("n_rows") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          when(abs(col(s"_r$i").cast("double") / col("n_rows").cast("double")
+                     - p) <= rankTol, 1L)
+            .otherwise(0L).as(s"ok_q${(p * 100).round}")
+        }: _*)
+  }
+
   /** Theta-sketch SET operations — what HLL cannot do: distinct
     * INTERSECTION and DIFFERENCE across audiences without holding the
     * key sets (audience overlap, incremental-ingest novelty, consent

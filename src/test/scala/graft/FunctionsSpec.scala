@@ -696,6 +696,21 @@ class DedupSpec extends SparkSpec {
     assert(out("B") == ((1L, 1L, 1L)), s"range B: ${out("B")}")
   }
 
+  test("mergedQuantiles: the merged sketch answers the POOLED distribution") {
+    import spark.implicits._
+    // slice 1 holds 1..100, slice 2 holds 101..200: per-slice medians
+    // are ~50 and ~150 — only a genuine merge lands the pooled median
+    // (rank 0.5 of 1..200); at 200 retained values KLL is exact, so
+    // the rank flags must hold at far tighter than the 0.10 gate
+    val df = (1 to 200).map(v => (if (v <= 100) 1 else 2, "m", v.toDouble))
+      .toDF("slice", "range", "v")
+    val r = graft.functions.Sketches.mergedQuantiles(df,
+      col("slice"), col("range"), col("v"), Seq(0.5, 0.9), rankTol = 0.02).head()
+    assert(r.getString(0) == "m" && r.getLong(1) == 200L)
+    assert((r.getLong(2), r.getLong(3)) == ((1L, 1L)),
+      s"pooled ranks must sit within 2% of the probes: $r")
+  }
+
   test("thetaSetOps: planted overlap arithmetic, estimates exact at small cardinality") {
     import spark.implicits._
     // A = {1..6}, B = {4..9}: |A| = |B| = 6, |A∩B| = 3, |A∪B| = 9;

@@ -122,6 +122,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // conditional distincts (expand
                                       // + final): set ops are driver-
                                       // free column functions
+    "q_kll_merge" -> 3,               // (range,slice) sketch agg +
+                                      // range merge agg + the rank
+                                      // flag pass (estimates broadcast
+                                      // back onto the scan)
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
