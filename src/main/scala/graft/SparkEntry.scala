@@ -543,6 +543,15 @@ object SparkEntry {
       graft.functions.Sketches.mergedDistinct(Tables.events(s, d),
         to_date(col("ts")), trunc(col("ts"), "month"), col("user_id"))
     }),
+    // Count-Min frequency sketch: per-type exact counts + the two CMS
+    // laws as flags (never undercounts; overcount within 2·eps·N).
+    // The probe key set is the event-type DICTIONARY (5 values) — the
+    // regime CMS serves; fixed seed makes the flags deterministic
+    "q_cms_freq" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.Sketches.cmsFrequencies(Tables.events(s, d),
+        col("event_type"))
+    }),
     // KLL quantile-sketch merge: per-day sketches of l_extendedprice
     // merged per month; flags check the returned quantiles' EXACT
     // ranks against the probe probabilities (the published guarantee)
@@ -1357,6 +1366,13 @@ object SparkEntry {
          |       count(DISTINCT category) AS exact_categories,
          |       CAST(1 AS BIGINT) AS categories_ok
          |FROM ($txSql)""".stripMargin,
+    // exact per-type counts + literal-1 flags for both CMS laws
+    "q_cms_freq" ->
+      """SELECT CAST(event_type AS VARCHAR) AS key,
+        |       count(*) AS n_exact,
+        |       CAST(1 AS BIGINT) AS over_ok,
+        |       CAST(1 AS BIGINT) AS bound_ok
+        |FROM events GROUP BY 1""".stripMargin,
     // exact monthly row counts + literal-1 rank flags
     "q_kll_merge" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS range_key,

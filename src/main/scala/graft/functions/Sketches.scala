@@ -81,6 +81,41 @@ object Sketches {
         }: _*)
   }
 
+  /** Count-Min frequency estimates — the FREQUENCY rung of the sketch
+    * family (HLL: distincts, theta: set ops, KLL: quantiles, CMS:
+    * per-key counts): one mergeable KB-sized sketch answers "how often
+    * does key x occur" for ANY x, the primitive behind streaming
+    * heavy-hitter confirmation and per-key rate limiting at 100 TB.
+    * The sketch aggregates distributed (Spark's codegen'd
+    * `count_min_sketch` with a FIXED seed, so estimates are
+    * deterministic per dataset); only the sketch itself — one binary
+    * row — and the key dictionary's exact counts reach the driver
+    * (metadata-sized, the AQE-class collect the repo's prefix-sum
+    * operators already document). Per key the gate row carries the
+    * exact count plus the two CMS laws as 0/1 flags: `over_ok`
+    * (est ≥ exact — CMS NEVER undercounts, a structural guarantee)
+    * and `bound_ok` (est ≤ exact + 2·eps·N — twice the documented
+    * overcount slack, the margin discipline for the hash-collision
+    * tail; fixed seed ⟹ the flag is stable run to run). */
+  def cmsFrequencies(df: DataFrame, key: Column, eps: Double = 0.001,
+                     confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.agg(
+      count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("_sk"),
+      count(lit(1)).as("_n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]]("_sk"))
+    val slack = math.ceil(2.0 * eps * row.getLong(1)).toLong
+    val exact = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    exact.toSeq.map { case (k, n) =>
+      val est = cms.estimateCount(k)
+      (k, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
+    }.toDF("key", "n_exact", "over_ok", "bound_ok")
+  }
+
   /** Theta-sketch SET operations — what HLL cannot do: distinct
     * INTERSECTION and DIFFERENCE across audiences without holding the
     * key sets (audience overlap, incremental-ingest novelty, consent

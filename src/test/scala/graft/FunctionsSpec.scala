@@ -696,6 +696,24 @@ class DedupSpec extends SparkSpec {
     assert(out("B") == ((1L, 1L, 1L)), s"range B: ${out("B")}")
   }
 
+  test("cmsFrequencies: never undercounts, skewed keys within the overcount slack") {
+    import spark.implicits._
+    // heavy skew (one hot key + a long tail) is CMS's design regime:
+    // collisions land tail mass ON the hot key's estimate, which the
+    // over_ok law permits and bound_ok caps
+    val df = (Seq.fill(500)("hot") ++ (1 to 100).map(i => s"tail$i"))
+      .toDF("k")
+    val out = graft.functions.Sketches.cmsFrequencies(df, col("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("hot")._1 == 500L)
+    assert(out.size == 101)
+    out.foreach { case (k, (_, over, bound)) =>
+      assert(over == 1L, s"$k: CMS must never undercount")
+      assert(bound == 1L, s"$k: overcount must stay within 2*eps*N")
+    }
+  }
+
   test("mergedQuantiles: the merged sketch answers the POOLED distribution") {
     import spark.implicits._
     // slice 1 holds 1..100, slice 2 holds 101..200: per-slice medians

@@ -126,6 +126,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // range merge agg + the rank
                                       // flag pass (estimates broadcast
                                       // back onto the scan)
+    "q_cms_freq" -> 0,                // sketch + dictionary counts ran
+                                      // eagerly (metadata-sized driver
+                                      // rows); the emitted plan is a
+                                      // LocalRelation of flag rows
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
