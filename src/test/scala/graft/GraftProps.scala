@@ -502,4 +502,29 @@ object GraftProps extends Properties("graft") {
       Prop(got.size == vecs.size && ok) :| s"got=$got"
     }
   }
+
+  property("zValue is a bijection: de-interleaving recovers both inputs") = {
+    val bits = 10
+    val genKey = Gen.choose(0L, (1L << bits) - 1L)
+    forAll(Gen.nonEmptyListOf(Gen.zip(genKey, genKey))) { pairs =>
+      val df = pairs.toDF("a", "b")
+        .select(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"),
+          graft.sources.ZOrder.zValue(
+            org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b"), bits).as("z"))
+      def deinterleave(z: Long): (Long, Long) = {
+        var a = 0L; var b = 0L
+        (0 until bits).foreach { i =>
+          a |= ((z >> (2 * i)) & 1L) << i
+          b |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        (a, b)
+      }
+      val ok = df.collect().forall { r =>
+        deinterleave(r.getLong(2)) == ((r.getLong(0), r.getLong(1)))
+      }
+      Prop(ok) :| "every z must round-trip to its (a, b)"
+    }
+  }
 }
