@@ -853,6 +853,13 @@ object SparkEntry {
     // rank table from 3 unrolled CTE iterations
     "q_dup_pagerank" -> ((s, d) =>
       Dedup.dupPageRank(Tables.documents(s, d), 3, 8, 4, 0.5)),
+    // the centrality survivor rule: per cluster keep the highest-
+    // PageRank copy (the template), ties -> lowest id
+    "q_dedup_by_rank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dedupCorpusByRank(Tables.documents(s, d), 3, 8, 4, 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // LOCF gap-fill over the dense category x calendar grid
     "q_locf_spend" -> ((s, d) => Temporal.locfDailySpend(tx(s, d))),
     // ABC/Pareto cumulative contribution, distributed prefix sums
@@ -2833,24 +2840,23 @@ object SparkEntry {
     // symmetrized edges (deg >= 1 and in-edges >= 1 for every node, so
     // the incoming sum is never NULL); HUGEINT intermediates wrap to
     // BIGINT only at the end
-    "q_dup_pagerank" -> {
-      val iter = (prev: String, next: String) =>
-        s"""c$next AS (SELECT e.doc_b AS id, sum(p.pr // d.deg) AS s
-           |           FROM edges e
-           |           JOIN p$prev p ON p.id = e.doc_a
-           |           JOIN pdeg d ON d.id = e.doc_a
-           |           GROUP BY 1),
-           |p$next AS (SELECT c$next.id, 150000000 + (85 * c$next.s) // 100 AS pr
-           |           FROM c$next)""".stripMargin
+    "q_dup_pagerank" ->
       s"""WITH $dedupEdgesCtes,
-         |pdeg AS (SELECT doc_a AS id, count(*) AS deg FROM edges GROUP BY 1),
-         |p0 AS (SELECT id, 1000000000 AS pr FROM pdeg),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
+         |$dupPageRankCtes
          |SELECT p3.id AS doc_id, pdeg.deg, CAST(p3.pr AS BIGINT) AS pr_scaled
-         |FROM p3 JOIN pdeg ON pdeg.id = p3.id""".stripMargin
-    },
+         |FROM p3 JOIN pdeg ON pdeg.id = p3.id""".stripMargin,
+    // centrality survivor rule: the same closure + rank table, one
+    // cluster-partitioned window keeps the top-rank copy
+    "q_dedup_by_rank" ->
+      s"""$dedupCorpusBaseSql,
+         |$dupPageRankCtes,
+         |rranked AS (SELECT re.id AS doc_id,
+         |                   row_number() OVER (PARTITION BY re.label
+         |                     ORDER BY p3.pr DESC, re.id ASC) AS rk
+         |            FROM reach re JOIN p3 ON p3.id = re.id),
+         |losers AS (SELECT doc_id FROM rranked WHERE rk > 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN losers l ON l.doc_id = d.doc_id WHERE l.doc_id IS NULL""".stripMargin,
     // bounded-walk recursive CTE + min(hops) certifies the BFS: edges
     // already holds both orientations, reps seed at hop 0
     "q_dup_hops" ->
@@ -4657,6 +4663,26 @@ object SparkEntry {
        |       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
        |                 THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash64
        |FROM u""".stripMargin
+  }
+
+  /** The unrolled exact-integer PageRank iteration chain (pdeg, p0,
+    * c1/p1 .. c3/p3) over a CTE named `edges` holding both edge
+    * orientations — composes after `dedupEdgesCtes` (q_dup_pagerank)
+    * or inside `dedupCorpusBaseSql`'s WITH (q_dedup_by_rank). */
+  private lazy val dupPageRankCtes: String = {
+    def iter(prev: String, next: String) =
+      s"""c$next AS (SELECT e.doc_b AS id, sum(p.pr // d.deg) AS s
+         |           FROM edges e
+         |           JOIN p$prev p ON p.id = e.doc_a
+         |           JOIN pdeg d ON d.id = e.doc_a
+         |           GROUP BY 1),
+         |p$next AS (SELECT c$next.id, 150000000 + (85 * c$next.s) // 100 AS pr
+         |           FROM c$next)""".stripMargin
+    s"""pdeg AS (SELECT doc_a AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |p0 AS (SELECT id, 1000000000 AS pr FROM pdeg),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}""".stripMargin
   }
 
   /** Morton interleave of two quantized `bits`-bit ints as portable

@@ -1316,6 +1316,32 @@ object Dedup {
       .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_scaled"))
   }
 
+  /** PageRank survivor rule — `dedupCorpusBy` with CENTRALITY as the
+    * keep score: per duplicate cluster, keep the highest-PageRank copy
+    * (ties → lowest doc_id) — "keep the TEMPLATE", the copy most
+    * connected to the cluster's variants, where min-id keeps an
+    * arbitrary one and length/quality keep a local property. Rides the
+    * memoized CC fixpoint AND the same exact-integer rank table as
+    * `dupPageRank` (deterministic, so the survivor choice is too);
+    * every clustered doc is a graph node by construction, so the
+    * rank join never drops members. Cost beyond the apply queries it
+    * shares memos with: one cluster-keyed rank window over the
+    * dup-cluster members only. */
+  def dedupCorpusByRank(docs: DataFrame, n: Int, k: Int, bands: Int,
+                        minJaccard: Double, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = componentsFor(docs, n, k, bands, minJaccard)
+    val pr = dupPageRank(docs, n, k, bands, minJaccard, iters)
+      .select(col("doc_id").as("id"), col("pr_scaled"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("pr_scaled").desc, col("id").asc)
+    val losers = cc.join(pr, Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact + MinHash-LSH duplicate pairs — the shared pair graph the
     * APPLY steps below resolve. `private[graft]` so cross-family
     * composers (`Multimodal.crossModalDedup`) can union these edges

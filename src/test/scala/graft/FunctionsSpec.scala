@@ -763,6 +763,24 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2, "the template hub must outrank its variants")
   }
 
+  test("dedupCorpusByRank keeps the TEMPLATE (chain center), not the min id") {
+    // chain 1~2~3 (1 !~ 3, the dupClusterHops fixture): node 2 is the
+    // star center with degree 2 — top PageRank — so the rank rule
+    // keeps 2 where the min-id rule keeps 1
+    val w = (1 to 18).map(i => s"w$i")
+    val d = docs(
+      (1L, w.slice(0, 12).mkString(" ")),
+      (2L, w.slice(3, 15).mkString(" ")),
+      (3L, w.slice(6, 18).mkString(" ")),
+      (4L, other))
+    val byRank = Dedup.dedupCorpusByRank(d, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byRank == Seq(2L, 4L), s"rank rule must keep the center: $byRank")
+    val byMinId = Dedup.dedupCorpus(d, 3, 8, 4, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byMinId == Seq(1L, 4L), s"min-id rule keeps 1: $byMinId")
+  }
+
   test("dedupCorpusBy keeps the best-scoring copy; ties fall back to min id") {
     val d = docs(
       (1L, near1), (2L, near2),        // cluster {1,2}: 2 scores higher

@@ -130,6 +130,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // eagerly (metadata-sized driver
                                       // rows); the emitted plan is a
                                       // LocalRelation of flag rows
+    "q_dedup_by_rank" -> 6,           // CC + rank checkpoints join +
+                                      // cluster rank window + loser
+                                      // anti-join — all dup-graph-sized
     "q_zorder_compare" -> 6,          // both layouts' bucket aggs +
                                       // their 1-row rollups + bounds;
                                       // every frame is bucket-sized
