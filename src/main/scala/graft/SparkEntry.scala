@@ -420,18 +420,31 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      // Floors recalibrated r13 when the harness moved to the SERVED
-      // quantizer operating points (q_pq_topk's m=2/ksub=4 etc. — see
-      // annRecall): cross-scale min of the measured sf0.001/0.01/0.1
-      // values with margin. The quantizer floors are low because the
-      // served code budgets are small BY DESIGN (oracle-replayable
-      // Lloyd loops); they still fail on collapse-to-zero, and the
-      // tighter exact per-corpus pins live in FunctionsSpec.
-      val floors = Seq(
+      // Floors recalibrated r14 (advice): the served operating points
+      // are fixed and md5-deterministic per corpus, so each driver SF
+      // gets its OWN quantizer floors at HALF that scale's measured
+      // recall (BUILD_NOTES "ANN recall trend (r13)") instead of one
+      // collapse-only cross-scale min — at the sf0.01 gate pq's floor
+      // rises 0.01 → 0.03, pq_rerank 0.06 → 0.13, etc., so a real
+      // retrieval regression fails the DRIVER gate, not only the exact
+      // FunctionsSpec pins. Non-quantizer floors were already tighter
+      // than half-measured at every scale and stay scale-invariant.
+      // Unknown dirs (generated scale probes) fall back to half the
+      // cross-scale minimum — still a non-collapse certificate there.
+      val quantFloors: Map[String, Seq[(String, Double)]] = Map(
+        "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
+          ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09)),
+        "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
+          ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12)),
+        "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
+          ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03)))
+      val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
+        ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03))
+      val scaleKey = new java.io.File(d).getName
+      val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
-        ("pq", 0.01), ("pq_rerank", 0.06), ("rq", 0.004),
-        ("rq_rerank", 0.04), ("ivfpq", 0.01), ("ivfpq_rerank", 0.05),
-        ("sq8", 0.70), ("sq8_rerank", 0.90))
+        ("sq8", 0.70), ("sq8_rerank", 0.90)) ++
+        quantFloors.getOrElse(scaleKey, fallback))
         .toDF("method", "floor")
       val bases = Seq(("pq_rerank", "pq"), ("rq_rerank", "rq"),
         ("ivfpq_rerank", "ivfpq"), ("sq8_rerank", "sq8"))

@@ -18,10 +18,14 @@ object Sketches {
     * exact count plus two 0/1 flags the oracle hashes against literal
     * truth — `est_ok` (the merged estimate is within `relErr` of
     * exact: the sketch honors its documented error bound through the
-    * union) and `merge_ok` (merged estimate EQUALS the direct
-    * whole-range sketch's estimate bit-for-bit: the mergeability law
-    * itself, which is what licenses precomputing slice sketches at
-    * ingest). Scale shape: the slice sketch table is
+    * union) and `merge_ok` (merged estimate matches the direct
+    * whole-range sketch's estimate within the same `relErr` band —
+    * the mergeability law itself, which is what licenses precomputing
+    * slice sketches at ingest; the band rather than bit-equality
+    * because HLL's sparse→dense promotion can transition at slightly
+    * different cardinalities for a union-built vs a directly-built
+    * sketch near the promotion boundary, a representation detail, not
+    * an estimator defect — r14 advice). Scale shape: the slice sketch table is
     * (ranges × slices)-sized with KB rows; the union agg moves
     * sketches, never keys. */
   def mergedDistinct(df: DataFrame, sliceCol: Column, rangeCol: Column,
@@ -40,7 +44,9 @@ object Sketches {
         when(abs(col("_est") - col("n_exact")).cast("double")
                <= col("n_exact").cast("double") * relErr, 1L)
           .otherwise(0L).as("est_ok"),
-        when(col("_est") === col("_direct"), 1L).otherwise(0L).as("merge_ok"))
+        when(abs(col("_est") - col("_direct")).cast("double")
+               <= greatest(col("n_exact").cast("double") * relErr, lit(2.0)), 1L)
+          .otherwise(0L).as("merge_ok"))
   }
 
   /** KLL quantile-sketch MERGE — the percentile sibling of
@@ -48,7 +54,10 @@ object Sketches {
     * (range, slice) at ingest, merged per range to answer any range's
     * quantiles without re-scanning values. The gate is the published
     * guarantee itself: for each probe probability p, the EXACT
-    * normalized rank of the merged sketch's returned quantile must sit
+    * normalized MID-rank of the merged sketch's returned quantile —
+    * (|v < q| + |v ≤ q|) / 2n, which stays well-defined under heavy
+    * ties where the plain ≤-rank of a legitimately-returned quantile
+    * can exceed any tolerance (r14 advice) — must sit
     * within `rankTol` of p. KLL's compaction is randomized, so the
     * flag uses the q_approx_distinct margin discipline — `rankTol` =
     * 0.10 ≈ 6× the k=200 sketch's 1.65% rank error, making a flag flip
@@ -68,16 +77,23 @@ object Sketches {
       .select(col("_range") +: probs.indices.map(i =>
         kll_sketch_get_quantile_double(col("_msk"), lit(probs(i)))
           .as(s"_q$i")): _*)
-    val rankAggs = count(lit(1)).as("n_rows") +: probs.indices.map(i =>
-      sum(when(col("_v") <= col(s"_q$i"), 1L).otherwise(0L)).as(s"_r$i"))
+    val rankAggs = count(lit(1)).as("n_rows") +: probs.indices.flatMap(i => Seq(
+      sum(when(col("_v") < col(s"_q$i"), 1L).otherwise(0L)).as(s"_lo$i"),
+      sum(when(col("_v") <= col(s"_q$i"), 1L).otherwise(0L)).as(s"_hi$i")))
+    // Two probs rounding to the same percent would collide on ok_q<p>;
+    // disambiguate with the probe index (r14 advice).
+    val rawNames = probs.map(p => s"ok_q${(p * 100).round}")
+    val okNames = rawNames.zipWithIndex.map { case (nm, i) =>
+      if (rawNames.count(_ == nm) > 1) s"${nm}_$i" else nm }
     base.join(broadcast(ests), Seq("_range"))
       .groupBy(col("_range"))
       .agg(rankAggs.head, rankAggs.tail: _*)
       .select(col("_range").as("range_key") +: col("n_rows") +:
         probs.zipWithIndex.map { case (p, i) =>
-          when(abs(col(s"_r$i").cast("double") / col("n_rows").cast("double")
-                     - p) <= rankTol, 1L)
-            .otherwise(0L).as(s"ok_q${(p * 100).round}")
+          when(abs((col(s"_lo$i") + col(s"_hi$i")).cast("double")
+                     / (lit(2.0) * col("n_rows").cast("double")) - p)
+                 <= rankTol, 1L)
+            .otherwise(0L).as(okNames(i))
         }: _*)
   }
 
@@ -98,7 +114,8 @@ object Sketches {
     * overcount slack, the margin discipline for the hash-collision
     * tail; fixed seed ⟹ the flag is stable run to run). */
   def cmsFrequencies(df: DataFrame, key: Column, eps: Double = 0.001,
-                     confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+                     confidence: Double = 0.99, seed: Int = 42,
+                     maxKeys: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val row = df.agg(
@@ -107,9 +124,20 @@ object Sketches {
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(row.getAs[Array[Byte]]("_sk"))
     val slack = math.ceil(2.0 * eps * row.getLong(1)).toLong
+    // The probe-key dictionary reaches the driver, so it must BE a
+    // dictionary: cap the collect at maxKeys + 1 rows (the limit bounds
+    // driver transfer regardless of key cardinality) and refuse loudly
+    // past the cap rather than silently OOM on a high-cardinality key
+    // (r14 advice). CMS itself stays fully distributed at any scale.
     val exact = df.groupBy(key.cast("string").as("key"))
       .agg(count(lit(1)).as("n_exact"))
+      .limit(maxKeys + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(exact.length <= maxKeys,
+      s"cmsFrequencies: probe key cardinality exceeds maxKeys=$maxKeys — " +
+        "pass an explicit dictionary-valued key (or raise maxKeys); " +
+        "deriving probes from a distinct over a high-cardinality fact " +
+        "column would collect an unbounded table to the driver")
     exact.toSeq.map { case (k, n) =>
       val est = cms.estimateCount(k)
       (k, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)

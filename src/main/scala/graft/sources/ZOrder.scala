@@ -109,6 +109,14 @@ object ZOrder {
   def zOrderCompare(df: DataFrame, aCol: String, bCol: String,
                     bits: Int, prefixBits: Int,
                     aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
+    // zBucketed permits prefixBits up to 2*bits (the interleaved curve
+    // has 2*bits of prefix to take), but THIS comparison's single-key
+    // arm buckets by shiftright(_aq, bits - prefixBits): a prefixBits
+    // above `bits` would be a negative shift count — JVM-masked into a
+    // huge shift and a silently garbage linear layout (r14 advice).
+    require(prefixBits <= bits,
+      s"zOrderCompare: prefixBits=$prefixBits exceeds per-key bits=$bits — " +
+        "the single-key layout arm is only defined for prefixBits <= bits")
     val zrows = zOrderSkipStats(df, aCol, bCol, bits, prefixBits, aLo, aHi, bLo, bHi)
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("scanned")).as("buckets_scanned"),

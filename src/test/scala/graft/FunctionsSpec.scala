@@ -729,6 +729,44 @@ class DedupSpec extends SparkSpec {
       s"pooled ranks must sit within 2% of the probes: $r")
   }
 
+  test("mergedQuantiles: mid-rank keeps the gate sound under heavy ties") {
+    import spark.implicits._
+    // 99% of the mass sits on ONE value: the sketch legitimately
+    // returns 7.0 for every probe p in (0.005, 0.995], and the plain
+    // <=-rank of 7.0 is ~0.995 — a correct answer the old gate flagged
+    // RED for p = 0.5. The mid-rank (|v<q| + |v<=q|) / 2n ≈ 0.5 sits
+    // exactly at the tie block's center, so the flag holds (r14 advice).
+    val df = (Seq.fill(990)(7.0) ++ Seq.fill(10)(100.0))
+      .map(v => (1, "m", v)).toDF("slice", "range", "v")
+    val r = graft.functions.Sketches.mergedQuantiles(df,
+      col("slice"), col("range"), col("v"), Seq(0.5), rankTol = 0.02).head()
+    assert(r.getLong(1) == 1000L)
+    assert(r.getLong(2) == 1L,
+      s"mid-rank of the tied median must sit at the block center: $r")
+  }
+
+  test("mergedQuantiles: probes rounding to the same percent get distinct flag names") {
+    import spark.implicits._
+    val df = (1 to 100).map(v => (1, "m", v.toDouble)).toDF("slice", "range", "v")
+    val out = graft.functions.Sketches.mergedQuantiles(df,
+      col("slice"), col("range"), col("v"), Seq(0.501, 0.502, 0.9))
+    assert(out.columns.toSeq == Seq("range_key", "n_rows", "ok_q50_0", "ok_q50_1", "ok_q90"),
+      s"colliding ok_q names must disambiguate by probe index: ${out.columns.mkString(",")}")
+    assert(out.columns.distinct.length == out.columns.length)
+  }
+
+  test("cmsFrequencies: refuses a high-cardinality probe key instead of collecting it") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => s"k$i").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 10)
+    }
+    assert(e.getMessage.contains("maxKeys"), e.getMessage)
+    // at or below the cap the API is unchanged
+    assert(graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 50)
+      .count() == 50L)
+  }
+
   test("thetaSetOps: planted overlap arithmetic, estimates exact at small cardinality") {
     import spark.implicits._
     // A = {1..6}, B = {4..9}: |A| = |B| = 6, |A∩B| = 3, |A∪B| = 9;

@@ -74,4 +74,17 @@ class ZOrderSpec extends SparkSpec {
       col("l_suppkey").between(10, 40)).count()
     assert(zRows >= truth && lRows >= truth)
   }
+
+  test("zOrderCompare: refuses prefixBits > bits, where the linear arm's shift is undefined") {
+    // zBucketed itself accepts prefixBits up to 2*bits (the curve has
+    // that much prefix), but the comparison's single-key arm shifts by
+    // bits - prefixBits — negative shift counts are JVM-masked into
+    // garbage buckets, so the API must refuse rather than mis-measure
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zOrderCompare(li, "l_partkey", "l_suppkey", 8, 9,
+        100L, 300L, 10L, 40L)
+    }
+    assert(e.getMessage.contains("prefixBits"), e.getMessage)
+  }
 }
