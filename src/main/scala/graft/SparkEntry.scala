@@ -213,6 +213,11 @@ object SparkEntry {
     // exact-substring dedup diagnostic: per-doc token positions covered
     // by 5-grams shared with other docs (merged spans, true union)
     "q_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), 5)),
+    // the APPLY to the q_dup_spans diagnostic: removes the covered
+    // spans and hash-certifies the rebuilt text; removed_tokens
+    // reconciles with q_dup_spans.covered_tokens per doc (spec-pinned)
+    "q_dup_spans_apply" -> ((s, d) =>
+      Dedup.duplicatedSpansApply(Tables.documents(s, d), 5)),
     // temporal 5-gram novelty per doc (first occurrence by arrival order)
     "q_ngram_novelty" -> ((s, d) => Dedup.gramNovelty(Tables.documents(s, d), 5)),
     // sequence-length distribution for packing/max-seq-len tuning
@@ -1758,6 +1763,35 @@ object SparkEntry {
            |       CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
            |         AS dup_token_frac
            |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin,
+    // same hot-gram CTE as q_dup_spans + the boilerplate_apply rebuild:
+    // the oracle reconstructs the identical cleaned string (1-based
+    // positions, k=5 offsets) and hashes it; a fully-covered doc
+    // coalesces to md5('') exactly as the Spark side does
+    "q_dup_spans_apply" ->
+      raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+           |kg AS (SELECT doc_id, CAST(unnest(range(1, n - 5 + 2)) AS BIGINT) AS pos, toks
+           |       FROM n WHERE n >= 5),
+           |g AS (SELECT doc_id, pos,
+           |             md5(array_to_string(toks[pos : pos + 4], ' ')) AS m
+           |      FROM kg),
+           |hot AS (SELECT m FROM (SELECT m, count(DISTINCT doc_id) AS df
+           |                       FROM g GROUP BY m) WHERE df >= 2),
+           |cov AS (SELECT DISTINCT g.doc_id, g.pos + off.o AS covpos
+           |        FROM g JOIN hot USING (m)
+           |        CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS o) off),
+           |t AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+           |             unnest(toks) AS tok
+           |      FROM b)
+           |SELECT t.doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) FILTER (WHERE c.covpos IS NULL) AS BIGINT) AS n_kept,
+           |       CAST(count(*) FILTER (WHERE c.covpos IS NOT NULL) AS BIGINT) AS removed_tokens,
+           |       md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+           |         FILTER (WHERE c.covpos IS NULL), '')) AS clean_md5
+           |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.covpos
+           |GROUP BY t.doc_id""".stripMargin,
     // same gram construction as q_dup_spans; ownership = min doc_id
     "q_ngram_novelty" ->
       raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -249,6 +249,59 @@ object Dedup {
           / col("n_tokens").cast("double")).as("dup_token_frac"))
   }
 
+  /** The span-dedup TRANSFORM itself (the APPLY to `duplicatedSpans`'
+    * diagnostic — Lee et al. 2022 remove the duplicated substrings,
+    * they don't just count them): per doc, drop every token position
+    * covered by a k-gram that appears in >= `minDf` distinct docs,
+    * rebuild the surviving tokens in position order, and emit the
+    * md5 of the cleaned text plus the kept/removed token ledger. The
+    * oracle rebuilds the identical string, so the transform is
+    * hash-certified, not just its statistics (the
+    * `TextAnalysis.boilerplateApply` discipline); a fully-covered doc
+    * keeps md5 of the empty string, and `removed_tokens` equals
+    * `duplicatedSpans.covered_tokens` exactly (both are the union
+    * length of the covered spans — spec-pinned), so the attrition
+    * ledger reconciles with the diagnostic by construction.
+    *
+    * Scale shape: same digest-keyed join as the diagnostic (md5
+    * shingles + ids/positions shuffle, never text until the per-doc
+    * ordered rebuild, the one place text is genuinely reassembled —
+    * doc-sized arrays); coverage expands each hot k-gram into k
+    * positions map-side (`sequence`) and dedups on (doc_id, pos). */
+  def duplicatedSpansApply(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame = {
+    val pg = posShingleRows(docs, k)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("m"))
+      .localCheckpoint()
+    val hot = pg.select(col("m"), col("doc_id")).distinct()
+      .groupBy(col("m")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("m"))
+    val covered = pg.join(hot, Seq("m"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("covpos"))
+      .distinct()
+    val t = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("tok"))
+    val kept = t
+      .join(covered, t("doc_id") === covered("doc_id") &&
+        t("pos") === covered("covpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)")))
+          .as("_md5"),
+        count(lit(1)).as("_n_kept"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("removed_tokens"),
+        coalesce(col("_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   /** Temporal n-gram novelty: per doc, the share of its DISTINCT
     * k-grams whose FIRST corpus occurrence (min doc_id = arrival
     * order) is this doc — the freshness diagnostic of an incremental

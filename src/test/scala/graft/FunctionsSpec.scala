@@ -1178,6 +1178,50 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (0L, 0L))
   }
 
+  test("duplicatedSpansApply: removes exactly the covered spans, hash-certified rebuild") {
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "a b c d e f x1 x2 x3 x4",  // shares tokens 1..6 with doc 2
+      2L -> "a b c d e f y1 y2 y3 y4",
+      3L -> "p q r s t u v w z0 z1",    // shares nothing -> untouched
+      4L -> "a b c d e f",              // FULLY covered -> md5('')
+      5L -> "too short")                // < k tokens -> untouched
+    val got = Dedup.duplicatedSpansApply(d, 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((10L, 4L, 6L, md5s("x1 x2 x3 x4"))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((10L, 4L, 6L, md5s("y1 y2 y3 y4"))), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((10L, 10L, 0L, md5s("p q r s t u v w z0 z1"))))
+    assert(got(4L) == ((6L, 0L, 6L, md5s(""))), s"fully covered: ${got(4L)}")
+    assert(got(5L) == ((2L, 2L, 0L, md5s("too short"))))
+  }
+
+  test("duplicatedSpansApply: attrition ledger reconciles with the duplicatedSpans diagnostic") {
+    // Both compute the union length of covered spans — the APPLY as
+    // dropped positions, the diagnostic as gaps-and-islands coverage —
+    // so removed_tokens == covered_tokens must hold doc-for-doc on a
+    // corpus with overlapping AND disjoint shared spans.
+    val d = docs(
+      1L -> "a b c d e m1 m2 m3 m4 m5 m6 p q r s t",
+      2L -> "a b c d e k1 k2 k3 k4",
+      3L -> "n1 n2 n3 n4 n5 n6 p q r s t",
+      4L -> "a b c d e f x1 x2 x3 x4",
+      5L -> "a b c d e f y1 y2 y3 y4",
+      6L -> "too short")
+    val diag = Dedup.duplicatedSpans(d, 5)
+      .select(col("doc_id"), col("covered_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apply = Dedup.duplicatedSpansApply(d, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(apply.keySet == diag.keySet)
+    apply.foreach { case (id, (nTok, nKept, removed)) =>
+      assert(removed == diag(id),
+        s"doc $id: removed_tokens $removed != diagnostic covered_tokens ${diag(id)}")
+      assert(nKept + removed == nTok)
+    }
+  }
+
   test("incrementalDedup equals the plain digest anti-join, bloom FPs included") {
     val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
       3L -> "eta theta iota", 4L -> "kappa lambda mu")
