@@ -563,7 +563,15 @@ object Dedup {
     // probe — shares ONE checkpointed shingling pass instead of each
     // re-paying the shingle shuffle.
     IndexMemo.of[DataFrame]("minhash_sigs", docs, (n, k)) {
-      val exploded = shingleRows(docs, n)
+      // Derived FROM the memoized posting rows, not a second
+      // shingleRows pass: min is idempotent under duplicates, so the
+      // Carter-Wegman mins over the DISTINCT (doc, shingle) set equal
+      // the multiset's exactly — and every LSH consumer needs the
+      // posting table anyway for its exact-Jaccard verify, so the
+      // corpus is tokenized/exploded ONCE for the whole family (r14:
+      // this was the dominant cold cost of the dedup/crossmodal
+      // suite). md5 now also hashes each distinct shingle once.
+      val exploded = shinglePostings(docs, n)
         .withColumn("m", md5(col("sh")))
         .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
         .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
@@ -1245,6 +1253,45 @@ object Dedup {
       i += steps
     }
     labels
+  }
+
+  /** Component MERGE — connected components' re-aggregation law, the
+    * CC analog of the sketch family's union-of-sketches ≡
+    * sketch-of-union: CC(E₁ ∪ E₂) can be computed from CC(E₁) and
+    * CC(E₂) alone by contracting each labeling to its clusters and
+    * running CC over the label-bridge graph (one edge per node present
+    * in both labelings, connecting its two cluster labels). Inputs and
+    * output use the `connectedComponents` contract: (id, label) with
+    * label = the component's minimum id.
+    *
+    * Why it matters at 100 TB: the bridge graph is CLUSTER-sized
+    * (≤ nodes-in-both-inputs edges between label nodes), orders of
+    * magnitude smaller than the raw edge sets, so unioning a new edge
+    * channel (a second modality, a new ingest batch's pair graph) costs
+    * a fixpoint over cluster labels instead of re-running pointer
+    * jumping over all raw edges. Label-node encoding 2·t vs 2·m+1
+    * keeps the two labelings' id spaces disjoint (ids must stay below
+    * 2⁶², true of any practical doc id). */
+  def mergeComponents(a: DataFrame, b: DataFrame): DataFrame = {
+    val ta = a.select(col("id"), col("label").as("_la"))
+    val tb = b.select(col("id"), col("label").as("_lb"))
+    val m = ta.join(tb, Seq("id"), "outer")
+    val bridge = m.filter(col("_la").isNotNull && col("_lb").isNotNull)
+      .select((col("_la") * 2).as("doc_a"), (col("_lb") * 2 + 1).as("doc_b"))
+      .distinct()
+    val comp = connectedComponents(bridge)
+      .select(col("id").as("_node"), col("label").as("_ck"))
+    // Every node keyed by one of its label-nodes (text arbitrarily
+    // preferred when in both — the bridge edge makes them equivalent);
+    // label-nodes absent from the bridge are their own component.
+    val keyed = m
+      .select(col("id"),
+        when(col("_la").isNotNull, col("_la") * 2)
+          .otherwise(col("_lb") * 2 + 1).as("_node"))
+      .join(comp, Seq("_node"), "left")
+      .select(col("id"), coalesce(col("_ck"), col("_node")).as("_ck"))
+    val minId = keyed.groupBy(col("_ck")).agg(min(col("id")).as("label"))
+    keyed.join(minId, Seq("_ck")).select(col("id"), col("label"))
   }
 
   /** Benchmark decontamination — the standard eval-overlap filter for a

@@ -306,25 +306,40 @@ object Multimodal {
     * pair-frame-slim; the union CC runs on edge-count-sized frames and
     * the corpus itself only anti-joins the loser ids — exactly
     * `dedupCorpus`'s cost plus the media banding pass. */
+  /** The media channel's CC labels, memoized on the (already-memoized)
+    * fingerprint pair frame — shared by `crossModalDedup`'s union
+    * closure and `crossModalSavings`' payload-only loser class. */
+  private def mediaComponents(mediaEdges: DataFrame): DataFrame =
+    graft.functions.IndexMemo("mcc", mediaEdges, ()) {
+      graft.functions.Dedup.connectedComponents(mediaEdges).localCheckpoint()
+    }
+
   def crossModalDedup(docs: DataFrame, media: DataFrame, n: Int, k: Int,
                       bands: Int, minJaccard: Double,
                       maxHamming: Int = 3): DataFrame = {
-    val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
-      .select(col("doc_a"), col("doc_b"))
     // The raw memoized pair frame, not fingerprintDedup: the exactness
     // flag is discarded here, so its pair-bounded payload digest scan
     // would be pure waste on this path.
     val mediaEdges = fingerprintPairs(media, maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // Union closure via the MERGE law (Dedup.mergeComponents): the
+    // per-channel fixpoints are the suite-shared memos (`componentsFor`
+    // — every text dedup-apply query — and `mediaComponents` — the
+    // savings ledger), and the union is a cluster-label-sized
+    // contraction, NOT a third pointer-jumping run over raw edges —
+    // at 100 TB adding a modality costs a fixpoint over cluster labels.
+    // Memoized on the union-EDGES plan (the `componentsFor`
+    // discipline): both memoized pair frames resolve to the same
+    // checkpointed instances in-session, so `sameResult` holds and
+    // `crossModalSavings` hits the same entry.
+    val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
     val edges = textEdges.union(mediaEdges)
-    // The union CC fixpoint is memoized on the EDGES plan (the
-    // `componentsFor` discipline): repeated applies in one session
-    // skip the label iteration entirely. Keying on the edges plan captures both
-    // corpora exactly (the memoized text/media pair frames resolve to
-    // the same checkpointed instances in-session, so `sameResult`
-    // holds), with no reliance on a hash of the media plan alone.
     val losers = graft.functions.IndexMemo("xcc", edges, ()) {
-        graft.functions.Dedup.connectedComponents(edges).localCheckpoint()
+        graft.functions.Dedup.mergeComponents(
+            graft.functions.Dedup.componentsFor(docs, n, k, bands, minJaccard),
+            mediaComponents(mediaEdges))
+          .localCheckpoint()
       }
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
@@ -357,22 +372,24 @@ object Multimodal {
                         bands: Int, minJaccard: Double,
                         maxHamming: Int = 3,
                         by: String = "source"): DataFrame = {
-    val textLosers = graft.functions.Dedup
+    val textCC = graft.functions.Dedup
       .componentsFor(docs, n, k, bands, minJaccard)
+    val textLosers = textCC
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"), lit(1L).as("_lt"))
     val mediaEdges = fingerprintPairs(media, maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val mediaLosers = graft.functions.IndexMemo("mcc", mediaEdges, ()) {
-        graft.functions.Dedup.connectedComponents(mediaEdges).localCheckpoint()
-      }
+    val mediaCC = mediaComponents(mediaEdges)
+    val mediaLosers = mediaCC
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"), lit(1L).as("_lm"))
+    // Same memo key (the union-edges plan) and same merge-law body as
+    // `crossModalDedup` — whichever runs first trains it.
     val textEdges = graft.functions.Dedup.dupPairs(docs, n, k, bands, minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val edges = textEdges.union(mediaEdges)
     val unionLosers = graft.functions.IndexMemo("xcc", edges, ()) {
-        graft.functions.Dedup.connectedComponents(edges).localCheckpoint()
+        graft.functions.Dedup.mergeComponents(textCC, mediaCC).localCheckpoint()
       }
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"), lit(1L).as("_lu"))

@@ -1222,6 +1222,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mergeComponents: the CC merge law — merge(CC(E1), CC(E2)) == CC(E1 ∪ E2)") {
+    // cross-channel chain {1,2}+{3,4} bridged by {2,3}; a channel-2-only
+    // cluster {5,6}; a channel-1-only cluster {7,8}; singletons absent
+    // from both labelings stay absent (the connectedComponents contract)
+    val e1 = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val e2 = Seq((2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    def lab(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = lab(Dedup.connectedComponents(e1.union(e2)))
+    val merged = lab(Dedup.mergeComponents(
+      Dedup.connectedComponents(e1), Dedup.connectedComponents(e2)))
+    assert(merged == direct, s"merge law broken: $merged vs $direct")
+    assert(direct == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // merging with an empty labeling is the identity
+    val empty = Dedup.connectedComponents(e1.filter(lit(false)))
+    assert(lab(Dedup.mergeComponents(Dedup.connectedComponents(e1), empty))
+      == lab(Dedup.connectedComponents(e1)))
+  }
+
   test("incrementalDedup equals the plain digest anti-join, bloom FPs included") {
     val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
       3L -> "eta theta iota", 4L -> "kappa lambda mu")
