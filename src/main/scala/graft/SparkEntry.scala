@@ -369,8 +369,10 @@ object SparkEntry {
     "q_candidate_stats" -> ((s, d) =>
       Dedup.candidateDiagnostics(Tables.documents(s, d), 3, 8, 4)),
     // --- similarity search ---
+    // memoized: shares the one brute-force corpus scan with
+    // q_ann_recall's ground-truth side (whichever runs first trains it)
     "q_ann_topk" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      Similarity.bruteForceTopKMemo(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10)),
     // greedy λ=1/2 MMR over each query's brute-force top-20 pool
     "q_mmr_rerank" -> ((s, d) =>

@@ -109,6 +109,22 @@ object Similarity {
         col("_t.neighbor_id").as("neighbor_id"), col("_t.cosine").as("cosine"))
   }
 
+  /** `bruteForceTopK`, memoized per (corpus plan, query predicate, k) —
+    * the brute-force ground truth is the one genuinely O(|Q|·N) pass of
+    * the ANN family, and at least two suite consumers need the SAME
+    * answer set (the gated `q_ann_topk` and the recall harness's truth
+    * side), so it is computed once per session and every method
+    * addition to the harness reuses it instead of re-scanning the
+    * corpus (r14 verdict #4). Keyed on the RAW embeddings plan + the
+    * predicate's canonical SQL + k, the same discipline as the trained
+    * index memos. */
+  def bruteForceTopKMemo(embeddings: DataFrame, queryPred: Column,
+                         k: Int): DataFrame =
+    graft.functions.IndexMemo("bf_truth", embeddings,
+      (org.apache.spark.sql.GraftSqlBridge.expression(queryPred).sql, k)) {
+      bruteForceTopK(embeddings, queryPred, k).localCheckpoint()
+    }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most SIMILAR candidates with a DIFFERENT label —
     * the "hardest" negatives a contrastive loss can be shown, the
@@ -1406,34 +1422,56 @@ object Similarity {
     import spark.implicits._
     // One QUANTIZED materialization of the embeddings feeds everything.
     val emb = quantized(embeddings).localCheckpoint()
-    // Score EVERY (query, candidate) pair ONCE. The brute-force ground
-    // truth needs the full query×corpus cross product anyway, so that
-    // pass doubles as a shared cosine store: each approximate method's
-    // candidate set is then generated as an ids-only bucket join and
-    // looks its cosines up here by id, instead of re-running its own
-    // DotI64 scoring + top-k plan (the r3 shape: three independent
-    // top-k plans, 23 exchanges / 36 codegen spans / ~6s for 3 rows).
-    // Truth membership is the only use of ranking here, so the ground
-    // truth comes from the bounded TopK AGGREGATE (|Q|·k rows through
-    // the exchange) rather than a window that would sort all |Q|·N
-    // scored pairs; the scored store itself stays unranked and serves
-    // every method's cosine lookups.
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
-    val scored = emb
-      .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dotQ("qv", "cv").cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint()
-    val truth = topKDesc(scored, k, "cosine")
-      .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
-      .localCheckpoint()
-    val allScored = scored.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        coalesce(col("is_truth"), lit(false)).as("is_truth"))
-    val nTruth = truth.count()
+    // The ground truth is the MEMOIZED brute-force pass (shared with
+    // the gated q_ann_topk — one O(|Q|·N) corpus scan per session, and
+    // its bounded TopK aggregate ships |Q|·k rows, never the scored
+    // cross product). r14: the harness no longer materializes a
+    // |Q|·N cosine store at all — truth membership is a broadcast
+    // |Q|·k lookup, and each method's candidate cosines are computed
+    // INLINE in the final aggregation job from the checkpointed
+    // quantized vectors (identical integer dot + IEEE ops ⟹ identical
+    // bits), so the old 10M-row checkpoint write and the
+    // 10M×10M hits join are gone.
+    // The independent training pipelines (ground truth, LSH bucketing,
+    // the four quantizer trainings) fan out CONCURRENTLY: each is a
+    // deterministic memoized index build whose cost at harness scale is
+    // job-scheduling gaps, not data (2k vectors), and IndexMemo's
+    // per-key compute locks exist precisely so distinct index builds
+    // proceed in parallel while racing builds of the SAME index
+    // serialize. Results are awaited before any use, so the emitted
+    // rows are bit-identical to the sequential order's.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All) = try {
+      val fTruth = Future {
+        val t = bruteForceTopKMemo(embeddings, queryPred, k)
+          .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
+          .localCheckpoint()
+        (t, t.count())
+      }
+      val fBuckets = Future { lshBucketsMulti(embeddings, bits, tables) }
+      val fPq = Future {
+        pqTopK(embeddings, queryPred, 5 * k, m = 2, ksub = 4, iters = 1)
+          .localCheckpoint()
+      }
+      val fRq = Future {
+        rqTopK(embeddings, queryPred, 5 * k, k1 = 4, k2 = 4, iters = 1)
+          .localCheckpoint()
+      }
+      val fIvfpq = Future {
+        ivfpqTopK(embeddings, queryPred, 5 * k, nCells = 4, nProbe = 2,
+            m = 2, ksub = 4, iters = 1)
+          .localCheckpoint()
+      }
+      val fSq8 = Future { sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint() }
+      val (t, n) = Await.result(fTruth, Duration.Inf)
+      (t, n, Await.result(fBuckets, Duration.Inf),
+        Await.result(fPq, Duration.Inf), Await.result(fRq, Duration.Inf),
+        Await.result(fIvfpq, Duration.Inf), Await.result(fSq8, Duration.Inf))
+    } finally pool.shutdown()
     val qIds = emb.filter(queryPred).select(col("vec_id"))
     // EVERY method pipeline below takes the RAW `embeddings` frame,
     // not the harness's quantized checkpoint: the trained-index memos
@@ -1452,7 +1490,6 @@ object Similarity {
     // of lshBucketsMulti reads planeSign plane indices 0..bits-1 —
     // exactly lshBuckets(bits)'s planes — so the single-table method
     // is a filter, not a second projection pass.
-    val buckets = lshBucketsMulti(embeddings, bits, tables) // memoized + checkpointed
     val t0 = buckets.filter(col("tbl") === 0).select(col("vec_id"), col("bucket"))
     // lsh: query bucket plus every Hamming-1 flip (lshTopK's probing).
     // Probe buckets are pairwise distinct and a candidate has exactly
@@ -1501,8 +1538,6 @@ object Similarity {
     // the SERVED operating point (q_pq_topk's m=2, ksub=4, iters=1):
     // the harness certifies the recall of the configuration the gated
     // queries actually run, and its training memo-shares with them.
-    val pqAll = pqTopK(embeddings, queryPred, 5 * k, m = 2, ksub = 4, iters = 1)
-      .localCheckpoint()
     val pqPairs = pqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     // pq_rerank: the harness's shared true-cosine scoring of the FULL
@@ -1511,8 +1546,6 @@ object Similarity {
     val pqRerankPairs = pqAll.select(col("query_id"), col("neighbor_id"))
     // rq: two-stage residual codebooks at q_rq_topk's served point
     // (k1 = k2 = 4, iters = 1), single-lookup ADC top-k.
-    val rqAll = rqTopK(embeddings, queryPred, 5 * k, k1 = 4, k2 = 4, iters = 1)
-      .localCheckpoint()
     val rqPairs = rqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val rqRerankPairs = rqAll.select(col("query_id"), col("neighbor_id"))
@@ -1522,9 +1555,6 @@ object Similarity {
     // head-to-head. The 5k ADC pool doubles as ivfpq_rerank's
     // candidate set (the shared true-cosine ranking below IS the
     // exact refine), mirroring pq / pq_rerank.
-    val ivfpqAll = ivfpqTopK(embeddings, queryPred, 5 * k, nCells = 4,
-        nProbe = 2, m = 2, ksub = 4, iters = 1)
-      .localCheckpoint()
     val ivfpqPairs = ivfpqAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val ivfpqRerankPairs = ivfpqAll.select(col("query_id"), col("neighbor_id"))
@@ -1532,7 +1562,6 @@ object Similarity {
     // top-k — the cheap rung of the compression ladder (one min/max
     // training pass vs the Lloyd loops above). The 5k code-space pool
     // doubles as sq8_rerank's candidate set, mirroring pq / pq_rerank.
-    val sq8All = sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint()
     val sq8Pairs = sq8All.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val sq8RerankPairs = sq8All.select(col("query_id"), col("neighbor_id"))
@@ -1548,14 +1577,34 @@ object Similarity {
       .unionByName(sq8Pairs.withColumn("method", lit("sq8")))
       .unionByName(sq8RerankPairs.withColumn("method", lit("sq8_rerank")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .localCheckpoint()
-    val wm = Window.partitionBy(col("method"), col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val hits = cand.join(allScored, Seq("query_id", "neighbor_id"))
-      .withColumn("rnk", row_number().over(wm))
-      .filter(col("rnk") <= k)
+    // ONE aggregation job scores and ranks every method's candidates:
+    // query vectors and the |Q|·k truth set broadcast, the corpus side
+    // joins by id (AQE broadcasts it at harness scale; a distributed
+    // hash join at corpus scale — never a cross product), cosines are
+    // computed map-side per candidate row, and the bounded TopK
+    // aggregate collapses each map task to <= k rows per
+    // (method, query) BEFORE the exchange — the same tie order
+    // (cosine DESC, id ASC) the rank window encoded, with is_truth
+    // carried as a non-ordering trailing field (ids are unique per
+    // method-query, so it never participates in comparisons).
+    val qv = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("qn"))
+    val cvs = emb
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cv"), col("nq").as("cn"))
+    val hits = cand
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cvs, Seq("neighbor_id"))
+      .withColumn("cosine",
+        dotQ("qv", "cv").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .groupBy(col("method"), col("query_id"))
+      .agg(graft.plans.TopK.top_k(
+        struct((-col("cosine")).as("_o"), col("neighbor_id"),
+          coalesce(col("is_truth"), lit(false)).as("is_truth")), k).as("_t"))
+      .select(col("method"), explode(col("_t")).as("_s"))
       .groupBy(col("method"))
-      .agg(sum(when(col("is_truth"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .agg(sum(when(col("_s.is_truth"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
