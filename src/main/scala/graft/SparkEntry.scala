@@ -1060,6 +1060,16 @@ object SparkEntry {
     "q_min_price_supplier" -> ((s, d) =>
       Relational.sql(s, d, Relational.minPriceSupplierSql,
         Seq("part", "lineitem", "supplier"))),
+    // FULL TPC-H Q2: 8-way join + correlated regional min over the
+    // derived partsupp surrogate, deterministic top-100
+    "q_tpch_q2" -> ((s, d) =>
+      Relational.sql(s, d, Relational.tpchQ2Sql,
+        Seq("part", "lineitem", "supplier", "nation", "region"))),
+    // FULL TPC-H Q20: nested IN-chain with a doubly-correlated scalar
+    // sum (official NULL semantics drop no-shipment pairs)
+    "q_tpch_q20" -> ((s, d) =>
+      Relational.sql(s, d, Relational.tpchQ20Sql,
+        Seq("part", "lineitem", "supplier", "nation", "region"))),
     // TPC-H Q12: conditional (CASE) counters after a fact-fact join
     "q_tpch_q12" -> ((s, d) =>
       Relational.priorityLineCounts(Tables.orders(s, d), Tables.lineitem(s, d),
@@ -3120,6 +3130,11 @@ object SparkEntry {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
     "q_min_price_supplier" -> Relational.minPriceSupplierSql,
+    // identical SQL text on both engines — the CTE-derived partsupp
+    // surrogate, the correlated min/sum, and the NULL-comparison
+    // semantics are all ANSI
+    "q_tpch_q2" -> Relational.tpchQ2Sql,
+    "q_tpch_q20" -> Relational.tpchQ20Sql,
     "q_tpch_q12" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

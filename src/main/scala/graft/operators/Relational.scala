@@ -502,6 +502,86 @@ object Relational {
       |                         FROM lineitem l2
       |                         WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** FULL TPC-H Q2 — minimum-cost supplier (8-way join + correlated
+    * min): part ⋈ supplier ⋈ partsupp ⋈ nation ⋈ region with the
+    * supply cost pinned to the region's per-part minimum by a
+    * correlated scalar subquery that itself joins partsupp ⋈ supplier
+    * ⋈ nation ⋈ region — the standard decorrelation stress test.
+    * Catalyst rewrites the correlated min into a partkey-grouped
+    * aggregate joined back on (partkey, cost); per-part re-execution
+    * never happens and no nested-loop join appears (PlanSpec-pinned).
+    * The testdata ships no partsupp table, so the CTE derives the
+    * canonical surrogate: one row per observed (part, supplier) pair
+    * with ps_supplycost = the pair's minimum lineitem price — a pure
+    * min SELECTION over stored doubles plus equality joins, so every
+    * engine picks identical rows (the minPriceSupplierSql discipline).
+    * Top-100 by the fully-deterministic TPC-H order (acctbal DESC,
+    * nation, supplier, part — unique per output row, all-ASCII
+    * strings, so the LIMIT boundary is engine-stable). */
+  val tpchQ2Sql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+      |       p_partkey, p_name, CAST(ps_supplycost AS DOUBLE) AS min_cost
+      |FROM part, supplier, partsupp, nation, region
+      |WHERE p_partkey = ps_partkey
+      |  AND s_suppkey = ps_suppkey
+      |  AND p_size = 25
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p_partkey
+      |      AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** FULL TPC-H Q20 — excess-stock suppliers (nested IN-chain):
+    * suppliers IN (pairs over parts IN (name-filtered parts) whose
+    * availqty exceeds the pair's shipped volume in the window — a
+    * correlated scalar sum with two equality correlations + a date
+    * range), then the nation/region join. Faithful to the official
+    * query's NULL semantics: a pair with NO window shipments makes the
+    * correlated sum NULL, the comparison UNKNOWN, and the pair drops —
+    * which is exactly what makes the predicate discriminate on this
+    * sparse corpus (17/20 region suppliers qualify at sf0.01, 169/202
+    * at sf0.1 — a broken threshold flips the hash RED). partsupp
+    * surrogate: ps_availqty is a deterministic integer hash of the
+    * pair keys ((7p + 11s) mod 20 — dbgen's availqty is likewise
+    * synthetic), exact integer arithmetic in any engine; the volume
+    * sum runs in DECIMAL (never FP-accumulated doubles). Catalyst
+    * decorrelates the scalar sum into a grouped aggregate + join and
+    * plans both IN memberships as hash semi joins (PlanSpec pins the
+    * absence of nested loops). */
+  val tpchQ20Sql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST((l_partkey * 7 + l_suppkey * 11) % 20 AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier, nation, region
+      |WHERE s_suppkey IN (
+      |    SELECT ps_suppkey FROM partsupp
+      |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+      |                         WHERE p_name LIKE 'red%')
+      |      AND CAST(ps_availqty AS DECIMAL(18,2)) >
+      |          (SELECT sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |           FROM lineitem
+      |           WHERE l_partkey = ps_partkey
+      |             AND l_suppkey = ps_suppkey
+      |             AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |             AND l_shipdate <  TIMESTAMP '1996-01-01'))
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'""".stripMargin
+
   /** TPC-H Q12 shape — shipping-priority line counts: conditional
     * aggregation AFTER a fact-fact join (l_returnflag stands in for
     * the schema's missing l_shipmode). One orderkey join shuffle with

@@ -153,6 +153,36 @@ class PlanSpec extends SparkSpec {
       s"correlated subquery must not plan as a nested loop:\n$p")
   }
 
+  test("full tpch q2: 8-way join + correlated regional min, no nested loops") {
+    // the correlated min (itself a 4-table join) must decorrelate into
+    // a partkey-grouped aggregate + equality join; every join is a
+    // hash/broadcast join; the top-100 plans as TakeOrderedAndProject
+    val df = Relational.sql(spark, sf, Relational.tpchQ2Sql,
+      Seq("part", "lineitem", "supplier", "nation", "region"))
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q2's correlated min must not plan as a nested loop:\n$p")
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("min("),
+      s"expected decorrelated min aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan bounded, not a global sort:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("full tpch q20: nested IN-chain plans as semi joins, no nested loops") {
+    // both IN memberships must compile to hash semi joins and the
+    // doubly-correlated scalar sum must decorrelate into a grouped
+    // aggregate — never a per-pair re-scan of lineitem
+    val df = Relational.sql(spark, sf, Relational.tpchQ20Sql,
+      Seq("part", "lineitem", "supplier", "nation", "region"))
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"expected semi-join IN plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q20's IN-chain must not plan as a nested loop:\n$p")
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("sum("),
+      s"expected decorrelated volume aggregate:\n$p")
+  }
+
   test("ref-integrity audit scans each child table ONCE for all its relations") {
     // the r13 fusion contract: lineitem is child to 3 dims, and the
     // audit must read it once (one fk projection through a left-join
