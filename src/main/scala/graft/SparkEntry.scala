@@ -891,6 +891,21 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, col("label") % 2 === 0)
     }),
+    // filtered search over the COMPRESSED indexes (r14): the same
+    // metadata predicate restricts the code-index scan before any
+    // ADC distance — the trained index is shared with the unfiltered
+    // siblings (search-time argument, not a training one)
+    "q_ann_filtered_ivfpq" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.ivfpqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
+        m = 2, ksub = 4, iters = 1, candPred = Some(col("label") % 2 === 0))
+    }),
+    "q_ann_filtered_sq8" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.sq8TopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, candPred = Some(col("label") % 2 === 0))
+    }),
     // product-quantization ANN: 2 subspace codebooks (fixed-point
     // k-means, 1 certified iteration), ADC top-k over the code index
     "q_pq_topk" -> ((s, d) => {
@@ -2660,6 +2675,16 @@ object SparkEntry {
       s"""$ivfpqBaseSql
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // the same IVFADC chain with the candidate predicate restricting
+    // the code side of the ADC join — filtered search, shared index
+    "q_ann_filtered_ivfpq" ->
+      s"""${ivfpqBaseSqlFor("label % 2 = 0")}
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    "q_ann_filtered_sq8" ->
+      s"""${sq8BaseSqlFor("label % 2 = 0")}
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
     // IVFADC + exact re-rank: the probed-ADC pool (50) refined by
     // exact quantized cosine — mirror of q_pq_rerank over the
     // cell-restricted index
@@ -3977,7 +4002,12 @@ object SparkEntry {
          |               ORDER BY adist, vec_id) AS rnk
          |      FROM dist)""".stripMargin
 
-  private lazy val ivfpqBaseSql =
+  /** The IVFADC chain with an optional candidate predicate: the filter
+    * restricts the code-index side of the ADC join (search-time
+    * filtered search), never the training CTEs — mirroring
+    * `Similarity.ivfpqTopK(candPred)` exactly. `"TRUE"` reduces to the
+    * unfiltered chain. */
+  private def ivfpqBaseSqlFor(candWhere: String) =
     s"""WITH n AS ($quantizedSql),
          |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
          |              unnest(q) + 1048576 AS x FROM n),
@@ -4051,11 +4081,14 @@ object SparkEntry {
          |         FROM codes JOIN adc ON codes.cell_id = adc.cell_id
          |           AND codes.s = adc.s AND codes.code = adc.code
          |         WHERE codes.vec_id <> adc.query_id
+         |           AND codes.vec_id IN (SELECT vec_id FROM n WHERE $candWhere)
          |         GROUP BY 1, 2),
          |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
          |             row_number() OVER (PARTITION BY query_id
          |               ORDER BY adist, vec_id) AS rnk
          |      FROM dist)""".stripMargin
+
+  private lazy val ivfpqBaseSql = ivfpqBaseSqlFor("TRUE")
 
   private lazy val pqBaseSql =
     s"""WITH n AS ($quantizedSql),
@@ -4101,7 +4134,9 @@ object SparkEntry {
     * mn)` — every operand non-negative, so DuckDB's flooring `//` and
     * Spark's truncating `div` coincide — then `|qc - cc|² = ncc_q +
     * ncc_c - 2·qc·cc` ranked (adist ASC, id ASC). */
-  private lazy val sq8BaseSql =
+  /** The SQ8 chain with an optional candidate predicate on the code
+    * scan — mirroring `Similarity.sq8TopK(candPred)`. */
+  private def sq8BaseSqlFor(candWhere: String) =
     s"""WITH n AS ($quantizedSql),
        |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
        |              unnest(q) AS x FROM n),
@@ -4118,6 +4153,7 @@ object SparkEntry {
        |dt AS (SELECT qd.query_id, cd.vec_id,
        |              CAST(sum(qd.qc * cd.c) AS BIGINT) AS dp
        |       FROM qd JOIN cd ON qd.d = cd.d AND cd.vec_id <> qd.query_id
+       |       WHERE cd.vec_id IN (SELECT vec_id FROM n WHERE $candWhere)
        |       GROUP BY 1, 2),
        |dist AS (SELECT dt.query_id, dt.vec_id,
        |                CAST(qn.ncc + nn.ncc - 2 * dt.dp AS BIGINT) AS adist
@@ -4128,6 +4164,8 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY adist, vec_id) AS rnk
        |      FROM dist)""".stripMargin
+
+  private lazy val sq8BaseSql = sq8BaseSqlFor("TRUE")
 
   private val quantizedSql =
     """SELECT vec_id, label,

@@ -922,14 +922,22 @@ object Similarity {
     * ranking is oracle-gateable. Scale shape = bruteForceTopK over the
     * COMPRESSED index: broadcast query codes against the code scan,
     * bounded TopK aggregate tail (|Q|·k rows through the exchange);
-    * the raw vectors are touched only by the (memoized) encoder. */
-  def sq8TopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    * the raw vectors are touched only by the (memoized) encoder.
+    * `candPred` = filtered search over the compressed index (the mode
+    * every vector store exposes): the predicate restricts the CODE
+    * SCAN via a semi join on the filtered corpus ids BEFORE any
+    * distance is computed — never post-filtering an unfiltered top-k,
+    * so the k survivors are the true top-k among matching rows. */
+  def sq8TopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              candPred: Option[Column] = None): DataFrame = {
     val e = ensureQuantized(embeddings)
     val codes = sq8CodeTable(e)
     val qIds = e.filter(queryPred).select(col("vec_id"))
     val q = codes.join(broadcast(qIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("c").as("qc"), col("ncc").as("qn"))
-    val cands = codes.select(col("vec_id").as("neighbor_id"),
+    val candCodes = candPred.fold(codes)(p =>
+      codes.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val cands = candCodes.select(col("vec_id").as("neighbor_id"),
       col("c").as("cc"), col("ncc").as("cn"))
     topKAsc(cands.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", col("qn") + col("cn") - lit(2L) * dotQ("qc", "cc"))
@@ -1104,7 +1112,7 @@ object Similarity {
     * exchange; the per-query top-k window runs over id-sized rows. */
   def ivfpqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                 nCells: Int, nProbe: Int, m: Int, ksub: Int,
-                iters: Int): DataFrame = {
+                iters: Int, candPred: Option[Column] = None): DataFrame = {
     require(iters >= 1, s"ivfpqTopK needs at least one iteration, got $iters")
     require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
@@ -1138,9 +1146,16 @@ object Similarity {
     val adc = qrd.join(broadcast(pc), Seq("s", "d"))
       .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
       .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
+    // Filtered search: the predicate restricts the CODE INDEX SCAN
+    // via a semi join on the filtered corpus ids BEFORE the ADC join —
+    // the trained index is untouched (candPred is a search-time
+    // argument, not a training one), and the k survivors are the true
+    // ADC top-k among matching rows, never a post-filtered slice.
+    val searchCodes = candPred.fold(codes)(p =>
+      codes.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // a candidate lives in exactly one cell, so a (query, candidate)
     // group holds exactly its m subspace entries — no dedup needed
-    topKAsc(codes.join(broadcast(adc), Seq("cell_id", "s", "code"))
+    topKAsc(searchCodes.join(broadcast(adc), Seq("cell_id", "s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))

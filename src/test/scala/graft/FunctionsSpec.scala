@@ -1456,6 +1456,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("filtered compressed search == full ADC ranking post-filtered to candidates") {
+    // candPred restricts the CODE SCAN with the SAME trained index, so
+    // the filtered top-k must equal re-ranking the unfiltered ADC
+    // ranking restricted to candidate ids — no candidate may be lost
+    // by filtering inside the scan, none may leak in past it.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val cand = col("label") % 2 === 0
+    val candIds = e.filter(cand).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val n = e.count().toInt
+    def postFiltered(full: org.apache.spark.sql.DataFrame, k: Int) = full
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter(t => candIds.contains(t._2))
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy(t => (t._3, t._2)).take(k).toSeq }
+      .toSet
+    val fIvfpq = Similarity.ivfpqTopK(e, pred, 5, 4, 2, 2, 4, 1, Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(fIvfpq == postFiltered(
+      Similarity.ivfpqTopK(e, pred, n, 4, 2, 2, 4, 1), 5),
+      "ivfpq filtered search diverges from the post-filtered full ranking")
+    val fSq8 = Similarity.sq8TopK(e, pred, 5, Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(fSq8 == postFiltered(Similarity.sq8TopK(e, pred, n), 5),
+      "sq8 filtered search diverges from the post-filtered full ranking")
+    assert(fIvfpq.nonEmpty && fSq8.nonEmpty)
+    assert(fIvfpq.forall(t => candIds.contains(t._2)))
+  }
+
   test("pqTrain encodes every vector with one code per subspace; duplicates agree") {
     val e = emb(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
