@@ -28,6 +28,15 @@ object Bench {
     // from a quiesced one.
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Record-only hygiene self-label (r14 verdict #8): a bench taken on
+    // a hot machine announces itself IN the artifact — the reader never
+    // has to cross-reference uptime logs to discount a noisy run. No
+    // refusal: the driver's run must still complete.
+    val hotStart = loadavg > 2.0
+    if (hotStart)
+      System.err.println(f"[bench] WARNING: loadavg_start $loadavg%.2f > 2 — " +
+        "machine not quiesced; timings are upper bounds (see BASELINE.md " +
+        "bench-comparison discipline)")
 
     // Same footer-only drift guard as Verify: a regenerated input
     // announces itself as named stderr lines (and a count in the output
@@ -133,7 +142,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"hot_start":$hotStart,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different
@@ -146,7 +155,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
