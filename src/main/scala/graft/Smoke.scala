@@ -226,7 +226,15 @@ object Smoke {
     def dirs(s: String) = new java.io.File(s"$store/$s").listFiles()
       .map(_.getName).count(_.startsWith("batch="))
     val dirsBefore = dirs("fp")
-    graft.streaming.StoreCompaction.compactMediaStore(spark, store)
+    // generation-count trigger (r14): three landed generations trip the
+    // every=3 threshold; an under-threshold store must be left alone
+    require(!graft.streaming.StoreCompaction
+        .compactMediaStoreEvery(spark, store, every = dirsBefore + 1),
+      "trigger must no-op below its generation threshold")
+    require(dirs("fp") == dirsBefore, "a no-op trigger must not touch the store")
+    require(graft.streaming.StoreCompaction
+        .compactMediaStoreEvery(spark, store, every = 3),
+      s"$dirsBefore landed generations must trip the every=3 trigger")
     val dirsAfter = dirs("fp")
     require(dirsAfter < dirsBefore,
       s"compaction must consolidate generations (fp dirs $dirsBefore -> $dirsAfter)")

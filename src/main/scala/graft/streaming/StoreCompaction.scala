@@ -74,6 +74,32 @@ object StoreCompaction {
         .agg(max(struct(col("batch"), col("code"))).as("_m"))
         .select(col("vec_id"), col("s"), col("_m.code").as("code")))
 
+  /** Generation-count triggers (r14): compact when the store has
+    * accumulated >= `every` visible generations, else no-op — the knob
+    * an ingest driver calls BETWEEN micro-batches (the store is
+    * single-writer, and between foreachBatch invocations nothing else
+    * writes), so the small-files tail is bounded at `every` dirs
+    * without a separate maintenance scheduler. Returns whether a
+    * compaction ran. `every` >= 3: below that there is only the
+    * frontier + one committed generation, and compactDir would no-op
+    * anyway. */
+  def compactNearDupStoreEvery(spark: SparkSession, corpusDir: String,
+                               every: Int): Boolean = {
+    require(every >= 3, s"generation trigger needs every >= 3, got $every")
+    val due = landed(spark, s"$corpusDir/sigs").size >= every
+    if (due) compactNearDupStore(spark, corpusDir)
+    due
+  }
+
+  /** Media-store sibling of `compactNearDupStoreEvery`. */
+  def compactMediaStoreEvery(spark: SparkSession, corpusDir: String,
+                             every: Int): Boolean = {
+    require(every >= 3, s"generation trigger needs every >= 3, got $every")
+    val due = landed(spark, s"$corpusDir/media").size >= every
+    if (due) compactMediaStore(spark, corpusDir)
+    due
+  }
+
   /** Landed batch ids under `store` (visible `batch=` dirs only). */
   private def landed(spark: SparkSession, store: String): Seq[Long] = {
     val p = new Path(store)

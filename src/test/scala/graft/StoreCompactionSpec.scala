@@ -61,6 +61,50 @@ class StoreCompactionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ingest(1L, 99L -> fresh) }
   }
 
+  test("compaction interleaves mid-stream: the resumed checkpoint probes the compacted index") {
+    // ONE checkpointed streaming query lands three micro-batch waves;
+    // the stream pauses (single-writer window between micro-batches),
+    // the generation-count trigger compacts; the SAME checkpoint then
+    // resumes and the next micro-batch must (a) clear the frontier
+    // guard — batch ids continue past the untouched frontier dir —
+    // and (b) probe-reject a near-dup of a doc whose rows now live
+    // only in the consolidated generation.
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_live")
+    val landing = base.toString + "/landing"
+    val store = base.toString + "/store"
+    val ck = base.toString + "/ck"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def wave(rows: (Long, String)*): Unit = rows.toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+    def stream() = StreamingNearDupIngest.start(
+      spark.readStream.schema(schema).parquet(landing), store, ck)
+    def docIds = StreamingNearDupIngest.corpus(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    wave(1L -> near1, 3L -> other)
+    val q1 = stream(); q1.processAllAvailable()
+    wave(11L -> fresh); q1.processAllAvailable()
+    wave(21L -> "yet more wholly disjoint prose about live compaction windows")
+    q1.processAllAvailable(); q1.stop()
+    assert(batchDirs(s"$store/sigs") == Seq("batch=0", "batch=1", "batch=2"))
+    val idsBefore = docIds
+    // under threshold -> no-op; at threshold -> compacts
+    assert(!StoreCompaction.compactNearDupStoreEvery(spark, store, 4))
+    assert(batchDirs(s"$store/sigs") == Seq("batch=0", "batch=1", "batch=2"))
+    assert(StoreCompaction.compactNearDupStoreEvery(spark, store, 3))
+    assert(batchDirs(s"$store/sigs") == Seq("batch=1", "batch=2"))
+    assert(StreamingNearDupIngest.maxLandedBatch(store) == 2L)
+    assert(docIds == idsBefore)
+    // resume the SAME checkpoint over the compacted store: the next
+    // micro-batch id (3) clears the untouched frontier (2), the
+    // near-dup of compacted doc 1 is probe-rejected, fresh lands
+    wave(30L -> near2, 31L -> "brand new words that match nothing previously landed")
+    val q2 = stream(); q2.processAllAvailable(); q2.stop()
+    assert(docIds == idsBefore :+ 31L,
+      s"resumed stream must reject the near-dup of a compacted doc: $docIds")
+  }
+
   test("compaction recovery: a crashed swap is rolled back, then compacts cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
     def ingest(id: Long, rows: (Long, String)*): Unit =
