@@ -336,9 +336,25 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"))
     val edges = textEdges.union(mediaEdges)
     val losers = graft.functions.IndexMemo("xcc", edges, ()) {
-        graft.functions.Dedup.mergeComponents(
-            graft.functions.Dedup.componentsFor(docs, n, k, bands, minJaccard),
-            mediaComponents(mediaEdges))
+        // The two channel labelings are independent until the merge —
+        // build them CONCURRENTLY (the annRecall discipline: each is a
+        // deterministic memoized fixpoint; IndexMemo's per-key locks
+        // let distinct index builds proceed in parallel while racing
+        // builds of the same one serialize once). Results awaited
+        // before the merge, so the labeling is order-independent.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val (textCC, mediaCC) = try {
+          val ft = Future {
+            graft.functions.Dedup.componentsFor(docs, n, k, bands, minJaccard)
+          }
+          val fm = Future { mediaComponents(mediaEdges) }
+          (Await.result(ft, Duration.Inf), Await.result(fm, Duration.Inf))
+        } finally pool.shutdown()
+        graft.functions.Dedup.mergeComponents(textCC, mediaCC)
           .localCheckpoint()
       }
       .filter(col("label") < col("id"))
