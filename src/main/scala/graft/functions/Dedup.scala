@@ -1128,10 +1128,16 @@ object Dedup {
         .select(lit(method).as("method"), lit(nDocs).as("n_docs"),
           lit(capV).as("cap"), col("n_candidates"))
     // minhash: banded signature self-join under the hot-bucket cap
-    // (pre-Jaccard-verify) — the minhashLshPairs blocking
+    // (pre-Jaccard-verify) — the minhashLshPairs blocking. The
+    // signature table takes the RAW docs frame, NOT the local
+    // checkpoint `d`: the training memo keys on the input PLAN, and
+    // only the raw plan `sameResult`s with what the dedup-apply /
+    // crossmodal / LSH queries pass — through `d` this diagnostic
+    // trained a second unshared signature index per suite (the r13
+    // annRecall bug shape, found r14).
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(nDocs)
     val mBanded = bandedColdKeys(
-      bandKeysOf(minhashSignatures(d, n, k), k, bands), bCap,
+      bandKeysOf(minhashSignatures(docs, n, k), k, bands), bCap,
       "candidateDiagnostics")
     val mPairs = mBanded.as("x").join(mBanded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
