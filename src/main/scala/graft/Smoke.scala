@@ -22,6 +22,7 @@ object Smoke {
     else if (args.headOption.contains("ingest")) ingestProbe(spark)
     else if (args.headOption.contains("quality")) qualityIngestProbe(spark)
     else if (args.headOption.contains("media")) mediaIngestProbe(spark)
+    else if (args.headOption.contains("cluster")) clusterIngestProbe(spark)
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -253,6 +254,49 @@ object Smoke {
     require(nAfter == n + 1,
       "re-landed wave-1 payloads must probe-reject against the compacted index; " +
         "only the one new payload lands")
+  }
+
+  /** Drive the streaming cluster-label maintenance end to end (`Smoke
+    * cluster`): ONE file-source stream through
+    * `StreamingClusterIngest.start`, two waves (the second re-lands
+    * half of wave one under new ids — every copy must LAND and get
+    * labeled into its original's cluster), then check the incremental
+    * labeling against the one-shot `connectedComponents(dupPairs(all))`
+    * — the merge-law recurrence, live. */
+  private def clusterIngestProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingClusterIngest
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_cluster_probe")
+    val landing = base.toString + "/landing"
+    val store = base.toString + "/store"
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(landing)
+    val q = StreamingClusterIngest.start(
+      spark.readStream.schema(docs.select("doc_id", "text").schema).parquet(landing),
+      store, base.toString + "/ck")
+    q.processAllAvailable()
+    val wave1Clustered = StreamingClusterIngest.labels(spark, store).count()
+    // wave 2: ids 0..124 re-landed under +10000 ids — every copy lands
+    // AND joins its original's cluster
+    docs.filter(col("doc_id") < 125).withColumn("doc_id", col("doc_id") + 10000)
+      .coalesce(1).write.mode("append").parquet(landing)
+    q.processAllAvailable(); q.stop()
+    val landed = StreamingClusterIngest.corpus(spark, store).count()
+    val labels = StreamingClusterIngest.labels(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.functions.Dedup.connectedComponents(
+        graft.functions.Dedup.dupPairs(
+          StreamingClusterIngest.corpus(spark, store), 3, 8, 4, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"CLUSTER_WAVE1_CLUSTERED=$wave1Clustered CLUSTER_LANDED=$landed " +
+      s"CLUSTER_LABELED=${labels.size} ONE_SHOT=${oneShot.size} " +
+      s"MATCH=${labels == oneShot}")
+    require(landed == 375L, s"every arrival must land, got $landed")
+    require(labels == oneShot,
+      "incremental labeling must equal the one-shot closure over the landed corpus")
+    require((0 until 125).forall(i => labels.get(10000L + i).contains(labels.getOrElse(i.toLong, i.toLong))),
+      "each re-landed copy must label into its original's cluster")
   }
 
   private def ingestProbe(spark: SparkSession): Unit = {

@@ -282,6 +282,24 @@ object SparkEntry {
       graft.functions.Sampling.bottomKPerStratum(
         Tables.documents(s, d), "doc_id", "lang", 20)
         .select("doc_id", "lang", "n_chars")),
+    // INCREMENTAL connected components via the merge law (r14): the
+    // dup-pair graph splits into a "first ingest" slice (both
+    // endpoints even ids) and "the rest" (the later batch's internal +
+    // cross edges); each slice gets its own fixpoint and
+    // Dedup.mergeComponents contracts them — the output labeling must
+    // hash-equal the ONE-SHOT closure over all edges (the oracle), so
+    // the law that makes batch-incremental cluster maintenance legal
+    // at 100 TB is driver-gated on real corpus data, not just
+    // spec-planted graphs. Rides the suite-shared dupPairs memo.
+    "q_cc_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val pairs = Dedup.dupPairs(Tables.documents(s, d), 3, 8, 4, 0.5)
+      val firstSlice = col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0
+      Dedup.mergeComponents(
+          Dedup.connectedComponents(pairs.filter(firstSlice)),
+          Dedup.connectedComponents(pairs.filter(!firstSlice)))
+        .select(col("id"), col("label"))
+    }),
     "q_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), 3, 8, 4, 0.5)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -2834,6 +2852,12 @@ object SparkEntry {
          |       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid,
          |       count(*) AS n
          |FROM e GROUP BY label, d""".stripMargin,
+    // the one-shot closure — the engine computes the SAME labeling
+    // incrementally (two per-slice fixpoints + the merge contraction),
+    // so a hash match certifies the merge law on the real dup graph
+    "q_cc_incremental" ->
+      s"""$dedupCorpusBaseSql
+         |SELECT id, label FROM reach""".stripMargin,
     "q_dedup_corpus" ->
       s"""$dedupCorpusBaseSql,
          |losers AS (SELECT id AS doc_id FROM reach WHERE label < id)

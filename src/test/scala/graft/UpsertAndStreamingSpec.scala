@@ -270,6 +270,49 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(20L, 21L, 31L))
   }
 
+  test("streaming cluster maintenance: incremental labels == one-shot CC, replay-idempotent") {
+    import spark.implicits._
+    import graft.streaming.StreamingClusterIngest
+    import graft.functions.Dedup
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val near3 = "the quick brown fox jumps over the lazy dog again and thrice"
+    val other = "completely different content with no shared shingles at all here"
+    val fresh = "some entirely new material about streaming cluster label stores"
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_ingest").toString
+    def batchDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingClusterIngest.ingestBatch(batchDf(rows: _*), dir, id, 3, 8, 4, 0.5)
+    def labelMap = StreamingClusterIngest.labels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wave 0: 1~2 near-dups (internal edge), 3 unrelated, 4 shingle-less
+    ingest(0L, 1L -> near1, 2L -> near2, 3L -> other, 4L -> "tiny")
+    assert(labelMap == Map(1L -> 1L, 2L -> 1L), s"wave0: $labelMap")
+    // wave 1: 10 near-dups the LANDED 2 (cross probe edge -> joins
+    // cluster 1), 11 fresh, 14 an exact copy of the shingle-less 4
+    // (only the digest channel can see it)
+    ingest(1L, 10L -> near3, 11L -> fresh, 14L -> "tiny")
+    assert(labelMap == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 4L -> 4L, 14L -> 4L),
+      s"wave1: $labelMap")
+    // wave 2: 20 bridges cluster 1 again; 21 dups 11 exactly
+    ingest(2L, 20L -> near1, 21L -> fresh)
+    val incr = labelMap
+    // one-shot CC over the union corpus must agree label-for-label
+    val all = batchDf(1L -> near1, 2L -> near2, 3L -> other, 4L -> "tiny",
+      10L -> near3, 11L -> fresh, 14L -> "tiny", 20L -> near1, 21L -> fresh)
+    val oneShot = Dedup.connectedComponents(Dedup.dupPairs(all, 3, 8, 4, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == oneShot,
+      s"incremental labeling diverged from the one-shot closure: $incr vs $oneShot")
+    // at-least-once replay of wave 2 rewrites its own generation
+    ingest(2L, 20L -> near1, 21L -> fresh)
+    assert(labelMap == incr)
+    // fresh-checkpoint id reset refused
+    intercept[IllegalArgumentException] { ingest(0L, 99L -> fresh) }
+    // every arrival landed (clusters label, never drop)
+    assert(StreamingClusterIngest.corpus(spark, dir).count() == 9L)
+  }
+
   test("near-dup ingest refuses a legacy store missing post/; backfill repairs it") {
     import spark.implicits._
     import graft.streaming.StreamingNearDupIngest
