@@ -218,6 +218,10 @@ object SparkEntry {
     // reconciles with q_dup_spans.covered_tokens per doc (spec-pinned)
     "q_dup_spans_apply" -> ((s, d) =>
       Dedup.duplicatedSpansApply(Tables.documents(s, d), 5)),
+    // per-source governance rollup of the span APPLY (one aggregation
+    // over the same per-doc frame — no second corpus scan)
+    "q_dup_spans_savings" -> ((s, d) =>
+      Dedup.duplicatedSpansAttrition(Tables.documents(s, d), 5)),
     // temporal 5-gram novelty per doc (first occurrence by arrival order)
     "q_ngram_novelty" -> ((s, d) => Dedup.gramNovelty(Tables.documents(s, d), 5)),
     // sequence-length distribution for packing/max-seq-len tuning
@@ -1837,6 +1841,39 @@ object SparkEntry {
            |         FILTER (WHERE c.covpos IS NULL), '')) AS clean_md5
            |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.covpos
            |GROUP BY t.doc_id""".stripMargin,
+    // the per-source rollup of the SAME apply computation: per-doc
+    // kept/removed counts re-derived, then one grouped ledger
+    "q_dup_spans_savings" ->
+      raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM b),
+           |kg AS (SELECT doc_id, CAST(unnest(range(1, n - 5 + 2)) AS BIGINT) AS pos, toks
+           |       FROM n WHERE n >= 5),
+           |g AS (SELECT doc_id, pos,
+           |             md5(array_to_string(toks[pos : pos + 4], ' ')) AS m
+           |      FROM kg),
+           |hot AS (SELECT m FROM (SELECT m, count(DISTINCT doc_id) AS df
+           |                       FROM g GROUP BY m) WHERE df >= 2),
+           |cov AS (SELECT DISTINCT g.doc_id, g.pos + off.o AS covpos
+           |        FROM g JOIN hot USING (m)
+           |        CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS o) off),
+           |t AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+           |      FROM b),
+           |a AS (SELECT t.doc_id,
+           |             CAST(count(*) AS BIGINT) AS n_tokens,
+           |             CAST(count(*) FILTER (WHERE c.covpos IS NULL) AS BIGINT) AS n_kept,
+           |             CAST(count(*) FILTER (WHERE c.covpos IS NOT NULL) AS BIGINT) AS removed
+           |      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.covpos
+           |      GROUP BY t.doc_id)
+           |SELECT d.source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN a.removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+           |       CAST(sum(a.n_tokens) AS BIGINT) AS tokens_in,
+           |       CAST(sum(a.n_kept) AS BIGINT) AS tokens_kept,
+           |       CAST(sum(a.removed) AS BIGINT) AS tokens_removed,
+           |       CAST(sum(a.n_kept) AS DOUBLE) / CAST(sum(a.n_tokens) AS DOUBLE) AS keep_ratio
+           |FROM a JOIN documents d USING (doc_id)
+           |GROUP BY d.source""".stripMargin,
     // same gram construction as q_dup_spans; ownership = min doc_id
     "q_ngram_novelty" ->
       raw"""WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

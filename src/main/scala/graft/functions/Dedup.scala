@@ -302,6 +302,26 @@ object Dedup {
         coalesce(col("_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Per-`by`-group governance ledger for the span-dedup APPLY — the
+    * `dedupAttrition` of the substring family: docs touched, tokens
+    * in/kept/removed and the keep ratio per group, aggregated from the
+    * SAME per-doc apply frame the hash-certified transform emits (so
+    * the ledger reconciles with `duplicatedSpansApply` by construction
+    * — one rollup, no second corpus scan). */
+  def duplicatedSpansAttrition(docs: DataFrame, k: Int, minDf: Int = 2,
+                               by: String = "source"): DataFrame =
+    duplicatedSpansApply(docs, k, minDf)
+      .join(docs.select(col("doc_id"), col(by)), Seq("doc_id"))
+      .groupBy(col(by))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("removed_tokens") > 0).cast("long")).as("docs_touched"),
+        sum(col("n_tokens")).as("tokens_in"),
+        sum(col("n_kept")).as("tokens_kept"),
+        sum(col("removed_tokens")).as("tokens_removed"),
+        (sum(col("n_kept")).cast("double") /
+          sum(col("n_tokens")).cast("double")).as("keep_ratio"))
+
   /** Temporal n-gram novelty: per doc, the share of its DISTINCT
     * k-grams whose FIRST corpus occurrence (min doc_id = arrival
     * order) is this doc — the freshness diagnostic of an incremental

@@ -360,6 +360,43 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupAttrition(emptyDocsN, 3, 8, 4, 0.5, "source").count() == 0)
   }
 
+  test("round-14 operators on empty and degenerate inputs") {
+    import graft.functions.{Dedup, Similarity}
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // span APPLY: empty corpus -> empty; a dup-free corpus keeps every
+    // doc verbatim (md5 of its own normalized text, removed = 0)
+    assert(Dedup.duplicatedSpansApply(emptyDocs, 5).count() == 0)
+    val loners = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "wholly unrelated words appear exactly once here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.duplicatedSpansApply(loners, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(kept == Map(1L -> ((6L, 0L)), 2L -> ((7L, 0L))), s"$kept")
+    val emptyDocsS = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.duplicatedSpansAttrition(emptyDocsS, 5).count() == 0)
+    // mergeComponents: two empty labelings -> empty union
+    val noEdges = emptyDocs.select(col("doc_id").as("doc_a"),
+      col("doc_id").as("doc_b"))
+    val emptyCC = Dedup.connectedComponents(noEdges)
+    assert(Dedup.mergeComponents(emptyCC, emptyCC).count() == 0)
+    // filtered compressed search: a predicate matching NOTHING must
+    // return zero rows (never fall back to unfiltered), matching rows
+    // flow through
+    val emb = Seq((0L, 0L, Array(1f, 0f)), (1L, 1L, Array(0.9f, 0.1f)),
+      (2L, 0L, Array(0f, 1f)), (3L, 1L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.sq8TopK(emb, col("vec_id") === 0, 3,
+      Some(lit(false))).count() == 0)
+    val onlyOdd = Similarity.sq8TopK(emb, col("vec_id") === 0, 3,
+        Some(col("label") === 1))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(onlyOdd == Set(1L, 3L), s"$onlyOdd")
+    assert(Similarity.ivfpqTopK(emb, col("vec_id") === 0, 3, 2, 1, 2, 2, 1,
+      Some(lit(false))).count() == 0)
+  }
+
   test("temporal operators on empty inputs") {
     assert(Temporal.runningDailySpend(emptyTx).count() == 0)
     // Spark emits NO rows for CUBE over empty input (the () grouping
