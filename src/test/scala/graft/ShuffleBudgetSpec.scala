@@ -140,6 +140,33 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // broadcasts the tiny side at
                                       // runtime) + the 2-stage
                                       // distinct-cluster count
+    "q_dup_spans_apply" -> 4,         // df count over digests + covered
+                                      // distinct + kept rebuild agg +
+                                      // the final doc join — digests/
+                                      // ids/positions only, text
+                                      // reassembles once per doc
+    "q_dup_spans_savings" -> 5,       // the apply's 4 + one per-source
+                                      // rollup over the per-doc frame
+    "q_cc_incremental" -> 10,         // two slice fixpoints + the
+                                      // bridge fixpoint checkpoint
+                                      // eagerly; the emitted plan is
+                                      // the merge contraction (outer
+                                      // join + min-id agg + map-back),
+                                      // every frame dup-cluster-sized
+    "q_tpch_q2" -> 5,                 // partsupp derivation agg + the
+                                      // decorrelated regional-min agg
+                                      // + their equality join; dims
+                                      // broadcast, top-100 bounded
+    "q_tpch_q20" -> 1,                // ONE partsupp/volume shuffle:
+                                      // the decorrelated correlated
+                                      // sum folds into the derivation
+                                      // agg; both IN memberships and
+                                      // the dims broadcast
+    "q_ann_filtered_ivfpq" -> 4,      // training checkpoints eagerly;
+                                      // probe/ADC aggs + the filtered
+                                      // code-scan semi join + top-k
+    "q_ann_filtered_sq8" -> 1,        // code scan semi-filtered map-
+                                      // side; one bounded top-k agg
     "q_table_checksum" -> 1,          // map-side lane partials, one scalar
                                       // per partition crosses the wire
     "q_checksum_groups" -> 1,         // one group-key agg exchange
