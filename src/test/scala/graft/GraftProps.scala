@@ -527,4 +527,25 @@ object GraftProps extends Properties("graft") {
       Prop(ok) :| "every z must round-trip to its (a, b)"
     }
   }
+
+  property("CC merge law holds on random graphs: merge(CC(E1),CC(E2)) == CC(E1 ∪ E2)") = {
+    // Small node universe forces chains that CROSS the two edge sets
+    // (the regime the contraction must get right), plus nodes present
+    // in only one labeling and isolated nodes absent from both.
+    val genEdge = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
+      .suchThat { case (a, b) => a != b }
+    val genEdges = Gen.listOf(genEdge)
+    forAll(genEdges, genEdges) { (e1, e2) =>
+      import graft.functions.Dedup
+      val d1 = e1.toDF("doc_a", "doc_b")
+      val d2 = e2.toDF("doc_a", "doc_b")
+      val merged = Dedup.mergeComponents(
+          Dedup.connectedComponents(d1), Dedup.connectedComponents(d2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = Dedup.connectedComponents(d1.unionByName(d2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(merged == direct) :|
+        s"merge law broken: merged=$merged direct=$direct e1=$e1 e2=$e2"
+    }
+  }
 }
