@@ -100,6 +100,16 @@ object StoreCompaction {
     due
   }
 
+  /** ANN-code-index sibling — the latest-generation reduction still
+    * applies during the consolidation (see `compactAnnIndex`). */
+  def compactAnnIndexEvery(spark: SparkSession, indexDir: String,
+                           every: Int): Boolean = {
+    require(every >= 3, s"generation trigger needs every >= 3, got $every")
+    val due = landed(spark, s"$indexDir/codes").size >= every
+    if (due) compactAnnIndex(spark, indexDir)
+    due
+  }
+
   /** Landed batch ids under `store` (visible `batch=` dirs only). */
   private def landed(spark: SparkSession, store: String): Seq[Long] = {
     val p = new Path(store)

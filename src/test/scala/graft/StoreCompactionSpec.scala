@@ -180,7 +180,11 @@ class StoreCompactionSpec extends SparkSpec {
     def index = StreamingAnnIngest.codeIndex(spark, ix)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
     val before = index
-    StoreCompaction.compactAnnIndex(spark, ix)
+    // generation-count trigger: no-op below its threshold, compacts at it
+    val gens = batchDirs(s"$ix/codes").size
+    assert(!StoreCompaction.compactAnnIndexEvery(spark, ix, gens + 1))
+    assert(batchDirs(s"$ix/codes").size == gens, "a no-op trigger must not touch the store")
+    assert(StoreCompaction.compactAnnIndexEvery(spark, ix, gens))
     assert(batchDirs(s"$ix/codes") == Seq("batch=2", "batch=3"))
     assert(index == before,
       "compaction must preserve the latest-generation-per-key reduction")
