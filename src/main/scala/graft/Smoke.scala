@@ -23,6 +23,8 @@ object Smoke {
     else if (args.headOption.contains("quality")) qualityIngestProbe(spark)
     else if (args.headOption.contains("media")) mediaIngestProbe(spark)
     else if (args.headOption.contains("cluster")) clusterIngestProbe(spark)
+    else if (args.headOption.contains("curate")) curateProbe(spark,
+      args.lift(1).getOrElse("/root/testdata/sf0.001"))
     else if (args.headOption.contains("explain")) {
       val df = SparkEntry.queries(args(1))(spark, args.lift(2).getOrElse("/root/testdata/sf0.01"))
       df.write.format("noop").mode("overwrite").save()
@@ -254,6 +256,60 @@ object Smoke {
     require(nAfter == n + 1,
       "re-landed wave-1 payloads must probe-reject against the compacted index; " +
         "only the one new payload lands")
+  }
+
+  /** The END-TO-END curation pipeline (`Smoke curate [sfDir]`) — the
+    * composition a training-data user actually runs, chained from the
+    * gated operators with a per-stage attrition ledger:
+    * quality/lang/repetition filter (`corpusFilter`) → exact + MinHash
+    * near-dup APPLY (`dedupCorpus`) → benchmark decontamination
+    * (`decontaminate` vs a held-out slice) → leakage-safe cluster
+    * split (`withClusterSplit` — no dup pair straddles train/eval) →
+    * sequence packing (`packSequences`, 512-token bins per split).
+    * Every stage is the library's own oracle-gated operator; this
+    * probe certifies they COMPOSE (schemas line up, memos share, the
+    * ledger reconciles end to end). */
+  private def curateProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Dedup, Sampling, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    val nIn = docs.count()
+    // stage 1: rule filter
+    val verdicts = TextAnalysis.corpusFilter(docs).localCheckpoint()
+    val kept1 = docs.join(verdicts.filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val n1 = kept1.count()
+    val dropByReason = verdicts.filter(!col("keep"))
+      .groupBy(col("drop_reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage 2: exact + near-dup APPLY
+    val kept2 = Dedup.dedupCorpus(kept1, 3, 8, 4, 0.5).localCheckpoint()
+    val n2 = kept2.count()
+    // stage 3: decontamination vs a held-out "benchmark" slice
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    val decon = Dedup.decontaminate(kept2, benchmark, 5, 3)
+    val kept3 = kept2.join(decon.filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val n3 = kept3.count()
+    // stage 4: leakage-safe split (cluster-keyed buckets)
+    val split = Dedup.withClusterSplit(kept3, 3, 8, 4, 0.5, 10, 10)
+      .localCheckpoint()
+    val splitCounts = split.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage 5: 512-token sequence packing per split
+    val packed = Sampling.packSequences(
+      split.withColumn("_nt", size(TextAnalysis.tokens(col("text")))),
+      col("_nt"), "split", "doc_id", 512L)
+    val bins = packed.groupBy(col("split"))
+      .agg(count(lit(1)).as("bins"), sum(col("sum_tokens")).as("toks"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    println(s"CURATE_IN=$nIn FILTERED=$n1 (drops=$dropByReason) " +
+      s"DEDUPED=$n2 DECONTAMINATED=$n3 SPLITS=$splitCounts")
+    bins.foreach { case (s, (b, t)) =>
+      println(f"CURATE_PACK split=$s bins=$b tokens=$t fill=${t.toDouble / (b * 512)}%.3f") }
+    require(n1 <= nIn && n2 <= n1 && n3 <= n2, "attrition must be monotone")
+    require(splitCounts.values.sum == n3, "splits must partition the clean corpus")
+    require(bins.nonEmpty && bins.values.forall(_._1 > 0), "packing must emit bins")
   }
 
   /** Drive the streaming cluster-label maintenance end to end (`Smoke
