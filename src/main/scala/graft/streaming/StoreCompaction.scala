@@ -110,6 +110,38 @@ object StoreCompaction {
     due
   }
 
+  /** Compact a `StreamingClusterIngest` store: the four append
+    * sub-stores consolidate like the dedup siblings, and the labels
+    * SNAPSHOTS prune by retention — each `gen=<id>` is a complete
+    * labeling (not a delta), so only the newest `keepLabelGens`
+    * generations are needed: the recurrence reads the latest one, a
+    * frontier-batch replay the latest strictly before it. Older
+    * snapshots are point-in-time audit state, pruned here like any
+    * retention policy (never the newest two, whatever `keepLabelGens`
+    * says). */
+  def compactClusterStore(spark: SparkSession, corpusDir: String,
+                          keepLabelGens: Int = 2): Unit = {
+    Seq("docs", "sigs", "post", "dig").foreach(s =>
+      compactDir(spark, s"$corpusDir/$s"))
+    val p = new Path(s"$corpusDir/labels")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val gens = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+      .sorted
+    gens.dropRight(math.max(2, keepLabelGens)).foreach(g =>
+      fs.delete(new Path(s"$corpusDir/labels/gen=$g"), true))
+  }
+
+  /** Generation-count trigger for the cluster store. */
+  def compactClusterStoreEvery(spark: SparkSession, corpusDir: String,
+                               every: Int): Boolean = {
+    require(every >= 3, s"generation trigger needs every >= 3, got $every")
+    val due = landed(spark, s"$corpusDir/sigs").size >= every
+    if (due) compactClusterStore(spark, corpusDir)
+    due
+  }
+
   /** Landed batch ids under `store` (visible `batch=` dirs only). */
   private def landed(spark: SparkSession, store: String): Seq[Long] = {
     val p = new Path(store)

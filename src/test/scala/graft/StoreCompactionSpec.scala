@@ -13,6 +13,7 @@ class StoreCompactionSpec extends SparkSpec {
 
   private val near1 = "the quick brown fox jumps over the lazy dog again and again"
   private val near2 = "the quick brown fox jumps over the lazy dog again and once"
+  private val near3 = "the quick brown fox jumps over the lazy dog again and thrice"
   private val other = "completely different content with no shared shingles at all here"
   private val fresh = "some entirely new material about streaming signature indexes landing"
 
@@ -160,6 +161,36 @@ class StoreCompactionSpec extends SparkSpec {
     ingest(3L, 30L -> a.clone(), 31L -> payload())
     assert(StreamingMediaIngest.corpus(spark, dir)
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 10L, 20L, 31L))
+  }
+
+  test("cluster-store compaction: labeling invariant, resumed recurrence correct") {
+    import graft.streaming.StreamingClusterIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_cluster").toString
+    def ingest(id: Long, rows: (Long, String)*): Unit =
+      StreamingClusterIngest.ingestBatch(
+        rows.toSeq.toDF("doc_id", "text"), dir, id, 3, 8, 4, 0.5)
+    def labelMap = StreamingClusterIngest.labels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ingest(0L, 1L -> near1, 2L -> near2, 3L -> other)
+    ingest(1L, 11L -> fresh)
+    ingest(2L, 21L -> "frontier content outside every compaction")
+    val before = labelMap
+    assert(!StoreCompaction.compactClusterStoreEvery(spark, dir, 4))
+    assert(StoreCompaction.compactClusterStoreEvery(spark, dir, 3))
+    // append stores consolidated; labels pruned to the newest two gens
+    assert(batchDirs(s"$dir/sigs") == Seq("batch=1", "batch=2"))
+    assert(batchDirs(s"$dir/dig") == Seq("batch=1", "batch=2"))
+    val gens = new java.io.File(s"$dir/labels").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=1", "gen=2"), gens)
+    assert(labelMap == before, "compaction must not change the labeling")
+    // the recurrence continues over the compacted store: a near-dup of
+    // a doc whose rows live only in the consolidated generation joins
+    // its cluster; replay of the new frontier is idempotent
+    ingest(3L, 30L -> near3)
+    assert(labelMap == before + (30L -> 1L), s"$labelMap")
+    ingest(3L, 30L -> near3)
+    assert(labelMap == before + (30L -> 1L))
   }
 
   test("ANN code-index compaction: codeIndex identical, later generations still win") {
