@@ -108,7 +108,16 @@ private[graft] object IndexMemo {
     lock.synchronized {
       lookup().getOrElse {
         val res = compute
-        synchronized { entries = ((key, sess, plan, (res: Any)) :: entries).take(16) }
+        // Cap raised 16 → 64 (r14): the suite now trains ~30 distinct
+        // index artifacts (signatures, postings, pair graphs, CC
+        // fixpoints, four quantizer bundles, LSH buckets, fingerprints,
+        // truth sets); at 16 the newest-16 FIFO evicted cross-family
+        // entries mid-suite and reps measurably re-trained (rep2 of
+        // q_crossmodal_dedup: 4.9 s vs 0.2 s memo-warm). Entries are
+        // checkpointed, mostly KB-to-MB-sized frames (pair graphs,
+        // label maps, codebooks); the bounded-session contract in the
+        // object doc is unchanged.
+        synchronized { entries = ((key, sess, plan, (res: Any)) :: entries).take(64) }
         res
       }
     }
