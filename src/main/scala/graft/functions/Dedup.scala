@@ -1482,7 +1482,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
     val nearPairs = minhashLshPairs(docs, n, k, bands, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    exactPairs.union(nearPairs)
+    // DISTINCT, not bag union: an exact-dup pair with >= n tokens is
+    // ALSO a verified near-dup (identical text ⟹ identical signature ⟹
+    // shared bands, jaccard 1), so the bag held that edge twice.
+    // Connectivity consumers (CC) never noticed; edge-multiplicity
+    // consumers did — dupPageRank double-counted such edges in its
+    // degrees (latent until sf0.1, whose corpus is the first with
+    // exact-dup groups long enough to carry shingles; found r14 by the
+    // full-board sf0.1 sweep). The contract is a pair SET, matching
+    // the oracles' UNION-distinct edges; the frame is dup-graph-sized,
+    // so the distinct is a cluster-scale exchange.
+    exactPairs.union(nearPairs).distinct()
   }
 
   /** Derived-index sharing (see `IndexMemo`): `dedupCorpus` and
