@@ -415,10 +415,9 @@ object SparkEntry {
     // the SCALE-PATH sibling: bits auto-sized from the measured corpus
     // (autoLshBits keeps bucket occupancy ~constant, so candidates
     // grow linearly where the pinned 4-bit demo's grow n²/16). The
-    // oracle pins bits=1 — autoLshBits(500, 256) at BOTH gated scale
-    // factors (sf0.001 and sf0.01 embeddings are 500 rows); if the
-    // driver regenerates embeddings at another cardinality the hash
-    // flags it loudly rather than silently diverging.
+    // oracle derives the same bits from COUNT(*) via the identical
+    // integer threshold chain (r15) — cardinality-robust at every
+    // scale factor and across driver testdata regens.
     "q_embedding_neardup_lsh_auto" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4, 0, 4)),
     "q_lsh_topk" -> ((s, d) =>
@@ -1312,13 +1311,12 @@ object SparkEntry {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
     }),
     // the SCALE path of SemDeDup (the autoLshBits pattern): k <= 0
-    // auto-sizes the cluster count to constant cell occupancy —
-    // autoSemDedupK(500, 64) = 8 at BOTH gated scale factors, so the
-    // oracle replays the identical k=8 fixed-point chain AND pins the
-    // derived k as a literal column; a regenerated embeddings table at
-    // another cardinality flags loudly via hash mismatch. Unlike
-    // q_semdedup this stays on the scale-up board: cells stay ~64 docs
-    // as the corpus grows, so the within-cell join stays linear.
+    // auto-sizes the cluster count to constant cell occupancy. The
+    // oracle derives the SAME k = ⌈n/64⌉ from COUNT(*) (r15,
+    // cardinality-robust — no sf-pinned literal) and emits it as the
+    // k_auto column this side carries. Unlike q_semdedup this stays
+    // on the scale-up board: cells stay ~64 docs as the corpus grows,
+    // so the within-cell join stays linear.
     "q_semdedup_auto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val kAuto = Similarity.autoSemDedupK(Tables.embeddings(s, d).count())
@@ -1336,8 +1334,8 @@ object SparkEntry {
     // pass scores only its level's √(n/64) centroids: n^1.5-ish
     // assignment work vs the flat auto form's n²/64 (the measured
     // 0.88 exponent on the r12 scale board). k1 = k2 =
-    // autoSemDedupHierK(500) = 3 at both gated scale factors; the
-    // oracle replays BOTH levels and pins the derived k as a literal.
+    // autoSemDedupHierK(n); the oracle replays BOTH levels and derives
+    // the same k from COUNT(*) (r15, cardinality-robust).
     "q_semdedup_hier" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val kAuto = Similarity.autoSemDedupHierK(Tables.embeddings(s, d).count())
@@ -3094,23 +3092,12 @@ object SparkEntry {
          |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
          |FROM pr
          |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
-    // same pair machinery at the AUTO bit-width: bits=1 IS
-    // autoLshBits(500, 256) at the gated scale factors (see the query's
-    // comment) — a regenerated embeddings table flags via hash mismatch
-    "q_embedding_neardup_lsh_auto" ->
-      s"""WITH n AS ($quantizedSql),
-         |${lshBucketsSql(1, 4)},
-         |tb AS (SELECT vec_id, unnest([0,1,2,3]) AS t, unnest([b_0,b_1,b_2,b_3]) AS b FROM bkt),
-         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |         FROM tb x JOIN tb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-         |pr AS (SELECT c.id_a, c.id_b,
-         |             CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
-         |             a.nq AS na, b.nq AS nb
-         |       FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
-         |SELECT id_a, id_b,
-         |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
-         |FROM pr
-         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin,
+    // same pair machinery at the AUTO bit-width, CARDINALITY-ROBUST
+    // (r15): bits is derived from COUNT(*) by the same integer
+    // threshold chain as autoLshBits — no sf-pinned literal, so the
+    // oracle stays green at every scale factor and survives a driver
+    // testdata regen (see lshAutoNearDupSql)
+    "q_embedding_neardup_lsh_auto" -> lshAutoNearDupSql,
     "q_ivf_topk" -> ivfTopkOracleSql,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3719,18 +3706,17 @@ object SparkEntry {
     // k=8 / 2-iteration assignment a2) + within-cell quantized-cosine
     // pair join + the keep-lowest-id rule
     "q_semdedup" -> semDedupCellsSql,
-    // auto-k sibling: autoSemDedupK(500, 64) = 8 at the gated scale
-    // factors, so the replay chain is IDENTICAL and the derived k is
-    // pinned as a literal column (the lsh_auto bits=1 pattern)
-    "q_semdedup_auto" ->
-      s"""WITH base AS ($semDedupCellsSql)
-         |SELECT cell_id, n, n_dropped, n_kept, CAST(8 AS BIGINT) AS k_auto
-         |FROM base""".stripMargin,
-    // two-level replay: the coarse certified chain (k1 = 3, 2 iters),
-    // then per-coarse-cell sub-training (k2 = 3, 'h'-salted seeds, 2
-    // iters) with the coarse id in every key — cell_id = g·3 + code;
-    // autoSemDedupHierK(500) = 3 at both SFs, pinned as a literal
-    "q_semdedup_hier" -> semDedupHierSql(3, 3),
+    // auto-k sibling, CARDINALITY-ROBUST (r15): k = ⌈n/64⌉ derived
+    // from COUNT(*) in the oracle itself (integer-exact (n+63)//64,
+    // matching autoSemDedupK), so the replay is green at every scale
+    // factor instead of pinning the sf0.01 k=8 as a literal
+    "q_semdedup_auto" -> semDedupAutoSql,
+    // two-level replay, CARDINALITY-ROBUST (r15): the coarse certified
+    // chain then per-coarse-cell sub-training ('h'-salted seeds, 2
+    // iters) with the coarse id in every key — cell_id = g·k2 + code;
+    // k1 = k2 derived from COUNT(*) (smallest k with 64k² >= n,
+    // matching autoSemDedupHierK) instead of the pinned sf0.01 k=3
+    "q_semdedup_hier" -> semDedupHierDynSql,
 
     // same explicit integer tile formula — the oracle's row_number
     // window stands in for the engine's distributed rank
@@ -4346,6 +4332,55 @@ object SparkEntry {
        |        FROM proj)""".stripMargin
   }
 
+  /** Cardinality-robust replay of `nearDupPairsLsh(…, bits = 0,
+    * tables = 4)` (r15, closes the last tri-scale red cell): the
+    * hyperplane count is derived from COUNT(*) by the SAME integer
+    * threshold chain as `Similarity.autoLshBits` — smallest b >= 1
+    * with 256·2^b >= n, saturating at 16 = 64/tables exactly where
+    * the engine's auto cap saturates — so the oracle agrees at EVERY
+    * corpus cardinality, not just the sf0.01 one. Because the plane
+    * index t·bits+h itself depends on the derived bits, the fixed
+    * per-column bucketing of `lshBucketsSql` can't express it; the
+    * projection goes LONG FORM instead (planes × dims cross join,
+    * one grouped sum per (vec, table, plane)), with the md5-nibble
+    * sign read (`planeSign`) inlined as a j-dependent CASE. */
+  private lazy val lshAutoNearDupSql: String = {
+    val thresholds = (1 to 15)
+      .map(b => s"WHEN nn.n <= ${256L * (1L << b)} THEN $b")
+      .mkString("\n            ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |nb AS (SELECT CASE $thresholds
+       |            ELSE 16 END AS bits FROM nn),
+       |n AS ($quantizedSql),
+       |dims AS (SELECT e.vec_id,
+       |                generate_subscripts(e.embedding, 1) - 1 AS d,
+       |                CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |         FROM embeddings e),
+       |planes AS (SELECT tt.t, hh.h, tt.t * (SELECT bits FROM nb) + hh.h AS j
+       |           FROM (SELECT unnest(range(4)) AS t) tt,
+       |                (SELECT unnest(range(CAST((SELECT bits FROM nb) AS BIGINT))) AS h) hh),
+       |proj AS (SELECT dm.vec_id, p.t, p.h,
+       |                sum(CASE WHEN (CASE WHEN p.j < 32
+       |                      THEN substring(md5(CAST(dm.d AS VARCHAR)), CAST(p.j % 32 AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
+       |                      ELSE substring(md5(CAST(dm.d AS VARCHAR)), CAST(p.j % 32 AS INTEGER) + 1, 1) IN ('2','3','6','7','a','b','e','f') END)
+       |                    THEN dm.x ELSE -dm.x END) AS pr
+       |         FROM dims dm CROSS JOIN planes p
+       |         GROUP BY dm.vec_id, p.t, p.h),
+       |tb AS (SELECT vec_id, t,
+       |              CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INTEGER)) ELSE 0 END) AS BIGINT) AS b
+       |       FROM proj GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM tb x JOIN tb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+       |pr AS (SELECT c.id_a, c.id_b,
+       |             CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+       |             a.nq AS na, b.nq AS nb
+       |       FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b,
+       |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+       |FROM pr
+       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin
+  }
+
   /** Exact-cosine scoring + per-query top-k tail shared by the LSH
     * top-k oracles (identical to the ann_topk ranking discipline). */
   private val lshTopKTailSql =
@@ -4587,13 +4622,16 @@ object SparkEntry {
     * is equivalent to the engine's per-side computation), with the
     * band self-join restricted to batch (doc_id%5=0) x corpus
     * (doc_id%3=0). */
-  /** Shared SemDeDup per-cell replay (k=8 / 2-iteration certified
-    * fixed-point chain + within-cell cosine pair join + keep-lowest-id
-    * rule) — the oracle body of BOTH q_semdedup and q_semdedup_auto
-    * (auto derives the same k=8 at the gated cardinality). Lazy: it
-    * interpolates quantizedSql, defined later in the object body. */
-  private lazy val semDedupCellsSql: String =
-    s"""WITH v AS (
+  /** Shared SemDeDup per-cell replay (certified fixed-point chain +
+    * within-cell cosine pair join + keep-lowest-id rule), generated
+    * for a k given as a SQL EXPRESSION: the chain itself is long-form
+    * and k-agnostic — k appears only in the seed bound (and optional
+    * extra CTEs / tail columns), which is what lets `q_semdedup_auto`
+    * derive k from COUNT(*) instead of pinning an sf-specific literal
+    * (r15). `q_semdedup` keeps the pinned k=8 demo shape. */
+  private def semDedupCellsSqlFor(extraCtes: String, kSql: String,
+                                  tailCols: String): String =
+    s"""WITH$extraCtes v AS (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
          |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -4601,7 +4639,7 @@ object SparkEntry {
          |              unnest(q) + 1048576 AS x FROM v),
          |seeds AS (SELECT vec_id,
          |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
-         |          FROM v QUALIFY cell_id < 8),
+         |          FROM v QUALIFY cell_id < $kSql),
          |c0 AS (SELECT s.cell_id, vd.d, vd.x AS c FROM vd JOIN seeds s USING (vec_id)),
          |a1 AS (SELECT vec_id, cell_id FROM (
          |    SELECT vd.vec_id, c0.cell_id,
@@ -4627,9 +4665,22 @@ object SparkEntry {
          |              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.35)
          |SELECT m.cell_id, count(*) AS n,
          |       CAST(count(*) FILTER (WHERE dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
-         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept
+         |       CAST(count(*) FILTER (WHERE dup.vec_id IS NULL) AS BIGINT) AS n_kept$tailCols
          |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
          |GROUP BY 1""".stripMargin
+
+  /** The pinned k=8 demo replay (`q_semdedup`). */
+  private lazy val semDedupCellsSql: String = semDedupCellsSqlFor("", "8", "")
+
+  /** Cardinality-robust auto-k replay (`q_semdedup_auto`, r15):
+    * k = ⌈n/64⌉ computed integer-exactly from COUNT(*) —
+    * (n+63)//64 — matching `Similarity.autoSemDedupK` at every corpus
+    * cardinality, with the derived k emitted as the k_auto column the
+    * engine side carries. */
+  private lazy val semDedupAutoSql: String = semDedupCellsSqlFor(
+    "\n kk AS (SELECT GREATEST(1, (count(*) + 63) // 64) AS k FROM embeddings),",
+    "(SELECT k FROM kk)",
+    ",\n       CAST((SELECT k FROM kk) AS BIGINT) AS k_auto")
 
   /** DuckDB replay of `Similarity.kmeansHierAssign` + the within-cell
     * dedup (`q_semdedup_hier`): the coarse certified chain (seeds →
@@ -4638,9 +4689,20 @@ object SparkEntry {
     * id in every key: 'h'-salted per-cell seeds, hc0 → ha1 → hc1 →
     * ha2, cell_id = g·k2 + code. Same integer discipline throughout
     * (+2^20 shift, `//` == `div` on the non-negative grid, argmin
-    * ties (dist, code)). */
-  private def semDedupHierSql(k1: Int, k2: Int): String =
-    s"""WITH v AS (
+    * ties (dist, code)). CARDINALITY-ROBUST (r15): k1 = k2 is derived
+    * from COUNT(*) as the smallest k >= 1 with 64k² >= n — a
+    * correctly-rounded float √ estimate plus a ±1 integer correction,
+    * provably equal to `Similarity.autoSemDedupHierK` at any n — so
+    * the oracle no longer pins the sf0.01 k=3 literal. */
+  private lazy val semDedupHierDynSql: String = {
+    val k1 = "(SELECT k FROM kh)"
+    val k2 = "(SELECT k FROM kh)"
+    s"""WITH hnn AS (SELECT count(*) AS n FROM embeddings),
+         |hkr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM hnn),
+         |kh AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
+         |                   WHEN 64*kr*kr < n THEN kr + 1
+         |                   ELSE kr END AS k FROM hkr),
+         |v AS (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
          |           x -> CAST(floor(x*1000000.0) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -4704,6 +4766,7 @@ object SparkEntry {
          |       CAST($k2 AS BIGINT) AS k_hier
          |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
          |GROUP BY 1""".stripMargin
+  }
 
   private val minhashProbeSql = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")

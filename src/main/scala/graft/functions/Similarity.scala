@@ -237,16 +237,31 @@ object Similarity {
     * grows with n, candidates with n²/2^bits); recall per table drops
     * as bits grow (p^bits), which is what multi-table probing (the
     * `tables` knob, recall ≈ 1-(1-p^bits)^L) exists to buy back. */
-  def autoLshBits(nVecs: Long, targetBucket: Int = 256): Int =
-    math.max(1, math.ceil(
-      math.log(math.max(1.0, nVecs.toDouble / targetBucket)) / math.log(2.0)).toInt)
+  /** INTEGER-EXACT contract (r15): the smallest b >= 1 with
+    * targetBucket·2^b >= nVecs — identical to ⌈log₂(n/target)⌉ in
+    * exact arithmetic, but computed by pure integer comparisons so the
+    * DuckDB oracle can replay it as a threshold CASE chain with zero
+    * transcendental-boundary risk (a float log ratio one ulp above an
+    * integer would ceil differently across engines). */
+  def autoLshBits(nVecs: Long, targetBucket: Int = 256): Int = {
+    var b = 1
+    while (b < 62 && (targetBucket.toLong << b) < nVecs) b += 1
+    b
+  }
 
   /** `bits <= 0` auto-sizes the hyperplane count from the measured
     * corpus via `autoLshBits` (one count job) — the scale-safe default;
     * explicit bits pins the demo/oracle-gated shapes. */
   def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double,
                       bits: Int, tables: Int): DataFrame = {
-    val bitsEff = if (bits > 0) bits else autoLshBits(embeddings.count())
+    // Auto bits cap at 64/tables: all tables share the 64 md5-derived
+    // plane signs (see lshBucketsMulti's require), so the auto sizing
+    // saturates there instead of failing — at tables=4 that is 16
+    // bits, i.e. corpora beyond 256·2^16 ≈ 16.7M vectors keep the max
+    // bucket width (the oracle's threshold chain saturates identically).
+    val bitsEff =
+      if (bits > 0) bits
+      else math.min(autoLshBits(embeddings.count()), 64 / tables)
     // Checkpoint the quantized vectors: both self-join sides consume
     // them, and without the materialization barrier column pruning
     // specializes the quantize+norm subtree per side and runs it twice
@@ -660,8 +675,16 @@ object Similarity {
     * k1 = k2 = ⌈√(n/targetCell)⌉, so k1·k2 ≈ n/targetCell keeps the
     * constant cell occupancy of `autoSemDedupK` while each ASSIGNMENT
     * pass scores only its level's centroids. */
-  def autoSemDedupHierK(nVecs: Long, targetCell: Int = 64): Int =
-    math.max(1, math.ceil(math.sqrt(nVecs.toDouble / targetCell)).toInt)
+  /** INTEGER-EXACT contract (r15): the smallest k >= 1 with
+    * targetCell·k² >= nVecs — identical to ⌈√(n/target)⌉ in exact
+    * arithmetic; the DuckDB oracle replays it from a correctly-rounded
+    * float √ estimate plus a ±1 integer correction, so both engines
+    * derive the same k at ANY corpus cardinality. */
+  def autoSemDedupHierK(nVecs: Long, targetCell: Int = 64): Int = {
+    var k = 1L
+    while (targetCell * k * k < nVecs) k += 1
+    k.toInt
+  }
 
   /** Two-level (hierarchical) certified cell assignment — the flat
     * k ∝ n assignment's scale fix. `kmeansFixedPointAssign` with
