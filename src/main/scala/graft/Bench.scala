@@ -31,12 +31,19 @@ object Bench {
     // Record-only hygiene self-label (r14 verdict #8): a bench taken on
     // a hot machine announces itself IN the artifact — the reader never
     // has to cross-reference uptime logs to discount a noisy run. No
-    // refusal: the driver's run must still complete.
-    val hotStart = loadavg > 2.0
+    // refusal: the driver's run must still complete. The threshold is
+    // core-normalized (r15 advice — a fixed 2.0 mislabels both a
+    // quiesced many-core box at 2.5 and a saturated 2-core box at 1.9):
+    // max(1, cores/8) runnable procs of ambient load marks contention,
+    // and the artifact records cores + threshold next to the loadavg so
+    // the label is auditable.
+    val cores = Runtime.getRuntime.availableProcessors
+    val hotThreshold = math.max(1.0, cores / 8.0)
+    val hotStart = loadavg > hotThreshold
     if (hotStart)
-      System.err.println(f"[bench] WARNING: loadavg_start $loadavg%.2f > 2 — " +
-        "machine not quiesced; timings are upper bounds (see BASELINE.md " +
-        "bench-comparison discipline)")
+      System.err.println(f"[bench] WARNING: loadavg_start $loadavg%.2f > " +
+        f"$hotThreshold%.1f ($cores cores) — machine not quiesced; timings " +
+        "are upper bounds (see BASELINE.md bench-comparison discipline)")
 
     // Same footer-only drift guard as Verify: a regenerated input
     // announces itself as named stderr lines (and a count in the output
@@ -78,13 +85,25 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%9.3f s" + err.map("  FAILED: " + _).getOrElse(""))
       (name, sec, err)
     }
-    // Self-describing machine state + a second rep for the top-10
-    // slowest queries: a one-off scheduler/IO spike shows up as a
-    // large rep1/rep2 ratio IN THE ARTIFACT, so a reader can separate
-    // machine noise from plan cost without git archaeology (the r8
-    // driver artifact carried five 4-12× spikes only a quiesced re-run
-    // could explain).
-    val top10 = results.filter(_._3.isEmpty).sortBy(-_._2).take(10).map(_._1)
+    // Self-describing machine state + a second rep: a one-off
+    // scheduler/IO spike shows up as a large rep1/rep2 ratio IN THE
+    // ARTIFACT, so a reader can separate machine noise from plan cost
+    // without git archaeology (the r8 driver artifact carried five
+    // 4-12× spikes only a quiesced re-run could explain). Default is
+    // the top-10 slowest (bounded extra time, the driver's mode);
+    // SPARK_GRAFT_BENCH_REP2=full re-runs the WHOLE serving set so the
+    // committed close artifact carries min-of-2 per query — the r14
+    // session measured ±8% full-suite variance between quiesced runs
+    // of identical code, and min-of-reps is the round-over-round
+    // comparison that survives it (BASELINE.md discipline).
+    val rep2Full = sys.env.get("SPARK_GRAFT_BENCH_REP2")
+      .exists(v => v == "full" || v == "1")
+    val top10 =
+      if (rep2Full)
+        results.filter(_._3.isEmpty)
+          .filterNot { case (n, _, _) => SparkEntry.demo(n) }
+          .sortBy(-_._2).map(_._1)
+      else results.filter(_._3.isEmpty).sortBy(-_._2).take(10).map(_._1)
     val rep2Errs = scala.collection.mutable.Map.empty[String, String]
     val rep2 = top10.flatMap { name =>
       val h0 = graft.functions.IndexMemo.hits
@@ -135,6 +154,19 @@ object Bench {
     val valueDemo = demoRun.map(_._2).sum
     val valueServing = total - valueDemo
     val demoJson = demoRun.map(_._1).sorted.map(jstr).mkString("[", ",", "]")
+    // min-of-available-reps per query (rep1 alone when no rep2 ran):
+    // the variance-robust number BASELINE.md's discipline reads for
+    // round-over-round attribution when both rounds carry full reps.
+    // A memo-WARM rep2 (IndexMemo hit — reused training from rep1) is
+    // excluded from the min: it isn't the same work as the in-suite
+    // rep1, and folding it in would under-state every memoized family.
+    val min2 = results.map { case (k, v, _) =>
+      k -> math.min(v,
+        rep2.get(k).collect { case (s, false) => s }.getOrElse(v)) }
+    val min2Json = min2.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val valueServingMin2 = min2
+      .filterNot { case (n, _) => SparkEntry.demo(n) }.map(_._2).sum
     // The driver captures a bounded tail of stdout; at 128 queries the
     // per-query map pushed the single JSON line past that window and the
     // leading "metric":"total" was cut off (BENCH_r02..r04 all parsed
@@ -142,7 +174,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"errors":$errs,"loadavg_start":$loadavg,"hot_start":$hotStart,"reps":1,"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different
@@ -155,7 +187,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

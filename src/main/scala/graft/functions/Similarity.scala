@@ -1478,37 +1478,74 @@ object Similarity {
     // proceed in parallel while racing builds of the SAME index
     // serialize. Results are awaited before any use, so the emitted
     // rows are bit-identical to the sequential order's.
+    // Failure discipline (r15 advice — was six Duration.Inf awaits on
+    // a non-cancelable pool): every training body runs under one Spark
+    // job group with interrupt-on-cancel; the FIRST failure cancels the
+    // group (stopping the other five trainings' Spark jobs instead of
+    // letting them run to completion), shutdownNow()s the pool, and
+    // propagates immediately via a failure promise raced against the
+    // combined result. A hung job can no longer hang the query forever:
+    // the single await is bounded, and a timeout takes the same
+    // cancel+shutdown path.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, Promise}
     import scala.concurrent.duration.Duration
+    val jobGroup = "graft-ann-recall"
+    def training[T](body: => T): Future[T] = Future {
+      // job groups are thread-local: tag inside the pool thread
+      spark.sparkContext.setJobGroup(jobGroup,
+        "annRecall concurrent index training", interruptOnCancel = true)
+      body
+    }
     val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All) = try {
-      val fTruth = Future {
+      val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
           .localCheckpoint()
         (t, t.count())
       }
-      val fBuckets = Future { lshBucketsMulti(embeddings, bits, tables) }
-      val fPq = Future {
+      val fBuckets = training { lshBucketsMulti(embeddings, bits, tables) }
+      val fPq = training {
         pqTopK(embeddings, queryPred, 5 * k, m = 2, ksub = 4, iters = 1)
           .localCheckpoint()
       }
-      val fRq = Future {
+      val fRq = training {
         rqTopK(embeddings, queryPred, 5 * k, k1 = 4, k2 = 4, iters = 1)
           .localCheckpoint()
       }
-      val fIvfpq = Future {
+      val fIvfpq = training {
         ivfpqTopK(embeddings, queryPred, 5 * k, nCells = 4, nProbe = 2,
             m = 2, ksub = 4, iters = 1)
           .localCheckpoint()
       }
-      val fSq8 = Future { sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint() }
-      val (t, n) = Await.result(fTruth, Duration.Inf)
-      (t, n, Await.result(fBuckets, Duration.Inf),
-        Await.result(fPq, Duration.Inf), Await.result(fRq, Duration.Inf),
-        Await.result(fIvfpq, Duration.Inf), Await.result(fSq8, Duration.Inf))
+      val fSq8 = training { sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint() }
+      val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8)
+      val firstFailure = Promise[Seq[Any]]()
+      // Complete the race promise BEFORE shutting the pool down —
+      // listeners registered on a drained executor would be rejected
+      // and the await would ride to its timeout instead of failing
+      // fast. The race itself runs on the parasitic EC for the same
+      // reason.
+      all.foreach(_.failed.foreach { e =>
+        firstFailure.tryFailure(e)
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        pool.shutdownNow()
+      }(scala.concurrent.ExecutionContext.parasitic))
+      val res = Await.result(
+        Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
+          scala.concurrent.ExecutionContext.parasitic),
+        Duration(30, "minutes"))
+      val Seq(tn, b, p, r, i, s) = res.asInstanceOf[Seq[Any]]
+      val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
+      (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
+        r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
+        s.asInstanceOf[DataFrame])
+    } catch { case e: Throwable =>
+      spark.sparkContext.cancelJobGroup(jobGroup)
+      pool.shutdownNow()
+      throw e
     } finally pool.shutdown()
     val qIds = emb.filter(queryPred).select(col("vec_id"))
     // EVERY method pipeline below takes the RAW `embeddings` frame,

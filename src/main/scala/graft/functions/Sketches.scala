@@ -21,13 +21,16 @@ object Sketches {
     * union) and `merge_ok` (merged estimate matches the direct
     * whole-range sketch's estimate within the same `relErr` band —
     * the mergeability law itself, which is what licenses precomputing
-    * slice sketches at ingest; the band rather than bit-equality
-    * because HLL's sparse→dense promotion can transition at slightly
-    * different cardinalities for a union-built vs a directly-built
-    * sketch near the promotion boundary, a representation detail, not
-    * an estimator defect — r14 advice). Scale shape: the slice sketch table is
-    * (ranges × slices)-sized with KB rows; the union agg moves
-    * sketches, never keys. */
+    * slice sketches at ingest). merge_ok is TWO-REGIME (r15 advice —
+    * the flat ±2 floor let a 2-row range pass with ~100% divergence):
+    * below 64 exact keys both sketches are sparse-mode EXACT, so the
+    * gate demands est == direct bit-for-bit; at 64+ the band
+    * max(n·relErr, 2) absorbs only the sparse→dense promotion
+    * boundary, where a union-built vs a directly-built sketch can
+    * promote at slightly different cardinalities — a representation
+    * detail, not an estimator defect. Scale shape: the slice sketch
+    * table is (ranges × slices)-sized with KB rows; the union agg
+    * moves sketches, never keys. */
   def mergedDistinct(df: DataFrame, sliceCol: Column, rangeCol: Column,
                      key: Column, relErr: Double = 0.05): DataFrame = {
     val base = df.select(sliceCol.as("_slice"), rangeCol.as("_range"),
@@ -44,8 +47,10 @@ object Sketches {
         when(abs(col("_est") - col("n_exact")).cast("double")
                <= col("n_exact").cast("double") * relErr, 1L)
           .otherwise(0L).as("est_ok"),
-        when(abs(col("_est") - col("_direct")).cast("double")
-               <= greatest(col("n_exact").cast("double") * relErr, lit(2.0)), 1L)
+        when((col("n_exact") < 64 && col("_est") === col("_direct")) ||
+               (col("n_exact") >= 64 &&
+                 abs(col("_est") - col("_direct")).cast("double")
+                   <= greatest(col("n_exact").cast("double") * relErr, lit(2.0))), 1L)
           .otherwise(0L).as("merge_ok"))
   }
 
@@ -112,7 +117,17 @@ object Sketches {
     * (est ≥ exact — CMS NEVER undercounts, a structural guarantee)
     * and `bound_ok` (est ≤ exact + 2·eps·N — twice the documented
     * overcount slack, the margin discipline for the hash-collision
-    * tail; fixed seed ⟹ the flag is stable run to run). */
+    * tail; fixed seed ⟹ the flag is stable run to run).
+    *
+    * Probe-dictionary cap (CONTRACT CHANGE r15, was a hard refusal in
+    * r14): when the key has more than `maxKeys` distinct values, the
+    * result is the DETERMINISTIC top-`maxKeys` dictionary (count DESC,
+    * key ASC — the heavy-hitter prefix, which is what a CMS probe set
+    * means) with `truncated` = 1 on every row; at or below the cap the
+    * full dictionary comes back with `truncated` = 0. Driver transfer
+    * stays bounded at maxKeys+1 rows via a top-k sort-limit either
+    * way; callers that previously collected larger dictionaries now
+    * get the capped prefix plus the flag instead of an exception. */
   def cmsFrequencies(df: DataFrame, key: Column, eps: Double = 0.001,
                      confidence: Double = 0.99, seed: Int = 42,
                      maxKeys: Int = 1000): DataFrame = {
@@ -125,23 +140,22 @@ object Sketches {
       .readFrom(row.getAs[Array[Byte]]("_sk"))
     val slack = math.ceil(2.0 * eps * row.getLong(1)).toLong
     // The probe-key dictionary reaches the driver, so it must BE a
-    // dictionary: cap the collect at maxKeys + 1 rows (the limit bounds
-    // driver transfer regardless of key cardinality) and refuse loudly
-    // past the cap rather than silently OOM on a high-cardinality key
-    // (r14 advice). CMS itself stays fully distributed at any scale.
-    val exact = df.groupBy(key.cast("string").as("key"))
+    // dictionary: a top-k sort-limit bounds the collect at maxKeys + 1
+    // rows regardless of key cardinality, and the (count DESC, key ASC)
+    // order makes the kept prefix the deterministic heavy-hitter set
+    // rather than an arbitrary subset. CMS itself stays fully
+    // distributed at any scale.
+    val exactAll = df.groupBy(key.cast("string").as("key"))
       .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc)
       .limit(maxKeys + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(exact.length <= maxKeys,
-      s"cmsFrequencies: probe key cardinality exceeds maxKeys=$maxKeys — " +
-        "pass an explicit dictionary-valued key (or raise maxKeys); " +
-        "deriving probes from a distinct over a high-cardinality fact " +
-        "column would collect an unbounded table to the driver")
-    exact.toSeq.map { case (k, n) =>
+    val truncated = if (exactAll.length > maxKeys) 1L else 0L
+    exactAll.take(maxKeys).toSeq.map { case (k, n) =>
       val est = cms.estimateCount(k)
-      (k, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
-    }.toDF("key", "n_exact", "over_ok", "bound_ok")
+      (k, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L,
+        truncated)
+    }.toDF("key", "n_exact", "over_ok", "bound_ok", "truncated")
   }
 
   /** Theta-sketch SET operations — what HLL cannot do: distinct

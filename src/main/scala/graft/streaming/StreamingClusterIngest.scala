@@ -100,18 +100,12 @@ object StreamingClusterIngest {
 
   /** Highest landed batch id (-1 if none) — keyed on sigs/ like the
     * near-dup sibling (all sub-stores land the same ids together). */
-  def maxLandedBatch(corpusDir: String): Long = {
-    val d = new java.io.File(s"$corpusDir/sigs")
-    if (!d.exists()) -1L
-    else d.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  def maxLandedBatch(corpusDir: String): Long =
+    StoreFs.maxPartitionId(s"$corpusDir/sigs")
 
   /** Canonical-digest store; empty-shaped when nothing has landed. */
   def digStore(spark: SparkSession, corpusDir: String): DataFrame =
-    if (new java.io.File(s"$corpusDir/dig").exists())
+    if (StoreFs.exists(s"$corpusDir/dig"))
       spark.read.parquet(s"$corpusDir/dig")
     else
       spark.range(0).select(col("id").as("doc_id"),
@@ -123,11 +117,9 @@ object StreamingClusterIngest {
     * small-directory read, not a corpus scan. */
   def latestLabels(spark: SparkSession, corpusDir: String,
                    beforeBatch: Long): DataFrame = {
-    val d = new java.io.File(s"$corpusDir/labels")
-    val gens =
-      if (!d.exists()) Seq.empty
-      else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong).filter(_ < beforeBatch)
+    val gens = StoreFs.listNames(s"$corpusDir/labels")
+      .filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong).filter(_ < beforeBatch)
     if (gens.isEmpty)
       spark.range(0).select(col("id"), col("id").as("label"))
     else

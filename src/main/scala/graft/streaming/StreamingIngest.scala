@@ -65,19 +65,13 @@ object StreamingIngest {
   }
 
   /** Highest batch id already landed in the digest store (-1 if none). */
-  def maxLandedBatch(corpusDir: String): Long = {
-    val d = new java.io.File(s"$corpusDir/digests")
-    if (!d.exists()) -1L
-    else d.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  def maxLandedBatch(corpusDir: String): Long =
+    StoreFs.maxPartitionId(s"$corpusDir/digests")
 
   /** The digest store with its `batch` partition column; empty-schema
     * frame when nothing has landed yet. */
   def digestStore(spark: SparkSession, corpusDir: String): DataFrame =
-    if (new java.io.File(s"$corpusDir/digests").exists())
+    if (StoreFs.exists(s"$corpusDir/digests"))
       spark.read.parquet(s"$corpusDir/digests")
     else {
       import spark.implicits._

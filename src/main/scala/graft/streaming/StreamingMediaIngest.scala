@@ -122,20 +122,14 @@ object StreamingMediaIngest {
         col("n_corpus_rejected"), col("n_landed"))
 
   /** Highest batch id already landed in the fingerprint store (-1 if none). */
-  def maxLandedBatch(corpusDir: String): Long = {
-    val d = new java.io.File(s"$corpusDir/fp")
-    if (!d.exists()) -1L
-    else d.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  def maxLandedBatch(corpusDir: String): Long =
+    StoreFs.maxPartitionId(s"$corpusDir/fp")
 
   /** The fingerprint index with its `batch` partition column; an
     * empty frame of the right shape when nothing has landed yet.
     * NULL fp64 rows are windowless payloads (digest-only members). */
   def fpStore(spark: SparkSession, corpusDir: String): DataFrame =
-    if (new java.io.File(s"$corpusDir/fp").exists())
+    if (StoreFs.exists(s"$corpusDir/fp"))
       spark.read.parquet(s"$corpusDir/fp")
         .select(col("id"), col("fp64"), col("_c"), col("batch"))
     else

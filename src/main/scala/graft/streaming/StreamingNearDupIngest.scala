@@ -50,7 +50,7 @@ object StreamingNearDupIngest {
     // empty posting frame makes exactOverlap verify zero candidates,
     // so every near-duplicate silently lands as fresh. Refuse loudly
     // instead; backfillPostings rebuilds post/ from the landed docs.
-    if (frontier >= 0 && !new java.io.File(s"$corpusDir/post").exists())
+    if (frontier >= 0 && !StoreFs.exists(s"$corpusDir/post"))
       throw new IllegalStateException(
         s"near-dup store at $corpusDir has landed sigs/ batches (frontier " +
           s"$frontier) but no post/ shingle index — exact verification " +
@@ -86,19 +86,13 @@ object StreamingNearDupIngest {
   }
 
   /** Highest batch id already landed in the signature store (-1 if none). */
-  def maxLandedBatch(corpusDir: String): Long = {
-    val d = new java.io.File(s"$corpusDir/sigs")
-    if (!d.exists()) -1L
-    else d.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  def maxLandedBatch(corpusDir: String): Long =
+    StoreFs.maxPartitionId(s"$corpusDir/sigs")
 
   /** The signature store with its `batch` partition column; an
     * empty frame of the right shape when nothing has landed yet. */
   def sigStore(spark: SparkSession, corpusDir: String, k: Int): DataFrame =
-    if (new java.io.File(s"$corpusDir/sigs").exists())
+    if (StoreFs.exists(s"$corpusDir/sigs"))
       spark.read.parquet(s"$corpusDir/sigs")
     else {
       val sigCols = (0 until k).map(i => lit(0L).as(s"s$i"))
@@ -109,7 +103,7 @@ object StreamingNearDupIngest {
   /** The posting-row store ((doc_id, sh) shingle index) with its
     * `batch` partition column; empty-shaped when nothing has landed. */
   def postStore(spark: SparkSession, corpusDir: String): DataFrame =
-    if (new java.io.File(s"$corpusDir/post").exists())
+    if (StoreFs.exists(s"$corpusDir/post"))
       spark.read.parquet(s"$corpusDir/post")
     else
       spark.range(0).select(col("id").as("doc_id"),
@@ -122,9 +116,7 @@ object StreamingNearDupIngest {
     * just re-runs; `n` must match the shingle width the store's
     * signatures were built with. */
   def backfillPostings(spark: SparkSession, corpusDir: String, n: Int): Unit = {
-    val d = new java.io.File(s"$corpusDir/docs")
-    if (!d.exists()) return
-    d.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted
+    StoreFs.listNames(s"$corpusDir/docs").filter(_.startsWith("batch=")).sorted
       .foreach { b =>
         Dedup.shinglePostings(spark.read.parquet(s"$corpusDir/docs/$b"), n)
           .write.mode("overwrite").parquet(s"$corpusDir/post/$b")

@@ -755,16 +755,25 @@ class DedupSpec extends SparkSpec {
     assert(out.columns.distinct.length == out.columns.length)
   }
 
-  test("cmsFrequencies: refuses a high-cardinality probe key instead of collecting it") {
+  test("cmsFrequencies: high-cardinality probe key truncates to the deterministic heavy-hitter prefix") {
     import spark.implicits._
-    val df = (1 to 50).map(i => s"k$i").toDF("k")
-    val e = intercept[IllegalArgumentException] {
-      graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 10)
-    }
-    assert(e.getMessage.contains("maxKeys"), e.getMessage)
-    // at or below the cap the API is unchanged
-    assert(graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 50)
-      .count() == 50L)
+    // k1 appears 3x, k2 2x, everything else once: the capped dictionary
+    // must be the top-by-count prefix with key-ASC tie-breaks, flagged
+    // truncated=1 on every row (r15 contract — was a hard refusal)
+    val df = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ (3 to 50).map(i => s"k$i"))
+      .toDF("k")
+    val out = graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 10)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(4) == 1L), "every truncated row must carry the flag")
+    val keys = out.map(_.getString(0)).toSeq
+    assert(keys.take(2) == Seq("k1", "k2"), s"heavy hitters first: $keys")
+    assert(keys.drop(2) == keys.drop(2).sorted, s"ties break key-ASC: $keys")
+    // at or below the cap the full dictionary comes back unflagged
+    val full = graft.functions.Sketches.cmsFrequencies(df, col("k"), maxKeys = 50)
+      .collect()
+    assert(full.length == 50L)
+    assert(full.forall(_.getLong(4) == 0L))
   }
 
   test("thetaSetOps: planted overlap arithmetic, estimates exact at small cardinality") {
