@@ -303,11 +303,26 @@ object SparkEntry {
       // other derived index — reps and future consumers skip the two
       // slice fixpoints (the first run still exercises them all)
       graft.functions.IndexMemo("ccinc", pairs, ()) {
-        Dedup.mergeComponents(
-            Dedup.connectedComponents(pairs.filter(firstSlice)),
-            Dedup.connectedComponents(pairs.filter(!firstSlice)))
-          .select(col("id"), col("label"))
-          .localCheckpoint()
+        // The two slice fixpoints are independent driver-blocking
+        // iteration loops over one shared pair graph — run them
+        // CONCURRENTLY (the crossModalDedup discipline): the first
+        // evaluation trains the minhash_pairs memo once behind its
+        // per-key lock, then both pointer-jumping loops interleave
+        // their small jobs on the idle cores. Results awaited before
+        // the merge, so the labeling is order-independent.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (ccA, ccB) = try {
+          implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val fa = Future { Dedup.connectedComponents(pairs.filter(firstSlice)) }
+          val fb = Future { Dedup.connectedComponents(pairs.filter(!firstSlice)) }
+          (Await.result(fa, Duration(30, "minutes")),
+            Await.result(fb, Duration(30, "minutes")))
+        } finally pool.shutdown()
+        Dedup.flatCheckpoint(Dedup.mergeComponents(ccA, ccB)
+          .select(col("id"), col("label")))
       }
     }),
     "q_dedup_corpus" -> ((s, d) =>

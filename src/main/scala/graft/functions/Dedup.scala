@@ -809,7 +809,18 @@ object Dedup {
     * 8-hex-char words parsed to ints ONCE per token row so the per-bit
     * reads are integer shifts, not 64 string ops (the simhash16
     * optimization, cf. its ~9s-at-sf0.1 note). */
-  def simhash64(docs: DataFrame): DataFrame = {
+  def simhash64(docs: DataFrame): DataFrame =
+    // Memoized per docs plan like `minhashSignatures` (r15): the 64-bit
+    // signature table is the simhash family's ingest-time index (one
+    // long per doc), and its tokenize + 64-vote-sums pass was the one
+    // cold training still re-paid by EVERY consumer — the plain and
+    // combi banded joins, the probe, and the candidate diagnostics each
+    // recomputed it per query.
+    IndexMemo("simhash64", docs, ()) {
+      simhash64Compute(docs).localCheckpoint()
+    }
+
+  private def simhash64Compute(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -1140,24 +1151,39 @@ object Dedup {
     * exponent (`Smoke scale` does exactly that). */
   def candidateDiagnostics(docs: DataFrame, n: Int, k: Int, bands: Int,
                            maxDocFreq: Int = 0, maxBucket: Int = 0): DataFrame = {
-    val d = docs.localCheckpoint()
-    val nDocs = d.count()
+    val nDocs = docs.count()
     def countRow(method: String, capV: Long, pairs: DataFrame): DataFrame =
       pairs.distinct()
         .agg(count(lit(1)).as("n_candidates"))
         .select(lit(method).as("method"), lit(nDocs).as("n_docs"),
           lit(capV).as("cap"), col("n_candidates"))
+    // EVERY index below takes the RAW docs frame: the training memos
+    // key on the input PLAN, and only the raw plan `sameResult`s with
+    // what the dedup-apply / crossmodal / LSH / simhash queries pass —
+    // through a localCheckpoint this diagnostic trained a second
+    // unshared signature index per suite (the r13 annRecall bug shape,
+    // found r14 for minhash; the simhash and inverted branches had the
+    // same fork until r15). The two independent signature trainings
+    // (minhash postings+sigs, simhash64) fan out CONCURRENTLY — the
+    // annRecall discipline; IndexMemo's per-key locks make the racing
+    // builds safe and the results are memoized checkpoints, so the
+    // emitted rows are order-independent.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (sig, sh) = try {
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fSig = Future { minhashSignatures(docs, n, k) }
+      val fSh = Future { simhash64(docs) }
+      (Await.result(fSig, Duration(30, "minutes")),
+        Await.result(fSh, Duration(30, "minutes")))
+    } finally pool.shutdown()
     // minhash: banded signature self-join under the hot-bucket cap
-    // (pre-Jaccard-verify) — the minhashLshPairs blocking. The
-    // signature table takes the RAW docs frame, NOT the local
-    // checkpoint `d`: the training memo keys on the input PLAN, and
-    // only the raw plan `sameResult`s with what the dedup-apply /
-    // crossmodal / LSH queries pass — through `d` this diagnostic
-    // trained a second unshared signature index per suite (the r13
-    // annRecall bug shape, found r14).
+    // (pre-Jaccard-verify) — the minhashLshPairs blocking.
     val bCap = if (maxBucket > 0) maxBucket else autoDocFreqCap(nDocs)
     val mBanded = bandedColdKeys(
-      bandKeysOf(minhashSignatures(docs, n, k), k, bands), bCap,
+      bandKeysOf(sig, k, bands), bCap,
       "candidateDiagnostics")
     val mPairs = mBanded.as("x").join(mBanded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -1165,7 +1191,6 @@ object Dedup {
     // simhash64: banded Hamming equi-join (pre-Hamming-verify)
     val bandWidth = 64 / 4
     val mask = (1L << bandWidth) - 1L
-    val sh = simhash64(d).localCheckpoint()
     val sBanded = sh.select(col("doc_id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash64"), b * bandWidth).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
@@ -1180,10 +1205,18 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // inverted posting list under the df cap (pre-Jaccard-verify),
-    // keyed like ngramJaccardPairsInverted: (lang, source, shingle)
+    // keyed like ngramJaccardPairsInverted: (lang, source, shingle).
+    // Derived from the MEMOIZED posting table + a per-doc meta join —
+    // lang/source are functionally dependent on doc_id, so joining them
+    // onto the distinct (doc_id, sh) postings yields exactly the
+    // distinct (lang, source, sh, doc_id) rows a second shingling pass
+    // produced, without re-tokenizing the corpus.
     val cap = if (maxDocFreq > 0) maxDocFreq else autoDocFreqCap(nDocs)
-    val ex = shingleRows(d, n, Seq("lang", "source"))
-      .select(col("lang"), col("source"), col("sh"), col("doc_id")).distinct()
+    // Checkpointed: the hot-key count and both sides of the rare
+    // self-join consume it — one meta-join pass instead of four.
+    val ex = shinglePostings(docs, n)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("lang"), col("source"), col("sh"), col("doc_id"))
       .localCheckpoint()
     val hot = ex.groupBy(col("lang"), col("source"), col("sh"))
       .agg(count(lit(1)).as("_df"))
@@ -1219,9 +1252,8 @@ object Dedup {
     // more scheduling than they save — but a corpus-scale pair graph
     // must not funnel through one task either, so target ~500k edges
     // per task, capped at the cluster's parallelism.
-    val edgesAll = pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val edgesAll = flatCheckpoint(pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val nEdges = edgesAll.count()
     if (nEdges == 0)
       return edgesAll.select(col("doc_a").as("id"), col("doc_a").as("label"))
@@ -1232,9 +1264,8 @@ object Dedup {
         (nEdges + 499999L) / 500000L)).toInt
     // coalesce (narrow, no shuffle) down onto the checkpointed blocks.
     val edges = edgesAll.coalesce(p)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = flatCheckpoint(edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -1272,7 +1303,18 @@ object Dedup {
       }
       // LAZY checkpoint: the labelSum action below materializes the
       // batch and computes the convergence sum in ONE job.
-      labels = cur.localCheckpoint(eager = false)
+      // LAZY checkpoint: the labelSum action below materializes the
+      // batch and computes the convergence sum in ONE job. The flat
+      // wrapper severs STATS lineage too — without it each batch's
+      // LogicalRDD carries originStats over the previous batch's plan,
+      // the size-only join estimator multiplies those BigInt sizes
+      // through every join level, and the per-batch stats value
+      // DOUBLES in bit-length — geometric driver CPU that crossed into
+      // seconds-per-batch once the merge law chained CC generations
+      // (found r15 via jstack: Toom-Cook BigInteger multiplies under
+      // SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+      labels = flatCheckpoint(cur.localCheckpoint(eager = false),
+        alreadyCheckpointed = true)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
@@ -1507,12 +1549,32 @@ object Dedup {
                       (compute: => DataFrame): DataFrame =
     IndexMemo(tag, docs, params)(compute)
 
+  /** localCheckpoint that also severs STATISTICS lineage. A plain
+    * `localCheckpoint` returns a LogicalRDD that PRESERVES the origin
+    * plan's statistics, so the size-only join estimator keeps
+    * multiplying BigInt sizes across checkpoint generations — in
+    * iterative pipelines (CC fixpoints, the merge law chaining CC
+    * outputs into new CCs) the cached stats value doubles in bit
+    * length per generation and the driver ends up burning SECONDS in
+    * Toom-Cook BigInteger multiplies during AQE re-optimization
+    * (jstack-confirmed, r15). Re-wrapping the checkpointed RDD in a
+    * fresh `createDataFrame` yields a leaf with default stats — the
+    * data blocks are shared, only the stats chain is cut; AQE's
+    * runtime sizes still drive broadcast/coalesce decisions. */
+  private[graft] def flatCheckpoint(df: DataFrame,
+                                    alreadyCheckpointed: Boolean = false): DataFrame = {
+    val cp = if (alreadyCheckpointed) df else df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   private[graft] def componentsFor(docs: DataFrame, n: Int, k: Int, bands: Int,
                                    minJaccard: Double): DataFrame =
     memoized("cc", docs, (n, k, bands, minJaccard)) {
+      // connectedComponents' labels are already a flat checkpoint
+      // (stats-severed, materialized) — no extra wrap needed.
       connectedComponents(dupPairs(docs, n, k, bands, minJaccard))
-        .localCheckpoint()
     }
+
 
   /** The dedup APPLY step: exact + MinHash-LSH near-dup pairs →
     * connected components → keep the minimum doc_id per component.

@@ -311,7 +311,9 @@ object Multimodal {
     * closure and `crossModalSavings`' payload-only loser class. */
   private def mediaComponents(mediaEdges: DataFrame): DataFrame =
     graft.functions.IndexMemo("mcc", mediaEdges, ()) {
-      graft.functions.Dedup.connectedComponents(mediaEdges).localCheckpoint()
+      // connectedComponents output is already a flat materialized
+      // checkpoint (stats-severed) — see Dedup.flatCheckpoint.
+      graft.functions.Dedup.connectedComponents(mediaEdges)
     }
 
   def crossModalDedup(docs: DataFrame, media: DataFrame, n: Int, k: Int,
@@ -354,8 +356,8 @@ object Multimodal {
           val fm = Future { mediaComponents(mediaEdges) }
           (Await.result(ft, Duration.Inf), Await.result(fm, Duration.Inf))
         } finally pool.shutdown()
-        graft.functions.Dedup.mergeComponents(textCC, mediaCC)
-          .localCheckpoint()
+        graft.functions.Dedup.flatCheckpoint(
+          graft.functions.Dedup.mergeComponents(textCC, mediaCC))
       }
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"))
@@ -405,7 +407,8 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"))
     val edges = textEdges.union(mediaEdges)
     val unionLosers = graft.functions.IndexMemo("xcc", edges, ()) {
-        graft.functions.Dedup.mergeComponents(textCC, mediaCC).localCheckpoint()
+        graft.functions.Dedup.flatCheckpoint(
+          graft.functions.Dedup.mergeComponents(textCC, mediaCC))
       }
       .filter(col("label") < col("id"))
       .select(col("id").as("doc_id"), lit(1L).as("_lu"))
