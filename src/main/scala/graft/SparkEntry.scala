@@ -259,6 +259,75 @@ object SparkEntry {
           TextAnalysis.tokens(col("text"))).cast("long"),
         "lang", "doc_id", 512L)
     }),
+    // END-TO-END curation ledger (r15, closes r14 verdict #6): the
+    // production curation pipeline — rule filter → dedup APPLY →
+    // benchmark decontamination → leakage-safe cluster split →
+    // 512-token packing — gated as ONE row per stage with
+    // docs_in/docs_out. The dedup and split stages apply the
+    // CORPUS-WIDE dup closure (the suite-shared `componentsFor` memo —
+    // at 100 TB the pair graph is mined once at ingest and every
+    // filter change REUSES it, the signature-store discipline) rather
+    // than re-mining the filtered subset: per cluster the smallest
+    // FILTERED doc survives, so transitive chains through filtered-out
+    // docs still collapse (A≈B≈C with B filtered: A survives, C
+    // drops — a re-mine of the filtered corpus would silently keep C),
+    // and the split buckets by the ORIGINAL cluster label, so no
+    // near-dup pair straddles train/eval even across filter revisions.
+    // The oracle replays the same chain from the per-stage gates' own
+    // CTEs; rows reconcile with q_filter_attrition / q_dedup_savings
+    // (monotone attrition; splits partition n3). `Smoke curate`
+    // remains the sibling drive of the re-mine composition
+    // (dedupCorpus/withClusterSplit over the filtered frames).
+    "q_curate_ledger" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.functions.{Dedup, Sampling, TextAnalysis}
+      val docs = Tables.documents(s, d)
+      val nIn = docs.count()
+      val kept1 = docs.join(
+        TextAnalysis.corpusFilter(docs).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val n1 = kept1.count()
+      // cluster label of every FILTERED doc under the corpus closure
+      val lab = kept1.select(col("doc_id"))
+        .join(Dedup.componentsFor(docs, 3, 8, 4, 0.5)
+            .select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("lbl"))
+        .localCheckpoint()
+      val reps = lab.groupBy(col("lbl")).agg(min(col("doc_id")).as("doc_id"))
+      val kept2 = kept1.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val n2 = kept2.count()
+      val benchmark = docs.filter(col("doc_id") % 97 === 0)
+      val kept3 = kept2.join(
+        Dedup.decontaminate(kept2, benchmark, 5, 3L)
+          .filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val n3 = kept3.count()
+      val sp = kept3.select(col("doc_id"), col("text"))
+        .join(lab, Seq("doc_id"))
+        .withColumn("split", {
+          val b = Sampling.hashBucket(col("lbl"), 100)
+          when(b < 10, lit("val")).when(b < 20, lit("test"))
+            .otherwise(lit("train"))
+        }).localCheckpoint()
+      val sc = sp.groupBy(col("split")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nBins = Sampling.packSequences(
+        sp.withColumn("_nt",
+          size(TextAnalysis.tokens(col("text"))).cast("long")),
+        col("_nt"), "split", "doc_id", 512L).count()
+      Seq(
+        ("filter", 1L, nIn, n1),
+        ("dedup", 2L, n1, n2),
+        ("decontaminate", 3L, n2, n3),
+        ("split_train", 4L, n3, sc.getOrElse("train", 0L)),
+        ("split_val", 5L, n3, sc.getOrElse("val", 0L)),
+        ("split_test", 6L, n3, sc.getOrElse("test", 0L)),
+        ("pack_bins", 7L, n3, nBins)
+      ).toDF("stage", "stage_idx", "docs_in", "docs_out")
+    }),
     "q_split_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.functions.Sampling.withSplit(Tables.documents(s, d), "doc_id", 10, 10)
@@ -1965,6 +2034,9 @@ object SparkEntry {
            |WHERE b.doc_id % 5 = 0
            |  AND NOT EXISTS (SELECT 1 FROM fp c
            |                  WHERE c.doc_id % 3 = 0 AND c.fp = b.fp)""".stripMargin,
+    // the composed curation pipeline, one row per stage (see
+    // curateLedgerSql)
+    "q_curate_ledger" -> curateLedgerSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_redact_pii" ->
@@ -4448,14 +4520,18 @@ object SparkEntry {
        |$lshTopKTailSql""".stripMargin
 
   /** Distinct word-3-gram shingle sets per document (mirror of
-    * Dedup.shingles(n=3)). */
-  private val shinglesSql =
-    """SELECT doc_id, lang, source,
-      |       list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      |FROM (SELECT doc_id, lang, source,
-      |             string_split_regex(trim(lower(text)), '\s+') AS toks
-      |      FROM documents)""".stripMargin
+    * Dedup.shingles(n=3)), parameterized by the docs source so the
+    * composed curation-ledger oracle can shingle intermediate stages
+    * (r15). */
+  private def shinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, lang, source,
+       |       list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |FROM (SELECT doc_id, lang, source,
+       |             string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |      FROM $src)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private val sourceOverlapSql =
     raw"""WITH tok AS (SELECT source,
@@ -4827,49 +4903,118 @@ object SparkEntry {
     * both orientations) — the reusable prefix `dedupCorpusBaseSql`
     * closes over with `reach`; `q_crossmodal_dedup` instead unions
     * these edges with the fingerprint channel's before ITS closure. */
-  private val dedupEdgesCtes = {
+  /** Exact + MinHash-LSH dup-edge CTE chain over an arbitrary docs
+    * source, with every CTE name suffixed so TWO independent dedup
+    * chains can coexist in one statement (the curation ledger runs one
+    * over the filtered corpus and another over the decontaminated one,
+    * r15). `dedupEdgesCtes` keeps the historical unsuffixed form over
+    * `documents` for the existing oracles. */
+  private def dedupEdgesCtesFrom(src: String, x: String): String = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n       ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig")
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sig$x")
       .mkString("\n      UNION ALL ")
-    raw"""s AS ($shinglesSql),
-       |e AS (SELECT doc_id,
+    raw"""s$x AS MATERIALIZED (${shinglesSqlFrom(src)}),
+       |e$x AS (SELECT doc_id,
        |             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h1,
        |             CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT) AS h2
-       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s)),
-       |sig AS (SELECT doc_id,
+       |      FROM (SELECT doc_id, unnest(sh) AS sh FROM s$x)),
+       |sig$x AS MATERIALIZED (SELECT doc_id,
        |       $mins
-       |        FROM e GROUP BY doc_id),
-       |bands AS ($bandRows),
-       |bcap AS (SELECT GREATEST(1000, CAST(ceil(4.0 * sqrt(count(*))) AS BIGINT)) AS c FROM sig),
-       |bsz AS (SELECT band, bkey, count(*) AS cnt FROM bands GROUP BY 1, 2),
-       |coldb AS (SELECT bands.* FROM bands JOIN bsz USING (band, bkey)
-       |          WHERE bsz.cnt <= (SELECT c FROM bcap)),
-       |candn AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM coldb x JOIN coldb y
+       |        FROM e$x GROUP BY doc_id),
+       |bands$x AS ($bandRows),
+       |bcap$x AS (SELECT GREATEST(1000, CAST(ceil(4.0 * sqrt(count(*))) AS BIGINT)) AS c FROM sig$x),
+       |bsz$x AS (SELECT band, bkey, count(*) AS cnt FROM bands$x GROUP BY 1, 2),
+       |coldb$x AS (SELECT bands$x.* FROM bands$x JOIN bsz$x USING (band, bkey)
+       |          WHERE bsz$x.cnt <= (SELECT c FROM bcap$x)),
+       |candn$x AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM coldb$x x JOIN coldb$x y
        |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |nearp AS (SELECT c.doc_a, c.doc_b
-       |          FROM candn c
-       |          JOIN s sa ON sa.doc_id = c.doc_a
-       |          JOIN s sb ON sb.doc_id = c.doc_b
+       |nearp$x AS (SELECT c.doc_a, c.doc_b
+       |          FROM candn$x c
+       |          JOIN s$x sa ON sa.doc_id = c.doc_a
+       |          JOIN s$x sb ON sb.doc_id = c.doc_b
        |          WHERE cast(len(list_intersect(sa.sh, sb.sh)) AS double)
        |                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
-       |exactp AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
+       |exactp$x AS (SELECT mn AS doc_a, doc_id AS doc_b FROM (
        |             SELECT doc_id,
        |                    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS mn
-       |             FROM documents) WHERE doc_id > mn),
-       |edges AS (SELECT doc_a, doc_b FROM nearp UNION SELECT doc_a, doc_b FROM exactp
-       |          UNION SELECT doc_b, doc_a FROM nearp UNION SELECT doc_b, doc_a FROM exactp)""".stripMargin
+       |             FROM $src) WHERE doc_id > mn),
+       |edges$x AS MATERIALIZED (SELECT doc_a, doc_b FROM nearp$x UNION SELECT doc_a, doc_b FROM exactp$x
+       |          UNION SELECT doc_b, doc_a FROM nearp$x UNION SELECT doc_b, doc_a FROM exactp$x)""".stripMargin
   }
 
-  private val dedupCorpusBaseSql =
-    raw"""WITH $dedupEdgesCtes,
-       |reach AS (
+  private lazy val dedupEdgesCtes = dedupEdgesCtesFrom("documents", "")
+
+  /** Min-label reachability (connected components) over an `edges$x`
+    * CTE emitted by `dedupEdgesCtesFrom`. */
+  private def reachCteFrom(x: String): String =
+    raw"""reach$x AS (
        |  WITH RECURSIVE r(id, m) AS (
-       |    SELECT doc_a AS id, doc_a AS m FROM edges
+       |    SELECT doc_a AS id, doc_a AS m FROM edges$x
        |    UNION
-       |    SELECT e.doc_a, r.m FROM edges e JOIN r ON r.id = e.doc_b
+       |    SELECT e.doc_a, r.m FROM edges$x e JOIN r ON r.id = e.doc_b
        |  ) SELECT id, min(m) AS label FROM r GROUP BY id)""".stripMargin
+
+  private lazy val dedupCorpusBaseSql =
+    s"""WITH $dedupEdgesCtes,
+       |${reachCteFrom("")}""".stripMargin
+
+  /** DuckDB replay of the WHOLE curation pipeline (`q_curate_ledger`,
+    * r15): filter verdicts → the corpus-wide dedup closure APPLIED to
+    * the filtered set (smallest filtered doc per cluster survives) →
+    * 5-gram decontamination vs the doc_id%97 benchmark slice → the
+    * SAME closure's labels keying the leakage-safe split →
+    * cumulative 512-token packing. One dedup chain — the identical
+    * CTEs q_dedup_corpus gates — consumed by two stages. */
+  private lazy val curateLedgerSql = {
+    def grams5(src: String): String =
+      raw"""SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+           |         i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM $src)""".stripMargin
+    val bucket =
+      "CAST('0x' || substring(md5(CAST(lab.lbl AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    raw"""WITH fv AS MATERIALIZED (SELECT doc_id, keep FROM ($corpusFilterOracleSql)),
+         |k1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN fv ON fv.doc_id = d.doc_id WHERE fv.keep),
+         |$dedupEdgesCtes,
+         |${reachCteFrom("")},
+         |lab AS MATERIALIZED (SELECT k1.doc_id, COALESCE(r.label, k1.doc_id) AS lbl
+         |       FROM k1 LEFT JOIN reach r ON r.id = k1.doc_id),
+         |rep AS (SELECT lbl, min(doc_id) AS doc_id FROM lab GROUP BY 1),
+         |k2 AS MATERIALIZED (SELECT k1.* FROM k1 JOIN rep USING (doc_id)),
+         |tr5 AS (SELECT DISTINCT doc_id, sh FROM (${grams5("k2")})),
+         |be5 AS (SELECT DISTINCT sh FROM (${grams5("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})),
+         |c5 AS (SELECT tr5.doc_id, count(*) AS n FROM tr5 JOIN be5 USING (sh) GROUP BY 1),
+         |k3 AS MATERIALIZED (SELECT k2.* FROM k2 LEFT JOIN c5 ON c5.doc_id = k2.doc_id
+         |       WHERE coalesce(c5.n, 0) < 3),
+         |sp AS MATERIALIZED (SELECT k3.doc_id,
+         |         CASE WHEN $bucket < 10 THEN 'val'
+         |              WHEN $bucket < 20 THEN 'test'
+         |              ELSE 'train' END AS split,
+         |         CAST(len(string_split_regex(trim(lower(k3.text)), '\s+')) AS BIGINT) AS n_toks
+         |       FROM k3 JOIN lab ON lab.doc_id = k3.doc_id),
+         |pc AS (SELECT split, doc_id, n_toks,
+         |         coalesce(sum(n_toks) OVER (PARTITION BY split ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |       FROM sp),
+         |bins AS (SELECT count(*) AS n FROM (SELECT DISTINCT split, cb // 512 FROM pc)),
+         |nn AS (SELECT
+         |   (SELECT count(*) FROM documents) AS n_in,
+         |   (SELECT count(*) FROM k1) AS n1,
+         |   (SELECT count(*) FROM k2) AS n2,
+         |   (SELECT count(*) FROM k3) AS n3,
+         |   (SELECT count(*) FROM sp WHERE split = 'train') AS n_train,
+         |   (SELECT count(*) FROM sp WHERE split = 'val') AS n_val,
+         |   (SELECT count(*) FROM sp WHERE split = 'test') AS n_test,
+         |   (SELECT n FROM bins) AS n_bins)
+         |SELECT 'filter' AS stage, CAST(1 AS BIGINT) AS stage_idx, n_in AS docs_in, n1 AS docs_out FROM nn
+         |UNION ALL SELECT 'dedup', CAST(2 AS BIGINT), n1, n2 FROM nn
+         |UNION ALL SELECT 'decontaminate', CAST(3 AS BIGINT), n2, n3 FROM nn
+         |UNION ALL SELECT 'split_train', CAST(4 AS BIGINT), n3, n_train FROM nn
+         |UNION ALL SELECT 'split_val', CAST(5 AS BIGINT), n3, n_val FROM nn
+         |UNION ALL SELECT 'split_test', CAST(6 AS BIGINT), n3, n_test FROM nn
+         |UNION ALL SELECT 'pack_bins', CAST(7 AS BIGINT), n3, n_bins FROM nn""".stripMargin
+  }
 
   private val simhash16Sql = {
     val votes = (0 until 16).map(j =>
