@@ -169,6 +169,126 @@ object ReportUpsert {
       .parquet(dir)
   }
 
+  // ------------------------------------------------------------------
+  // OPTIMISTIC-CONCURRENCY merge sink (r15) — the multi-writer rung
+  // above `withWriterLock`'s fail-fast single-writer contract, and the
+  // lakehouse-standard protocol in miniature: stage the merged
+  // snapshot, then COMMIT by atomically claiming the next manifest
+  // version; a loser detects the conflict at the claim (its read-set —
+  // the table version it merged against — is stale), discards its
+  // staged data, RE-READS the new snapshot and REPLAYS the merge.
+  // The P5 monotone guard lives inside `merge` itself, so it holds
+  // under any number of replays (a replayed batch whose counts no
+  // longer exceed the stored ones degrades to a no-op — exactly the
+  // reference's idempotence rationale, transformer.py:31-40,
+  // generalized to concurrent writers).
+  //
+  // Layout: `<dir>/manifest/v%08d.json` (content: the committed data
+  // dir's name) + `<dir>/data/<uuid>/part-*.parquet`. The commit point
+  // is ONE filesystem primitive: `Files.createLink(v<N+1>.json, tmp)`
+  // — hard-link creation is atomic and FAILS if the target exists, so
+  // exactly one writer claims each version and readers only ever see
+  // fully-written manifests (content is written to tmp BEFORE the
+  // link). Data dirs are immutable once committed — no in-place swap,
+  // no recovery dance: a crash leaves at worst an unreferenced staged
+  // dir and a tmp manifest, both dropped by `vacuumOcc`. Like the
+  // sibling sinks this is the LOCAL-FS form (hard links don't exist on
+  // object stores); with Delta/Iceberg the format's own CAS-on-log
+  // commit replaces it verbatim.
+  // ------------------------------------------------------------------
+
+  /** Commit `incoming` into the OCC table at `dir` (creating it if
+    * absent), retrying on version conflicts. Returns the committed
+    * version. `beforeCommit(attempt)` is a deterministic test seam
+    * invoked after staging and before the claim — a spec interleaves a
+    * rival writer there to force the conflict path. */
+  def mergeIntoOcc(dir: String, incoming: DataFrame, maxRetries: Int = 10,
+                   beforeCommit: Int => Unit = _ => ()): Int = {
+    val spark = incoming.sparkSession
+    val manifestDir = new java.io.File(dir, "manifest")
+    val dataDir = new java.io.File(dir, "data")
+    manifestDir.mkdirs(); dataDir.mkdirs()
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      // 1. read-set: the current table version and its snapshot
+      val v = occVersion(dir)
+      val merged = occSnapshotAt(spark, dir, v)
+        .map(merge(_, incoming)).getOrElse(incoming)
+      // 2. stage the post-merge snapshot under a fresh immutable dir
+      val staged = new java.io.File(dataDir, java.util.UUID.randomUUID().toString)
+      merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      beforeCommit(attempt)
+      // 3. CAS: claim version v+1 by atomic hard-link creation
+      val tmp = java.io.File.createTempFile("manifest_", ".tmp", manifestDir)
+      java.nio.file.Files.write(tmp.toPath,
+        staged.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val target = new java.io.File(manifestDir, f"v${v + 1}%08d.json")
+      try {
+        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        tmp.delete()
+        return v + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // 4. conflict: another writer claimed v+1 — discard the
+          // staged data and REPLAY against the new snapshot
+          tmp.delete()
+          deleteRec(staged)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"OCC merge at $dir lost $maxRetries consecutive version races — " +
+        "writer contention exceeds the retry budget")
+  }
+
+  /** Highest committed version of the OCC table (-1 when empty). */
+  def occVersion(dir: String): Int =
+    Option(new java.io.File(dir, "manifest").listFiles()).map(_.toSeq)
+      .getOrElse(Nil)
+      .map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .foldLeft(-1)(math.max)
+
+  /** The committed snapshot at version `v` (None when v < 0). */
+  private def occSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, v: Int): Option[DataFrame] =
+    if (v < 0) None
+    else {
+      val name = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(new java.io.File(dir, "manifest"), f"v$v%08d.json").toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Some(spark.read.parquet(new java.io.File(new java.io.File(dir, "data"), name).toString))
+    }
+
+  /** The current committed snapshot (None for an empty table). */
+  def readOcc(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
+    occSnapshotAt(spark, dir, occVersion(dir))
+
+  /** Drop unreferenced staged data dirs and manifest tmp files (crash
+    * leftovers). Committed history stays — `keepVersions` of manifest
+    * generations and their data dirs are retained (time travel /
+    * in-flight readers), older ones removed. Run only with no writer
+    * in flight: an in-flight writer's staged-but-uncommitted dir is
+    * indistinguishable from a crash leftover (the same caveat as every
+    * lakehouse VACUUM). */
+  def vacuumOcc(dir: String, keepVersions: Int = 2): Unit = {
+    val manifestDir = new java.io.File(dir, "manifest")
+    val versions = Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)).toSet
+    Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+    drop.foreach(_.delete())
+    Option(new java.io.File(dir, "data").listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filterNot(d => referenced.contains(d.getName))
+      .foreach(deleteRec)
+  }
+
   /** Recursive delete of a local directory (test/probe helper). */
   def deleteDir(path: String): Unit = deleteRec(new java.io.File(path))
 

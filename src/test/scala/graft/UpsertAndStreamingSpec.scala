@@ -99,6 +99,92 @@ class UpsertSpec extends SparkSpec {
     }
     assert(!lock.exists(), "lock must be released after a failed batch")
   }
+
+  test("OCC merge: interleaved writers — the loser replays and BOTH increments land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ").toString + "/reports"
+    ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 10.0, "seed", 5L)))
+    assert(ReportUpsert.occVersion(dir) == 0)
+    // Writer A stages against version 0; before A's claim, writer B
+    // runs a FULL commit (claiming v1). A's claim must conflict, and A
+    // must REPLAY against B's snapshot so both writers' rows land.
+    var rivalRan = false
+    val vA = ReportUpsert.mergeIntoOcc(dir,
+      reports(("2024-01-02", 20.0, "writerA", 3L)),
+      beforeCommit = attempt => if (attempt == 0 && !rivalRan) {
+        rivalRan = true
+        val vB = ReportUpsert.mergeIntoOcc(dir,
+          reports(("2024-01-03", 30.0, "writerB", 4L)))
+        assert(vB == 1, s"rival must claim v1, got $vB")
+      })
+    assert(rivalRan)
+    assert(vA == 2, s"loser must replay and commit the NEXT version, got $vA")
+    val out = ReportUpsert.readOcc(spark, dir).get.collect()
+      .map(r => r.getDate(0).toString -> r.getAs[String]("version")).toMap
+    assert(out == Map("2024-01-01" -> "seed", "2024-01-02" -> "writerA",
+      "2024-01-03" -> "writerB"), s"both increments must land: $out")
+  }
+
+  test("OCC merge: the P5 monotone guard holds under replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ2").toString + "/reports"
+    ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 10.0, "seed", 5L)))
+    // Writer A carries count 6 for the seed key; the rival commits
+    // count 9 for the SAME key before A's claim. A's replay re-merges
+    // against the count-9 snapshot, so the guard must keep the rival's
+    // row (9 > 6) — a replayed batch degrades to a no-op, never a
+    // lost-update or a rollback of the higher count.
+    var rivalRan = false
+    ReportUpsert.mergeIntoOcc(dir,
+      reports(("2024-01-01", 11.0, "writerA", 6L)),
+      beforeCommit = _ => if (!rivalRan) {
+        rivalRan = true
+        ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 99.0, "rival", 9L)))
+      })
+    val out = ReportUpsert.readOcc(spark, dir).get.collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("version") == "rival" &&
+      out.head.getAs[Long]("total_transactions") == 9L,
+      "the higher-count rival row must survive A's replay")
+    // and the reverse: the replayed writer WINS when its count is higher
+    var rival2 = false
+    ReportUpsert.mergeIntoOcc(dir,
+      reports(("2024-01-01", 12.0, "writerC", 20L)),
+      beforeCommit = _ => if (!rival2) {
+        rival2 = true
+        ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 50.0, "rival2", 12L)))
+      })
+    val out2 = ReportUpsert.readOcc(spark, dir).get.collect()
+    assert(out2.length == 1 && out2.head.getAs[String]("version") == "writerC",
+      "the replayed writer's higher count must win the re-merge")
+  }
+
+  test("OCC merge: concurrent THREADS both land; vacuum drops only unreferenced dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ3").toString + "/reports"
+    val dates = (1 to 6).map(i => f"2024-02-$i%02d")
+    // 6 genuinely concurrent writers, one date each — every row must
+    // land regardless of race order, in <= 6 + retries commits
+    val threads = dates.map { d =>
+      new Thread(() => {
+        ReportUpsert.mergeIntoOcc(dir, reports((d, 1.0, s"w$d", 1L)), maxRetries = 50)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val out = ReportUpsert.readOcc(spark, dir).get.collect()
+    assert(out.length == 6, s"all 6 concurrent increments must land, got ${out.length}")
+    assert(ReportUpsert.occVersion(dir) == 5, "6 commits -> versions 0..5")
+    // crash leftovers: a stranded staged dir and a manifest tmp
+    val junk = new java.io.File(dir + "/data/deadbeef-junk")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(dir + "/manifest/manifest_x.tmp").toPath, "junk")
+    ReportUpsert.vacuumOcc(dir, keepVersions = 2)
+    assert(!junk.exists(), "unreferenced staged dir must be vacuumed")
+    assert(!new java.io.File(dir + "/manifest/manifest_x.tmp").exists())
+    // the LIVE snapshot survives vacuum
+    assert(ReportUpsert.readOcc(spark, dir).get.count() == 6)
+    // only keepVersions manifests remain
+    val vs = new java.io.File(dir + "/manifest").listFiles()
+      .map(_.getName).filter(_.endsWith(".json"))
+    assert(vs.length == 2, s"history must be trimmed to keepVersions: ${vs.toSeq}")
+  }
 }
 
 class StreamingSpec extends SparkSpec {
