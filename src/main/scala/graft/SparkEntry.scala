@@ -551,13 +551,17 @@ object SparkEntry {
       // cross-scale minimum — still a non-collapse certificate there.
       val quantFloors: Map[String, Seq[(String, Double)]] = Map(
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
-          ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09)),
+          ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
+          ("pq_hi", 0.25)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
-          ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12)),
+          ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
+          ("pq_hi", 0.27)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
-          ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03)))
+          ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
+          ("pq_hi", 0.22)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
-        ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03))
+        ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
+        ("pq_hi", 0.22))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1023,6 +1027,18 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.pqTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, m = 2, ksub = 4, iters = 1)
+    }),
+    // the HIGH-FIDELITY PQ operating point (r15, closes r14 verdict
+    // #3): m=16 subspaces × 64 centroids = 96 code bits (21× raw
+    // compression) vs the 4-bit demo point — raw ADC recall 0.54 at
+    // the sf0.01 gate (0.50/0.445 at sf0.001/sf0.1; half-measured
+    // floors pinned in q_ann_recall), so the compressed serving story
+    // has a measured >= 0.5-recall rung. Same certified-iteration
+    // training chain, replayed by the oracle at the wider shape.
+    "q_pq_hi" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, m = 16, ksub = 64, iters = 1)
     }),
     // PQ + exact re-rank (the FAISS refine step): ADC 50-pool, exact
     // quantized-cosine final order
@@ -2191,8 +2207,8 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS recall_ok,
         |       CAST(1 AS BIGINT) AS rerank_ok
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
-        |             ('rq'), ('rq_rerank'), ('ivfpq'), ('ivfpq_rerank'),
-        |             ('sq8'), ('sq8_rerank')) AS m(method)
+        |             ('pq_hi'), ('rq'), ('rq_rerank'), ('ivfpq'),
+        |             ('ivfpq_rerank'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
@@ -2759,6 +2775,16 @@ object SparkEntry {
     // centroids the engine searches with. a2 = final codes.
     "q_pq_topk" ->
       s"""$pqBaseSql,
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    // the high-fidelity PQ point: the SAME certified chain at
+    // subWidth=4 / ksub=64 (96 code bits — see q_pq_hi's comment)
+    "q_pq_hi" ->
+      s"""${pqBaseSqlFor(4, 64)},
          |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
          |             row_number() OVER (PARTITION BY query_id
          |               ORDER BY adist, vec_id) AS rnk
@@ -4232,14 +4258,18 @@ object SparkEntry {
 
   private lazy val ivfpqBaseSql = ivfpqBaseSqlFor("TRUE")
 
-  private lazy val pqBaseSql =
+  /** PQ certified-training + ADC replay, parameterized by subspace
+    * width (dims per subspace) and per-subspace centroid count — the
+    * demo point is (32, 4); the high-fidelity gated point q_pq_hi is
+    * (4, 64) (r15). */
+  private def pqBaseSqlFor(subWidth: Int, ksub: Int): String =
     s"""WITH n AS ($quantizedSql),
        |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
        |              unnest(q) + 1048576 AS x FROM n),
-       |vs AS (SELECT vec_id, d, d // 32 AS s, x FROM vd),
+       |vs AS (SELECT vec_id, d, d // $subWidth AS s, x FROM vd),
        |seeds AS (SELECT vec_id,
        |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-       |          FROM n QUALIFY code < 4),
+       |          FROM n QUALIFY code < $ksub),
        |c0 AS (SELECT vs.s, se.code, vs.d, vs.x AS c
        |       FROM vs JOIN seeds se USING (vec_id)),
        |a1 AS (SELECT vec_id, s, code FROM (
@@ -4258,7 +4288,7 @@ object SparkEntry {
        |             ORDER BY sum((vs.x - c1.c)*(vs.x - c1.c)), c1.code) AS rn
        |    FROM vs JOIN c1 ON vs.s = c1.s AND vs.d = c1.d
        |    GROUP BY vs.vec_id, vs.s, c1.code QUALIFY rn = 1)),
-       |qd AS (SELECT vec_id AS query_id, d, d // 32 AS s, x
+       |qd AS (SELECT vec_id AS query_id, d, d // $subWidth AS s, x
        |       FROM vd WHERE vec_id % 100 = 0),
        |adc AS (SELECT qd.query_id, c1.s, c1.code,
        |               sum((qd.x - c1.c)*(qd.x - c1.c)) AS pd
@@ -4269,6 +4299,8 @@ object SparkEntry {
        |         FROM a2 JOIN adc ON a2.s = adc.s AND a2.code = adc.code
        |         WHERE a2.vec_id <> adc.query_id
        |         GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqBaseSql = pqBaseSqlFor(32, 4)
 
   /** DuckDB replay of the SQ8 code table + symmetric code-space scan
     * (Similarity.sq8CodeTable / sq8TopK): per-dim (mn, mx) bounds over

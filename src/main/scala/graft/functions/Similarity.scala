@@ -1487,7 +1487,7 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}
@@ -1499,7 +1499,7 @@ object Similarity {
         "annRecall concurrent index training", interruptOnCancel = true)
       body
     }
-    val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All) = try {
+    val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll) = try {
       val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
@@ -1521,7 +1521,11 @@ object Similarity {
           .localCheckpoint()
       }
       val fSq8 = training { sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint() }
-      val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8)
+      val fPqHi = training {
+        pqTopK(embeddings, queryPred, 5 * k, m = 16, ksub = 64, iters = 1)
+          .localCheckpoint()
+      }
+      val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8, fPqHi)
       val firstFailure = Promise[Seq[Any]]()
       // Complete the race promise BEFORE shutting the pool down —
       // listeners registered on a drained executor would be rejected
@@ -1537,11 +1541,11 @@ object Similarity {
         Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
           scala.concurrent.ExecutionContext.parasitic),
         Duration(30, "minutes"))
-      val Seq(tn, b, p, r, i, s) = res.asInstanceOf[Seq[Any]]
+      val Seq(tn, b, p, r, i, s, ph) = res.asInstanceOf[Seq[Any]]
       val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
       (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
         r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
-        s.asInstanceOf[DataFrame])
+        s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame])
     } catch { case e: Throwable =>
       spark.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow()
@@ -1640,6 +1644,13 @@ object Similarity {
     val sq8Pairs = sq8All.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val sq8RerankPairs = sq8All.select(col("query_id"), col("neighbor_id"))
+    // pq_hi: the HIGH-FIDELITY PQ operating point (m=16, ksub=64,
+    // iters=1 — q_pq_hi's served config, 96 code bits vs the 4-bit
+    // demo point): raw ADC recall >= 0.5 at the sf0.01 gate, the
+    // measured answer to "compressed but coarse" (r15; the full
+    // bits/recall curve is in BUILD_NOTES).
+    val pqHiPairs = pqHiAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -1651,6 +1662,7 @@ object Similarity {
       .unionByName(ivfpqRerankPairs.withColumn("method", lit("ivfpq_rerank")))
       .unionByName(sq8Pairs.withColumn("method", lit("sq8")))
       .unionByName(sq8RerankPairs.withColumn("method", lit("sq8_rerank")))
+      .unionByName(pqHiPairs.withColumn("method", lit("pq_hi")))
       .filter(col("query_id") =!= col("neighbor_id"))
     // ONE aggregation job scores and ranks every method's candidates:
     // query vectors and the |Q|·k truth set broadcast, the corpus side
@@ -1683,8 +1695,8 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq", "rq_rerank",
-        "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "rq",
+        "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -1829,8 +1829,8 @@ class SimilaritySpec extends SparkSpec {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "rq",
-      "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank"))
+    assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank",
+      "pq_hi", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
@@ -1861,8 +1861,12 @@ class SimilaritySpec extends SparkSpec {
     // code budgets (4-bit pq codes) are the oracle-replayability
     // trade, and the LADDER still certifies: rerank lifts every base
     // ~4-8x, sq8's 512-bit codes stay near-lossless.
+    // pq_hi (r15): the high-fidelity PQ point (m=16, ksub=64 — 96 code
+    // bits) — the raw-ADC >= 0.5 serving rung; measured 0.500 on this
+    // corpus, pinned at the measured value per this block's discipline.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.04, "pq_rerank" -> 0.22, "rq" -> 0.02, "rq_rerank" -> 0.16,
+      "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50,
+      "rq" -> 0.02, "rq_rerank" -> 0.16,
       "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18,
       "sq8" -> 0.90, "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
@@ -1894,6 +1898,7 @@ class SimilaritySpec extends SparkSpec {
       "ivf" -> ids(Similarity.ivfTopK(e, pred, k, nCells, nProbe)),
       "pq" -> ids(Similarity.pqTopK(e, pred, k, 2, 4, 1)),
       "pq_rerank" -> ids(Similarity.pqTopKRerank(e, pred, k, 2, 4, 1, 5 * k)),
+      "pq_hi" -> ids(Similarity.pqTopK(e, pred, k, 16, 64, 1)),
       "rq" -> ids(Similarity.rqTopK(e, pred, k, 4, 4, 1)),
       "ivfpq" -> ids(Similarity.ivfpqTopK(e, pred, k, 4, 2, 2, 4, 1)),
       "sq8" -> ids(Similarity.sq8TopK(e, pred, k)),
