@@ -151,6 +151,24 @@ object StoreCompaction {
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
   }
 
+  /** TEST-ONLY fault injection (r15 crash matrix): when set to
+    * (pathSuffix, stage), `compactDir` throws immediately AFTER
+    * completing that stage for the sub-store whose path ends with the
+    * suffix — the spec enumerates every inter-stage crash point of a
+    * MULTI-store compaction (earlier sub-stores fully swapped, the
+    * crashed one in every partial state, later ones untouched) and
+    * proves restore-or-finish. Stages: 1 = consolidated temp written;
+    * 2 = FIRST original retired (mid-retire partial state); 3 = all
+    * originals retired; 4 = consolidated generation installed
+    * (cleanup pending). Production code never sets this. */
+  @volatile private[graft] var crashAfterStage: Option[(String, Int)] = None
+  private def maybeCrash(store: String, stage: Int): Unit =
+    crashAfterStage.foreach { case (sfx, st) =>
+      if (st == stage && store.endsWith(sfx))
+        throw new IllegalStateException(
+          s"injected crash after stage $stage of $store")
+    }
+
   /** Core pass over one sub-store. `reduce` sees the union of the
     * compacted generations WITH their original `batch` column and
     * returns the rows to persist (without it); default keeps every
@@ -173,15 +191,19 @@ object StoreCompaction {
     // every parquet reader until the swap.
     reduce(spark.read.parquet(store).filter(col("batch") < frontier))
       .write.mode("overwrite").parquet(tmp.toString)
+    maybeCrash(store, 1)
     // (2) retire the originals (atomic per-dir renames).
-    compactable.foreach { i =>
+    compactable.zipWithIndex.foreach { case (i, ix) =>
       require(fs.rename(new Path(s"$store/batch=$i"),
                         new Path(s"$store/_retired_batch=$i")),
         s"compaction could not retire $store/batch=$i")
+      if (ix == 0) maybeCrash(store, 2)
     }
+    maybeCrash(store, 3)
     // (3) the consolidated generation takes the highest retired id.
     require(fs.rename(tmp, new Path(s"$store/batch=$maxC")),
       s"compaction could not install $store/batch=$maxC")
+    maybeCrash(store, 4)
     // (4) cleanup.
     compactable.foreach(i =>
       fs.delete(new Path(s"$store/_retired_batch=$i"), true))

@@ -193,6 +193,83 @@ class StoreCompactionSpec extends SparkSpec {
     assert(labelMap == before + (30L -> 1L))
   }
 
+  test("cluster-store compaction crash MATRIX: restore-or-finish at every inter-stage point") {
+    import graft.streaming.StreamingClusterIngest
+    // Every (sub-store × stage) crash point of the MULTI-store swap:
+    // when the injected kill lands in sub-store S after stage N,
+    // earlier sub-stores are fully compacted, S sits in the partial
+    // state stage N leaves (temp only / first-retired / all-retired /
+    // installed-uncleaned), later sub-stores and labels are untouched.
+    // The re-run must recover AND finish: final on-disk state and the
+    // labeling must equal the never-crashed golden compaction, for all
+    // 16 points.
+    val base = java.nio.file.Files.createTempDirectory("graft_crash_matrix").toString
+    def ingest(dir: String, id: Long, rows: (Long, String)*): Unit =
+      StreamingClusterIngest.ingestBatch(
+        rows.toSeq.toDF("doc_id", "text"), dir, id, 3, 8, 4, 0.5)
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    def snapshot(dir: String): (Map[String, (Seq[String], Set[Seq[Any]])], Seq[String], Map[Long, Long]) = {
+      val subs = Seq("docs", "sigs", "post", "dig").map { s =>
+        s -> ((batchDirs(s"$dir/$s"),
+          spark.read.parquet(s"$dir/$s").drop("batch")
+            .collect().map(_.toSeq).toSet))
+      }.toMap
+      val gens = new java.io.File(s"$dir/labels").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+      val labels = StreamingClusterIngest.labels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (subs, gens, labels)
+    }
+    val proto = s"$base/proto"
+    ingest(proto, 0L, 1L -> near1, 2L -> near2, 3L -> other)
+    ingest(proto, 1L, 11L -> fresh)
+    ingest(proto, 2L, 21L -> "frontier content outside every compaction")
+    val golden = s"$base/golden"
+    copyDir(proto, golden)
+    StoreCompaction.compactClusterStore(spark, golden)
+    val goldenState = snapshot(golden)
+    for (sub <- Seq("docs", "sigs", "post", "dig"); stage <- 1 to 4) {
+      val dir = s"$base/case_${sub}_$stage"
+      copyDir(proto, dir)
+      StoreCompaction.crashAfterStage = Some((s"/$sub", stage))
+      try {
+        val e = intercept[IllegalStateException] {
+          StoreCompaction.compactClusterStore(spark, dir)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally StoreCompaction.crashAfterStage = None
+      // the re-run must recover the crashed sub-store and finish the
+      // whole multi-store pass — idempotently
+      StoreCompaction.compactClusterStore(spark, dir)
+      assert(snapshot(dir) == goldenState,
+        s"crash in $sub after stage $stage: recovered state must equal the golden compaction")
+      // no swap debris may survive recovery
+      Seq("docs", "sigs", "post", "dig").foreach { s =>
+        val names = new java.io.File(s"$dir/$s").listFiles().map(_.getName)
+        assert(!names.exists(n => n.startsWith("_tmp_compact") || n.startsWith("_retired_")),
+          s"$s after $sub/$stage: $names")
+      }
+    }
+    // one recovered store keeps answering the recurrence correctly:
+    // a near-dup of a doc whose rows live only in the consolidated
+    // generation joins its cluster, idempotently under replay
+    val live = s"$base/case_post_3"
+    val before = goldenState._3
+    ingest(live, 3L, 30L -> near3)
+    def labelMap = StreamingClusterIngest.labels(spark, live)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap == before + (30L -> 1L), s"$labelMap")
+    ingest(live, 3L, 30L -> near3)
+    assert(labelMap == before + (30L -> 1L))
+  }
+
   test("ANN code-index compaction: codeIndex identical, later generations still win") {
     def emb(rows: (Long, Seq[Float], Int)*) =
       rows.toSeq.toDF("vec_id", "embedding", "label")
