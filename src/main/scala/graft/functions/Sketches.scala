@@ -176,12 +176,23 @@ object Sketches {
       when(abs(est.cast("double") - exact.cast("double"))
              <= greatest(exact.cast("double") * relErr, lit(absSlack.toDouble)),
         1L).otherwise(0L)
-    df.agg(
-        theta_sketch_agg(when(inA, key)).as("_ska"),
-        theta_sketch_agg(when(inB, key)).as("_skb"),
-        countDistinct(when(inA, key)).as("n_a"),
-        countDistinct(when(inB, key)).as("n_b"),
-        countDistinct(when(inA || inB, key)).as("n_union"))
+    // Dedup the key ONCE, then count flags (r15): the previous three
+    // count(DISTINCT …) in one aggregate planned an Expand that
+    // tripled every fact row before a (gid, key)-keyed dedup — the
+    // 32× scale probe measured the gate super-linear on a growing key
+    // population. One key-keyed aggregation replaces it, and the theta
+    // sketches build over the deduped keys UNCHANGED: theta updates
+    // are idempotent per key, so the sketch over the distinct key set
+    // is bit-identical to the one over the multiset.
+    val flags = df.groupBy(key.as("_k"))
+      .agg(max(when(inA, 1L).otherwise(0L)).as("_a"),
+        max(when(inB, 1L).otherwise(0L)).as("_b"))
+    flags.agg(
+        theta_sketch_agg(when(col("_a") === 1, col("_k"))).as("_ska"),
+        theta_sketch_agg(when(col("_b") === 1, col("_k"))).as("_skb"),
+        sum(col("_a")).as("n_a"),
+        sum(col("_b")).as("n_b"),
+        sum(when(col("_a") === 1 || col("_b") === 1, 1L).otherwise(0L)).as("n_union"))
       .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
       .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
         ok(theta_sketch_estimate(theta_intersection(col("_ska"), col("_skb"))),
