@@ -1515,27 +1515,37 @@ object Dedup {
     * composers (`Multimodal.crossModalDedup`) can union these edges
     * with their own pair sources without re-deriving the graph. */
   private[graft] def dupPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
-                              minJaccard: Double): DataFrame = {
-    val exactPairs = docs
-      .select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_a"), collect_set(col("doc_id")).as("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-    val nearPairs = minhashLshPairs(docs, n, k, bands, minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-    // DISTINCT, not bag union: an exact-dup pair with >= n tokens is
-    // ALSO a verified near-dup (identical text ⟹ identical signature ⟹
-    // shared bands, jaccard 1), so the bag held that edge twice.
-    // Connectivity consumers (CC) never noticed; edge-multiplicity
-    // consumers did — dupPageRank double-counted such edges in its
-    // degrees (latent until sf0.1, whose corpus is the first with
-    // exact-dup groups long enough to carry shingles; found r14 by the
-    // full-board sf0.1 sweep). The contract is a pair SET, matching
-    // the oracles' UNION-distinct edges; the frame is dup-graph-sized,
-    // so the distinct is a cluster-scale exchange.
-    exactPairs.union(nearPairs).distinct()
-  }
+                              minJaccard: Double): DataFrame =
+    // Memoized + checkpointed as a whole (r15): the near side already
+    // rode the minhash_pairs memo, but the EXACT side (md5-canonical
+    // groupBy over the corpus) and the union-distinct re-ran per
+    // consumer — q_cc_incremental's two concurrent slice fixpoints,
+    // the crossmodal union, PageRank and the apply steps each paid the
+    // corpus digest scan again. One dup-graph-sized checkpoint now
+    // serves them all, and downstream memos keying on this plan
+    // (ccinc, xcc) see the same instance, so sameResult sharing only
+    // strengthens.
+    memoized("dup_pairs", docs, (n, k, bands, minJaccard)) {
+      val exactPairs = docs
+        .select(col("doc_id"), md5(canonical(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_a"), collect_set(col("doc_id")).as("ids"))
+        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+      val nearPairs = minhashLshPairs(docs, n, k, bands, minJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      // DISTINCT, not bag union: an exact-dup pair with >= n tokens is
+      // ALSO a verified near-dup (identical text ⟹ identical signature ⟹
+      // shared bands, jaccard 1), so the bag held that edge twice.
+      // Connectivity consumers (CC) never noticed; edge-multiplicity
+      // consumers did — dupPageRank double-counted such edges in its
+      // degrees (latent until sf0.1, whose corpus is the first with
+      // exact-dup groups long enough to carry shingles; found r14 by the
+      // full-board sf0.1 sweep). The contract is a pair SET, matching
+      // the oracles' UNION-distinct edges; the frame is dup-graph-sized,
+      // so the distinct is a cluster-scale exchange.
+      flatCheckpoint(exactPairs.union(nearPairs).distinct())
+    }
 
   /** Derived-index sharing (see `IndexMemo`): `dedupCorpus` and
     * `dedupCorpusBy` resolve the SAME pair graph and components and

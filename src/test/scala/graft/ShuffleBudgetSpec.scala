@@ -227,6 +227,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ngram_novelty" -> 2,           // distinct (doc, digest) rows are
                                       // checkpointed; first-occurrence
                                       // agg + per-doc ownership agg
+    "q_pq_hi" -> 3,                   // q_pq_topk's exact shape at the
+                                      // high-fidelity (m=16, ksub=64)
+                                      // point — wider codebooks change
+                                      // row counts, never the plan
+    "q_curate_ledger" -> 0,           // the per-stage counts run as
+                                      // eager jobs over checkpointed
+                                      // stage frames; the emitted plan
+                                      // is a 7-row LocalRelation
     "q_pq_rerank" -> 3,               // ADC pool is checkpointed; pool
                                       // id distinct + the semi-join
                                       // id exchange + final rerank
