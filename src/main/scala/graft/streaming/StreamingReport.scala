@@ -154,4 +154,26 @@ object StreamingReport {
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
   }
+
+  /** The OCC sibling of `reportMergeSink` (r15): every micro-batch
+    * commits through `ReportUpsert.mergeIntoOcc`, so the reports table
+    * tolerates CONCURRENT writers — two independent streams (or a
+    * stream plus an ad-hoc backfill job) merging into one table race
+    * on the manifest CAS and the loser replays against the winner's
+    * snapshot; the monotone-count guard keeps every replay a
+    * no-op-or-correct-update. Spark's foreachBatch replay after a
+    * checkpoint restart lands on the same guard: a re-merged batch
+    * whose counts already landed degrades to a no-op commit. */
+  def reportMergeSinkOcc(tx: DataFrame, occDir: String,
+                         checkpointDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = tx.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val daily = ReportUpsert.dailyReports(batch, version = s"batch$batchId")
+        ReportUpsert.mergeIntoOcc(occDir, daily)
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
+  }
 }

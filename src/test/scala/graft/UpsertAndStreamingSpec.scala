@@ -820,4 +820,46 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("total_transactions")).head().getLong(0)
     assert(t1 == 1000L && t2 == 1000L)
   }
+
+  test("OCC streaming sink: micro-batches commit via CAS; ad-hoc rival and replay both safe") {
+    import graft.operators.ReportUpsert
+    import spark.implicits._
+    val occ = java.nio.file.Files.createTempDirectory("graft_occ_stream").toString + "/reports"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_occ_ck").toString
+    def runOnce(): Unit = {
+      val q = StreamingReport.reportMergeSinkOcc(
+        StreamingReport.transactionsStream(spark, eventsDir), occ, Some(ckpt)).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val v1 = ReportUpsert.occVersion(occ)
+    assert(v1 >= 0, "the stream must have committed at least one OCC version")
+    val snap1 = ReportUpsert.readOcc(spark, occ).get
+    assert(snap1.count() == 30)  // one report row per event day
+    val total1 = snap1.agg(sum("total_transactions")).head().getLong(0)
+    assert(total1 == 1000L)
+    // an AD-HOC batch writer commits into the SAME table between
+    // stream runs (the multi-writer case the OCC sink exists for):
+    // a brand-new date inserts, a known date with a NOT-greater count
+    // no-ops under the P5 guard
+    val adhoc = Seq(("2999-12-31", 5.0, "backfill", 2L))
+      .toDF("dt", "total_spent", "version", "total_transactions")
+      .selectExpr("to_date(dt) AS begin_date", "to_date(dt) AS end_date",
+        "total_spent", "version", "total_transactions")
+    ReportUpsert.mergeIntoOcc(occ, adhoc)
+    assert(ReportUpsert.occVersion(occ) == v1 + 1)
+    // replay: a FRESH checkpoint re-processes the same landing files —
+    // every replayed per-day count equals the stored one, so the guard
+    // no-ops every row and only the version advances (an idempotent
+    // re-commit, never doubled totals)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_occ_ck2").toString
+    val q2 = StreamingReport.reportMergeSinkOcc(
+      StreamingReport.transactionsStream(spark, eventsDir), occ, Some(ckpt2)).start()
+    q2.awaitTermination()
+    val fin = ReportUpsert.readOcc(spark, occ).get
+    assert(fin.count() == 31, "30 event days + the ad-hoc backfill date")
+    assert(fin.agg(sum("total_transactions")).head().getLong(0) == 1002L,
+      "replayed counts must no-op; only the backfill's 2 txns add")
+    assert(ReportUpsert.occVersion(occ) > v1 + 1, "the replay still commits a version")
+  }
 }
