@@ -1257,6 +1257,21 @@ object Dedup {
     val nEdges = edgesAll.count()
     if (nEdges == 0)
       return edgesAll.select(col("doc_a").as("id"), col("doc_a").as("label"))
+    // SMALL-GRAPH fast path (r15): below the threshold the fixpoint's
+    // cost is pure driver latency — each propagate+jump batch is 4-6
+    // near-empty Spark jobs, and the suite runs MANY such fixpoints
+    // (corpus closure, incremental slices, merge-law bridges, media
+    // channel) over graphs that are cluster-label-sized BY DESIGN. A
+    // driver union-find over the already-counted, BOUNDED edge list
+    // (min-id roots, so labels are bit-identical to the distributed
+    // path's — ScalaCheck-pinned equal) answers in one collect of
+    // <= smallGraphMaxEdges rows. Above the threshold, distributed
+    // pointer jumping proceeds unchanged — the collect can never sit
+    // on an unbounded path. An explicit `partitions` forces the
+    // distributed path (the equality spec pins the two paths
+    // label-for-label on random graphs).
+    if (partitions <= 0 && nEdges <= smallGraphMaxEdges)
+      return flatCheckpoint(unionFindLocal(edgesAll))
     val p =
       if (partitions > 0) partitions
       else math.max(1L, math.min(
@@ -1321,6 +1336,44 @@ object Dedup {
       i += steps
     }
     labels
+  }
+
+  /** Edge-count ceiling for the driver union-find fast path of
+    * `connectedComponents`: 1M (doc_a, doc_b) longs ≈ 16 MB collected —
+    * the AQE-broadcast class of driver transfer, and the edge count is
+    * MEASURED before the collect so the bound is unconditional. */
+  private[graft] val smallGraphMaxEdges = 1000000L
+
+  /** Driver union-find over a bounded, already-materialized edge list:
+    * path-halving find + union-by-attachment with MIN-ID roots, so the
+    * emitted (id, label) rows are exactly the distributed fixpoint's
+    * (label = the component's minimum id). One collect in, one
+    * parallelize out. */
+  private def unionFindLocal(edgesAll: DataFrame): DataFrame = {
+    val spark = edgesAll.sparkSession
+    import spark.implicits._
+    val edges = edgesAll.select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root: the component representative IS the min id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataFrame(labels).toDF("id", "label")
   }
 
   /** Component MERGE — connected components' re-aggregation law, the

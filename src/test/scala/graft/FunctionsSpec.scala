@@ -1375,8 +1375,12 @@ class DedupSpec extends SparkSpec {
       actions = 0
       spark.listenerManager.register(ql)
       try {
+        // explicit partitions force the DISTRIBUTED pointer-jumping
+        // path — the batching claim is about its per-round driver
+        // actions (the default would take the r15 small-graph
+        // union-find fast path, which has no rounds at all)
         val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
-            roundsPerCheck = rpc)
+            partitions = 1, roundsPerCheck = rpc)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         (got, drainAndRead())
       } finally spark.listenerManager.unregister(ql)

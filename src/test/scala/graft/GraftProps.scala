@@ -174,12 +174,22 @@ object GraftProps extends Properties("graft") {
       val truth = nodes.groupBy(find).flatMap { case (_, members) =>
         val m = members.min; members.map(_ -> m)
       }.toMap
-      val got =
+      // the AUTO path (small-graph driver union-find, r15) and the
+      // FORCED-distributed pointer-jumping path (explicit partitions
+      // bypasses the fast path) must BOTH equal the reference — this
+      // is the pin that licenses the fast path's bit-identical claim
+      val gotAuto =
         if (edges.isEmpty) Map.empty[Long, Long]
         else graft.functions.Dedup.connectedComponents(
           edges.toDF("doc_a", "doc_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      Prop(got == truth) :| s"got=$got truth=$truth"
+      val gotDist =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.functions.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), partitions = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (Prop(gotAuto == truth) :| s"auto=$gotAuto truth=$truth") &&
+        (Prop(gotDist == truth) :| s"dist=$gotDist truth=$truth")
     }
 
   property("merge is idempotent: re-merging the same batch changes nothing") =
