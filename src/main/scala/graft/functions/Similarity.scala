@@ -36,6 +36,23 @@ object Similarity {
   private def normQ(a: String): Column =
     graft.plans.DotI64.dot_i64(col(a), col(a))
 
+  /** Exact integer squared L2 via the native codegen'd SqDistI64 —
+    * the assignment kernel of every fixed-point Lloyd loop below.
+    * Integer sums are exact under reordering, so distances computed
+    * per-VECTOR here are bit-identical to the per-dimension aggregate
+    * spelling they replaced (r15): same argmins, same centroids, same
+    * gated results — at dims× fewer assignment rows (n·k instead of
+    * n·dims·k) and one fewer hash aggregate per pass. */
+  private def sqDistQ(a: String, b: String): Column =
+    graft.plans.SqDistI64.sqdist_i64(col(a), col(b))
+
+  /** Collect a per-dim centroid frame (keys…, d, c) into d-ascending
+    * ARRAY<BIGINT> rows (keys…, ca). Dictionary-sized input (k·dims
+    * rows) — the array form the assignment joins broadcast. */
+  private def centArrays(cents: DataFrame, keys: String*): DataFrame =
+    cents.groupBy(keys.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), p -> p.c)").as("ca"))
+
   /** Embeddings with quantized vector + its exact squared norm. */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings
@@ -580,30 +597,37 @@ object Similarity {
     IndexMemo("kmeans_fp_assign", embeddings, (k, iters)) {
       val shift = 1048576L
       val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
-      val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-        .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+      // vectors as +2^20-shifted arrays — the ONE materialization;
+      // the per-dim rows the centroid updates need explode off it
+      // (narrow, no extra shuffle before the update's aggregate).
+      val va = v.select(col("vec_id"),
+          expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
         .localCheckpoint()
+      def vd = va.select(col("vec_id"), posexplode(col("xa")).as(Seq("d", "x")))
       val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
         .orderBy(col("_h"), col("vec_id")).limit(k)
         .withColumn("cell_id",
           row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
         .select(col("vec_id"), col("cell_id"))
-      var cents = vd.join(seeds, Seq("vec_id"))
-        .select(col("cell_id"), col("d"), col("x").as("c"))
+      // seed centroids are the seed vectors themselves — array form
+      var cents = va.join(seeds, Seq("vec_id"))
+        .select(col("cell_id"), col("xa").as("ca"))
         .localCheckpoint()
       var assign: DataFrame = null
       (1 to iters).foreach { i =>
-        val dist = vd.join(broadcast(cents), Seq("d"))
-          .groupBy(col("vec_id"), col("cell_id"))
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+        // array-form assignment: n·k rows, one codegen'd sqdist each —
+        // bit-identical to the per-dim aggregate (exact integer sums)
+        val dist = va.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cell_id"), sqDistQ("xa", "ca").as("_dist"))
         assign = dist.groupBy(col("vec_id"))
           .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
           .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
         if (i < iters)
-          cents = vd.join(assign, Seq("vec_id"))
-            .groupBy(col("cell_id"), col("d"))
-            .agg(expr("sum(x) div count(1)").as("c"))
-            .localCheckpoint()
+          cents = centArrays(
+            vd.join(assign, Seq("vec_id"))
+              .groupBy(col("cell_id"), col("d"))
+              .agg(expr("sum(x) div count(1)").as("c")),
+            "cell_id").localCheckpoint()
       }
       assign.localCheckpoint()
     }
@@ -715,12 +739,14 @@ object Similarity {
       val coarse = kmeansFixedPointAssign(embeddings, k1, iters)
         .select(col("vec_id"), col("cell_id").as("g"))
       val v = ensureQuantized(embeddings).select(col("vec_id"), col("q"))
-      // dim rows tagged with the coarse cell: the one join that adds g
-      // to the stream; everything below is (g, …)-keyed.
-      val vdg = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-        .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+      // shifted-array rows tagged with the coarse cell: the one join
+      // that adds g to the stream; everything below is (g, …)-keyed.
+      val vag = v.select(col("vec_id"),
+          expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
         .join(coarse, Seq("vec_id"))
         .localCheckpoint()
+      def vdg = vag.select(col("vec_id"), col("g"),
+        posexplode(col("xa")).as(Seq("d", "x")))
       // per-coarse-cell seeds: the k2 smallest md5(vec_id || 'h') of g
       val wg = Window.partitionBy(col("g"))
         .orderBy(col("_h"), col("vec_id"))
@@ -730,13 +756,12 @@ object Similarity {
         .withColumn("code", row_number().over(wg) - 1)
         .filter(col("code") < k2)
         .select(col("vec_id"), col("code"))
-      var cents = vdg.join(seeds, Seq("vec_id"))
-        .select(col("g"), col("code"), col("d"), col("x").as("c"))
+      var cents = vag.join(seeds, Seq("vec_id"))
+        .select(col("g"), col("code"), col("xa").as("ca"))
         .localCheckpoint()
       def assign(c: DataFrame): DataFrame =
-        vdg.join(broadcast(c), Seq("g", "d"))
-          .groupBy(col("vec_id"), col("code"))
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+        vag.join(broadcast(c), Seq("g"))
+          .select(col("vec_id"), col("code"), sqDistQ("xa", "ca").as("_dist"))
           .groupBy(col("vec_id"))
           .agg(min(struct(col("_dist"), col("code"))).as("_m"))
           .select(col("vec_id"), col("_m.code").as("code"))
@@ -744,10 +769,11 @@ object Similarity {
       (1 to iters).foreach { i =>
         a = assign(cents)
         if (i < iters)
-          cents = vdg.join(a, Seq("vec_id"))
-            .groupBy(col("g"), col("code"), col("d"))
-            .agg(expr("sum(x) div count(1)").as("c"))
-            .localCheckpoint()
+          cents = centArrays(
+            vdg.join(a, Seq("vec_id"))
+              .groupBy(col("g"), col("code"), col("d"))
+              .agg(expr("sum(x) div count(1)").as("c")),
+            "g", "code").localCheckpoint()
       }
       coarse.join(a, Seq("vec_id"))
         .select(col("vec_id"),
@@ -808,10 +834,17 @@ object Similarity {
     val dims = v.select(size(col("q"))).head().getInt(0)
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val subDim = dims / m
-    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("vec_id"), expr(s"d div $subDim").cast("int").as("s"),
-        col("d"), (col("qx") + shift).as("x"))
+    // subvector ARRAYS (vec, s, sa) — the one materialization; the
+    // per-dim rows seeds/updates need explode off it (narrow op).
+    val vs = v.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"transform(slice(q, s * $subDim + 1, $subDim), x -> x + ${shift}L))"))
+        .as(Seq("s", "sa")))
       .localCheckpoint()
+    def vd = vs.select(col("vec_id"), col("s"),
+        posexplode(col("sa")).as(Seq("ds", "x")))
+      .select(col("vec_id"), col("s"),
+        (col("s") * lit(subDim) + col("ds")).as("d"), col("x"))
     // shared seed VECTORS across subspaces (each contributes its own
     // subvector per subspace): the k smallest md5(vec_id)
     val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
@@ -823,9 +856,9 @@ object Similarity {
       .select(col("s"), col("code"), col("d"), col("x").as("c"))
       .localCheckpoint()
     def assign(c: DataFrame): DataFrame =
-      vd.join(broadcast(c), Seq("s", "d"))
-        .groupBy(col("vec_id"), col("s"), col("code"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+      vs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
+        .select(col("vec_id"), col("s"), col("code"),
+          sqDistQ("sa", "ca").as("_dist"))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(struct(col("_dist"), col("code"))).as("_m"))
         .select(col("vec_id"), col("s"), col("_m.code").as("code"))
@@ -890,12 +923,19 @@ object Similarity {
     * shuffles its vectors — only (vec, s, code) id-rows aggregate. */
   def pqEncode(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val shift = 1048576L
-    val vd = ensureQuantized(embeddings)
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
-    vd.join(broadcast(cents), Seq("d"))
-      .groupBy(col("vec_id"), col("s"), col("code"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+    // subspace geometry off the dictionary-sized codebook (one tiny
+    // job over the checkpointed cents — metadata, not data)
+    val g = cents.agg(max(col("s")).cast("int"), max(col("d")).cast("int")).head()
+    val m = g.getInt(0) + 1
+    val subDim = (g.getInt(1) + 1) / m
+    val vs = ensureQuantized(embeddings)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"transform(slice(q, s * $subDim + 1, $subDim), x -> x + ${shift}L))"))
+        .as(Seq("s", "sa")))
+    vs.join(broadcast(centArrays(cents, "s", "code")), Seq("s"))
+      .select(col("vec_id"), col("s"), col("code"),
+        sqDistQ("sa", "ca").as("_dist"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("_dist"), col("code"))).as("_m"))
       .select(col("vec_id"), col("s"), col("_m.code").as("code"))
@@ -1017,45 +1057,52 @@ object Similarity {
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
     val shift2 = 2097152L  // 2^21: residuals in [-2^21, 2^21] re-shift non-negative
     val v = e.select(col("vec_id"), col("q"))
-    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+    val va = v.select(col("vec_id"),
+        expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    // One certified-fixpoint k-means stage over `dims` (vec_id, d, xCol):
-    // returns (final assignment, final centroids) — the pqTrain loop
-    // with a single codebook and a caller-chosen seed salt.
-    def stage(dims: DataFrame, xCol: String, k: Int, seedSalt: String,
+    // One certified-fixpoint k-means stage over `vecs` (vec_id, xa
+    // ARRAY<BIGINT>): returns (final assignment, final PER-DIM
+    // centroids) — the pqTrain loop with a single codebook and a
+    // caller-chosen seed salt. Assignment runs array-form (n·k rows,
+    // codegen'd sqdist — bit-identical, see sqDistQ); seeds/updates
+    // explode per-dim off the array frame.
+    def stage(vecs: DataFrame, k: Int, seedSalt: String,
               codeName: String): (DataFrame, DataFrame) = {
+      def dimRows = vecs.select(col("vec_id"),
+        posexplode(col("xa")).as(Seq("d", "x")))
       val seeds = v.select(col("vec_id"),
           md5(concat(col("vec_id").cast("string"), lit(seedSalt))).as("_h"))
         .orderBy(col("_h"), col("vec_id")).limit(k)
         .withColumn(codeName,
           row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
         .select(col("vec_id"), col(codeName))
-      var cents = dims.join(seeds, Seq("vec_id"))
-        .select(col(codeName), col("d"), col(xCol).as("c"))
+      var cents = dimRows.join(seeds, Seq("vec_id"))
+        .select(col(codeName), col("d"), col("x").as("c"))
         .localCheckpoint()
       def assign(c: DataFrame): DataFrame =
-        dims.join(broadcast(c), Seq("d"))
-          .groupBy(col("vec_id"), col(codeName))
-          .agg(sum((col(xCol) - col("c")) * (col(xCol) - col("c"))).as("_dist"))
+        vecs.crossJoin(broadcast(centArrays(c, codeName)))
+          .select(col("vec_id"), col(codeName), sqDistQ("xa", "ca").as("_dist"))
           .groupBy(col("vec_id"))
           .agg(min(struct(col("_dist"), col(codeName))).as("_m"))
           .select(col("vec_id"), col(s"_m.$codeName").as(codeName))
       (1 to iters).foreach { _ =>
         val a = assign(cents)
-        cents = dims.join(a, Seq("vec_id"))
+        cents = dimRows.join(a, Seq("vec_id"))
           .groupBy(col(codeName), col("d"))
-          .agg(expr(s"sum($xCol) div count(1)").as("c"))
+          .agg(expr("sum(x) div count(1)").as("c"))
           .localCheckpoint()
       }
       (assign(cents).localCheckpoint(), cents)
     }
-    val (a1, c1) = stage(vd, "x", k1, "", "code1")
-    val rd = vd.join(a1, Seq("vec_id"))
-      .join(broadcast(c1.withColumnRenamed("c", "_c1")), Seq("code1", "d"))
-      .select(col("vec_id"), col("d"), (col("x") - col("_c1") + shift2).as("rx"))
+    val (a1, c1) = stage(va, k1, "", "code1")
+    // residual arrays: x − c1[code1] + 2^21, zip_with over the
+    // broadcast array-form level-1 codebook
+    val ra = va.join(a1, Seq("vec_id"))
+      .join(broadcast(centArrays(c1, "code1")), Seq("code1"))
+      .select(col("vec_id"),
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift2}L)").as("xa"))
       .localCheckpoint()
-    val (b2, c2) = stage(rd, "rx", k2, "r", "code2")
+    val (b2, c2) = stage(ra, k2, "r", "code2")
     (a1.join(b2, Seq("vec_id")).localCheckpoint(), c1, c2)
   }
 
@@ -1198,10 +1245,14 @@ object Similarity {
     val dims = v.select(size(col("q"))).head().getInt(0)
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val subDim = dims / m
-    val vd = v.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("vec_id"), col("d"), (col("qx") + shift).as("x"))
+    // full vectors as +2^20-shifted arrays; per-dim rows for
+    // seeds/updates explode off the one materialization
+    val va = v.select(col("vec_id"),
+        expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    // coarse quantizer: full-vector fixed-point k-means
+    def vd = va.select(col("vec_id"), posexplode(col("xa")).as(Seq("d", "x")))
+    // coarse quantizer: full-vector fixed-point k-means (array-form
+    // assignment — n·nCells codegen'd sqdists, bit-identical)
     val seedsC = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
       .orderBy(col("_h"), col("vec_id")).limit(nCells)
       .withColumn("cell_id",
@@ -1211,9 +1262,8 @@ object Similarity {
       .select(col("cell_id"), col("d"), col("x").as("c"))
       .localCheckpoint()
     def assignC(c: DataFrame): DataFrame =
-      vd.join(broadcast(c), Seq("d"))
-        .groupBy(col("vec_id"), col("cell_id"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("_dist"))
+      va.crossJoin(broadcast(centArrays(c, "cell_id")))
+        .select(col("vec_id"), col("cell_id"), sqDistQ("xa", "ca").as("_dist"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
         .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
@@ -1225,12 +1275,21 @@ object Similarity {
         .localCheckpoint()
     }
     val ca = assignC(cc).localCheckpoint()
-    // residuals to the assigned coarse centroid, with subspace id
-    val rd = vd.join(ca, Seq("vec_id"))
-      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
-      .select(col("vec_id"), expr(s"d div $subDim").cast("int").as("s"),
-        col("d"), (col("x") - col("_cc") + shift2).as("rx"))
+    // residual SUBVECTOR arrays to the assigned coarse centroid
+    // (zip_with against the broadcast array-form coarse codebook,
+    // then subspace slices); per-dim rows explode off it
+    val rs = va.join(ca, Seq("vec_id"))
+      .join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
+      .select(col("vec_id"),
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift2}L)").as("ra"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(ra, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sa")))
       .localCheckpoint()
+    def rd = rs.select(col("vec_id"), col("s"),
+        posexplode(col("sa")).as(Seq("ds", "rx")))
+      .select(col("vec_id"), col("s"),
+        (col("s") * lit(subDim) + col("ds")).as("d"), col("rx"))
     // PQ codebooks on the residuals (jointly across subspaces)
     val seedsP = v.select(col("vec_id"),
         md5(concat(col("vec_id").cast("string"), lit("p"))).as("_h"))
@@ -1242,9 +1301,9 @@ object Similarity {
       .select(col("s"), col("code"), col("d"), col("rx").as("c"))
       .localCheckpoint()
     def assignP(c: DataFrame): DataFrame =
-      rd.join(broadcast(c), Seq("s", "d"))
-        .groupBy(col("vec_id"), col("s"), col("code"))
-        .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("_dist"))
+      rs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
+        .select(col("vec_id"), col("s"), col("code"),
+          sqDistQ("sa", "ca").as("_dist"))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(struct(col("_dist"), col("code"))).as("_m"))
         .select(col("vec_id"), col("s"), col("_m.code").as("code"))

@@ -176,6 +176,88 @@ object CosineF64 {
       "cosine_f64", exprs => CosineF64(exprs(0), exprs(1)), "built-in")
 }
 
+/** Native integer squared L2 distance over two ARRAY<BIGINT> columns:
+  * Σ (aᵢ − bᵢ)² in one primitive long loop.
+  *
+  * This is the assignment kernel of every fixed-point Lloyd loop
+  * (k-means / PQ / RQ / IVFPQ training — Similarity.scala). Spelled
+  * per-dimension (posexplode → broadcast join on d → sum), each
+  * assignment pass materializes n·dims·k rows through a hash
+  * aggregate; with the vectors kept as arrays the same pass is n·k
+  * rows with this codegen'd loop — dims× fewer rows and one fewer
+  * aggregation. Integer addition is exact under reordering, so the
+  * distances — hence the argmin assignments, the centroids, and every
+  * downstream gated result — are BIT-IDENTICAL to the per-dim
+  * spelling, and the DuckDB oracles replay unchanged.
+  *
+  * Magnitudes: operands are +2^20-shifted quantized dims (≤ 2^21) or
+  * +2^21-re-shifted residuals (≤ 2^22), so a diff² ≤ 2^44 and a
+  * 64-dim sum ≤ 2^50 — int64-safe. Null semantics match DotI64 (NULL
+  * if either array is NULL; elements non-null; shorter length wins —
+  * equal-dim vectors never differ). */
+case class SqDistI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sqdist_i64 requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sqdist_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SqDistI64 {
+  /** Column form. */
+  def sqdist_i64(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SqDistI64(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register `sqdist_i64` for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sqdist_i64", exprs => SqDistI64(exprs(0), exprs(1)), "built-in")
+}
+
 /** Session extensions: `SparkSession.builder.withExtensions(new
   * GraftExtensions)` (or spark.sql.extensions=graft.plans.GraftExtensions)
   * exposes the engine's native functions to pure-SQL users. */
@@ -191,6 +273,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineF64].getName, "cosine_f64"),
         (exprs: Seq[Expression]) => CosineF64(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sqdist_i64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SqDistI64].getName, "sqdist_i64"),
+        (exprs: Seq[Expression]) => SqDistI64(exprs(0), exprs(1))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("exact_percentiles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
