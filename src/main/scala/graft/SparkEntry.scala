@@ -281,8 +281,12 @@ object SparkEntry {
     "q_curate_ledger" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      import graft.functions.{Dedup, Sampling, TextAnalysis}
+      import graft.functions.{Dedup, IndexMemo, Sampling, TextAnalysis}
       val docs = Tables.documents(s, d)
+      // the ledger is 7 literal rows derived from the corpus — memoize
+      // it whole (the dupPairs-frame discipline): a repeat call costs
+      // nothing instead of re-driving the five-stage pipeline
+      IndexMemo("curate_ledger", docs, ()) {
       val nIn = docs.count()
       val kept1 = docs.join(
         TextAnalysis.corpusFilter(docs).filter(col("keep")).select("doc_id"),
@@ -327,6 +331,7 @@ object SparkEntry {
         ("split_test", 6L, n3, sc.getOrElse("test", 0L)),
         ("pack_bins", 7L, n3, nBins)
       ).toDF("stage", "stage_idx", "docs_in", "docs_out")
+      }
     }),
     "q_split_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
