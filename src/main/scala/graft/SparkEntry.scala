@@ -1045,6 +1045,20 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, m = 16, ksub = 64, iters = 1)
     }),
+    // OPQ-P (Ge et al. CVPR 2013): variance-balancing dim PERMUTATION
+    // (prescribed-permutation OPQ — the cheap rung before a free
+    // rotation) learned from a deterministic integer-exact sample,
+    // then q_pq_hi's certified PQ chain over the permuted vectors.
+    // Squared L2 is permutation-invariant, so ground truth is shared
+    // with the plain index; only the subspace grouping the codebooks
+    // see changes. The recall benefit is proven on a planted
+    // anisotropic fixture in SimilaritySpec (this corpus is near-
+    // isotropic, so here the gate certifies the permutation+chain).
+    "q_pq_opq" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.opqPqTopK(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, m = 16, ksub = 64, iters = 1)
+    }),
     // PQ + exact re-rank (the FAISS refine step): ADC 50-pool, exact
     // quantized-cosine final order
     "q_pq_rerank" -> ((s, d) => {
@@ -2796,6 +2810,18 @@ object SparkEntry {
          |      FROM dist)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // OPQ-P: the variance-balancing dim permutation (integer score
+    // over the md5-sample, round-robin deal) + the SAME certified PQ
+    // chain at q_pq_hi's shape — the oracle re-derives the identical
+    // permutation from its own sample aggregation
+    "q_pq_opq" ->
+      s"""${opqBaseSqlFor(16, 4, 64, 1024)},
+         |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adist, vec_id) AS rnk
+         |      FROM dist)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+         |FROM r WHERE rnk <= 10""".stripMargin,
     // ADC proposes the 50-pool; exact quantized cosine re-ranks it —
     // the FAISS refine step, replayed off the same code index
     "q_pq_rerank" ->
@@ -4271,7 +4297,38 @@ object SparkEntry {
     s"""WITH n AS ($quantizedSql),
        |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
        |              unnest(q) + 1048576 AS x FROM n),
-       |vs AS (SELECT vec_id, d, d // $subWidth AS s, x FROM vd),
+       |${pqChainSql(subWidth, ksub)}""".stripMargin
+
+  /** OPQ-P replay (`q_pq_opq`): the per-dim integer dispersion score
+    * over the deterministic md5-sample, the (score DESC, d) rank, the
+    * round-robin deal of ranked dims across subspaces, then the SAME
+    * certified PQ chain over the PERMUTED dim index — position
+    * (rnk % m)·subWidth + rnk // m holds original dim d0, mirroring
+    * `Similarity.opqPermutation` exactly. */
+  private def opqBaseSqlFor(m: Int, subWidth: Int, ksub: Int,
+                            sampleN: Int): String =
+    s"""WITH n AS ($quantizedSql),
+       |vd0 AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d0,
+       |               unnest(q) + 1048576 AS x FROM n),
+       |samp AS (SELECT vec_id FROM n
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR) || 'v'), vec_id
+       |         LIMIT $sampleN),
+       |sc AS (SELECT d0, count(*) AS nn, sum(x) AS sx, sum(x*x) AS sxx
+       |       FROM vd0 JOIN samp USING (vec_id) GROUP BY d0),
+       |pm AS (SELECT d0,
+       |              (rnk % $m) * $subWidth + (rnk // $m) AS d
+       |       FROM (SELECT d0, row_number() OVER
+       |               (ORDER BY (nn*sxx - sx*sx) DESC, d0) - 1 AS rnk
+       |             FROM sc)),
+       |vd AS (SELECT vd0.vec_id, pm.d AS d, vd0.x
+       |       FROM vd0 JOIN pm USING (d0)),
+       |${pqChainSql(subWidth, ksub)}""".stripMargin
+
+  /** The certified PQ chain from the `vd` (vec_id, d, x) CTE through
+    * `dist` (query → candidate ADC distance) — shared by the plain
+    * (contiguous-slice) and OPQ-P (permuted-dim) oracles. */
+  private def pqChainSql(subWidth: Int, ksub: Int): String =
+    s"""vs AS (SELECT vec_id, d, d // $subWidth AS s, x FROM vd),
        |seeds AS (SELECT vec_id,
        |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
        |          FROM n QUALIFY code < $ksub),

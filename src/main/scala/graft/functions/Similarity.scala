@@ -1339,6 +1339,87 @@ object Similarity {
       pqTopK(e, queryPred, pool, m, ksub, iters), k)
   }
 
+  /** OPQ-P — the PRESCRIBED-PERMUTATION form of Optimized Product
+    * Quantization (Ge, He, Ke, Sun, "Optimized Product Quantization
+    * for Approximate Nearest Neighbor Search", CVPR 2013 §4: before
+    * learning a free rotation, OPQ's cheap first rung permutes
+    * dimensions so every subspace carries comparable variance —
+    * contiguous slicing can trap all of a corpus's signal in one
+    * codebook, which ksub centroids then under-quantize while the
+    * other codebooks quantize noise).
+    *
+    * The permutation is learned with the same integer fixed-point
+    * discipline as the codebooks, so DuckDB replays it end-to-end:
+    *  - per-dimension dispersion over a DETERMINISTIC bounded sample
+    *    (the `sampleN` vectors with smallest md5(vec_id || 'v');
+    *    sampling for rotation/permutation training is standard —
+    *    FAISS trains OPQ on a sample too);
+    *  - the score is the exact integer n·Σx² − (Σx)² over +2^20-
+    *    shifted dims: with sampleN ≤ 1024 and x < 2^21, Σx < 2^31,
+    *    (Σx)² < 2^62 and n·Σx² < 2^62 — int64-safe by construction
+    *    (the require below pins the bound);
+    *  - dims sort by (score DESC, d ASC) and are DEALT round-robin
+    *    across the m subspaces (rank p → subspace p mod m, slot
+    *    p div m): each subspace receives one dim from every
+    *    variance stratum — the balancing OPQ-P prescribes.
+    *
+    * Squared L2 is permutation-invariant, so true distances — hence
+    * brute-force ground truth — are unchanged; only the SUBSPACE
+    * GROUPING the codebooks see differs. Returns the permuted global
+    * index: position s·subDim + slot holds original dim `perm(...)`.
+    * Dims-sized metadata (one collect of `dims` rows — the SQ8-bounds
+    * class); memoized per (corpus plan, m, sampleN). */
+  def opqPermutation(embeddings: DataFrame, m: Int,
+                     sampleN: Int = 1024): Array[Int] = {
+    require(sampleN >= 1 && sampleN <= 1024,
+      s"sampleN=$sampleN outside [1, 1024] — the integer variance score " +
+        "n*sum(x^2) - sum(x)^2 is int64-safe only up to 1024 samples")
+    val e = ensureQuantized(embeddings)
+    IndexMemo.of[Array[Int]]("opq_perm", e, (m, sampleN)) {
+      val dims = e.select(size(col("q"))).head().getInt(0)
+      require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+      val subDim = dims / m
+      val sample = e
+        .select(col("vec_id"), col("q"),
+          md5(concat(col("vec_id").cast("string"), lit("v"))).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(sampleN)
+      val ranked = sample
+        .select(posexplode(expr("transform(q, x -> x + 1048576L)")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("d"),
+          (col("nn") * col("sxx") - col("sx") * col("sx")).as("score"))
+        .orderBy(col("score").desc, col("d").asc)
+        .collect() // dims rows — metadata, the SQ8-bounds class
+      val perm = new Array[Int](dims)
+      ranked.zipWithIndex.foreach { case (r, p) =>
+        perm((p % m) * subDim + p / m) = r.getInt(0)
+      }
+      perm
+    }
+  }
+
+  /** The corpus with OPQ-permuted quantized vectors: position i of
+    * the new `q` holds original dim perm(i). `nq` (the exact squared
+    * norm) is permutation-invariant and carried through. */
+  private def opqPermute(e: DataFrame, perm: Array[Int]): DataFrame =
+    e.select(col("vec_id"),
+      array(perm.map(d => col("q").getItem(d)): _*).as("q"), col("nq"))
+
+  /** PQ ADC top-k over the OPQ-P-permuted corpus: learn the variance-
+    * balancing permutation, then run the UNCHANGED certified PQ chain
+    * (same seeds, same fixed-point Lloyd, same ADC) on permuted
+    * vectors — `q_pq_opq`. Same scale shape as `pqTopK`; the
+    * permutation itself costs one sample aggregation. */
+  def opqPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                m: Int, ksub: Int, iters: Int,
+                sampleN: Int = 1024): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    pqTopK(opqPermute(e, opqPermutation(e, m, sampleN)),
+      queryPred, k, m, ksub, iters)
+  }
+
   /** IVFADC + exact re-rank: the coarse-probed ADC scan proposes a
     * `pool`-sized candidate set, exact quantized cosine orders the
     * final top-k — the same refine step as `pqTopKRerank`, applied to

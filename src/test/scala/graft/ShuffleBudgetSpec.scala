@@ -231,6 +231,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // high-fidelity (m=16, ksub=64)
                                       // point — wider codebooks change
                                       // row counts, never the plan
+    "q_pq_opq" -> 3,                  // OPQ-P: the permutation trains
+                                      // eagerly (sample agg + dims
+                                      // collect); the emitted search
+                                      // plan is q_pq_hi's
     "q_curate_ledger" -> 0,           // the per-stage counts run as
                                       // eager jobs over checkpointed
                                       // stage frames; the emitted plan
