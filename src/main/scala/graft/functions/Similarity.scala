@@ -901,17 +901,41 @@ object Similarity {
   def pqSearchIndex(queries: DataFrame, codes: DataFrame, cents: DataFrame,
                     k: Int): DataFrame = {
     val shift = 1048576L
+    // geometry off the dictionary-sized codebook (one tiny job)
+    val g = cents.agg(max(col("s")).cast("int"), max(col("code")).cast("int")).head()
+    val m = g.getInt(0) + 1
+    val ksub = g.getInt(1) + 1
     val qd = ensureQuantized(queries)
       .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
       .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
     val adc = qd.join(broadcast(cents), Seq("d"))
       .groupBy(col("query_id"), col("s"), col("code"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("pd"))
-    topKAsc(codes.join(broadcast(adc), Seq("s", "code"))
+    // DENSE per-query distance table (FAISS's LUT): lut[s·ksub+code]
+    // = pd. The old spelling joined the code rows to adc on (s, code)
+    // and hash-aggregated n·m·|Q| rows; the gather form streams
+    // |Q|·n rows through one codegen'd lookup loop — bit-identical
+    // sums (adc covers every (s, code) the training kept, so every
+    // assigned code's slot is populated; the 0 fallback is dead).
+    val lut = adc
+      .groupBy(col("query_id"))
+      .agg(expr(s"map_from_entries(collect_list(" +
+        s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
+      .select(col("query_id"), expr(s"transform(sequence(0, ${m * ksub - 1}), " +
+        "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+    // the code index in array form (vec_id, carr) — memoized per
+    // codes plan: the search-side shape of the stored index
+    val codesArr = IndexMemo("pq_codes_arr", codes, ()) {
+      codes.groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
+          .as("carr"))
+        .localCheckpoint()
+    }
+    topKAsc(codesArr.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
+          .as("adist")),
       k, "adist")
   }
 
@@ -1216,20 +1240,37 @@ object Similarity {
     val adc = qrd.join(broadcast(pc), Seq("s", "d"))
       .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
       .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
+    // DENSE per-(query, probed-cell) distance table — the LUT-gather
+    // ADC scan (see pqSearchIndex): joins the cell-restricted code
+    // index on cell_id only, one codegen'd gather per (query, cand)
+    // row instead of an m-entry hash aggregate per pair.
+    val lut = adc
+      .groupBy(col("query_id"), col("cell_id"))
+      .agg(expr(s"map_from_entries(collect_list(" +
+        s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
+      .select(col("query_id"), col("cell_id"),
+        expr(s"transform(sequence(0, ${m * ksub - 1}), " +
+          "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+    // the inverted code index in array form (vec, cell, carr) —
+    // memoized per codes plan like the row form it derives from
+    val codesArr = IndexMemo("ivfpq_codes_arr", codes, ()) {
+      codes.groupBy(col("vec_id"), col("cell_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
+          .as("carr"))
+        .localCheckpoint()
+    }
     // Filtered search: the predicate restricts the CODE INDEX SCAN
     // via a semi join on the filtered corpus ids BEFORE the ADC join —
     // the trained index is untouched (candPred is a search-time
     // argument, not a training one), and the k survivors are the true
     // ADC top-k among matching rows, never a post-filtered slice.
-    val searchCodes = candPred.fold(codes)(p =>
-      codes.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    // a candidate lives in exactly one cell, so a (query, candidate)
-    // group holds exactly its m subspace entries — no dedup needed
-    topKAsc(searchCodes.join(broadcast(adc), Seq("cell_id", "s", "code"))
+    val searchCodes = candPred.fold(codesArr)(p =>
+      codesArr.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    topKAsc(searchCodes.join(broadcast(lut), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
+          .as("adist")),
       k, "adist")
   }
 

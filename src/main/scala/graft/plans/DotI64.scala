@@ -258,6 +258,92 @@ object SqDistI64 {
       "sqdist_i64", exprs => SqDistI64(exprs(0), exprs(1)), "built-in")
 }
 
+/** ADC LUT gather — the FAISS distance-table scan kernel: for a
+  * candidate's code array `codes` (codes[s] ∈ [0, ksub)) and a
+  * query's DENSE distance table `lut` (lut[s·ksub + c] = exact
+  * partial squared distance of the query's subvector s to centroid
+  * c), the asymmetric distance is Σ_s lut[s·ksub + codes[s]] — one
+  * primitive gather loop per (query, candidate) row.
+  *
+  * This replaces the join-then-aggregate ADC spelling
+  * (codes ⋈ adc on (s, code) → n·m·|Q| rows through a hash
+  * aggregate) with |Q|·n rows and NO aggregate: same integer sum,
+  * bit-identical distances, m× fewer rows on the scan side — the
+  * difference between a flat ADC scan that hash-aggregates 655M rows
+  * and one that streams 41M gathers at the 32× scale point.
+  *
+  * NULL if either array is NULL (null-intolerant, like DotI64), or
+  * if any gathered index falls outside the LUT (cannot happen for a
+  * LUT built dense over the training's own ksub — the guard turns a
+  * corrupted code store into a NULL, never an unsafe read). */
+case class AdcGatherI64(codes: Expression, lut: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (codes.dataType, lut.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(LongType, _)) => ksub > 0
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adc_gather_i64 requires (ARRAY<INT>, ARRAY<BIGINT>) and ksub > 0, got " +
+        s"${codes.dataType.simpleString}, ${lut.dataType.simpleString}, ksub=$ksub")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_gather_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val c = a.asInstanceOf[ArrayData]
+    val t = b.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    val tn = t.numElements()
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val idx = s * ksub + c.getInt(s)
+      if (idx < 0 || idx >= tn) return null
+      acc += t.getLong(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val tn = ctx.freshName("tn")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |int $tn = $b.numElements();
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $idx = $s * $ksub + $a.getInt($s);
+         |  if ($idx < 0 || $idx >= $tn) { ${ev.isNull} = true; break; }
+         |  $acc += $b.getLong($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, lut = r)
+}
+
+object AdcGatherI64 {
+  /** Column form. */
+  def adc_gather_i64(codes: Column, lut: Column, ksub: Int): Column =
+    GraftSqlBridge.column(AdcGatherI64(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut), ksub))
+}
+
 /** Session extensions: `SparkSession.builder.withExtensions(new
   * GraftExtensions)` (or spark.sql.extensions=graft.plans.GraftExtensions)
   * exposes the engine's native functions to pure-SQL users. */
