@@ -1096,6 +1096,21 @@ object SparkEntry {
         col("vec_id") % 100 === 0, 10, nCells = 4, nProbe = 2,
         m = 2, ksub = 4, iters = 1, pool = 50)
     }),
+    // the SCALE path of IVFADC (the autoLshBits pattern applied to the
+    // coarse quantizer): nCells <= fixed is the LSH-bits scale trap —
+    // cells grow linearly with the corpus and nProbe cells approach a
+    // constant FRACTION of it. nCells auto-sizes to ~sqrt(n/64)
+    // (FAISS's nlist ~ sqrt(n) rule, same +-1-corrected-sqrt integer
+    // contract as q_semdedup_hier — the oracle derives the SAME count
+    // from COUNT(*), cardinality-robust); probed work grows ~sqrt(n).
+    "q_ivfpq_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val c = Similarity.autoIvfCells(e.count())
+      Similarity.ivfpqTopK(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
+        .withColumn("n_cells", lit(c.toLong))
+    }),
     // SQ8 scalar quantization (FAISS QT_8bit shape): per-dim affine
     // 8-bit codes from ONE min/max training pass, symmetric code-space
     // squared distance — all integer, so the ranking replays exactly
@@ -2880,6 +2895,14 @@ object SparkEntry {
       s"""$ivfpqBaseSql
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // the auto-sized IVFADC chain: nCells derived from COUNT(*) via
+    // the +-1-corrected-sqrt contract (q_semdedup_hier's pattern),
+    // nProbe = LEAST(2, nCells) — cardinality-robust at any SF
+    "q_ivfpq_auto" ->
+      s"""$ivfpqAutoSql
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist,
+         |       (SELECT CAST(k AS BIGINT) FROM ki) AS n_cells
+         |FROM r WHERE rnk <= 10""".stripMargin,
     // the same IVFADC chain with the candidate predicate restricting
     // the code side of the ADC join — filtered search, shared index
     "q_ann_filtered_ivfpq" ->
@@ -4206,13 +4229,14 @@ object SparkEntry {
     * filtered search), never the training CTEs — mirroring
     * `Similarity.ivfpqTopK(candPred)` exactly. `"TRUE"` reduces to the
     * unfiltered chain. */
-  private def ivfpqBaseSqlFor(candWhere: String) =
-    s"""WITH n AS ($quantizedSql),
+  private def ivfpqBaseSqlFor(candWhere: String, extraCtes: String = "",
+                              cells: String = "4", probe: String = "2") =
+    s"""WITH $extraCtes n AS ($quantizedSql),
          |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
          |              unnest(q) + 1048576 AS x FROM n),
          |cs AS (SELECT vec_id,
          |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
-         |       FROM n QUALIFY cell_id < 4),
+         |       FROM n QUALIFY cell_id < $cells),
          |cc0 AS (SELECT cs.cell_id, vd.d, vd.x AS c
          |        FROM vd JOIN cs USING (vec_id)),
          |ca1 AS (SELECT vec_id, cell_id FROM (
@@ -4263,7 +4287,7 @@ object SparkEntry {
          |probe AS (SELECT query_id, cell_id FROM (
          |    SELECT query_id, cell_id,
          |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= 2),
+         |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= $probe),
          |qrd AS (SELECT p.query_id, p.cell_id, qd.d // 32 AS s, qd.d,
          |               qd.x - cc1.c + 2097152 AS rqx
          |        FROM probe p
@@ -4288,6 +4312,24 @@ object SparkEntry {
          |      FROM dist)""".stripMargin
 
   private lazy val ivfpqBaseSql = ivfpqBaseSqlFor("TRUE")
+
+  /** The IVFADC chain with nCells derived from COUNT(*) — the
+    * `q_semdedup_hier` ±1-corrected-sqrt contract applied to the
+    * coarse quantizer (`Similarity.autoIvfCells`): kr = the correctly-
+    * rounded float estimate of √(n/64), ki the exact smallest c with
+    * 64·c² ≥ n. nProbe = LEAST(2, c) keeps the tiny-corpus gate legal
+    * (c = 1 at sf0.001). */
+  private lazy val ivfpqAutoSql: String = {
+    val k = "(SELECT k FROM ki)"
+    ivfpqBaseSqlFor("TRUE",
+      extraCtes =
+        s"""inn AS (SELECT count(*) AS n FROM embeddings),
+           |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM inn),
+           |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
+           |                   WHEN 64*kr*kr < n THEN kr + 1
+           |                   ELSE kr END AS k FROM ikr),""".stripMargin,
+      cells = k, probe = s"LEAST(2, $k)")
+  }
 
   /** PQ certified-training + ADC replay, parameterized by subspace
     * width (dims per subspace) and per-subspace centroid count — the

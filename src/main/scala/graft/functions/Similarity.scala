@@ -710,6 +710,16 @@ object Similarity {
     k.toInt
   }
 
+  /** IVF coarse-cell count sized to the corpus — FAISS's nlist ~ √n
+    * rule under the same integer-exact contract as
+    * `autoSemDedupHierK` (smallest c ≥ 1 with targetCell·c² ≥ n): a
+    * FIXED nCells is the LSH-bits scale trap — cells grow linearly
+    * with the corpus, so probing nProbe of them approaches scanning a
+    * constant fraction of all codes. With c ~ √(n/targetCell) the
+    * probed code count grows as ~√n (`q_ivfpq_auto`). */
+  def autoIvfCells(nVecs: Long, targetCell: Int = 64): Int =
+    autoSemDedupHierK(nVecs, targetCell)
+
   /** Two-level (hierarchical) certified cell assignment — the flat
     * k ∝ n assignment's scale fix. `kmeansFixedPointAssign` with
     * k = n/64 keeps WITHIN-CELL joins linear but pays n·k = n²/64

@@ -235,6 +235,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // eagerly (sample agg + dims
                                       // collect); the emitted search
                                       // plan is q_pq_hi's
+    "q_ivfpq_auto" -> 4,              // q_ivfpq_topk's plan with the
+                                      // COUNT(*)-derived cell count —
+                                      // auto-sizing changes params,
+                                      // never the plan shape
     "q_curate_ledger" -> 0,           // the per-stage counts run as
                                       // eager jobs over checkpointed
                                       // stage frames; the emitted plan
