@@ -558,4 +558,56 @@ object GraftProps extends Properties("graft") {
         s"merge law broken: merged=$merged direct=$direct e1=$e1 e2=$e2"
     }
   }
+
+  import org.apache.spark.sql.functions.col
+
+  property("sqdist_i64 equals the per-element SQL fold") = {
+    // the array-form Lloyd kernel must agree with the HOF spelling it
+    // replaced, element order and magnitudes included (values span the
+    // +2^20-shift and +2^21-residual ranges the trainers feed it)
+    val genVec = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1L << 22)))
+    forAll(genVec, genVec) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(
+        graft.plans.SqDistI64.sqdist_i64(col("a"), col("b"))).head().getLong(0)
+      val expected = (0 until n).map(i => { val d = a(i) - b(i); d * d }).sum
+      Prop(native == expected) :| s"sqdist mismatch: $native != $expected a=$a b=$b"
+    }
+  }
+
+  property("adc_gather_i64 equals the join-and-sum ADC it replaced") = {
+    // random codes + a dense LUT: the gather must equal the sum of the
+    // looked-up entries (the old codes-join-adc aggregate)
+    val genCase = for {
+      m <- Gen.choose(1, 6)
+      ksub <- Gen.choose(1, 8)
+      codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1))
+      lut <- Gen.listOfN(m * ksub, Gen.choose(0L, 1L << 40))
+    } yield (ksub, codes, lut)
+    forAll(genCase) { case (ksub, codes, lut) =>
+      val df = Seq((codes, lut)).toDF("codes", "lut")
+      val native = df.select(graft.plans.AdcGatherI64.adc_gather_i64(
+        col("codes"), col("lut"), ksub)).head().getLong(0)
+      val expected = codes.zipWithIndex.map { case (c, s) => lut(s * ksub + c) }.sum
+      Prop(native == expected) :| s"gather mismatch: $native != $expected"
+    }
+  }
+
+  property("adc_gather_i64 yields NULL, never garbage, on out-of-range codes") = {
+    val genBad = for {
+      ksub <- Gen.choose(1, 4)
+      m <- Gen.choose(1, 4)
+      codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1))
+      pos <- Gen.choose(0, m - 1)
+      lut <- Gen.listOfN(m * ksub, Gen.choose(0L, 100L))
+    } yield (ksub, codes.updated(pos, ksub * m + 5), lut) // index past the LUT
+    forAll(genBad) { case (ksub, codes, lut) =>
+      val r = Seq((codes, lut)).toDF("codes", "lut")
+        .select(graft.plans.AdcGatherI64.adc_gather_i64(
+          col("codes"), col("lut"), ksub)).head()
+      Prop(r.isNullAt(0)) :| s"corrupt code must gather to NULL, got ${r.get(0)}"
+    }
+  }
 }
