@@ -557,16 +557,16 @@ object SparkEntry {
       val quantFloors: Map[String, Seq[(String, Double)]] = Map(
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
-          ("pq_hi", 0.25)),
+          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
-          ("pq_hi", 0.27)),
+          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-          ("pq_hi", 0.22)))
+          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-        ("pq_hi", 0.22))
+        ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -576,8 +576,8 @@ object SparkEntry {
       val bases = Seq(("pq_rerank", "pq"), ("rq_rerank", "rq"),
         ("ivfpq_rerank", "ivfpq"), ("sq8_rerank", "sq8"))
         .toDF("method", "base_method")
-      // 11-row result; checkpoint so the base-recall self-join doesn't
-      // re-run the 11 method pipelines.
+      // 14-row result; checkpoint so the base-recall self-join doesn't
+      // re-run the method pipelines.
       val r = Similarity.annRecall(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, 4, 4, 16, 4).localCheckpoint()
       val baseRec = r.select(col("method").as("base_method"),
@@ -2241,8 +2241,8 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS recall_ok,
         |       CAST(1 AS BIGINT) AS rerank_ok
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
-        |             ('pq_hi'), ('rq'), ('rq_rerank'), ('ivfpq'),
-        |             ('ivfpq_rerank'), ('sq8'), ('sq8_rerank')) AS m(method)
+        |             ('pq_hi'), ('pq_opq'), ('rq'), ('rq_rerank'), ('ivfpq'),
+        |             ('ivfpq_rerank'), ('ivfpq_auto'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,

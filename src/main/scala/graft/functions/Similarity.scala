@@ -1678,7 +1678,7 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}
@@ -1690,7 +1690,8 @@ object Similarity {
         "annRecall concurrent index training", interruptOnCancel = true)
       body
     }
-    val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll) = try {
+    val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll,
+         opqAll, ivfAutoAll) = try {
       val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
@@ -1716,7 +1717,21 @@ object Similarity {
         pqTopK(embeddings, queryPred, 5 * k, m = 16, ksub = 64, iters = 1)
           .localCheckpoint()
       }
-      val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8, fPqHi)
+      // pq_opq / ivfpq_auto (r15): the OPQ-P permuted index at
+      // q_pq_opq's served shape and the corpus-sized IVFADC at
+      // q_ivfpq_auto's — both memo-share with their gated queries
+      val fOpq = training {
+        opqPqTopK(embeddings, queryPred, 5 * k, m = 16, ksub = 64, iters = 1)
+          .localCheckpoint()
+      }
+      val fIvfAuto = training {
+        val c = autoIvfCells(embeddings.count())
+        ivfpqTopK(embeddings, queryPred, 5 * k, nCells = c,
+            nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
+          .localCheckpoint()
+      }
+      val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8,
+        fPqHi, fOpq, fIvfAuto)
       val firstFailure = Promise[Seq[Any]]()
       // Complete the race promise BEFORE shutting the pool down —
       // listeners registered on a drained executor would be rejected
@@ -1732,11 +1747,12 @@ object Similarity {
         Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
           scala.concurrent.ExecutionContext.parasitic),
         Duration(30, "minutes"))
-      val Seq(tn, b, p, r, i, s, ph) = res.asInstanceOf[Seq[Any]]
+      val Seq(tn, b, p, r, i, s, ph, oq, ia) = res.asInstanceOf[Seq[Any]]
       val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
       (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
         r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
-        s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame])
+        s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame],
+        oq.asInstanceOf[DataFrame], ia.asInstanceOf[DataFrame])
     } catch { case e: Throwable =>
       spark.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow()
@@ -1842,6 +1858,14 @@ object Similarity {
     // bits/recall curve is in BUILD_NOTES).
     val pqHiPairs = pqHiAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    // pq_opq: OPQ-P at pq_hi's bit budget — the variance-balanced
+    // permutation's measured recall head-to-head with contiguous
+    // slicing. ivfpq_auto: the corpus-sized coarse quantizer
+    // (q_ivfpq_auto's served shape).
+    val opqPairs = opqAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfAutoPairs = ivfAutoAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -1854,6 +1878,8 @@ object Similarity {
       .unionByName(sq8Pairs.withColumn("method", lit("sq8")))
       .unionByName(sq8RerankPairs.withColumn("method", lit("sq8_rerank")))
       .unionByName(pqHiPairs.withColumn("method", lit("pq_hi")))
+      .unionByName(opqPairs.withColumn("method", lit("pq_opq")))
+      .unionByName(ivfAutoPairs.withColumn("method", lit("ivfpq_auto")))
       .filter(col("query_id") =!= col("neighbor_id"))
     // ONE aggregation job scores and ranks every method's candidates:
     // query vectors and the |Q|·k truth set broadcast, the corpus side
@@ -1886,8 +1912,9 @@ object Similarity {
     // Left-join from a literal method list so a method with an empty
     // candidate set still emits its (zero-recall) row, as the old
     // union-of-aggregates shape did.
-    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "rq",
-        "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank").toDF("method")
+    Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "pq_opq",
+        "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "ivfpq_auto",
+        "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

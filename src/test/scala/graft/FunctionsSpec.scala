@@ -1834,7 +1834,8 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.annRecall(e, col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank",
-      "pq_hi", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "sq8", "sq8_rerank"))
+      "pq_hi", "pq_opq", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank",
+      "ivfpq_auto", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
@@ -1869,9 +1870,9 @@ class SimilaritySpec extends SparkSpec {
     // bits) — the raw-ADC >= 0.5 serving rung; measured 0.500 on this
     // corpus, pinned at the measured value per this block's discipline.
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
-      "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50,
+      "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
-      "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18,
+      "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.04,
       "sq8" -> 0.90, "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
