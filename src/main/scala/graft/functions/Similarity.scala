@@ -934,13 +934,19 @@ object Similarity {
       .select(col("query_id"), expr(s"transform(sequence(0, ${m * ksub - 1}), " +
         "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
     // the code index in array form (vec_id, carr) — memoized per
-    // codes plan: the search-side shape of the stored index
-    val codesArr = IndexMemo("pq_codes_arr", codes, ()) {
-      codes.groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
-          .as("carr"))
-        .localCheckpoint()
-    }
+    // codes plan: the search-side shape of the stored index. A caller
+    // that already holds the ARRAY form (the streaming ingest's
+    // codeIndex reduces its store straight to it — no per-tick
+    // re-conversion, no memo churn on ever-fresh batch plans) passes
+    // through untouched.
+    val codesArr =
+      if (codes.columns.contains("carr")) codes
+      else IndexMemo("pq_codes_arr", codes, ()) {
+        codes.groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
+            .as("carr"))
+          .localCheckpoint()
+      }
     topKAsc(codesArr.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -38,16 +38,24 @@ object StreamingAnnIngest {
   /** The full landed code index, reduced to the LATEST generation per
     * (vec_id, subspace): a vec_id re-ingested in a later batch (or a
     * stale dir left by a checkpoint reset) must contribute exactly one
-    * code row per subspace — `pqSearchIndex` SUMS a candidate's m
-    * partial distances, so a duplicate row would silently double that
-    * candidate's ADC distance instead of erroring. One group-by over
-    * the compressed codes (O(index), the same order as the ADC scan
-    * itself); the struct-max picks the highest batch id per key. */
+    * code row per subspace — a duplicate row would silently corrupt
+    * that candidate's ADC distance instead of erroring. One group-by
+    * over the compressed codes (O(index), the same order as the ADC
+    * scan itself); the struct-max picks the highest batch id per key.
+    * Emits the ARRAY form (vec_id, carr) the LUT-gather search scans
+    * directly — same single O(index) pass, and `pqSearchIndex` skips
+    * its row-to-array conversion (which, keyed on the ever-fresh
+    * per-tick plan, would re-materialize the whole index every
+    * micro-batch). */
   def codeIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/codes")
       .groupBy(col("vec_id"), col("s"))
       .agg(max(struct(col("batch"), col("code"))).as("_m"))
       .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
+        .as("carr"))
 
   /** Batch ids already landed under `codes/` (partition-dir listing —
     * no data read). */

@@ -285,8 +285,9 @@ class StoreCompactionSpec extends SparkSpec {
     StreamingAnnIngest.ingestBatch(
       emb((100L, Seq(0f, 1f, 0f, 1f), 0), (101L, Seq(1f, 0f, 1f, 0f), 0)).toDF(), ix, 1L)
     StreamingAnnIngest.ingestBatch(emb((102L, Seq(0f, 1f, 0f, 1f), 0)).toDF(), ix, 2L)
+    // codeIndex emits the ARRAY form (vec_id, carr)
     def index = StreamingAnnIngest.codeIndex(spark, ix)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val before = index
     // generation-count trigger: no-op below its threshold, compacts at it
     val gens = batchDirs(s"$ix/codes").size
@@ -297,10 +298,10 @@ class StoreCompactionSpec extends SparkSpec {
     assert(index == before,
       "compaction must preserve the latest-generation-per-key reduction")
     // vec 100's surviving codes are its batch=2 (cluster B) generation
-    Seq(0, 1).foreach(s => assert(index((100L, s)) == before((102L, s))))
+    assert(index(100L) == before(102L))
     // a post-compaction re-ingest still outranks the compacted rows
     StreamingAnnIngest.ingestBatch(emb((100L, Seq(1f, 0f, 1f, 0f), 0)).toDF(), ix, 3L)
-    Seq(0, 1).foreach(s => assert(index((100L, s)) == before((101L, s)),
-      "a later batch must win the struct-max against compacted rows"))
+    assert(index(100L) == before(101L),
+      "a later batch must win the struct-max against compacted rows")
   }
 }

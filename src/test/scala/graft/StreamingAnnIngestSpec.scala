@@ -42,15 +42,14 @@ class StreamingAnnIngestSpec extends SparkSpec {
       .parquet(landing.toString)
     val q = StreamingAnnIngest.start(stream, indexDir, ckpt)
     q.processAllAvailable(); q.stop()
+    // codeIndex emits the ARRAY form (vec_id, carr) the search scans
     val ix = StreamingAnnIngest.codeIndex(spark, indexDir)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    assert(ix.keys.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 100L, 101L),
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(ix.keySet == Set(0L, 1L, 2L, 3L, 100L, 101L),
       s"seed + streamed vectors must all be indexed: ${ix.keys}")
-    Seq(0, 1).foreach { s =>
-      assert(ix((100L, s)) == ix((0L, s)),
-        "identical vector must adopt the seed's codes (same codebook generation)")
-      assert(ix((101L, s)) == ix((2L, s)))
-    }
+    assert(ix(100L) == ix(0L),
+      "identical vector must adopt the seed's codes (same codebook generation)")
+    assert(ix(101L) == ix(2L))
     // replay: re-encode the same batch id -> identical rows, no dupes
     val n1 = StreamingAnnIngest.codeIndex(spark, indexDir).count()
     StreamingAnnIngest.ingestBatch(
@@ -83,12 +82,13 @@ class StreamingAnnIngestSpec extends SparkSpec {
       StreamingAnnIngest.start(stream, indexDir, ckpt2)
     }
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
-    // a vec_id landed twice (replayed batch) still yields ONE code row
-    // per subspace in the served index
+    // a vec_id landed twice (replayed batch) still yields ONE code
+    // array in the served index (the latest-generation reduction runs
+    // before the array collect)
     val ix = StreamingAnnIngest.codeIndex(spark, indexDir)
-    val perKey = ix.groupBy("vec_id", "s").count()
+    val perKey = ix.groupBy("vec_id").count()
       .filter(col("count") > 1).count()
-    assert(perKey == 0L, "codeIndex must serve one code row per (vec_id, s)")
+    assert(perKey == 0L, "codeIndex must serve one code array per vec_id")
   }
 
   test("streaming PQ search answers query batches from the landed index") {
