@@ -1126,6 +1126,20 @@ object SparkEntry {
       Similarity.sq8TopKRerank(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, 10, pool = 50)
     }),
+    // IVF-SQ8 (FAISS's IVF,SQ8) at AUTO cell count: the probed scale
+    // sibling of the flat q_sq8_topk scan (whose n·|Q| contract the
+    // 100x table measured at exponent 1.82) — certified coarse
+    // assignment, integer probe centroids derived from the final
+    // membership, SQ8 code distance within probed cells only. The
+    // oracle derives the same cell count from COUNT(*).
+    "q_ivf_sq8_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val c = Similarity.autoIvfCells(e.count())
+      Similarity.ivfSq8TopK(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = math.min(2, c), iters = 2)
+        .withColumn("n_cells", lit(c.toLong))
+    }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2895,6 +2909,10 @@ object SparkEntry {
       s"""$ivfpqBaseSql
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
          |FROM r WHERE rnk <= 10""".stripMargin,
+    // IVF-SQ8 at auto cell count: certified 2-iteration coarse chain,
+    // integer probe centroids from the final membership, SQ8 code
+    // distance within probed cells
+    "q_ivf_sq8_auto" -> ivfSq8AutoSql,
     // the auto-sized IVFADC chain: nCells derived from COUNT(*) via
     // the +-1-corrected-sqrt contract (q_semdedup_hier's pattern),
     // nProbe = LEAST(2, nCells) — cardinality-robust at any SF
@@ -4319,6 +4337,84 @@ object SparkEntry {
     * rounded float estimate of √(n/64), ki the exact smallest c with
     * 64·c² ≥ n. nProbe = LEAST(2, c) keeps the tiny-corpus gate legal
     * (c = 1 at sf0.001). */
+  /** IVF-SQ8 replay (`q_ivf_sq8_auto`): auto cell count from COUNT(*),
+    * the certified 2-iteration coarse k-means (seeds → assign vs seed
+    * vectors → integer-mean update → final assign — exactly
+    * `kmeansFixedPointAssign(iters = 2)`), probe centroids =
+    * `sum div count` over the FINAL membership, then sq8 code distance
+    * restricted to each query's probed cells. */
+  private lazy val ivfSq8AutoSql: String = {
+    val k = "(SELECT k FROM ki)"
+    s"""WITH inn AS (SELECT count(*) AS n FROM embeddings),
+       |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM inn),
+       |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
+       |                   WHEN 64*kr*kr < n THEN kr + 1
+       |                   ELSE kr END AS k FROM ikr),
+       |n AS ($quantizedSql),
+       |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+       |              unnest(q) AS x FROM n),
+       |vs AS (SELECT vec_id, d, x + 1048576 AS sx FROM vd),
+       |seeds AS (SELECT vec_id,
+       |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+       |          FROM n QUALIFY cell_id < $k),
+       |c0 AS (SELECT s.cell_id, vs.d, vs.sx AS c FROM vs JOIN seeds s USING (vec_id)),
+       |a1 AS (SELECT vec_id, cell_id FROM (
+       |    SELECT vs.vec_id, c0.cell_id,
+       |           row_number() OVER (PARTITION BY vs.vec_id
+       |             ORDER BY sum((vs.sx - c0.c)*(vs.sx - c0.c)), c0.cell_id) AS rn
+       |    FROM vs JOIN c0 USING (d)
+       |    GROUP BY vs.vec_id, c0.cell_id QUALIFY rn = 1)),
+       |c1 AS (SELECT a1.cell_id, vs.d,
+       |              CAST(CAST(sum(vs.sx) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM vs JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cell_id FROM (
+       |    SELECT vs.vec_id, c1.cell_id,
+       |           row_number() OVER (PARTITION BY vs.vec_id
+       |             ORDER BY sum((vs.sx - c1.c)*(vs.sx - c1.c)), c1.cell_id) AS rn
+       |    FROM vs JOIN c1 USING (d)
+       |    GROUP BY vs.vec_id, c1.cell_id QUALIFY rn = 1)),
+       |pc AS (SELECT a2.cell_id, vs.d,
+       |              CAST(CAST(sum(vs.sx) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM vs JOIN a2 USING (vec_id) GROUP BY 1, 2),
+       |qp AS (SELECT vec_id AS query_id, d, sx FROM vs WHERE vec_id % 100 = 0),
+       |qc0 AS (SELECT qp.query_id, pc.cell_id,
+       |               sum((qp.sx - pc.c)*(qp.sx - pc.c)) AS cd
+       |        FROM qp JOIN pc USING (d) GROUP BY 1, 2),
+       |probe AS (SELECT query_id, cell_id FROM (
+       |    SELECT query_id, cell_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cd, cell_id) AS rn FROM qc0)
+       |    WHERE rn <= LEAST(2, $k)),
+       |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM vd GROUP BY d),
+       |cd AS (SELECT vd.vec_id, vd.d,
+       |         CASE WHEN b.mx > b.mn
+       |              THEN ((vd.x - b.mn) * 255) // (b.mx - b.mn)
+       |              ELSE CAST(0 AS BIGINT) END AS c
+       |       FROM vd JOIN b USING (d)),
+       |cn AS (SELECT vec_id, CAST(sum(c*c) AS BIGINT) AS ncc
+       |       FROM cd GROUP BY vec_id),
+       |qd AS (SELECT vec_id AS query_id, d, c AS qc
+       |       FROM cd WHERE vec_id % 100 = 0),
+       |dt AS (SELECT qd.query_id, cd.vec_id,
+       |              CAST(sum(qd.qc * cd.c) AS BIGINT) AS dp
+       |       FROM qd JOIN cd ON qd.d = cd.d AND cd.vec_id <> qd.query_id
+       |       JOIN a2 ON a2.vec_id = cd.vec_id
+       |       JOIN probe p ON p.query_id = qd.query_id AND p.cell_id = a2.cell_id
+       |       GROUP BY 1, 2),
+       |dist AS (SELECT dt.query_id, dt.vec_id,
+       |                CAST(qn.ncc + nn.ncc - 2 * dt.dp AS BIGINT) AS adist
+       |         FROM dt
+       |         JOIN cn qn ON qn.vec_id = dt.query_id
+       |         JOIN cn nn ON nn.vec_id = dt.vec_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY adist, vec_id) AS rnk
+       |      FROM dist)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist,
+       |       (SELECT CAST(k AS BIGINT) FROM ki) AS n_cells
+       |FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   private lazy val ivfpqAutoSql: String = {
     val k = "(SELECT k FROM ki)"
     ivfpqBaseSqlFor("TRUE",

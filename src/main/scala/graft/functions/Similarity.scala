@@ -1058,6 +1058,64 @@ object Similarity {
     exactRerank(e, queryPred, sq8TopK(e, queryPred, pool), k)
   }
 
+  /** IVF-SQ8 (FAISS's IVF,SQ8): the coarse quantizer partitions the
+    * corpus into inverted lists and search scans only the probed
+    * cells' SQ8 codes with the symmetric code-space distance — the
+    * probed scale sibling of the FLAT `sq8TopK` scan, whose n·|Q|
+    * contract the 100× scale table measured at exponent 1.82. With
+    * `autoIvfCells` sizing (nlist ~ √n) the probed code count grows
+    * ~√n per query.
+    *
+    * Everything replays in DuckDB: the coarse assignment is the
+    * certified `kmeansFixedPointAssign`; the PROBE centroids are the
+    * exact integer per-(cell, dim) `sum div count` over the final
+    * membership (derived state both engines reproduce from the
+    * assignment); codes/norms are `sq8CodeTable`'s. The derived
+    * (codes ⋈ cells) scan table memoizes per (corpus, nCells, iters)
+    * like every trained index. */
+  def ivfSq8TopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                 nCells: Int, nProbe: Int, iters: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
+    val shift = 1048576L
+    val e = ensureQuantized(embeddings)
+    val assign = kmeansFixedPointAssign(e, nCells, iters)
+    val va = e.select(col("vec_id"),
+      expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
+    val (codes, pcents) = IndexMemo.of[(DataFrame, DataFrame)](
+      "ivfsq8_index", e, (nCells, iters)) {
+      val pc = centArrays(
+        va.select(col("vec_id"), posexplode(col("xa")).as(Seq("d", "x")))
+          .join(assign, Seq("vec_id"))
+          .groupBy(col("cell_id"), col("d"))
+          .agg(expr("sum(x) div count(1)").as("c")),
+        "cell_id").localCheckpoint()
+      (sq8CodeTable(e).join(assign, Seq("vec_id")).localCheckpoint(), pc)
+    }
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val probed = va
+      .join(broadcast(e.filter(queryPred).select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("xa"))
+      .crossJoin(broadcast(pcents))
+      .select(col("query_id"), col("cell_id"), sqDistQ("xa", "ca").as("cd"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val q = codes
+      .join(broadcast(e.filter(queryPred).select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("c").as("qc"), col("ncc").as("qn"))
+    topKAsc(codes.select(col("vec_id").as("neighbor_id"), col("c").as("cc"),
+        col("ncc").as("cn"), col("cell_id"))
+      .join(broadcast(probed), Seq("cell_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", col("qn") + col("cn") - lit(2L) * dotQ("qc", "cc"))
+      .select(col("query_id"), col("neighbor_id"), col("adist")),
+      k, "adist")
+  }
+
   /** Residual quantization (RQ): two-stage ADDITIVE vector
     * quantization — stage 1 trains a `k1`-centroid codebook over the
     * FULL vector with the `kmeansFixedPoint` integer discipline

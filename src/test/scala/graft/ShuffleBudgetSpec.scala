@@ -239,6 +239,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // COUNT(*)-derived cell count —
                                       // auto-sizing changes params,
                                       // never the plan shape
+    "q_ivf_sq8_auto" -> 4,            // probe window + top-k agg; the
+                                      // code scan reads the memoized
+                                      // (codes x cells) checkpoint
+                                      // against broadcast probe/query
+                                      // sides
     "q_curate_ledger" -> 0,           // the per-stage counts run as
                                       // eager jobs over checkpointed
                                       // stage frames; the emitted plan
