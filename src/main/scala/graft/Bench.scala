@@ -182,7 +182,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different

@@ -37,6 +37,12 @@ private[graft] object IndexMemo {
   /** Observable for the sharing specs: total memo hits this JVM. */
   @volatile var hits: Long = 0L
 
+  /** Observable: entries dropped by the cap this JVM. A non-zero value
+    * in a bench run means the suite now trains more artifacts than the
+    * cap holds and LATER queries silently re-train — the regression
+    * class the r14 16→64 bump fixed; Bench records it per run. */
+  @volatile var evictions: Long = 0L
+
   /** Per-tag hit counts — lets a spec assert that one index family
     * missed the memo (e.g. a re-banded pair graph) while another
     * legitimately hit (the band-independent posting table). */
@@ -108,16 +114,21 @@ private[graft] object IndexMemo {
     lock.synchronized {
       lookup().getOrElse {
         val res = compute
-        // Cap raised 16 → 64 (r14): the suite now trains ~30 distinct
+        // Cap raised 16 → 64 (r14) → 96 (r15): the suite's distinct
         // index artifacts (signatures, postings, pair graphs, CC
-        // fixpoints, four quantizer bundles, LSH buckets, fingerprints,
-        // truth sets); at 16 the newest-16 FIFO evicted cross-family
-        // entries mid-suite and reps measurably re-trained (rep2 of
-        // q_crossmodal_dedup: 4.9 s vs 0.2 s memo-warm). Entries are
-        // checkpointed, mostly KB-to-MB-sized frames (pair graphs,
-        // label maps, codebooks); the bounded-session contract in the
-        // object doc is unchanged.
-        synchronized { entries = ((key, sess, plan, (res: Any)) :: entries).take(64) }
+        // fixpoints, SIX quantizer bundles + their array-form code
+        // tables, LSH buckets, fingerprints, truth sets, curation
+        // interiors) grew past ~45 with the r15 gates; at 16 the FIFO
+        // evicted cross-family entries mid-suite and reps measurably
+        // re-trained (rep2 of q_crossmodal_dedup: 4.9 s vs 0.2 s
+        // memo-warm). `evictions` observes the cap binding so a future
+        // widening is measured, not guessed. Entries are checkpointed,
+        // mostly KB-to-MB-sized frames; the bounded-session contract
+        // in the object doc is unchanged.
+        synchronized {
+          entries = (key, sess, plan, (res: Any)) :: entries
+          if (entries.size > 96) { entries = entries.take(96); evictions += 1 }
+        }
         res
       }
     }
