@@ -96,9 +96,14 @@ private[graft] object IndexMemo {
       keyLocks.filterInPlace { case ((_, _, s2, _), _) => !s2.sparkContext.isStopped }
       entries.find { case (k2, s2, p2, _) =>
         k2 == key && (s2 eq sess) && p2.sameResult(plan)
-      }.map { case (_, _, _, cached) =>
+      }.map { case e @ (_, _, _, cached) =>
         hits += 1
         tagHits(tag) = tagHits.getOrElse(tag, 0L) + 1
+        // LRU: move-to-front on hit, so the cap evicts the
+        // least-recently-USED entry rather than the oldest-inserted —
+        // a long multi-corpus session keeps its hot indexes resident
+        // instead of thrashing on insertion order.
+        entries = e :: entries.filterNot(_ eq e)
         cached.asInstanceOf[T]
       }
     }
@@ -122,9 +127,15 @@ private[graft] object IndexMemo {
         // evicted cross-family entries mid-suite and reps measurably
         // re-trained (rep2 of q_crossmodal_dedup: 4.9 s vs 0.2 s
         // memo-warm). `evictions` observes the cap binding so a future
-        // widening is measured, not guessed. Entries are checkpointed,
-        // mostly KB-to-MB-sized frames; the bounded-session contract
-        // in the object doc is unchanged.
+        // widening is measured, not guessed. Entries are checkpointed
+        // frames; most are dictionary- or id-sized, but a few are
+        // deliberately CORPUS-scale (the n-gram posting table, the
+        // boilerplate covered-position frame, the corpus filter — one
+        // row per token position / doc), so the cap bounds entry
+        // COUNT, not bytes; the bounded-session contract in the
+        // object doc is what bounds memory. Eviction is LRU (hits
+        // move-to-front above), so a multi-corpus session drops cold
+        // corpora's frames first.
         synchronized {
           entries = (key, sess, plan, (res: Any)) :: entries
           if (entries.size > 96) { entries = entries.take(96); evictions += 1 }

@@ -947,11 +947,17 @@ object Similarity {
             .as("carr"))
           .localCheckpoint()
       }
+    // adc_gather_i64 NULLs on a corrupted/out-of-range code; topKAsc's
+    // struct-min would rank a NULL dist FIRST, so drop corrupt
+    // candidates here — the only NULL-capable producer on this path
+    // (a healthy store never NULLs: the LUT is built dense over the
+    // training's own ksub).
     topKAsc(codesArr.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
-          .as("adist")),
+          .as("adist"))
+      .filter(col("adist").isNotNull),
       k, "adist")
   }
 
@@ -1340,11 +1346,14 @@ object Similarity {
     // ADC top-k among matching rows, never a post-filtered slice.
     val searchCodes = candPred.fold(codesArr)(p =>
       codesArr.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    // corrupt-code NULLs drop instead of ranking first (see
+    // pqSearchIndex)
     topKAsc(searchCodes.join(broadcast(lut), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
-          .as("adist")),
+          .as("adist"))
+      .filter(col("adist").isNotNull),
       k, "adist")
   }
 
@@ -1517,10 +1526,12 @@ object Similarity {
 
   /** The corpus with OPQ-permuted quantized vectors: position i of
     * the new `q` holds original dim perm(i). `nq` (the exact squared
-    * norm) is permutation-invariant and carried through. */
+    * norm) is permutation-invariant; ALL other input columns (label,
+    * …) are carried through unchanged so a queryPred/candPred
+    * referencing them keeps pqTopK's predicate contract under
+    * opqPqTopK. */
   private def opqPermute(e: DataFrame, perm: Array[Int]): DataFrame =
-    e.select(col("vec_id"),
-      array(perm.map(d => col("q").getItem(d)): _*).as("q"), col("nq"))
+    e.withColumn("q", array(perm.map(d => col("q").getItem(d)): _*))
 
   /** PQ ADC top-k over the OPQ-P-permuted corpus: learn the variance-
     * balancing permutation, then run the UNCHANGED certified PQ chain

@@ -192,9 +192,14 @@ object CosineF64 {
   *
   * Magnitudes: operands are +2^20-shifted quantized dims (≤ 2^21) or
   * +2^21-re-shifted residuals (≤ 2^22), so a diff² ≤ 2^44 and a
-  * 64-dim sum ≤ 2^50 — int64-safe. Null semantics match DotI64 (NULL
-  * if either array is NULL; elements non-null; shorter length wins —
-  * equal-dim vectors never differ). */
+  * 64-dim sum ≤ 2^50 — int64-safe. Null semantics: NULL if either
+  * array is NULL (null-intolerant, like DotI64) — and NULL on a
+  * LENGTH MISMATCH: equal-length inputs are the kernel's invariant
+  * (every Lloyd assignment compares same-dim vectors), so a ragged
+  * pair means a corrupted/truncated persisted codebook, and
+  * under-summing its distance would silently misassign the vector.
+  * NULL matches AdcGatherI64's corrupted-input discipline: the row
+  * drops out of argmin/topk instead of winning with a short sum. */
 case class SqDistI64(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -210,12 +215,14 @@ case class SqDistI64(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "sqdist_i64"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -233,13 +240,16 @@ case class SqDistI64(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

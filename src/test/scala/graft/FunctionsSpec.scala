@@ -2025,6 +2025,35 @@ class SimilaritySpec extends SparkSpec {
     info(f"q_pq_opq sf0.001 raw recall: $rec%.3f")
     assert(rec >= 0.25, f"opq recall collapsed: $rec%.3f") // half the measured 0.50-class rung
   }
+
+  test("opqPqTopK keeps pqTopK's predicate contract: non-vector columns survive the permute") {
+    // the permuted frame must carry label (etc.) through, so a
+    // queryPred referencing it analyzes — the q_ann_filtered-style
+    // calling convention (r15 narrowed the permute to (vec_id, q, nq)
+    // and such predicates failed analysis)
+    val e = anisotropic(100, 8, 4)
+    val got = Similarity.opqPqTopK(e, col("label") === 0 && col("vec_id") % 20 === 0,
+      5, m = 2, ksub = 4, iters = 1).collect()
+    assert(got.nonEmpty)
+  }
+
+  test("pqSearchIndex drops a corrupted code instead of ranking it first") {
+    // carr=[5] with m=1, ksub=2 gathers out of the dense LUT -> NULL
+    // adist; struct-min top-k would rank a NULL FIRST, so the serving
+    // path (streaming search included) must drop the candidate
+    val cents = Seq((0, 0, 0, 10L), (0, 0, 1, 10L),
+        (0, 1, 0, 90L), (0, 1, 1, 90L))
+      .toDF("s", "code", "d", "c")
+    val codes = Seq((1L, Seq(0)), (2L, Seq(5)))
+      .toDF("vec_id", "carr")
+      .select(col("vec_id"), col("carr").cast("array<int>").as("carr"))
+    val queries = Seq((100L, Seq(0.00001, 0.00001)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqSearchIndex(queries, codes, cents, k = 2).collect()
+    assert(got.map(_.getLong(2)).toSet == Set(1L),
+      s"corrupt candidate 2 must drop, got ${got.mkString(", ")}")
+    assert(got.head.getLong(1) == 1L) // vec 1 holds rank 1, not a NULL row
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

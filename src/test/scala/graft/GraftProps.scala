@@ -565,15 +565,35 @@ object GraftProps extends Properties("graft") {
     // the array-form Lloyd kernel must agree with the HOF spelling it
     // replaced, element order and magnitudes included (values span the
     // +2^20-shift and +2^21-residual ranges the trainers feed it)
-    val genVec = Gen.choose(1, 8).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(0L, 1L << 22)))
-    forAll(genVec, genVec) { (a, b) =>
-      val n = math.min(a.length, b.length)
+    val genPair = for {
+      n <- Gen.choose(1, 8)
+      a <- Gen.listOfN(n, Gen.choose(0L, 1L << 22))
+      b <- Gen.listOfN(n, Gen.choose(0L, 1L << 22))
+    } yield (a, b)
+    forAll(genPair) { case (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
       val native = df.select(
         graft.plans.SqDistI64.sqdist_i64(col("a"), col("b"))).head().getLong(0)
-      val expected = (0 until n).map(i => { val d = a(i) - b(i); d * d }).sum
+      val expected = a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
       Prop(native == expected) :| s"sqdist mismatch: $native != $expected a=$a b=$b"
+    }
+  }
+
+  property("sqdist_i64 yields NULL, never a short sum, on ragged arrays") = {
+    // equal-length inputs are the Lloyd invariant; a length mismatch
+    // means a corrupted/truncated persisted codebook, and a silently
+    // under-summed distance would misassign the vector — the kernel
+    // NULLs instead (AdcGatherI64's corrupted-input discipline)
+    val genRagged = for {
+      n <- Gen.choose(1, 8)
+      m <- Gen.choose(1, 8).suchThat(_ != n)
+      a <- Gen.listOfN(n, Gen.choose(0L, 1L << 22))
+      b <- Gen.listOfN(m, Gen.choose(0L, 1L << 22))
+    } yield (a, b)
+    forAll(genRagged) { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        graft.plans.SqDistI64.sqdist_i64(col("a"), col("b"))).head()
+      Prop(r.isNullAt(0)) :| s"ragged pair must sqdist to NULL, got ${r.get(0)}"
     }
   }
 
