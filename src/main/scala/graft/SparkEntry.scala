@@ -557,16 +557,20 @@ object SparkEntry {
       val quantFloors: Map[String, Seq[(String, Double)]] = Map(
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
-          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02)),
+          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
+          ("ivfrq_auto", 0.02)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
-          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03)),
+          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
+          ("ivfrq_auto", 0.01)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005)))
+          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
+          ("ivfrq_auto", 0.015)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-        ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005))
+        ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
+        ("ivfrq_auto", 0.01))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1139,6 +1143,30 @@ object SparkEntry {
       Similarity.ivfSq8TopK(e, col("vec_id") % 100 === 0, 10,
         nCells = c, nProbe = math.min(2, c), iters = 2)
         .withColumn("n_cells", lit(c.toLong))
+    }),
+    // IVF-RQ at AUTO cell count: the probed scale sibling of the flat
+    // q_rq_topk scan (32x exponent 1.01) — certified coarse chain, the
+    // two additive residual codebooks trained on coarse residuals,
+    // combined-table ADC restricted to each query's probed cells. The
+    // oracle derives the same cell count from COUNT(*). Closes the
+    // quantizer symmetry: PQ/SQ8/RQ each carry a sqrt(n)-celled probe.
+    "q_ivfrq_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val c = Similarity.autoIvfCells(e.count())
+      Similarity.ivfRqTopK(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1)
+        .withColumn("n_cells", lit(c.toLong))
+    }),
+    // IVF-RQ + exact re-rank: the probed additive-code pool (50)
+    // refined by exact quantized cosine (the full IVF,RQ,R stack)
+    "q_ivfrq_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val c = Similarity.autoIvfCells(e.count())
+      Similarity.ivfRqTopKRerank(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1,
+        pool = 50)
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -2256,7 +2284,8 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS rerank_ok
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
         |             ('pq_hi'), ('pq_opq'), ('rq'), ('rq_rerank'), ('ivfpq'),
-        |             ('ivfpq_rerank'), ('ivfpq_auto'), ('sq8'), ('sq8_rerank')) AS m(method)
+        |             ('ivfpq_rerank'), ('ivfpq_auto'), ('ivfrq_auto'),
+        |             ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
@@ -2913,6 +2942,34 @@ object SparkEntry {
     // integer probe centroids from the final membership, SQ8 code
     // distance within probed cells
     "q_ivf_sq8_auto" -> ivfSq8AutoSql,
+    // IVF-RQ at auto cell count: certified coarse chain, additive
+    // residual codebooks (seeds md5(vec_id || 'r') / md5(vec_id ||
+    // 'rr')), per-cell query residuals, combined-table ADC within
+    // probed cells only
+    "q_ivfrq_auto" ->
+      s"""$ivfRqAutoBaseSql
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist,
+         |       (SELECT CAST(k AS BIGINT) FROM ki) AS n_cells
+         |FROM r WHERE rnk <= 10""".stripMargin,
+    // IVF-RQ + exact re-rank: the probed additive-code pool (50)
+    // refined by exact quantized cosine
+    "q_ivfrq_rerank" ->
+      s"""$ivfRqAutoBaseSql,
+         |pool AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 50),
+         |x AS (SELECT p.query_id, p.neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(qq.q, cc.q), z -> z[1] * z[2])) AS BIGINT) AS dot,
+         |             qq.nq AS qn, cc.nq AS cn
+         |      FROM pool p
+         |      JOIN n qq ON qq.vec_id = p.query_id
+         |      JOIN n cc ON cc.vec_id = p.neighbor_id),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+         |                        neighbor_id ASC) AS rnk
+         |      FROM x)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+         |FROM f WHERE rnk <= 10""".stripMargin,
     // the auto-sized IVFADC chain: nCells derived from COUNT(*) via
     // the +-1-corrected-sqrt contract (q_semdedup_hier's pattern),
     // nProbe = LEAST(2, nCells) — cardinality-robust at any SF
@@ -4425,6 +4482,121 @@ object SparkEntry {
            |                   WHEN 64*kr*kr < n THEN kr + 1
            |                   ELSE kr END AS k FROM ikr),""".stripMargin,
       cells = k, probe = s"LEAST(2, $k)")
+  }
+
+  /** IVF-RQ replay (`q_ivfrq_auto` / `q_ivfrq_rerank`): auto cell
+    * count from COUNT(*) (the ±1-corrected-sqrt contract), the
+    * certified 1-iteration coarse chain (seeds md5(vec_id)), residuals
+    * to the final assignment's centroid re-shifted +2^21, then
+    * rqTrain's two additive stages ON those residuals (stage-1 seeds
+    * md5(vec_id || 'r'); stage-2 residuals re-shifted +2^22, seeds
+    * md5(vec_id || 'rr')), probe = LEAST(2, k) nearest cells by exact
+    * integer L2 to the coarse centroids, combined-table ADC on the
+    * QUERY'S PER-CELL RESIDUAL restricted to probed cells — through
+    * the ranked candidate CTE `r`. Mirrors
+    * `Similarity.ivfRqTopK(iters = 1, k1 = 4, k2 = 4)` bit-exactly. */
+  private lazy val ivfRqAutoBaseSql: String = {
+    val k = "(SELECT k FROM ki)"
+    s"""WITH inn AS (SELECT count(*) AS n FROM embeddings),
+       |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM inn),
+       |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
+       |                   WHEN 64*kr*kr < n THEN kr + 1
+       |                   ELSE kr END AS k FROM ikr),
+       |n AS ($quantizedSql),
+       |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+       |              unnest(q) + 1048576 AS x FROM n),
+       |cs AS (SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+       |       FROM n QUALIFY cell_id < $k),
+       |cc0 AS (SELECT cs.cell_id, vd.d, vd.x AS c FROM vd JOIN cs USING (vec_id)),
+       |ca1 AS (SELECT vec_id, cell_id FROM (
+       |    SELECT vd.vec_id, cc0.cell_id,
+       |           row_number() OVER (PARTITION BY vd.vec_id
+       |             ORDER BY sum((vd.x - cc0.c)*(vd.x - cc0.c)), cc0.cell_id) AS rn
+       |    FROM vd JOIN cc0 ON vd.d = cc0.d
+       |    GROUP BY vd.vec_id, cc0.cell_id QUALIFY rn = 1)),
+       |cc1 AS (SELECT ca1.cell_id, vd.d,
+       |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM vd JOIN ca1 USING (vec_id) GROUP BY 1, vd.d),
+       |ca AS (SELECT vec_id, cell_id FROM (
+       |    SELECT vd.vec_id, cc1.cell_id,
+       |           row_number() OVER (PARTITION BY vd.vec_id
+       |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
+       |    FROM vd JOIN cc1 ON vd.d = cc1.d
+       |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
+       |rd AS (SELECT vd.vec_id, vd.d, vd.x - cc1.c + 2097152 AS rx
+       |       FROM vd JOIN ca USING (vec_id)
+       |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
+       |s1 AS (SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'r'), vec_id) - 1 AS code1
+       |       FROM n QUALIFY code1 < 4),
+       |c10 AS (SELECT s1.code1, rd.d, rd.rx AS c FROM rd JOIN s1 USING (vec_id)),
+       |a10 AS (SELECT vec_id, code1 FROM (
+       |    SELECT rd.vec_id, c10.code1,
+       |           row_number() OVER (PARTITION BY rd.vec_id
+       |             ORDER BY sum((rd.rx - c10.c)*(rd.rx - c10.c)), c10.code1) AS rn
+       |    FROM rd JOIN c10 ON rd.d = c10.d
+       |    GROUP BY rd.vec_id, c10.code1 QUALIFY rn = 1)),
+       |c1 AS (SELECT a10.code1, rd.d,
+       |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM rd JOIN a10 USING (vec_id) GROUP BY 1, rd.d),
+       |a1 AS (SELECT vec_id, code1 FROM (
+       |    SELECT rd.vec_id, c1.code1,
+       |           row_number() OVER (PARTITION BY rd.vec_id
+       |             ORDER BY sum((rd.rx - c1.c)*(rd.rx - c1.c)), c1.code1) AS rn
+       |    FROM rd JOIN c1 ON rd.d = c1.d
+       |    GROUP BY rd.vec_id, c1.code1 QUALIFY rn = 1)),
+       |rd2 AS (SELECT rd.vec_id, rd.d, rd.rx - c1.c + 4194304 AS rx
+       |        FROM rd JOIN a1 USING (vec_id)
+       |        JOIN c1 ON c1.code1 = a1.code1 AND c1.d = rd.d),
+       |s2 AS (SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'rr'), vec_id) - 1 AS code2
+       |       FROM n QUALIFY code2 < 4),
+       |c20 AS (SELECT s2.code2, rd2.d, rd2.rx AS c FROM rd2 JOIN s2 USING (vec_id)),
+       |b10 AS (SELECT vec_id, code2 FROM (
+       |    SELECT rd2.vec_id, c20.code2,
+       |           row_number() OVER (PARTITION BY rd2.vec_id
+       |             ORDER BY sum((rd2.rx - c20.c)*(rd2.rx - c20.c)), c20.code2) AS rn
+       |    FROM rd2 JOIN c20 ON rd2.d = c20.d
+       |    GROUP BY rd2.vec_id, c20.code2 QUALIFY rn = 1)),
+       |c2 AS (SELECT b10.code2, rd2.d,
+       |              CAST(CAST(sum(rd2.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+       |       FROM rd2 JOIN b10 USING (vec_id) GROUP BY 1, rd2.d),
+       |b2 AS (SELECT vec_id, code2 FROM (
+       |    SELECT rd2.vec_id, c2.code2,
+       |           row_number() OVER (PARTITION BY rd2.vec_id
+       |             ORDER BY sum((rd2.rx - c2.c)*(rd2.rx - c2.c)), c2.code2) AS rn
+       |    FROM rd2 JOIN c2 ON rd2.d = c2.d
+       |    GROUP BY rd2.vec_id, c2.code2 QUALIFY rn = 1)),
+       |comb AS (SELECT c1.code1, c2.code2, c1.d, c1.c + c2.c - 4194304 AS cc
+       |         FROM c1 JOIN c2 ON c1.d = c2.d),
+       |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
+       |qc AS (SELECT qd.query_id, cc1.cell_id,
+       |              sum((qd.x - cc1.c)*(qd.x - cc1.c)) AS cd
+       |       FROM qd JOIN cc1 ON qd.d = cc1.d GROUP BY 1, 2),
+       |probe AS (SELECT query_id, cell_id FROM (
+       |    SELECT query_id, cell_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cd, cell_id) AS rn FROM qc)
+       |    WHERE rn <= LEAST(2, $k)),
+       |qrd AS (SELECT p.query_id, p.cell_id, qd.d, qd.x - cc1.c + 2097152 AS rx
+       |        FROM probe p
+       |        JOIN qd ON qd.query_id = p.query_id
+       |        JOIN cc1 ON cc1.cell_id = p.cell_id AND cc1.d = qd.d),
+       |t AS (SELECT qrd.query_id, qrd.cell_id, comb.code1, comb.code2,
+       |             CAST(sum((qrd.rx - comb.cc)*(qrd.rx - comb.cc)) AS BIGINT) AS adist
+       |      FROM qrd JOIN comb ON qrd.d = comb.d
+       |      GROUP BY 1, 2, 3, 4),
+       |codes AS (SELECT ca.vec_id, ca.cell_id, a1.code1, b2.code2
+       |          FROM ca JOIN a1 USING (vec_id) JOIN b2 USING (vec_id)),
+       |dist AS (SELECT t.query_id, codes.vec_id, t.adist
+       |         FROM codes JOIN t ON codes.cell_id = t.cell_id
+       |           AND codes.code1 = t.code1 AND codes.code2 = t.code2
+       |         WHERE codes.vec_id <> t.query_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY adist, vec_id) AS rnk
+       |      FROM dist)""".stripMargin
   }
 
   /** PQ certified-training + ADC replay, parameterized by subspace

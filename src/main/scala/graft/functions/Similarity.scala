@@ -1156,6 +1156,45 @@ object Similarity {
       rqTrainCompute(e, k1, k2, iters))
   }
 
+  /** One certified-fixpoint k-means stage over `vecs` (vec_id, xa
+    * ARRAY<BIGINT>): returns (final assignment, final PER-DIM
+    * centroids) — the pqTrain loop with a single codebook and a
+    * caller-chosen seed salt. Seeds are the `k` ids of `seedIds` with
+    * smallest md5(vec_id || seedSalt). Assignment runs array-form
+    * (n·k rows, codegen'd sqdist — bit-identical, see sqDistQ);
+    * seeds/updates explode per-dim off the array frame. Shared by
+    * rqTrain's two stages and ivfRqTrain's coarse + two residual
+    * stages. */
+  private def fpStage(seedIds: DataFrame, vecs: DataFrame, k: Int,
+                      seedSalt: String, codeName: String,
+                      iters: Int): (DataFrame, DataFrame) = {
+    def dimRows = vecs.select(col("vec_id"),
+      posexplode(col("xa")).as(Seq("d", "x")))
+    val seeds = seedIds.select(col("vec_id"),
+        md5(concat(col("vec_id").cast("string"), lit(seedSalt))).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .withColumn(codeName,
+        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col(codeName))
+    var cents = dimRows.join(seeds, Seq("vec_id"))
+      .select(col(codeName), col("d"), col("x").as("c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centArrays(c, codeName)))
+        .select(col("vec_id"), col(codeName), sqDistQ("xa", "ca").as("_dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("_dist"), col(codeName))).as("_m"))
+        .select(col("vec_id"), col(s"_m.$codeName").as(codeName))
+    (1 to iters).foreach { _ =>
+      val a = assign(cents)
+      cents = dimRows.join(a, Seq("vec_id"))
+        .groupBy(col(codeName), col("d"))
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    (assign(cents).localCheckpoint(), cents)
+  }
+
   private def rqTrainCompute(e: DataFrame, k1: Int, k2: Int,
                              iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
@@ -1164,41 +1203,7 @@ object Similarity {
     val va = v.select(col("vec_id"),
         expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    // One certified-fixpoint k-means stage over `vecs` (vec_id, xa
-    // ARRAY<BIGINT>): returns (final assignment, final PER-DIM
-    // centroids) — the pqTrain loop with a single codebook and a
-    // caller-chosen seed salt. Assignment runs array-form (n·k rows,
-    // codegen'd sqdist — bit-identical, see sqDistQ); seeds/updates
-    // explode per-dim off the array frame.
-    def stage(vecs: DataFrame, k: Int, seedSalt: String,
-              codeName: String): (DataFrame, DataFrame) = {
-      def dimRows = vecs.select(col("vec_id"),
-        posexplode(col("xa")).as(Seq("d", "x")))
-      val seeds = v.select(col("vec_id"),
-          md5(concat(col("vec_id").cast("string"), lit(seedSalt))).as("_h"))
-        .orderBy(col("_h"), col("vec_id")).limit(k)
-        .withColumn(codeName,
-          row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-        .select(col("vec_id"), col(codeName))
-      var cents = dimRows.join(seeds, Seq("vec_id"))
-        .select(col(codeName), col("d"), col("x").as("c"))
-        .localCheckpoint()
-      def assign(c: DataFrame): DataFrame =
-        vecs.crossJoin(broadcast(centArrays(c, codeName)))
-          .select(col("vec_id"), col(codeName), sqDistQ("xa", "ca").as("_dist"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("_dist"), col(codeName))).as("_m"))
-          .select(col("vec_id"), col(s"_m.$codeName").as(codeName))
-      (1 to iters).foreach { _ =>
-        val a = assign(cents)
-        cents = dimRows.join(a, Seq("vec_id"))
-          .groupBy(col(codeName), col("d"))
-          .agg(expr("sum(x) div count(1)").as("c"))
-          .localCheckpoint()
-      }
-      (assign(cents).localCheckpoint(), cents)
-    }
-    val (a1, c1) = stage(va, k1, "", "code1")
+    val (a1, c1) = fpStage(v, va, k1, "", "code1", iters)
     // residual arrays: x − c1[code1] + 2^21, zip_with over the
     // broadcast array-form level-1 codebook
     val ra = va.join(a1, Seq("vec_id"))
@@ -1206,7 +1211,7 @@ object Similarity {
       .select(col("vec_id"),
         expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift2}L)").as("xa"))
       .localCheckpoint()
-    val (b2, c2) = stage(ra, k2, "r", "code2")
+    val (b2, c2) = fpStage(v, ra, k2, "r", "code2", iters)
     (a1.join(b2, Seq("vec_id")).localCheckpoint(), c1, c2)
   }
 
@@ -1257,6 +1262,121 @@ object Similarity {
     require(pool >= k, s"rerank pool $pool must be >= k=$k")
     val e = ensureQuantized(embeddings)
     exactRerank(e, queryPred, rqTopK(e, queryPred, pool, k1, k2, iters), k)
+  }
+
+  /** IVF-RQ — the probed scale sibling of the FLAT `rqTopK` scan
+    * (FAISS's IVF,RQ shape): a coarse quantizer of `nCells` centroids
+    * partitions the corpus into inverted lists, and the two-stage
+    * ADDITIVE residual codebooks are trained on the residuals to each
+    * vector's coarse centroid. A query probes its `nProbe` nearest
+    * cells and scores ONLY those cells' codes — with `autoIvfCells`
+    * sizing (nlist ~ √n) probed work grows ~√n per query, closing the
+    * quantizer-family symmetry (PQ has `ivfpqTopK`, SQ8 `ivfSq8TopK`;
+    * RQ's flat scan measured exponent 1.01 at the 32× decade).
+    *
+    * All three trainings run the certified fixed-point discipline
+    * through the shared `fpStage` (+2^20-shifted dims; residuals
+    * re-shifted +2^21; residuals-of-residuals +2^22; integer `sum div
+    * count` centroids; exact int64 squared L2; md5-ordered seeds —
+    * coarse by md5(vec_id), stage 1 by md5(vec_id || 'r'), stage 2 by
+    * md5(vec_id || 'rr'); lexicographic argmin ties), so DuckDB
+    * replays the whole build and search bit-exactly (`q_ivfrq_auto`).
+    *
+    * Search cost shape: the combined additive table (k1·k2 rows of
+    * dims-arrays) is dictionary-sized; the per-(query, probed-cell)
+    * ADC table is |Q|·nProbe·k1·k2 rows, broadcast; a candidate's
+    * distance is then ONE broadcast-lookup join on (cell_id, code1,
+    * code2) — RQ's no-aggregation-on-the-candidate-side property,
+    * now restricted to probed cells. Int64-safe: stage operands ≤
+    * 2^23, diff² ≤ 2^48, 64-dim sums ≤ 2^54. */
+  def ivfRqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                nCells: Int, nProbe: Int, k1: Int, k2: Int,
+                iters: Int): DataFrame = {
+    require(iters >= 1, s"ivfRqTopK needs at least one iteration, got $iters")
+    require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
+    val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
+    val shiftR = 2097152L  // 2^21 residual re-shift (see rqTrain)
+    val e = ensureQuantized(embeddings)
+    val (codes, cc, c1, c2) =
+      IndexMemo.of[(DataFrame, DataFrame, DataFrame, DataFrame)](
+        "ivfrq_train", e, (nCells, k1, k2, iters))(
+        ivfRqTrainCompute(e, nCells, k1, k2, iters))
+    // --- search ---
+    val ccArr = broadcast(centArrays(cc, "cell_id"))
+    val qa = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
+      .localCheckpoint() // consumed twice: cell ranking + residuals
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val probed = qa.crossJoin(ccArr)
+      .select(col("query_id"), col("cell_id"), sqDistQ("xa", "ca").as("cd"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    // query residual per probed cell (the stored residuals' +2^21 frame)
+    val qr = probed.join(qa, Seq("query_id"))
+      .join(ccArr, Seq("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR}L)").as("ra"))
+    // combined additive codebook in array form: reconstruction of a
+    // (code1, code2) residual is c1 + c2 − 2^22 per dim
+    val comb = c1.select(col("code1"), col("d"), col("c").as("_c1"))
+      .join(c2.select(col("code2"), col("d"), col("c").as("_c2")), Seq("d"))
+      .groupBy(col("code1"), col("code2"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(d, _c1 + _c2 - 4194304 AS c))), p -> p.c)").as("cma"))
+    val adc = qr.crossJoin(broadcast(comb))
+      .select(col("query_id"), col("cell_id"), col("code1"), col("code2"),
+        sqDistQ("ra", "cma").as("adist"))
+    topKAsc(codes.join(broadcast(adc), Seq("cell_id", "code1", "code2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
+      k, "adist")
+  }
+
+  /** The training block of `ivfRqTopK`: coarse fixed-point k-means,
+    * residuals, then rqTrain's two additive stages ON the residuals.
+    * Returns (codes = (vec_id, cell_id, code1, code2), coarse
+    * centroids, stage-1 codebook, stage-2 codebook), every frame
+    * checkpointed; centroid frames are (key, d, c) per-dim rows. */
+  private def ivfRqTrainCompute(e: DataFrame, nCells: Int, k1: Int,
+                                k2: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val shift = 1048576L   // 2^20
+    val shiftR = 2097152L  // 2^21: residuals to the coarse centroid
+    val shiftR2 = 4194304L // 2^22: stage-2 residuals-of-residuals
+    val v = e.select(col("vec_id"), col("q"))
+    val va = v.select(col("vec_id"),
+        expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
+      .localCheckpoint()
+    val (ca, cc) = fpStage(v, va, nCells, "", "cell_id", iters)
+    val ra = va.join(ca, Seq("vec_id"))
+      .join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
+      .select(col("vec_id"),
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR}L)").as("xa"))
+      .localCheckpoint()
+    val (a1, c1) = fpStage(v, ra, k1, "r", "code1", iters)
+    val ra2 = ra.join(a1, Seq("vec_id"))
+      .join(broadcast(centArrays(c1, "code1")), Seq("code1"))
+      .select(col("vec_id"),
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR2}L)").as("xa"))
+      .localCheckpoint()
+    val (b2, c2) = fpStage(v, ra2, k2, "rr", "code2", iters)
+    (ca.join(a1, Seq("vec_id")).join(b2, Seq("vec_id")).localCheckpoint(),
+      cc, c1, c2)
+  }
+
+  /** IVF-RQ + exact re-rank: the cell-restricted additive-code pool
+    * refined by exact quantized cosine — the refine sibling of
+    * `ivfpqTopKRerank` for the residual-quantized index. */
+  def ivfRqTopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
+                      nCells: Int, nProbe: Int, k1: Int, k2: Int,
+                      iters: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must be >= k=$k")
+    val e = ensureQuantized(embeddings)
+    exactRerank(e, queryPred,
+      ivfRqTopK(e, queryPred, pool, nCells, nProbe, k1, k2, iters), k)
   }
 
   /** IVFADC — the canonical billion-scale serving index (FAISS's
@@ -1753,7 +1873,7 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}
@@ -1766,7 +1886,7 @@ object Similarity {
       body
     }
     val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll,
-         opqAll, ivfAutoAll) = try {
+         opqAll, ivfAutoAll, ivfRqAutoAll) = try {
       val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
@@ -1805,8 +1925,17 @@ object Similarity {
             nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
           .localCheckpoint()
       }
+      // ivfrq_auto (r16): the probed residual-quantizer at
+      // q_ivfrq_auto's served shape — memo-shares its training with
+      // the gated query like the other auto indexes
+      val fIvfRqAuto = training {
+        val c = autoIvfCells(embeddings.count())
+        ivfRqTopK(embeddings, queryPred, 5 * k, nCells = c,
+            nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1)
+          .localCheckpoint()
+      }
       val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8,
-        fPqHi, fOpq, fIvfAuto)
+        fPqHi, fOpq, fIvfAuto, fIvfRqAuto)
       val firstFailure = Promise[Seq[Any]]()
       // Complete the race promise BEFORE shutting the pool down —
       // listeners registered on a drained executor would be rejected
@@ -1822,12 +1951,13 @@ object Similarity {
         Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
           scala.concurrent.ExecutionContext.parasitic),
         Duration(30, "minutes"))
-      val Seq(tn, b, p, r, i, s, ph, oq, ia) = res.asInstanceOf[Seq[Any]]
+      val Seq(tn, b, p, r, i, s, ph, oq, ia, irq) = res.asInstanceOf[Seq[Any]]
       val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
       (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
         r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
         s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame],
-        oq.asInstanceOf[DataFrame], ia.asInstanceOf[DataFrame])
+        oq.asInstanceOf[DataFrame], ia.asInstanceOf[DataFrame],
+        irq.asInstanceOf[DataFrame])
     } catch { case e: Throwable =>
       spark.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow()
@@ -1941,6 +2071,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val ivfAutoPairs = ivfAutoAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    // ivfrq_auto: the probed residual quantizer (q_ivfrq_auto's shape)
+    val ivfRqAutoPairs = ivfRqAutoAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -1955,6 +2088,7 @@ object Similarity {
       .unionByName(pqHiPairs.withColumn("method", lit("pq_hi")))
       .unionByName(opqPairs.withColumn("method", lit("pq_opq")))
       .unionByName(ivfAutoPairs.withColumn("method", lit("ivfpq_auto")))
+      .unionByName(ivfRqAutoPairs.withColumn("method", lit("ivfrq_auto")))
       .filter(col("query_id") =!= col("neighbor_id"))
     // ONE aggregation job scores and ranks every method's candidates:
     // query vectors and the |Q|·k truth set broadcast, the corpus side
@@ -1989,7 +2123,7 @@ object Similarity {
     // union-of-aggregates shape did.
     Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "pq_opq",
         "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "ivfpq_auto",
-        "sq8", "sq8_rerank").toDF("method")
+        "ivfrq_auto", "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

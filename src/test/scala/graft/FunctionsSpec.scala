@@ -1685,6 +1685,70 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 5, s"all cells probed -> full top-k: got ${out.length}")
   }
 
+  test("ivfRqTopK ranks the query's duplicate first at ADC distance 0 at convergence") {
+    // two tight groups: coarse cells converge onto them, residuals
+    // collapse to ~0, both additive stages encode them identically,
+    // so a duplicate's single-lookup ADC distance is 0 and it wins
+    val e = emb(
+      (0L, Seq(1f, 0f, 1f, 0f), 0),
+      (1L, Seq(1f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 1f), 0),
+      (3L, Seq(0f, 1f, 0f, 1f), 0))
+    val out = graft.functions.Similarity
+      .ivfRqTopK(e, col("vec_id") === 0, k = 3, nCells = 2, nProbe = 2,
+        k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val (rnk1, n1, d1) = out.head
+    assert(rnk1 == 1L && n1 == 1L && d1 == 0L,
+      s"query's duplicate must rank first at ADC distance 0: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
+
+  test("ivfRqTopK is partition-invariant (integer-exact fixpoint end to end)") {
+    val e = emb((0L to 19L).map(i =>
+      (i, Seq(i.toFloat / 20f, 1f - i.toFloat / 20f, (i % 5).toFloat / 5f, 0.5f), 0)): _*)
+    def run(df: org.apache.spark.sql.DataFrame) = graft.functions.Similarity
+      .ivfRqTopK(df, col("vec_id") % 7 === 0, 5, nCells = 2, nProbe = 2,
+        k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(run(e) == run(e.repartition(7)))
+  }
+
+  test("ivfRqTopK with nProbe = nCells: candidate set is the whole corpus") {
+    val e = emb((0L to 11L).map(i =>
+      (i, Seq((i % 3).toFloat / 3f, 1f - (i % 3).toFloat / 3f,
+        (i % 4).toFloat / 4f, 0.25f), 0)): _*)
+    val out = graft.functions.Similarity
+      .ivfRqTopK(e, col("vec_id") === 0, k = 5, nCells = 3, nProbe = 3,
+        k1 = 3, k2 = 3, iters = 1)
+      .collect()
+    assert(out.length == 5, s"all cells probed -> full top-k: got ${out.length}")
+  }
+
+  test("ivfRqTopKRerank recall >= raw ivfRqTopK recall on the corpus (memo-shared training)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val c = Similarity.autoIvfCells(e.count())
+    val truth = Similarity.bruteForceTopK(e, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val hits0 = graft.functions.IndexMemo.hitsFor("ivfrq_train")
+    val raw = recall(Similarity.ivfRqTopK(e, pred, 10,
+      nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1))
+    val rr = recall(Similarity.ivfRqTopKRerank(e, pred, 10,
+      nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1, pool = 50))
+    info(f"ivfrq sf0.001: raw=$raw%.3f rerank=$rr%.3f")
+    assert(rr >= raw, f"exact rerank must not lose recall: $rr%.3f < $raw%.3f")
+    // the rerank's proposer rides the SAME trained index (memo hit)
+    assert(graft.functions.IndexMemo.hitsFor("ivfrq_train") > hits0,
+      "ivfRqTopKRerank must reuse the memoized IVF-RQ training")
+  }
+
   test("hardNegatives returns nearest DIFFERENT-label rows only") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),
@@ -1835,7 +1899,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank",
       "pq_hi", "pq_opq", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank",
-      "ivfpq_auto", "sq8", "sq8_rerank"))
+      "ivfpq_auto", "ivfrq_auto", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
@@ -1873,7 +1937,7 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
       "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.04,
-      "sq8" -> 0.90, "sq8_rerank" -> 1.00)
+      "ivfrq_auto" -> 0.04, "sq8" -> 0.90, "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
