@@ -558,19 +558,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
-          ("ivfrq_auto", 0.02)),
+          ("ivfrq_auto", 0.02), ("knn_graph", 0.31)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
-          ("ivfrq_auto", 0.01)),
+          ("ivfrq_auto", 0.01), ("knn_graph", 0.25)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-          ("ivfrq_auto", 0.015)))
+          ("ivfrq_auto", 0.015), ("knn_graph", 0.12)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-        ("ivfrq_auto", 0.01))
+        ("ivfrq_auto", 0.01), ("knn_graph", 0.12))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1168,6 +1168,13 @@ object SparkEntry {
         nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1,
         pool = 50)
     }),
+    // deterministic kNN-graph (NN-descent, WWW 2011): LSH-seeded
+    // per-node top-k lists refined by 2 fixed neighbor-of-neighbor
+    // rounds over the undirected graph — the graph-search serving
+    // index rung (HNSW/NSG class), oracle-replayable because seeds,
+    // distances, tie-breaks and the round count are all deterministic
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), 10, 2)),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2285,7 +2292,7 @@ object SparkEntry {
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
         |             ('pq_hi'), ('pq_opq'), ('rq'), ('rq_rerank'), ('ivfpq'),
         |             ('ivfpq_rerank'), ('ivfpq_auto'), ('ivfrq_auto'),
-        |             ('sq8'), ('sq8_rerank')) AS m(method)
+        |             ('knn_graph'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
@@ -3291,6 +3298,9 @@ object SparkEntry {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY split""".stripMargin,
     "q_lsh_topk" -> lshTopkOracleSql,
+    // deterministic NN-descent kNN-graph: LSH-seeded lists, 2 unrolled
+    // neighbor-of-neighbor rounds, exact integer L2, id tie-breaks
+    "q_knn_graph" -> knnGraphSql,
     "q_mmr_rerank" -> mmrOracleSql,
     // rank-based fusion of the two method oracles; each fused score
     // has <= 2 addends, a single commutative-exact FP addition
@@ -4872,6 +4882,71 @@ object SparkEntry {
        |       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
        |FROM pr
        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin
+  }
+
+  /** kNN-graph replay (`q_knn_graph`): auto single-table LSH seed
+    * (bits from COUNT(*) by `autoLshBits`'s threshold chain, saturating
+    * at 62 where the engine's 64-plane cap leaves autoLshBits's own
+    * 62-step bound binding), same-bucket init pairs, then each
+    * NN-descent round unrolled as CTEs — undirected edge set (UNION
+    * dedups), neighbor-of-neighbor candidates UNION direct edges,
+    * exact integer squared L2 over the raw quantized arrays (shifts
+    * cancel in differences), per-node top-k by (adist, neighbor_id).
+    * Mirrors `Similarity.knnGraph(k = 10, rounds = 2)` bit-exactly. */
+  private lazy val knnGraphSql: String = {
+    val k = 10
+    val rounds = 2
+    val thresholds = (1 to 61)
+      .map(b => s"WHEN nn.n <= ${256L * (1L << b)} THEN $b")
+      .mkString("\n            ")
+    def scoreTopK(i: Int, candCte: String): String =
+      s"""s$i AS (SELECT c.vec_id, c.neighbor_id,
+         |               CAST(list_sum(list_transform(list_zip(a.q, b.q),
+         |                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adist
+         |        FROM $candCte c JOIN n a ON a.vec_id = c.vec_id
+         |        JOIN n b ON b.vec_id = c.neighbor_id),
+         |g$i AS (SELECT vec_id, neighbor_id, adist,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY adist, neighbor_id) AS rnk
+         |        FROM s$i QUALIFY rnk <= $k)""".stripMargin
+    def round(i: Int): String = {
+      val p = i - 1
+      s"""u$i AS (SELECT vec_id, neighbor_id FROM g$p
+         |        UNION
+         |        SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g$p),
+         |c$i AS (SELECT x.vec_id, y.neighbor_id
+         |        FROM u$i x JOIN u$i y ON x.neighbor_id = y.vec_id
+         |        WHERE x.vec_id <> y.neighbor_id
+         |        UNION
+         |        SELECT vec_id, neighbor_id FROM u$i),
+         |${scoreTopK(i, s"c$i")}""".stripMargin
+    }
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |nb AS (SELECT CASE $thresholds
+       |            ELSE 62 END AS bits FROM nn),
+       |n AS ($quantizedSql),
+       |dims AS (SELECT e.vec_id,
+       |                generate_subscripts(e.embedding, 1) - 1 AS d,
+       |                CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |         FROM embeddings e),
+       |planes AS (SELECT unnest(range(CAST((SELECT bits FROM nb) AS BIGINT))) AS h),
+       |proj AS (SELECT dm.vec_id, p.h,
+       |                sum(CASE WHEN (CASE WHEN p.h < 32
+       |                      THEN substring(md5(CAST(dm.d AS VARCHAR)), CAST(p.h % 32 AS INTEGER) + 1, 1) IN ('8','9','a','b','c','d','e','f')
+       |                      ELSE substring(md5(CAST(dm.d AS VARCHAR)), CAST(p.h % 32 AS INTEGER) + 1, 1) IN ('2','3','6','7','a','b','e','f') END)
+       |                    THEN dm.x ELSE -dm.x END) AS pr
+       |         FROM dims dm CROSS JOIN planes p
+       |         GROUP BY dm.vec_id, p.h),
+       |tb AS (SELECT vec_id,
+       |              CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INTEGER)) ELSE 0 END) AS BIGINT) AS b
+       |       FROM proj GROUP BY vec_id),
+       |i0 AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+       |       FROM tb a JOIN tb b ON a.b = b.b AND a.vec_id <> b.vec_id),
+       |${scoreTopK(0, "i0")},
+       |${round(1)},
+       |${round(2)}
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+       |FROM g$rounds""".stripMargin
   }
 
   /** Exact-cosine scoring + per-query top-k tail shared by the LSH

@@ -1873,7 +1873,7 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(11)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}
@@ -1886,7 +1886,7 @@ object Similarity {
       body
     }
     val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll,
-         opqAll, ivfAutoAll, ivfRqAutoAll) = try {
+         opqAll, ivfAutoAll, ivfRqAutoAll, knnAll) = try {
       val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
@@ -1934,8 +1934,11 @@ object Similarity {
             nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1)
           .localCheckpoint()
       }
+      // knn_graph (r16): the NN-descent graph index at q_knn_graph's
+      // served shape (k lists, 2 rounds) — already memo-checkpointed
+      val fKnn = training { knnGraph(embeddings, k, 2) }
       val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8,
-        fPqHi, fOpq, fIvfAuto, fIvfRqAuto)
+        fPqHi, fOpq, fIvfAuto, fIvfRqAuto, fKnn)
       val firstFailure = Promise[Seq[Any]]()
       // Complete the race promise BEFORE shutting the pool down —
       // listeners registered on a drained executor would be rejected
@@ -1951,13 +1954,13 @@ object Similarity {
         Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
           scala.concurrent.ExecutionContext.parasitic),
         Duration(30, "minutes"))
-      val Seq(tn, b, p, r, i, s, ph, oq, ia, irq) = res.asInstanceOf[Seq[Any]]
+      val Seq(tn, b, p, r, i, s, ph, oq, ia, irq, kg) = res.asInstanceOf[Seq[Any]]
       val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
       (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
         r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
         s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame],
         oq.asInstanceOf[DataFrame], ia.asInstanceOf[DataFrame],
-        irq.asInstanceOf[DataFrame])
+        irq.asInstanceOf[DataFrame], kg.asInstanceOf[DataFrame])
     } catch { case e: Throwable =>
       spark.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow()
@@ -2074,6 +2077,10 @@ object Similarity {
     // ivfrq_auto: the probed residual quantizer (q_ivfrq_auto's shape)
     val ivfRqAutoPairs = ivfRqAutoAll.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    // knn_graph: the query nodes' rows of the NN-descent graph — the
+    // graph-serving answer is the node's own neighbor list
+    val knnPairs = knnAll.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -2089,6 +2096,7 @@ object Similarity {
       .unionByName(opqPairs.withColumn("method", lit("pq_opq")))
       .unionByName(ivfAutoPairs.withColumn("method", lit("ivfpq_auto")))
       .unionByName(ivfRqAutoPairs.withColumn("method", lit("ivfrq_auto")))
+      .unionByName(knnPairs.withColumn("method", lit("knn_graph")))
       .filter(col("query_id") =!= col("neighbor_id"))
     // ONE aggregation job scores and ranks every method's candidates:
     // query vectors and the |Q|·k truth set broadcast, the corpus side
@@ -2123,12 +2131,87 @@ object Similarity {
     // union-of-aggregates shape did.
     Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "pq_opq",
         "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "ivfpq_auto",
-        "ivfrq_auto", "sq8", "sq8_rerank").toDF("method")
+        "ivfrq_auto", "knn_graph", "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         lit(nTruth).as("n_truth"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(nTruth.toDouble)).as("recall"))
+  }
+
+  /** Deterministic kNN-graph via bounded-iteration NN-descent (Dong,
+    * Moses, Li, "Efficient K-Nearest Neighbor Graph Construction for
+    * Generic Similarity Measures", WWW 2011 — the construction behind
+    * graph-search serving indexes like HNSW/NSG): per-node top-k
+    * neighbor lists seeded from LSH buckets, then `rounds` fixed
+    * NN-descent refinements — each round proposes every
+    * NEIGHBOR-OF-A-NEIGHBOR over the UNDIRECTED current graph, scores
+    * candidates by exact integer squared L2 (raw quantized dims —
+    * shifts cancel in differences), and keeps the k best per node
+    * (ties to lowest neighbor_id).
+    *
+    * Everything is deterministic and engine-portable — md5-derived
+    * hyperplane seeds (`lshBuckets`, auto-sized from COUNT(*) like the
+    * nearDup family), exact integer distances, id tie-breaks, and a
+    * FIXED round count rather than a convergence test — so DuckDB
+    * replays the graph bit-exactly by unrolling the rounds
+    * (`q_knn_graph`), the way the quantizer trainings replay their
+    * Lloyd iterations.
+    *
+    * Scale shape: the undirected edge set is ≤ 2nk rows; a round's
+    * candidate set is ≤ n·(2k)² pairs (the NN-descent bound — never
+    * all-pairs), deduped BEFORE scoring so the exact-distance join
+    * touches each pair once; per-node top-k runs through the bounded
+    * TopK aggregate (≤ k rows per node leave each map task). The
+    * result is the serving-index artifact: one row per (node, rank) —
+    * graph search over it is a bounded walk, and the memo holds it
+    * per (corpus, k, rounds) like every trained index. */
+  def knnGraph(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    require(rounds >= 0, s"knnGraph needs rounds >= 0, got $rounds")
+    val e = ensureQuantized(embeddings)
+    IndexMemo("knn_graph", e, (k, rounds)) {
+      val bits = math.min(autoLshBits(e.count()), 64)
+      val v = e.select(col("vec_id"), col("q")).localCheckpoint()
+      val buckets = lshBuckets(e, bits).select(col("vec_id"), col("bucket"))
+      val init = buckets
+        .join(buckets.select(col("bucket"), col("vec_id").as("neighbor_id")),
+          Seq("bucket"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"))
+      def score(pairs: DataFrame): DataFrame =
+        pairs
+          .join(v.select(col("vec_id"), col("q").as("qa")), Seq("vec_id"))
+          .join(v.select(col("vec_id").as("neighbor_id"), col("q").as("qb")),
+            Seq("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"), sqDistQ("qa", "qb").as("adist"))
+      def topKNode(scored: DataFrame): DataFrame =
+        scored.groupBy(col("vec_id"))
+          .agg(graft.plans.TopK.top_k(
+            struct(col("adist"), col("neighbor_id")), k).as("_t"))
+          .select(col("vec_id"), posexplode(col("_t")).as(Seq("_p", "_s")))
+          .select(col("vec_id"), (col("_p") + 1).cast("long").as("rnk"),
+            col("_s.neighbor_id").as("neighbor_id"), col("_s.adist").as("adist"))
+      // single-table buckets give each pair exactly once — no dedup
+      var g = topKNode(score(init)).localCheckpoint()
+      (1 to rounds).foreach { _ =>
+        val und = g.select(col("vec_id"), col("neighbor_id"))
+          .unionByName(g.select(col("neighbor_id").as("vec_id"),
+            col("vec_id").as("neighbor_id")))
+          .distinct()
+          .localCheckpoint() // consumed by both sides of the self-join
+        val hop2 = und
+          .join(und.select(col("vec_id").as("_mid"), col("neighbor_id").as("_nn")),
+            col("neighbor_id") === col("_mid"))
+          .select(col("vec_id"), col("_nn").as("neighbor_id"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+        // dedup BEFORE scoring: a duplicate candidate would occupy two
+        // top-k slots with the same (dist, id)
+        val cand = hop2.unionByName(und).distinct()
+        g = topKNode(score(cand)).localCheckpoint()
+      }
+      g
+    }
   }
 
   /** LSH-accelerated top-k: search only within the query's bucket plus

@@ -1727,6 +1727,66 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 5, s"all cells probed -> full top-k: got ${out.length}")
   }
 
+  test("knnGraph: sorted bounded lists, no self edges, partition-invariant") {
+    val e = emb((0L to 29L).map(i =>
+      (i, Seq(i.toFloat / 30f, 1f - i.toFloat / 30f, (i % 6).toFloat / 6f, 0.5f), 0)): _*)
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity.knnGraph(df, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val out = run(e)
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (node, rows) =>
+      assert(rows.length <= 5, s"node $node has ${rows.length} > k rows")
+      assert(rows.forall(_._3 != node), s"self edge at node $node")
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._4) == byRank.map(_._4).sorted,
+        s"node $node list not distance-sorted: $byRank")
+    }
+    // integer-exact end to end: same graph under any partitioning
+    assert(run(e.repartition(7)) == out)
+  }
+
+  test("knnGraph: NN-descent rounds are monotone — kth distance never increases") {
+    // candidates of round r+1 include the node's CURRENT neighbors
+    // (direct edges ride the candidate union), so per-node the new
+    // top-k is over a superset: the worst kept distance is monotone
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def kth(rounds: Int): Map[Long, Long] =
+      Similarity.knnGraph(e, 5, rounds).collect()
+        .groupBy(_.getLong(0)).map { case (n, rs) => n -> rs.map(_.getLong(3)).max }
+    val r0 = kth(0)
+    val r2 = kth(2)
+    assert(r2.keySet.size >= r0.keySet.size,
+      "descent rounds can only add reachable nodes")
+    r0.foreach { case (node, d0) =>
+      assert(r2(node) <= d0,
+        s"node $node worsened: round-2 kth dist ${r2(node)} > round-0 $d0")
+    }
+    // strict improvement is NOT asserted: LSH seeding can disconnect
+    // the graph into per-bucket components (sf0.001 lands in 2
+    // buckets of ~100, each already bucket-optimal at k=5), and
+    // NN-descent provably cannot cross a component boundary — the
+    // recall spec below is what certifies the descent earns its keep
+  }
+
+  test("knnGraph recall beats the IVFPQ rerank point (the graph-index serving claim)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val truth = Similarity.bruteForceTopK(e, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(pairs: Set[(Long, Long)]): Double =
+      (pairs & truth).size.toDouble / truth.size
+    val graph = Similarity.knnGraph(e, 10, 2).filter(pred).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpqRr = Similarity.ivfpqTopKRerank(e, pred, 10, 4, 2, 2, 4, 1, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (gRec, iRec) = (recall(graph), recall(ivfpqRr))
+    info(f"knn_graph=$gRec%.3f ivfpq_rerank=$iRec%.3f")
+    assert(gRec >= iRec,
+      f"graph index must reach the rerank rung: $gRec%.3f < $iRec%.3f")
+    assert(gRec >= 0.31, f"knn_graph recall collapsed: $gRec%.3f") // half measured 0.62
+  }
+
   test("ivfRqTopKRerank recall >= raw ivfRqTopK recall on the corpus (memo-shared training)") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 100 === 0
@@ -1899,7 +1959,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank",
       "pq_hi", "pq_opq", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank",
-      "ivfpq_auto", "ivfrq_auto", "sq8", "sq8_rerank"))
+      "ivfpq_auto", "ivfrq_auto", "knn_graph", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
@@ -1937,7 +1997,8 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
       "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.04,
-      "ivfrq_auto" -> 0.04, "sq8" -> 0.90, "sq8_rerank" -> 1.00)
+      "ivfrq_auto" -> 0.04, "knn_graph" -> 0.62, "sq8" -> 0.90,
+      "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
       assert(rec == hits.toDouble / n, s"$m recall must be hits/truth")
