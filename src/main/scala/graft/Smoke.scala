@@ -575,11 +575,21 @@ object Smoke {
       .write.format("noop").mode("overwrite").save()
     Tables.documents(spark, sfDir).selectExpr("md5(text) AS h")
       .write.format("noop").mode("overwrite").save()
+    // comma-separated names time a FAMILY sequentially in one JVM —
+    // the only way to observe cross-query IndexMemo sharing (each name
+    // alone in a fresh JVM retrains the shared interior)
+    val names = name.split(",").map(_.trim).filter(_.nonEmpty)
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"TIME[$name][$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      var total = 0.0
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        total += sec
+        println(f"TIME[$n][$i] $sec%.2f s")
+      }
+      if (names.length > 1) println(f"TIME[family][$i] $total%.2f s")
     }
   }
 

@@ -471,13 +471,20 @@ object SparkEntry {
     "q_simhash64_wide" -> ((s, d) => Dedup.simhash64NearDupPairsWide(Tables.documents(s, d))),
     // incremental simhash probe: batch signatures band-join the
     // persisted corpus index — per-ingest near-dup cost scales with
-    // the batch, not the corpus (simhash sibling of q_minhash_probe)
+    // the batch, not the corpus (simhash sibling of q_minhash_probe).
+    // Signatures are a per-doc function, so sig(filter(docs)) ==
+    // filter(sig(docs)): signing the FULL corpus once and slicing the
+    // signature store is bit-identical, memo-shares the one signature
+    // build with the whole simhash64 family (r16 — the probe was the
+    // only consumer signing filtered frames, hence two extra
+    // tokenize+vote passes no other query could reuse), and is the
+    // production shape anyway (the probe reads a persisted index).
     "q_simhash_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Dedup.simhashProbePairs(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+      val sig = Dedup.simhash64(Tables.documents(s, d))
+      Dedup.simhashProbeSigs(
+        sig.filter(col("doc_id") % 10 =!= 0),
+        sig.filter(col("doc_id") % 10 === 0))
     }),
     // candidate-generation growth diagnostics as a gated artifact:
     // pre-verify candidate-pair counts per blocking family under the

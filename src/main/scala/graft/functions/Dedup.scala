@@ -220,16 +220,38 @@ object Dedup {
     * dedup; the approximate family (MinHash/SimHash) exists for when
     * even that is too much. Integer arithmetic throughout (the only
     * double is the final ratio), so the output is engine-portable. */
+  /** The positional shingle-digest frame shared by the whole span
+    * family (diagnostic + apply + savings run over the SAME (doc, pos,
+    * md5(gram)) rows): memoized per (corpus plan, k) so the three
+    * gated queries build it once per session — the r15
+    * boilerplate-cover memo extended through the dup_spans trio
+    * (r16, VERDICT #3). Corpus-scale (one row per token position),
+    * admitted on the posting-table precedent: cross-query sharing is
+    * the point. */
+  private def spanPosDigests(docs: DataFrame, k: Int): DataFrame =
+    IndexMemo("dup_spans_pg", docs, k) {
+      posShingleRows(docs, k)
+        .select(col("doc_id"), col("pos"), md5(col("sh")).as("m"))
+        .localCheckpoint()
+    }
+
+  /** The hot (df >= minDf) gram digests over `spanPosDigests` — the
+    * second shared interior (one distinct + one grouped count over the
+    * corpus-scale position frame); slim single-column rows. */
+  private def spanHotGrams(docs: DataFrame, k: Int, minDf: Int): DataFrame =
+    IndexMemo("dup_spans_hot", docs, (k, minDf)) {
+      spanPosDigests(docs, k)
+        .select(col("m"), col("doc_id")).distinct()
+        .groupBy(col("m")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+        .select(col("m"))
+        .localCheckpoint()
+    }
+
   def duplicatedSpans(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // consumed twice (df build + position join): one materialization
-    val pg = posShingleRows(docs, k)
-      .select(col("doc_id"), col("pos"), md5(col("sh")).as("m"))
-      .localCheckpoint()
-    val hot = pg.select(col("m"), col("doc_id")).distinct()
-      .groupBy(col("m")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("m"))
+    val pg = spanPosDigests(docs, k)
+    val hot = spanHotGrams(docs, k, minDf)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = pg.join(hot, Seq("m"), "left_semi")
@@ -268,14 +290,18 @@ object Dedup {
     * ordered rebuild, the one place text is genuinely reassembled —
     * doc-sized arrays); coverage expands each hot k-gram into k
     * positions map-side (`sequence`) and dedups on (doc_id, pos). */
-  def duplicatedSpansApply(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame = {
-    val pg = posShingleRows(docs, k)
-      .select(col("doc_id"), col("pos"), md5(col("sh")).as("m"))
-      .localCheckpoint()
-    val hot = pg.select(col("m"), col("doc_id")).distinct()
-      .groupBy(col("m")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("m"))
+  def duplicatedSpansApply(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame =
+    // the per-doc apply frame is memoized whole (one row per doc):
+    // q_dup_spans_savings is a rollup of the SAME frame
+    // q_dup_spans_apply gates, so the transform runs once per session
+    IndexMemo("dup_spans_apply", docs, (k, minDf)) {
+      duplicatedSpansApplyCompute(docs, k, minDf).localCheckpoint()
+    }
+
+  private def duplicatedSpansApplyCompute(docs: DataFrame, k: Int,
+                                          minDf: Int): DataFrame = {
+    val pg = spanPosDigests(docs, k)
+    val hot = spanHotGrams(docs, k, minDf)
     val covered = pg.join(hot, Seq("m"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("covpos"))
