@@ -620,6 +620,16 @@ object SparkEntry {
     "q_media_phash" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaNearDupPairs(
         graft.sources.Synthetic.mediaPayloads(Tables.documents(s, d)), 3)),
+    // perceptual hash over REAL DECODED PIXELS: deterministic binary
+    // PPM payloads genuinely parsed back by PpmDecoder (header,
+    // comments, bounds — a real format parse, not the byte-histogram
+    // stub), 8x8 block aHash on the integer lumas, banded Hamming
+    // join. The oracle replays the pixels algebraically from the
+    // generator's md5 definition, so a one-byte parse error fails the
+    // gate.
+    "q_media_phash_px" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaNearDupPairsPixels(
+        graft.sources.Synthetic.ppmPayloads(Tables.documents(s, d)), 3)),
     // per-frame video dedup: videos sharing >= 2 distinct sampled
     // frame contents, via a df-capped frame-digest inverted index.
     // The df cap (autoDocFreqCap(n), floor 1000) is ENGINE-side only:
@@ -2604,6 +2614,7 @@ object SparkEntry {
     // byte unnesting; bit j iff 64*cnt > 240 (integer-exact form of
     // the engine's cnt > len/64.0), then brute-force Hamming pairs
     "q_media_phash" -> mediaPhashOracleSql,
+    "q_media_phash_px" -> mediaPhashPxOracleSql,
     // frame equality replays on the hex windows directly (hex is
     // injective, so joining fr strings == joining frame bytes; the
     // engine's md5 digesting is internal to its join key). This
@@ -5612,6 +5623,54 @@ object SparkEntry {
     * pairs brute-force through bit_count(xor) ≤ 3, certifying the
     * engine's banded pigeonhole join (recall 1.0 for hamming < bands
     * by construction). */
+  /** Decoded-pixel perceptual hash replay (`q_media_phash_px`): the
+    * pixels are recomputed ALGEBRAICALLY from `Synthetic.ppmPayloads`'
+    * md5 definition (luma = (r+g+b)//3 over the three payload bytes of
+    * md5('px'||base||'_'||p); pixel 0 of id%20==1 reads the '_alt'
+    * hash), the 8×8 aHash bit p is 64·luma_p > Σluma, the HUGEINT bit
+    * sum wraps to signed int64 exactly like the simhash oracles, and
+    * pairs brute-force at Hamming <= 3 (banding invisible by the
+    * recall-1.0 pigeonhole). The ENGINE path instead decodes real P6
+    * bytes through PpmDecoder — a parse error of even one byte
+    * hash-diverges here. */
+  private lazy val mediaPhashPxOracleSql: String = {
+    val bitRows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
+    s"""WITH pal AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+       |              WHEN doc_id % 20 = 2 THEN doc_id - 2
+       |              ELSE doc_id END AS base
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN p = 0 AND doc_id % 20 = 1
+       |              THEN md5(concat('px', doc_id, '_alt'))
+       |              ELSE md5(concat('px', base, '_', p)) END AS h
+       |  FROM pal CROSS JOIN (SELECT unnest(range(64)) AS p) ps),
+       |lum AS (
+       |  SELECT doc_id, p,
+       |         (CAST('0x' || substring(h, 1, 2) AS BIGINT)
+       |        + CAST('0x' || substring(h, 3, 2) AS BIGINT)
+       |        + CAST('0x' || substring(h, 5, 2) AS BIGINT)) // 3 AS luma
+       |  FROM px),
+       |tot AS (SELECT doc_id, sum(luma) AS t FROM lum GROUP BY doc_id),
+       |bitv AS (SELECT * FROM (VALUES $bitRows) t(bin, v)),
+       |phu AS (SELECT l.doc_id, sum(v) AS s
+       |        FROM lum l JOIN tot USING (doc_id) JOIN bitv ON bitv.bin = l.p
+       |        WHERE 64 * l.luma > tot.t GROUP BY l.doc_id),
+       |phz AS (SELECT pal.doc_id, coalesce(phu.s, 0::HUGEINT) AS s
+       |        FROM pal LEFT JOIN phu USING (doc_id)),
+       |ph2 AS (SELECT doc_id,
+       |               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |                         THEN s - 18446744073709551616::HUGEINT
+       |                         ELSE s END AS BIGINT) AS ph
+       |        FROM phz)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM ph2 a JOIN ph2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
+  }
+
   private lazy val mediaPhashOracleSql: String = {
     val bitRows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
     s"""WITH pal AS (

@@ -904,41 +904,44 @@ object Similarity {
     pqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, cents, k)
   }
 
+  /** Per-task LUT broadcast budget: the dense per-query ADC distance
+    * table is |Q|·m·ksub int64s shipped to EVERY task, so an unbounded
+    * |Q| makes the broadcast itself the driver-side ceiling (the
+    * autoDocFreqCap class of trap). 4M entries = 32 MB per broadcast —
+    * chunks of ceil(budget / (m·ksub)) queries keep each broadcast
+    * bounded while the total scan work (|Q|·n gathers) is unchanged;
+    * queries partition BY VALUE (query_id % nChunks), each chunk's
+    * top-k is complete for its queries, and the union is the exact
+    * unchunked result (spec-pinned). Mutable ONLY so the equality spec
+    * can force chunking on fixture-sized query sets. */
+  private[graft] var maxLutEntries: Long = 4L << 20
+
   /** ADC search of query VECTORS against an existing (codes, cents)
     * index — the decoupled form `pqTopK` composes and the streaming
     * path (`StreamingAnnIngest.searchStream`) reuses per micro-batch:
-    * queries need not come from the indexed corpus. */
+    * queries need not come from the indexed corpus. `lutBudget`
+    * overrides the per-broadcast LUT entry budget (tests force tiny
+    * chunks with it; serving uses the 32 MB default). */
   def pqSearchIndex(queries: DataFrame, codes: DataFrame, cents: DataFrame,
-                    k: Int): DataFrame = {
+                    k: Int, lutBudget: Long = maxLutEntries): DataFrame = {
     val shift = 1048576L
     // geometry off the dictionary-sized codebook (one tiny job)
     val g = cents.agg(max(col("s")).cast("int"), max(col("code")).cast("int")).head()
     val m = g.getInt(0) + 1
     val ksub = g.getInt(1) + 1
-    val qd = ensureQuantized(queries)
-      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
-    val adc = qd.join(broadcast(cents), Seq("d"))
-      .groupBy(col("query_id"), col("s"), col("code"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("pd"))
-    // DENSE per-query distance table (FAISS's LUT): lut[s·ksub+code]
-    // = pd. The old spelling joined the code rows to adc on (s, code)
-    // and hash-aggregated n·m·|Q| rows; the gather form streams
-    // |Q|·n rows through one codegen'd lookup loop — bit-identical
-    // sums (adc covers every (s, code) the training kept, so every
-    // assigned code's slot is populated; the 0 fallback is dead).
-    val lut = adc
-      .groupBy(col("query_id"))
-      .agg(expr(s"map_from_entries(collect_list(" +
-        s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
-      .select(col("query_id"), expr(s"transform(sequence(0, ${m * ksub - 1}), " +
-        "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+    val q0 = ensureQuantized(queries)
+    // chunk count from ONE query count: |Q|·m·ksub entries over the
+    // budget split by query_id value — deterministic, no collect of ids
+    val chunkRows = math.max(1L, lutBudget / (m.toLong * ksub))
+    val nChunks = math.max(1L,
+      (q0.count() + chunkRows - 1) / chunkRows).toInt
     // the code index in array form (vec_id, carr) — memoized per
     // codes plan: the search-side shape of the stored index. A caller
     // that already holds the ARRAY form (the streaming ingest's
     // codeIndex reduces its store straight to it — no per-tick
     // re-conversion, no memo churn on ever-fresh batch plans) passes
-    // through untouched.
+    // through untouched. Chunks re-scan this checkpointed frame — the
+    // compressed index, the cheapest thing on the path to re-read.
     val codesArr =
       if (codes.columns.contains("carr")) codes
       else IndexMemo("pq_codes_arr", codes, ()) {
@@ -947,18 +950,42 @@ object Similarity {
             .as("carr"))
           .localCheckpoint()
       }
-    // adc_gather_i64 NULLs on a corrupted/out-of-range code; topKAsc's
-    // struct-min would rank a NULL dist FIRST, so drop corrupt
-    // candidates here — the only NULL-capable producer on this path
-    // (a healthy store never NULLs: the LUT is built dense over the
-    // training's own ksub).
-    topKAsc(codesArr.crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
-          .as("adist"))
-      .filter(col("adist").isNotNull),
-      k, "adist")
+    def searchChunk(chunk: DataFrame): DataFrame = {
+      val qd = chunk
+        .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+        .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+      val adc = qd.join(broadcast(cents), Seq("d"))
+        .groupBy(col("query_id"), col("s"), col("code"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("pd"))
+      // DENSE per-query distance table (FAISS's LUT): lut[s·ksub+code]
+      // = pd. The old spelling joined the code rows to adc on (s, code)
+      // and hash-aggregated n·m·|Q| rows; the gather form streams
+      // |Q|·n rows through one codegen'd lookup loop — bit-identical
+      // sums (adc covers every (s, code) the training kept, so every
+      // assigned code's slot is populated; the 0 fallback is dead).
+      val lut = adc
+        .groupBy(col("query_id"))
+        .agg(expr(s"map_from_entries(collect_list(" +
+          s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
+        .select(col("query_id"), expr(s"transform(sequence(0, ${m * ksub - 1}), " +
+          "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+      // adc_gather_i64 NULLs on a corrupted/out-of-range code; topKAsc's
+      // struct-min would rank a NULL dist FIRST, so drop corrupt
+      // candidates here — the only NULL-capable producer on this path
+      // (a healthy store never NULLs: the LUT is built dense over the
+      // training's own ksub).
+      topKAsc(codesArr.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
+            .as("adist"))
+        .filter(col("adist").isNotNull),
+        k, "adist")
+    }
+    if (nChunks <= 1) searchChunk(q0)
+    else (0 until nChunks)
+      .map(i => searchChunk(q0.filter(pmod(col("vec_id"), lit(nChunks.toLong)) === i)))
+      .reduce(_.unionByName(_))
   }
 
   /** Encode vectors against FIXED PQ centroids — one assignment pass,
@@ -1423,34 +1450,7 @@ object Similarity {
     val qd = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
       .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
-      .localCheckpoint() // consumed twice: cell ranking + residuals
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cd").asc, col("cell_id").asc)
-    val probed = qd.join(broadcast(cc), Seq("d"))
-      .groupBy(col("query_id"), col("cell_id"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("cd"))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("cell_id"))
-    val qrd = probed.join(qd, Seq("query_id"))
-      .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
-      .select(col("query_id"), col("cell_id"),
-        expr(s"d div $subDim").cast("int").as("s"),
-        col("d"), (col("x") - col("_cc") + shift2).as("rqx"))
-    val adc = qrd.join(broadcast(pc), Seq("s", "d"))
-      .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
-      .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
-    // DENSE per-(query, probed-cell) distance table — the LUT-gather
-    // ADC scan (see pqSearchIndex): joins the cell-restricted code
-    // index on cell_id only, one codegen'd gather per (query, cand)
-    // row instead of an m-entry hash aggregate per pair.
-    val lut = adc
-      .groupBy(col("query_id"), col("cell_id"))
-      .agg(expr(s"map_from_entries(collect_list(" +
-        s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
-      .select(col("query_id"), col("cell_id"),
-        expr(s"transform(sequence(0, ${m * ksub - 1}), " +
-          "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+      .localCheckpoint() // consumed per chunk: cell ranking + residuals
     // the inverted code index in array form (vec, cell, carr) —
     // memoized per codes plan like the row form it derives from
     val codesArr = IndexMemo("ivfpq_codes_arr", codes, ()) {
@@ -1466,15 +1466,58 @@ object Similarity {
     // ADC top-k among matching rows, never a post-filtered slice.
     val searchCodes = candPred.fold(codesArr)(p =>
       codesArr.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    // corrupt-code NULLs drop instead of ranking first (see
-    // pqSearchIndex)
-    topKAsc(searchCodes.join(broadcast(lut), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
-          .as("adist"))
-      .filter(col("adist").isNotNull),
-      k, "adist")
+    // LUT broadcast budget (see pqSearchIndex / maxLutEntries): here
+    // the dense table is PER (query, probed cell) — |Q|·nProbe·m·ksub
+    // entries — so large query sets chunk by query_id value and each
+    // chunk re-reads the checkpointed qd + code index (cheap) while
+    // every broadcast stays <= the 32 MB budget. Chunks partition the
+    // queries, so the union is the exact unchunked result.
+    val nQ = qd.select(col("query_id")).distinct().count()
+    val lutRows = nQ * nProbe
+    val chunkRows = math.max(1L, maxLutEntries / (m.toLong * ksub))
+    val nChunks = math.max(1L, (lutRows + chunkRows - 1) / chunkRows).toInt
+    def searchChunk(qdc: DataFrame): DataFrame = {
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cd").asc, col("cell_id").asc)
+      val probed = qdc.join(broadcast(cc), Seq("d"))
+        .groupBy(col("query_id"), col("cell_id"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("cd"))
+        .withColumn("_rn", row_number().over(wProbe))
+        .filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("cell_id"))
+      val qrd = probed.join(qdc, Seq("query_id"))
+        .join(broadcast(cc.withColumnRenamed("c", "_cc")), Seq("cell_id", "d"))
+        .select(col("query_id"), col("cell_id"),
+          expr(s"d div $subDim").cast("int").as("s"),
+          col("d"), (col("x") - col("_cc") + shift2).as("rqx"))
+      val adc = qrd.join(broadcast(pc), Seq("s", "d"))
+        .groupBy(col("query_id"), col("cell_id"), col("s"), col("code"))
+        .agg(sum((col("rqx") - col("c")) * (col("rqx") - col("c"))).as("pd"))
+      // DENSE per-(query, probed-cell) distance table — the LUT-gather
+      // ADC scan (see pqSearchIndex): joins the cell-restricted code
+      // index on cell_id only, one codegen'd gather per (query, cand)
+      // row instead of an m-entry hash aggregate per pair.
+      val lut = adc
+        .groupBy(col("query_id"), col("cell_id"))
+        .agg(expr(s"map_from_entries(collect_list(" +
+          s"struct(s * $ksub + code AS k, pd AS v)))").as("mp"))
+        .select(col("query_id"), col("cell_id"),
+          expr(s"transform(sequence(0, ${m * ksub - 1}), " +
+            "i -> coalesce(element_at(mp, i), CAST(0 AS BIGINT)))").as("lut"))
+      // corrupt-code NULLs drop instead of ranking first (see
+      // pqSearchIndex)
+      topKAsc(searchCodes.join(broadcast(lut), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.plans.AdcGatherI64.adc_gather_i64(col("carr"), col("lut"), ksub)
+            .as("adist"))
+        .filter(col("adist").isNotNull),
+        k, "adist")
+    }
+    if (nChunks <= 1) searchChunk(qd)
+    else (0 until nChunks)
+      .map(i => searchChunk(qd.filter(pmod(col("query_id"), lit(nChunks.toLong)) === i)))
+      .reduce(_.unionByName(_))
   }
 
   /** The training block of `ivfpqTopK`: coarse fixed-point k-means,

@@ -165,6 +165,64 @@ object Multimodal {
       }.toDF("id", "phash")
   }
 
+  /** Perceptual hash over REAL DECODED PIXELS (r16): payloads decode
+    * through the `ImageDecoder` seam (default `PpmDecoder` — a genuine
+    * binary NetPBM parse, no stub), lumas fold into the 8×8 block
+    * aHash: bit j set iff 64 · (block-j luma sum) > (total luma sum) —
+    * all integer, so the hash is engine-portable and the gate
+    * (`q_media_phash_px`) replays it ALGEBRAICALLY from the synthetic
+    * generator's pixel definition: if this parse mis-reads one byte,
+    * the hash diverges and the gate fails. Undecodable payloads are
+    * DROPPED (decode failure must not poison the batch — route them
+    * via `mediaMeta` triage in production). Same batched
+    * `mapPartitions` shape as `extractFeatures`; dims must be
+    * multiples of 8 so the 64 blocks are equal-sized and the
+    * integer comparison is exact. */
+  def perceptualHashPixels(media: DataFrame,
+                           decoder: ImageDecoder = PpmDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder "session" (trait instance is shared)
+        rows.flatMap { case (id, bytes) =>
+          decoder.decode(bytes).collect {
+            case (w, h, lum) if w % 8 == 0 && h % 8 == 0 =>
+              val cells = new Array[Long](64)
+              var p = 0
+              var total = 0L
+              while (p < lum.length) {
+                val x = p % w
+                val y = p / w
+                cells((y * 8 / h) * 8 + (x * 8 / w)) += lum(p)
+                total += lum(p)
+                p += 1
+              }
+              var hsh = 0L
+              var j = 0
+              while (j < 64) {
+                if (64L * cells(j) > total) hsh |= (1L << j)
+                j += 1
+              }
+              (id, hsh)
+          }
+        }
+      }.toDF("id", "phash")
+  }
+
+  /** Media near-dup pairs over the DECODED-pixel hash — the
+    * `mediaNearDupPairs` banding applied to `perceptualHashPixels`
+    * (same pigeonhole recall-1.0 plan; the only change is that the
+    * 64 bits now come from actual pixels through a real parse). */
+  def mediaNearDupPairsPixels(media: DataFrame, maxHamming: Int = 3,
+                              decoder: ImageDecoder = PpmDecoder): DataFrame =
+    graft.functions.Dedup.simhashBandPairs(
+        perceptualHashPixels(media, decoder)
+          .select(col("id").as("doc_id"), col("phash")),
+        "phash", 64, 4, maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+
   /** 64-bit content fingerprint, computed IN the batched decoder: a
     * Charikar SimHash over the payload's sliding 4-byte windows, each
     * window hashed as md5 of its UPPERCASE-hex string (the exact token

@@ -107,6 +107,32 @@ object Synthetic {
           |       ELSE '' END)""".stripMargin))
       .select(col("id"), unhex(col("hexstr")).as("content"))
 
+  /** Deterministic binary-PPM (P6) payloads: one 8×8 RGB image per
+    * document, every pixel's 3 bytes drawn from md5('px' || base ||
+    * '_' || p) — REAL format bytes ("P6\n8 8\n255\n" + 192 payload
+    * bytes) that `multimodal.PpmDecoder` genuinely parses back. The
+    * near-dup planting mirrors `mediaPayloads`: id % 20 == 2 is a
+    * byte-identical copy of id−2 (Hamming 0 after decode), id % 20 ==
+    * 1 shares id−1's image except pixel 0 (a small corruption — the
+    * re-encode/crop class a perceptual hash must survive). The oracle
+    * replays the pixels ALGEBRAICALLY from this definition, so the
+    * engine-side decode is certified end to end (`q_media_phash_px`). */
+  def ppmPayloads(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"))
+      .withColumn("base",
+        when(col("id") % 20 === 1, col("id") - 1)
+          .when(col("id") % 20 === 2, col("id") - 2)
+          .otherwise(col("id")))
+      // header "P6\n8 8\n255\n" in hex, then 64 pixels × 6 hex chars
+      .withColumn("hexstr", expr(
+        """concat('50360a3820380a3235350a',
+          |  array_join(transform(sequence(0, 63), p ->
+          |    CASE WHEN p = 0 AND id % 20 = 1
+          |         THEN substring(md5(concat('px', id, '_alt')), 1, 6)
+          |         ELSE substring(md5(concat('px', base, '_', p)), 1, 6)
+          |    END), ''))""".stripMargin))
+      .select(col("id"), unhex(col("hexstr")).as("content"))
+
   /** `nLabels` defaults to the sf0.1-shaped 20 clusters; scale probes
     * should grow it WITH nVecs (constant cluster size) — with a fixed
     * label count the intra-cluster near-dup ANSWER is quadratic in

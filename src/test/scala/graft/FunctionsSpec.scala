@@ -1727,6 +1727,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 5, s"all cells probed -> full top-k: got ${out.length}")
   }
 
+  test("LUT chunking: chunked ADC search equals the single-broadcast result") {
+    // force chunking on the fixture (budget of one LUT row) for BOTH
+    // the flat pqSearchIndex path and ivfpqTopK's per-(query, cell)
+    // LUT — bit-identical integer distances, so the union of per-chunk
+    // top-ks must equal the unchunked ranking exactly
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 50 === 0 // 4 queries -> >1 chunk at tiny budget
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val flat = rows(Similarity.pqTopK(e, pred, 5, m = 2, ksub = 4, iters = 1))
+    val ivf = rows(Similarity.ivfpqTopK(e, pred, 5, nCells = 4, nProbe = 2,
+      m = 2, ksub = 4, iters = 1))
+    val saved = Similarity.maxLutEntries
+    try {
+      Similarity.maxLutEntries = 2L * 4L // one m*ksub LUT row per broadcast
+      assert(rows(Similarity.pqTopK(e, pred, 5, m = 2, ksub = 4, iters = 1)) == flat,
+        "chunked flat ADC diverged from the single-broadcast ranking")
+      assert(rows(Similarity.ivfpqTopK(e, pred, 5, nCells = 4, nProbe = 2,
+        m = 2, ksub = 4, iters = 1)) == ivf,
+        "chunked IVFADC diverged from the single-broadcast ranking")
+    } finally Similarity.maxLutEntries = saved
+  }
+
   test("knnGraph: sorted bounded lists, no self edges, partition-invariant") {
     val e = emb((0L to 29L).map(i =>
       (i, Seq(i.toFloat / 30f, 1f - i.toFloat / 30f, (i % 6).toFloat / 6f, 0.5f), 0)): _*)
@@ -2185,6 +2208,58 @@ class MultimodalSpec extends SparkSpec {
 
   private def media = Multimodal.fromDocuments(
     Tables.documents(spark, "/root/testdata/sf0.001").limit(30))
+
+  test("PpmDecoder: genuine P6/P5 parse — header forms, comments, rejections") {
+    import graft.multimodal.PpmDecoder
+    def p6(header: String, px: Seq[Int]): Array[Byte] =
+      header.getBytes("ISO-8859-1") ++ px.map(_.toByte).toArray
+    // 2x1 RGB: white then black -> lumas (255, 0)
+    val basic = PpmDecoder.decode(
+      p6("P6\n2 1\n255\n", Seq(255, 255, 255, 0, 0, 0)))
+    assert(basic.isDefined)
+    assert((basic.get._1, basic.get._2) == ((2, 1)))
+    assert(basic.get._3.toSeq == Seq(255, 0))
+    // comment lines and mixed whitespace in the header are legal NetPBM
+    val commented = PpmDecoder.decode(
+      p6("P6 # a comment\n# another\n 2\t1 # dims\n255\n",
+        Seq(30, 60, 90, 10, 20, 31)))
+    assert(commented.get._3.toSeq == Seq(60, 20)) // integer (r+g+b)/3
+    // P5 grayscale passes bytes through
+    val gray = PpmDecoder.decode("P5\n3 1\n255\n".getBytes("ISO-8859-1")
+      ++ Array[Byte](1, 2, 3))
+    assert(gray.get._3.toSeq == Seq(1, 2, 3))
+    // rejections: wrong magic, truncated payload, maxval > 255
+    assert(PpmDecoder.decode("P4\n2 1\n255\n??".getBytes).isEmpty)
+    assert(PpmDecoder.decode(p6("P6\n2 1\n255\n", Seq(1, 2, 3))).isEmpty)
+    assert(PpmDecoder.decode(p6("P6\n1 1\n65535\n", Seq(1, 2, 3, 4, 5, 6))).isEmpty)
+    assert(PpmDecoder.decode(Array[Byte]()).isEmpty)
+  }
+
+  test("perceptualHashPixels: decoded-pixel aHash — copies collide, corruption stays near") {
+    import graft.sources.Synthetic
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ppm = Synthetic.ppmPayloads(docs)
+    val ph = Multimodal.perceptualHashPixels(ppm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.nonEmpty)
+    // id % 20 == 2 is a byte-identical copy of id-2 -> same hash
+    val copies = ph.keys.filter(id => id % 20 == 2 && ph.contains(id - 2))
+    assert(copies.nonEmpty)
+    copies.foreach(id => assert(ph(id) == ph(id - 2),
+      s"copy $id must hash identically to ${id - 2}"))
+    // id % 20 == 1 differs in ONE pixel of 64 -> small Hamming distance
+    val corrupt = ph.keys.filter(id => id % 20 == 1 && ph.contains(id - 1))
+    assert(corrupt.nonEmpty)
+    corrupt.foreach { id =>
+      val d = java.lang.Long.bitCount(ph(id) ^ ph(id - 1))
+      assert(d <= 8, s"one-pixel corruption moved $d of 64 bits for $id")
+    }
+    // a non-decodable payload row is dropped, not poisoned
+    import spark.implicits._
+    val mixed = ppm.unionByName(
+      Seq((999999L, "not an image".getBytes)).toDF("id", "content"))
+    assert(Multimodal.perceptualHashPixels(mixed).filter(col("id") === 999999L).count() == 0)
+  }
 
   test("extractFeatures: histogram features normalized, checksum stable") {
     val f = Multimodal.extractFeatures(media).collect()
