@@ -250,29 +250,60 @@ object ReportUpsert {
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
       .foldLeft(-1)(math.max)
 
-  /** The committed snapshot at version `v` (None when v < 0). */
+  /** The committed snapshot at version `v` (None when v < 0). A
+    * vacuumed-away version FAILS LOUDLY (the pin names the version and
+    * the cause) instead of surfacing as a missing-file stack or — the
+    * dangerous form — an empty frame a downstream job would happily
+    * aggregate to zeros. */
   private def occSnapshotAt(spark: org.apache.spark.sql.SparkSession,
                             dir: String, v: Int): Option[DataFrame] =
     if (v < 0) None
     else {
-      val name = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(new java.io.File(dir, "manifest"), f"v$v%08d.json").toPath),
+      val mf = new java.io.File(new java.io.File(dir, "manifest"), f"v$v%08d.json")
+      if (!mf.exists()) throw new IllegalStateException(
+        s"OCC version $v of $dir is gone (vacuumed past keepVersions, or never " +
+          "committed) — pinned readers must re-resolve to a live version")
+      val name = new String(java.nio.file.Files.readAllBytes(mf.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      Some(spark.read.parquet(new java.io.File(new java.io.File(dir, "data"), name).toString))
+      val data = new java.io.File(new java.io.File(dir, "data"), name)
+      if (!data.exists()) throw new IllegalStateException(
+        s"OCC version $v of $dir references a missing data dir $name — " +
+          "the table is corrupted (a vacuum dropped a referenced dir)")
+      Some(spark.read.parquet(data.toString))
     }
 
   /** The current committed snapshot (None for an empty table). */
   def readOcc(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
     occSnapshotAt(spark, dir, occVersion(dir))
 
+  /** Time-travel read pinned at `v` — the reader a vacuum can strand;
+    * it fails with the clean IllegalStateException above, never an
+    * empty result. */
+  def readOccAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                v: Int): Option[DataFrame] =
+    occSnapshotAt(spark, dir, v)
+
   /** Drop unreferenced staged data dirs and manifest tmp files (crash
     * leftovers). Committed history stays — `keepVersions` of manifest
     * generations and their data dirs are retained (time travel /
-    * in-flight readers), older ones removed. Run only with no writer
-    * in flight: an in-flight writer's staged-but-uncommitted dir is
-    * indistinguishable from a crash leftover (the same caveat as every
-    * lakehouse VACUUM). */
-  def vacuumOcc(dir: String, keepVersions: Int = 2): Unit = {
+    * in-flight readers), older ones removed.
+    *
+    * SAFE UNDER CONCURRENT WRITERS via the retention age (r16): an
+    * in-flight writer's staged-but-uncommitted dir is indistinguishable
+    * from a crash leftover BY NAME, but not by age — a live commit's
+    * stage→CAS window is seconds, so unreferenced dirs (and manifest
+    * tmps) are only deleted once older than `minAgeMs` (default 1 h,
+    * the lakehouse VACUUM retention answer). A vacuum interleaved at
+    * ANY point of a live commit therefore cannot drop the dir the
+    * winning manifest will reference (spec-pinned at every ordering);
+    * genuine crash leftovers age past the window and are reclaimed by
+    * the next vacuum. `minAgeMs = 0` restores the aggressive
+    * stop-the-world behavior (only for a context that QUIESCES
+    * writers first). */
+  def vacuumOcc(dir: String, keepVersions: Int = 2,
+                minAgeMs: Long = 3600L * 1000L): Unit = {
+    val now = System.currentTimeMillis()
+    def aged(f: java.io.File): Boolean = now - f.lastModified() >= minAgeMs
     val manifestDir = new java.io.File(dir, "manifest")
     val versions = Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
@@ -282,10 +313,11 @@ object ReportUpsert {
       java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)).toSet
     Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".tmp") && aged(f)).foreach(_.delete())
     drop.foreach(_.delete())
     Option(new java.io.File(dir, "data").listFiles()).map(_.toSeq).getOrElse(Nil)
       .filterNot(d => referenced.contains(d.getName))
+      .filter(aged)
       .foreach(deleteRec)
   }
 

@@ -175,7 +175,9 @@ class UpsertSpec extends SparkSpec {
     val junk = new java.io.File(dir + "/data/deadbeef-junk")
     junk.mkdirs()
     java.nio.file.Files.writeString(new java.io.File(dir + "/manifest/manifest_x.tmp").toPath, "junk")
-    ReportUpsert.vacuumOcc(dir, keepVersions = 2)
+    // writers are QUIESCED (threads joined), so the aggressive
+    // minAgeMs = 0 form is legal here — fresh junk goes immediately
+    ReportUpsert.vacuumOcc(dir, keepVersions = 2, minAgeMs = 0)
     assert(!junk.exists(), "unreferenced staged dir must be vacuumed")
     assert(!new java.io.File(dir + "/manifest/manifest_x.tmp").exists())
     // the LIVE snapshot survives vacuum
@@ -184,6 +186,53 @@ class UpsertSpec extends SparkSpec {
     val vs = new java.io.File(dir + "/manifest").listFiles()
       .map(_.getName).filter(_.endsWith(".json"))
     assert(vs.length == 2, s"history must be trimmed to keepVersions: ${vs.toSeq}")
+  }
+
+  test("OCC vacuum vs committing writer: safe at every interleaving; pinned readers fail cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ4").toString + "/reports"
+    ReportUpsert.mergeIntoOcc(dir, reports(("2024-03-01", 1.0, "seed", 1L)))
+    // ordering 1 — vacuum BEFORE the writer stages: trivially safe
+    ReportUpsert.vacuumOcc(dir, keepVersions = 10)
+    // ordering 2 — vacuum BETWEEN stage and CAS: the dangerous window.
+    // The staged dir is unreferenced by any manifest at vacuum time,
+    // but it is seconds old, so the retention age keeps it — the
+    // winning manifest must reference a LIVE dir afterwards.
+    ReportUpsert.mergeIntoOcc(dir, reports(("2024-03-02", 2.0, "w2", 1L)),
+      beforeCommit = _ => ReportUpsert.vacuumOcc(dir, keepVersions = 10))
+    assert(ReportUpsert.readOcc(spark, dir).get.count() == 2,
+      "vacuum in the stage->CAS window must not drop the winner's dir")
+    // ordering 3 — vacuum inside the CONFLICT path: rival claims v+1,
+    // vacuum runs, the loser replays and commits v+2 over fresh staging
+    var rival = false
+    ReportUpsert.mergeIntoOcc(dir, reports(("2024-03-03", 3.0, "w3", 1L)),
+      beforeCommit = _ => if (!rival) {
+        rival = true
+        ReportUpsert.mergeIntoOcc(dir, reports(("2024-03-04", 4.0, "rival", 1L)))
+        ReportUpsert.vacuumOcc(dir, keepVersions = 10)
+      })
+    assert(ReportUpsert.readOcc(spark, dir).get.count() == 4,
+      "replayed loser + rival + vacuum must all land consistently")
+    // ordering 4 — vacuum AFTER CAS with history trim (quiesced, so
+    // minAgeMs = 0): every KEPT version stays readable because kept
+    // manifests' dirs are referenced by definition
+    val vHead = ReportUpsert.occVersion(dir)
+    ReportUpsert.vacuumOcc(dir, keepVersions = 2, minAgeMs = 0)
+    assert(ReportUpsert.readOccAt(spark, dir, vHead).get.count() == 4)
+    assert(ReportUpsert.readOccAt(spark, dir, vHead - 1).isDefined)
+    // a reader pinned at a DROPPED version fails LOUDLY with the
+    // version named — never a silently-empty frame
+    val ex = intercept[IllegalStateException](
+      ReportUpsert.readOccAt(spark, dir, 0))
+    assert(ex.getMessage.contains("version 0"), ex.getMessage)
+    // and the WHY of the retention age, demonstrated: with minAgeMs=0
+    // (the pre-r16 behavior) the stage->CAS vacuum corrupts the table —
+    // and the corruption is now DETECTED at read, not silent
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_occ5").toString + "/reports"
+    ReportUpsert.mergeIntoOcc(dir2, reports(("2024-03-01", 1.0, "seed", 1L)))
+    ReportUpsert.mergeIntoOcc(dir2, reports(("2024-03-02", 2.0, "w2", 1L)),
+      beforeCommit = _ => ReportUpsert.vacuumOcc(dir2, keepVersions = 10, minAgeMs = 0))
+    val ex2 = intercept[IllegalStateException](ReportUpsert.readOcc(spark, dir2))
+    assert(ex2.getMessage.contains("missing data dir"), ex2.getMessage)
   }
 }
 
