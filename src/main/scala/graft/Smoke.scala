@@ -45,6 +45,8 @@ object Smoke {
       args.lift(2).map(_.toInt).getOrElse(10))
     else if (args.headOption.contains("annscale")) annScaleProbe(spark,
       args.lift(1).map(_.toLong).getOrElse(2000L))
+    else if (args.headOption.contains("streamscale")) streamScaleProbe(spark,
+      args.lift(1).map(_.toLong).getOrElse(2000L))
     else if (args.headOption.contains("annrecall")) {
       // Per-method measured recall at a given sf dir (the harness the
       // gated q_ann_recall flags and the FunctionsSpec floors read).
@@ -567,6 +569,61 @@ object Smoke {
       } catch { case e: Throwable =>
         println(f"$name%-28s FAILED ${e.toString.take(80)}")
       }
+    }
+  }
+
+  /** Streaming-ingest scale probe (`Smoke streamscale [baseN]`): land
+    * corpora at 1×/10×/32× baseN docs (2/5·baseN vectors — the sf0.1
+    * ratio), then time ONE FIXED tick of each streaming sink against
+    * each landed size: near-dup ingest, cluster-label maintenance,
+    * ANN encode, ANN search. The O(batch)-per-tick claims are
+    * spec-proven; this MEASURES them across corpus decades (the
+    * BUILD_NOTES streaming scale table). The tick batch is identical
+    * at every scale: 500 fresh-content docs / 200 vectors with ids
+    * offset to 10M+, disjoint from any landed corpus. */
+  private def streamScaleProbe(spark: SparkSession, baseN: Long): Unit = {
+    import graft.sources.Synthetic
+    import graft.streaming.{StreamingAnnIngest, StreamingClusterIngest, StreamingNearDupIngest}
+    import org.apache.spark.sql.functions.{col, expr, length}
+    val base = java.nio.file.Files.createTempDirectory("graft_sscale").toString
+    val off = 10000000L
+    // fresh unique content derived from the SHIFTED id, so the batch
+    // is neither a dup of any landed doc nor scale-dependent
+    val batchDocs = Synthetic.documents(spark, 500)
+      .withColumn("doc_id", col("doc_id") + off)
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(0, 45), i -> substring(md5(concat(doc_id, '_f', i)), 1, 8)))"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    val batchVecs = Synthetic.embeddings(spark, 200)
+      .withColumn("vec_id", col("vec_id") + off)
+      .localCheckpoint()
+    def timed(label: String, mult: Int)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"STREAMSCALE mult=$mult%-3d tick=$label%-11s sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
+    }
+    Seq(1, 10, 32).foreach { mult =>
+      val docs = Synthetic.documents(spark, baseN * mult).localCheckpoint()
+      val vecs = Synthetic.embeddings(spark, baseN * 2 / 5 * mult).localCheckpoint()
+      val nd = s"$base/nd_x$mult"
+      StreamingNearDupIngest.ingestBatch(docs, nd, 0, 3, 8, 4, 0.5)
+      timed("neardup", mult)(
+        StreamingNearDupIngest.ingestBatch(batchDocs, nd, 1, 3, 8, 4, 0.5))
+      val cl = s"$base/cl_x$mult"
+      StreamingClusterIngest.ingestBatch(docs, cl, 0, 3, 8, 4, 0.5)
+      timed("cluster", mult)(
+        StreamingClusterIngest.ingestBatch(batchDocs, cl, 1, 3, 8, 4, 0.5))
+      val ann = s"$base/ann_x$mult"
+      StreamingAnnIngest.buildIndex(vecs, ann, m = 2, ksub = 4, iters = 1)
+      timed("ann_encode", mult)(
+        StreamingAnnIngest.ingestBatch(batchVecs, ann, 1))
+      timed("ann_search", mult)(
+        graft.functions.Similarity.pqSearchIndex(
+            batchVecs.limit(20),
+            StreamingAnnIngest.codeIndex(spark, ann),
+            StreamingAnnIngest.centroids(spark, ann), 10)
+          .write.format("noop").mode("overwrite").save())
     }
   }
 
