@@ -565,19 +565,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
-          ("ivfrq_auto", 0.02), ("knn_graph", 0.31)),
+          ("ivfrq_auto", 0.02), ("knn_graph", 0.31), ("knn_graph_search", 0.39)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
-          ("ivfrq_auto", 0.01), ("knn_graph", 0.25)),
+          ("ivfrq_auto", 0.01), ("knn_graph", 0.25), ("knn_graph_search", 0.29)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-          ("ivfrq_auto", 0.015), ("knn_graph", 0.12)))
+          ("ivfrq_auto", 0.015), ("knn_graph", 0.12), ("knn_graph_search", 0.16)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-        ("ivfrq_auto", 0.01), ("knn_graph", 0.12))
+        ("ivfrq_auto", 0.01), ("knn_graph", 0.12), ("knn_graph_search", 0.16))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1192,6 +1192,16 @@ object SparkEntry {
     // distances, tie-breaks and the round count are all deterministic
     "q_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), 10, 2)),
+    // the SERVING read of the graph index: greedy beam search (the
+    // HNSW/NSG walk, single-layer form) — global md5 entry points,
+    // 3 fixed hops of beam-10 expansion over the graph, per-query
+    // cost O(hops*beam*k) regardless of corpus size
+    "q_knn_graph_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.knnGraphSearch(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, 10, kGraph = 10, rounds = 2,
+        hops = 3, beam = 10)
+    }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2309,7 +2319,7 @@ object SparkEntry {
         |FROM (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('pq_rerank'),
         |             ('pq_hi'), ('pq_opq'), ('rq'), ('rq_rerank'), ('ivfpq'),
         |             ('ivfpq_rerank'), ('ivfpq_auto'), ('ivfrq_auto'),
-        |             ('knn_graph'), ('sq8'), ('sq8_rerank')) AS m(method)
+        |             ('knn_graph'), ('knn_graph_search'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
@@ -3319,6 +3329,9 @@ object SparkEntry {
     // deterministic NN-descent kNN-graph: LSH-seeded lists, 2 unrolled
     // neighbor-of-neighbor rounds, exact integer L2, id tie-breaks
     "q_knn_graph" -> knnGraphSql,
+    // beam search over the graph: global md5 entry points + 3 unrolled
+    // hops (beam windows, not-visited anti-joins, integer L2 scoring)
+    "q_knn_graph_search" -> knnGraphSearchSql,
     "q_mmr_rerank" -> mmrOracleSql,
     // rank-based fusion of the two method oracles; each fused score
     // has <= 2 addends, a single commutative-exact FP addition
@@ -4911,7 +4924,61 @@ object SparkEntry {
     * exact integer squared L2 over the raw quantized arrays (shifts
     * cancel in differences), per-node top-k by (adist, neighbor_id).
     * Mirrors `Similarity.knnGraph(k = 10, rounds = 2)` bit-exactly. */
-  private lazy val knnGraphSql: String = {
+  private lazy val knnGraphSql: String =
+    s"""$knnGraphChainSql
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+       |FROM g2""".stripMargin
+
+  /** Beam-search replay (`q_knn_graph_search`): the graph chain above
+    * plus `hops` unrolled walk steps — global entry points by
+    * md5(vec_id || 'ep'), per-query beam via rank windows, candidates
+    * = beam's graph neighbors NOT yet visited (anti-join), scored by
+    * the same raw-array integer L2, visited set grows by UNION ALL
+    * (candidates are new by construction). Mirrors
+    * `Similarity.knnGraphSearch(k=10, kGraph=10, rounds=2, hops=3,
+    * beam=10)` bit-exactly. */
+  private lazy val knnGraphSearchSql: String = {
+    val k = 10
+    val beam = 10
+    val hops = 3
+    // every vis/graph CTE is MATERIALIZED: vis_{i} is referenced three
+    // times by hop i+1 (beam window, not-visited anti-join, union) and
+    // g2 once per hop — inline expansion would recompute the whole
+    // NN-descent chain per reference (exponential re-expansion; the
+    // sf0.1 replay OOM'd DuckDB before this)
+    def hop(i: Int): String =
+      s"""bm$i AS MATERIALIZED (SELECT query_id, node FROM (
+         |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist, node) AS rn FROM vis${i - 1}) WHERE rn <= $beam),
+         |cn$i AS MATERIALIZED (SELECT DISTINCT b.query_id, g.neighbor_id AS node
+         |         FROM bm$i b JOIN gm g ON g.vec_id = b.node
+         |         WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} v
+         |           WHERE v.query_id = b.query_id AND v.node = g.neighbor_id)),
+         |sc$i AS MATERIALIZED (SELECT c.query_id, c.node,
+         |               CAST(list_sum(list_transform(list_zip(qv.q, nv.q),
+         |                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adist
+         |        FROM cn$i c JOIN n nv ON nv.vec_id = c.node
+         |        JOIN qs qv ON qv.query_id = c.query_id),
+         |vis$i AS MATERIALIZED (SELECT * FROM vis${i - 1} UNION ALL SELECT * FROM sc$i)""".stripMargin
+    s"""$knnGraphChainSql,
+       |gm AS MATERIALIZED (SELECT vec_id, neighbor_id FROM g2),
+       |qs AS MATERIALIZED (SELECT vec_id AS query_id, q FROM n WHERE vec_id % 100 = 0),
+       |ep AS (SELECT vec_id AS node FROM n
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ep'), vec_id LIMIT $beam),
+       |vis0 AS MATERIALIZED (SELECT qs.query_id, ep.node,
+       |               CAST(list_sum(list_transform(list_zip(qs.q, nv.q),
+       |                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adist
+       |        FROM qs CROSS JOIN ep JOIN n nv ON nv.vec_id = ep.node),
+       |${(1 to hops).map(hop).mkString(",\n")},
+       |fin AS (SELECT query_id, node AS neighbor_id, adist,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY adist, node) AS rnk
+       |        FROM vis$hops WHERE query_id <> node)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
+       |FROM fin WHERE rnk <= $k""".stripMargin
+  }
+
+  private lazy val knnGraphChainSql: String = {
     val k = 10
     val rounds = 2
     val thresholds = (1 to 61)
@@ -4962,9 +5029,7 @@ object SparkEntry {
        |       FROM tb a JOIN tb b ON a.b = b.b AND a.vec_id <> b.vec_id),
        |${scoreTopK(0, "i0")},
        |${round(1)},
-       |${round(2)}
-       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
-       |FROM g$rounds""".stripMargin
+       |${round(2)}""".stripMargin
   }
 
   /** Exact-cosine scoring + per-query top-k tail shared by the LSH

@@ -1916,7 +1916,7 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(11)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}
@@ -1929,7 +1929,7 @@ object Similarity {
       body
     }
     val (truth, nTruth, buckets, pqAll, rqAll, ivfpqAll, sq8All, pqHiAll,
-         opqAll, ivfAutoAll, ivfRqAutoAll, knnAll) = try {
+         opqAll, ivfAutoAll, ivfRqAutoAll, knnAll, knnSearchAll) = try {
       val fTruth = training {
         val t = bruteForceTopKMemo(embeddings, queryPred, k)
           .select(col("query_id"), col("neighbor_id"), lit(true).as("is_truth"))
@@ -1980,8 +1980,15 @@ object Similarity {
       // knn_graph (r16): the NN-descent graph index at q_knn_graph's
       // served shape (k lists, 2 rounds) — already memo-checkpointed
       val fKnn = training { knnGraph(embeddings, k, 2) }
+      // knn_graph_search (r16): the beam-search SERVING read at
+      // q_knn_graph_search's shape — rides fKnn's memoized graph
+      val fKnnSearch = training {
+        knnGraphSearch(embeddings, queryPred, k, kGraph = k, rounds = 2,
+            hops = 3, beam = k)
+          .localCheckpoint()
+      }
       val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8,
-        fPqHi, fOpq, fIvfAuto, fIvfRqAuto, fKnn)
+        fPqHi, fOpq, fIvfAuto, fIvfRqAuto, fKnn, fKnnSearch)
       val firstFailure = Promise[Seq[Any]]()
       // Complete the race promise BEFORE shutting the pool down —
       // listeners registered on a drained executor would be rejected
@@ -1997,13 +2004,15 @@ object Similarity {
         Future.firstCompletedOf(Seq(Future.sequence(all), firstFailure.future))(
           scala.concurrent.ExecutionContext.parasitic),
         Duration(30, "minutes"))
-      val Seq(tn, b, p, r, i, s, ph, oq, ia, irq, kg) = res.asInstanceOf[Seq[Any]]
+      val Seq(tn, b, p, r, i, s, ph, oq, ia, irq, kg, kgs) =
+        res.asInstanceOf[Seq[Any]]
       val (t, n) = tn.asInstanceOf[(DataFrame, Long)]
       (t, n, b.asInstanceOf[DataFrame], p.asInstanceOf[DataFrame],
         r.asInstanceOf[DataFrame], i.asInstanceOf[DataFrame],
         s.asInstanceOf[DataFrame], ph.asInstanceOf[DataFrame],
         oq.asInstanceOf[DataFrame], ia.asInstanceOf[DataFrame],
-        irq.asInstanceOf[DataFrame], kg.asInstanceOf[DataFrame])
+        irq.asInstanceOf[DataFrame], kg.asInstanceOf[DataFrame],
+        kgs.asInstanceOf[DataFrame])
     } catch { case e: Throwable =>
       spark.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow()
@@ -2124,6 +2133,10 @@ object Similarity {
     // graph-serving answer is the node's own neighbor list
     val knnPairs = knnAll.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("neighbor_id"))
+    // knn_graph_search: the beam walk from global entry points — the
+    // out-of-corpus serving read (navigability, not list membership)
+    val knnSearchPairs = knnSearchAll.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
     val cand = lshPairs.withColumn("method", lit("lsh"))
       .unionByName(multiPairs.withColumn("method", lit("lsh_multi")))
       .unionByName(ivfPairs.withColumn("method", lit("ivf")))
@@ -2140,6 +2153,7 @@ object Similarity {
       .unionByName(ivfAutoPairs.withColumn("method", lit("ivfpq_auto")))
       .unionByName(ivfRqAutoPairs.withColumn("method", lit("ivfrq_auto")))
       .unionByName(knnPairs.withColumn("method", lit("knn_graph")))
+      .unionByName(knnSearchPairs.withColumn("method", lit("knn_graph_search")))
       .filter(col("query_id") =!= col("neighbor_id"))
     // ONE aggregation job scores and ranks every method's candidates:
     // query vectors and the |Q|·k truth set broadcast, the corpus side
@@ -2174,7 +2188,8 @@ object Similarity {
     // union-of-aggregates shape did.
     Seq("lsh", "lsh_multi", "ivf", "pq", "pq_rerank", "pq_hi", "pq_opq",
         "rq", "rq_rerank", "ivfpq", "ivfpq_rerank", "ivfpq_auto",
-        "ivfrq_auto", "knn_graph", "sq8", "sq8_rerank").toDF("method")
+        "ivfrq_auto", "knn_graph", "knn_graph_search",
+        "sq8", "sq8_rerank").toDF("method")
       .join(hits, Seq("method"), "left")
       .select(col("method"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -2255,6 +2270,68 @@ object Similarity {
       }
       g
     }
+  }
+
+  /** Greedy BEAM SEARCH over the kNN-graph — the SERVING read the
+    * graph index exists for (the search loop of HNSW/NSG, single-layer
+    * form): from a GLOBAL md5-deterministic entry-point set, each hop
+    * expands the current per-query beam's graph neighbors, scores the
+    * NEW nodes by exact integer squared L2, and keeps the `beam` best
+    * visited; after `hops` fixed hops the answer is the top-k of the
+    * visited set. Deterministic end to end (global seeds by
+    * md5(vec_id || 'ep'), fixed hop count, id tie-breaks), so DuckDB
+    * replays the whole walk by unrolling hops over the unrolled graph
+    * rounds (`q_knn_graph_search`).
+    *
+    * Scale shape: the graph is the persisted/memoized artifact; a
+    * query's work is O(hops · beam · kGraph) id-rows + that many
+    * vector fetches (join against the vector table by node id) — NOT
+    * a function of corpus size. That is the property that makes
+    * graph indexes the industry's high-recall serving rung: cost per
+    * query is a bounded walk. Frontier dedup is per (query, node): a
+    * node is scored once per query across all hops (the visited set
+    * anti-joins candidates before scoring). */
+  def knnGraphSearch(embeddings: DataFrame, queryPred: Column, k: Int,
+                     kGraph: Int, rounds: Int, hops: Int,
+                     beam: Int): DataFrame = {
+    require(hops >= 0 && beam >= 1 && k >= 1,
+      s"bad search params: hops=$hops beam=$beam k=$k")
+    val e = ensureQuantized(embeddings)
+    val g = knnGraph(e, kGraph, rounds)
+      .select(col("vec_id").as("_gnode"), col("neighbor_id"))
+    val v = e.select(col("vec_id").as("node"), col("q").as("na"))
+      .localCheckpoint()
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+      .localCheckpoint()
+    val eps = e.select(col("vec_id"),
+        md5(concat(col("vec_id").cast("string"), lit("ep"))).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(beam)
+      .select(col("vec_id").as("node"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, Seq("node"))
+        .join(qs, Seq("query_id"))
+        .select(col("query_id"), col("node"), sqDistQ("qa", "na").as("adist"))
+    def beamOf(vis: DataFrame): DataFrame =
+      vis.groupBy(col("query_id"))
+        .agg(graft.plans.TopK.top_k(
+          struct(col("adist"), col("node")), beam).as("_t"))
+        .select(col("query_id"), explode(col("_t")).as("_s"))
+        .select(col("query_id"), col("_s.node").as("node"))
+    var visited = score(qs.select(col("query_id")).crossJoin(eps))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val cand = beamOf(visited)
+        .join(g, col("node") === col("_gnode"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      visited = visited.unionByName(score(cand)).localCheckpoint()
+    }
+    topKAsc(visited.filter(col("query_id") =!= col("node"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("adist")),
+      k, "adist")
   }
 
   /** LSH-accelerated top-k: search only within the query's bucket plus

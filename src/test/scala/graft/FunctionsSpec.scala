@@ -1810,6 +1810,48 @@ class SimilaritySpec extends SparkSpec {
     assert(gRec >= 0.31, f"knn_graph recall collapsed: $gRec%.3f") // half measured 0.62
   }
 
+  test("knnGraphSearch: bounded walk reaches the neighborhood — measured recall pinned") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val truth = Similarity.bruteForceTopK(e, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.knnGraphSearch(e, pred, 10, kGraph = 10,
+        rounds = 2, hops = 3, beam = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rec = (got & truth).size.toDouble / truth.size
+    info(f"knn_graph_search sf0.001 recall: $rec%.3f")
+    // the walk starts from GLOBAL entry points, so its recall is the
+    // graph-navigability measure (not the node's own list); measured
+    // 0.780 — ABOVE the node-list recall 0.62 (the walk's visited set
+    // is ~beam·kG·hops wide); pinned at half-measured
+    assert(rec >= 0.39, f"graph-search recall collapsed: $rec%.3f")
+    // determinism + bounds: exactly <= k rows per query, never self
+    val rows = Similarity.knnGraphSearch(e, pred, 10, 10, 2, 3, 10).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 10 && rs.forall(_.getLong(2) != q))
+    }
+  }
+
+  test("knnGraphSearch: more hops never lose visited ground (monotone recall in hops)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val truth = Similarity.bruteForceTopK(e, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def rec(hops: Int): Double = {
+      val got = Similarity.knnGraphSearch(e, pred, 10, 10, 2, hops, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // the visited set only grows with hops and the final top-k is over
+    // visited, so L2-quality is monotone; cosine-truth recall follows
+    // on this corpus (pinned as measured)
+    val r0 = rec(0)
+    val r3 = rec(3)
+    info(f"graph-search recall hops0=$r0%.3f hops3=$r3%.3f")
+    assert(r3 >= r0, f"walking the graph must not lose recall: $r3%.3f < $r0%.3f")
+    assert(r3 > r0, "three hops must strictly improve on the raw entry points here")
+  }
+
   test("ivfRqTopKRerank recall >= raw ivfRqTopK recall on the corpus (memo-shared training)") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 100 === 0
@@ -1982,7 +2024,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "pq_rerank",
       "pq_hi", "pq_opq", "rq", "rq_rerank", "ivfpq", "ivfpq_rerank",
-      "ivfpq_auto", "ivfrq_auto", "knn_graph", "sq8", "sq8_rerank"))
+      "ivfpq_auto", "ivfrq_auto", "knn_graph", "knn_graph_search", "sq8", "sq8_rerank"))
     // re-ranking a 5k ADC pool can only help: recall is monotone
     assert(out("pq_rerank")._3 >= out("pq")._3)
     assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
@@ -2020,7 +2062,7 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
       "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.04,
-      "ivfrq_auto" -> 0.04, "knn_graph" -> 0.62, "sq8" -> 0.90,
+      "ivfrq_auto" -> 0.04, "knn_graph" -> 0.62, "knn_graph_search" -> 0.78, "sq8" -> 0.90,
       "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
