@@ -2250,23 +2250,44 @@ object Similarity {
           .select(col("vec_id"), posexplode(col("_t")).as(Seq("_p", "_s")))
           .select(col("vec_id"), (col("_p") + 1).cast("long").as("rnk"),
             col("_s.neighbor_id").as("neighbor_id"), col("_s.adist").as("adist"))
-      // single-table buckets give each pair exactly once — no dedup
-      var g = topKNode(score(init)).localCheckpoint()
+      // Squared L2 is SYMMETRIC, so every pair scores once in
+      // canonical (low, high) orientation and mirrors back — the
+      // scoring join (the build's dominant shuffle: each pair row
+      // ships two 64-long arrays) halves. Bit-identical distances,
+      // so the graph — and the DuckDB gate — are unchanged.
+      def scoreBoth(pairs: DataFrame): DataFrame = {
+        val scored = score(pairs
+          .select(least(col("vec_id"), col("neighbor_id")).as("vec_id"),
+            greatest(col("vec_id"), col("neighbor_id")).as("neighbor_id"))
+          .distinct())
+        scored.unionByName(scored.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id"), col("adist")))
+      }
+      // buckets give each unordered pair in both orientations; the
+      // canonical form scores it once
+      var g = topKNode(scoreBoth(init)).localCheckpoint()
       (1 to rounds).foreach { _ =>
-        val und = g.select(col("vec_id"), col("neighbor_id"))
+        // the undirected edge set KEEPS its distances — a known edge
+        // is never re-scored (g's adist is exact; reverse direction
+        // is the same distance by symmetry)
+        val undS = g.select(col("vec_id"), col("neighbor_id"), col("adist"))
           .unionByName(g.select(col("neighbor_id").as("vec_id"),
-            col("vec_id").as("neighbor_id")))
+            col("vec_id").as("neighbor_id"), col("adist")))
           .distinct()
-          .localCheckpoint() // consumed by both sides of the self-join
+          .localCheckpoint() // consumed by both self-join sides + the union
+        val und = undS.select(col("vec_id"), col("neighbor_id"))
+        // neighbor-of-neighbor candidates, minus already-known edges
+        // (if (u,w) is known, so is (w,u) — the closure is symmetric,
+        // so the anti-join cannot strand one orientation)
         val hop2 = und
           .join(und.select(col("vec_id").as("_mid"), col("neighbor_id").as("_nn")),
             col("neighbor_id") === col("_mid"))
           .select(col("vec_id"), col("_nn").as("neighbor_id"))
           .filter(col("vec_id") =!= col("neighbor_id"))
-        // dedup BEFORE scoring: a duplicate candidate would occupy two
-        // top-k slots with the same (dist, id)
-        val cand = hop2.unionByName(und).distinct()
-        g = topKNode(score(cand)).localCheckpoint()
+          .distinct() // dedup BEFORE scoring: a duplicate candidate
+                      // would occupy two top-k slots
+          .join(und, Seq("vec_id", "neighbor_id"), "left_anti")
+        g = topKNode(scoreBoth(hop2).unionByName(undS)).localCheckpoint()
       }
       g
     }
