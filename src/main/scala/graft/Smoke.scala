@@ -583,7 +583,7 @@ object Smoke {
     * offset to 10M+, disjoint from any landed corpus. */
   private def streamScaleProbe(spark: SparkSession, baseN: Long): Unit = {
     import graft.sources.Synthetic
-    import graft.streaming.{StreamingAnnIngest, StreamingClusterIngest, StreamingNearDupIngest}
+    import graft.streaming.{StreamingAnnIngest, StreamingClusterIngest, StreamingGraphIngest, StreamingNearDupIngest}
     import org.apache.spark.sql.functions.{col, expr, length}
     val base = java.nio.file.Files.createTempDirectory("graft_sscale").toString
     val off = 10000000L
@@ -623,6 +623,15 @@ object Smoke {
             batchVecs.limit(20),
             StreamingAnnIngest.codeIndex(spark, ann),
             StreamingAnnIngest.centroids(spark, ann), 10)
+          .write.format("noop").mode("overwrite").save())
+      // graph rung (r16): walk-insert tick + serving walk over the
+      // landed graph store
+      val gr = s"$base/gr_x$mult"
+      StreamingGraphIngest.buildIndex(vecs, gr, k = 10, rounds = 2)
+      timed("graph_insert", mult)(
+        StreamingGraphIngest.ingestBatch(batchVecs, gr, 0, 10, 3, 10))
+      timed("graph_serve", mult)(
+        StreamingGraphIngest.search(spark, gr, batchVecs.limit(20), 10, 3, 10)
           .write.format("noop").mode("overwrite").save())
     }
   }

@@ -2315,20 +2315,33 @@ object Similarity {
   def knnGraphSearch(embeddings: DataFrame, queryPred: Column, k: Int,
                      kGraph: Int, rounds: Int, hops: Int,
                      beam: Int): DataFrame = {
+    val e = ensureQuantized(embeddings)
+    knnGraphSearchIndex(e.filter(queryPred), knnGraph(e, kGraph, rounds),
+      e, k, hops, beam)
+  }
+
+  /** Search against an EXISTING (graph, nodes) index — the decoupled
+    * form `knnGraphSearch` composes and the streaming graph ingest
+    * (`StreamingGraphIngest`) reuses per micro-batch: queries need not
+    * come from the indexed corpus, and the graph/node frames are
+    * whatever the store landed. `graph` is (vec_id, neighbor_id[,…]);
+    * `nodes` is the indexed vectors (vec_id, q[, nq]). */
+  def knnGraphSearchIndex(queries: DataFrame, graph: DataFrame,
+                          nodes: DataFrame, k: Int, hops: Int,
+                          beam: Int): DataFrame = {
     require(hops >= 0 && beam >= 1 && k >= 1,
       s"bad search params: hops=$hops beam=$beam k=$k")
-    val e = ensureQuantized(embeddings)
-    val g = knnGraph(e, kGraph, rounds)
-      .select(col("vec_id").as("_gnode"), col("neighbor_id"))
-    val v = e.select(col("vec_id").as("node"), col("q").as("na"))
+    val g = graph.select(col("vec_id").as("_gnode"), col("neighbor_id"))
+    val v = ensureQuantized(nodes)
+      .select(col("vec_id").as("node"), col("q").as("na"))
       .localCheckpoint()
-    val qs = e.filter(queryPred)
+    val qs = ensureQuantized(queries)
       .select(col("vec_id").as("query_id"), col("q").as("qa"))
       .localCheckpoint()
-    val eps = e.select(col("vec_id"),
-        md5(concat(col("vec_id").cast("string"), lit("ep"))).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(beam)
-      .select(col("vec_id").as("node"))
+    val eps = v.select(col("node"),
+        md5(concat(col("node").cast("string"), lit("ep"))).as("_h"))
+      .orderBy(col("_h"), col("node")).limit(beam)
+      .select(col("node"))
     def score(cand: DataFrame): DataFrame =
       cand.join(v, Seq("node"))
         .join(qs, Seq("query_id"))

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.Similarity
+
+/** Incremental kNN-GRAPH maintenance — the graph-index sibling of
+  * `StreamingAnnIngest`: the graph is built offline once (`buildIndex`
+  * = the certified NN-descent construction) and each arriving batch of
+  * vectors finds its neighbor lists by BEAM-SEARCHING the landed graph
+  * — the serving read doubling as the insert path, exactly how online
+  * graph indexes insert (HNSW: search, then link) — plus exact
+  * within-batch edges so same-batch near-neighbors link too. Per-tick
+  * work: O(batch · hops · beam · k) walk rows + O(batch²) within-batch
+  * scoring (batches are bounded) — never a corpus re-descent.
+  *
+  * Layout: `<indexDir>/nodes/batch=<id>` (vec_id, q — the quantized
+  * vectors future walks score against) and `<indexDir>/graph/batch=<id>`
+  * (that batch's nodes' neighbor lists; streaming batch n lands as
+  * batch=n+1, the offline seed keeps 0). Idempotence under
+  * foreachBatch's at-least-once replays: a batch overwrites its OWN
+  * dirs and reads only generations strictly BEFORE its own, so a
+  * replay recomputes identical rows from identical inputs.
+  *
+  * Design point, stated: inserted nodes' lists come from the walk
+  * (approximate — the property every online graph insert shares), and
+  * reverse edges are NOT retrofitted onto already-landed nodes: the
+  * store is append-only (idempotent replayable dirs), and the offline
+  * `buildIndex` rebuild is what refreshes back-links — HNSW's in-place
+  * back-link is the mutable-store variant of the same trade. Searches
+  * still reach new nodes THROUGH their own out-edges' entry points
+  * plus the global entry set, and the incremental-recall spec pins how
+  * much that costs. */
+object StreamingGraphIngest {
+
+  /** Offline index build: the full certified NN-descent over the seed
+    * corpus, landed as generation 0 alongside the seed vectors. */
+  def buildIndex(seed: DataFrame, indexDir: String, k: Int,
+                 rounds: Int): Unit = {
+    Similarity.knnGraph(seed, k, rounds)
+      .write.mode("overwrite").parquet(s"$indexDir/graph/batch=0")
+    Similarity.quantized(seed).select(col("vec_id"), col("q"))
+      .write.mode("overwrite").parquet(s"$indexDir/nodes/batch=0")
+  }
+
+  def nodeStore(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/nodes")
+
+  def graphStore(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/graph")
+
+  /** Serve a query batch from the landed store (all generations). */
+  def search(spark: SparkSession, indexDir: String, queries: DataFrame,
+             k: Int, hops: Int, beam: Int): DataFrame =
+    Similarity.knnGraphSearchIndex(queries,
+      graphStore(spark, indexDir).drop("batch"),
+      nodeStore(spark, indexDir).drop("batch"), k, hops, beam)
+
+  /** One micro-batch: walk the landed graph for each new vector's
+    * neighbors, add exact within-batch edges, keep the k best per
+    * node, land under this batch's own generation. */
+  def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
+                  k: Int, hops: Int, beam: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val gen = batchId + 1
+    val frontier = StoreFs.maxPartitionId(s"$indexDir/graph")
+    require(frontier <= gen,
+      s"graph-ingest generation $gen is behind the store frontier $frontier " +
+        s"at $indexDir — this sink is single-writer per checkpoint; a new " +
+        "checkpoint needs a new indexDir")
+    val b = Similarity.quantized(batch).select(col("vec_id"), col("q"))
+      .localCheckpoint()
+    // replays must not see their own first run's rows
+    val nodes = nodeStore(spark, indexDir)
+      .filter(col("batch") < gen).drop("batch")
+    val graph = graphStore(spark, indexDir)
+      .filter(col("batch") < gen).drop("batch")
+    // cross edges: the serving walk IS the insert path
+    val cross = Similarity.knnGraphSearchIndex(b, graph, nodes, k, hops, beam)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("adist"))
+    // within-batch edges: exact all-pairs over the BOUNDED batch
+    val within = b.select(col("vec_id").as("_a"), col("q").as("qa"))
+      .join(b.select(col("vec_id").as("_b"), col("q").as("qb")),
+        col("_a") =!= col("_b"))
+      .select(col("_a").as("vec_id"), col("_b").as("neighbor_id"),
+        graft.plans.SqDistI64.sqdist_i64(col("qa"), col("qb")).as("adist"))
+    val lists = cross.unionByName(within)
+      .groupBy(col("vec_id"))
+      .agg(graft.plans.TopK.top_k(
+        struct(col("adist"), col("neighbor_id")), k).as("_t"))
+      .select(col("vec_id"), posexplode(col("_t")).as(Seq("_p", "_s")))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("rnk"),
+        col("_s.neighbor_id").as("neighbor_id"), col("_s.adist").as("adist"))
+    lists.write.mode("overwrite").parquet(s"$indexDir/graph/batch=$gen")
+    b.write.mode("overwrite").parquet(s"$indexDir/nodes/batch=$gen")
+  }
+
+  /** Wire over an embeddings stream. Refuses a FRESH checkpoint over a
+    * store with streamed generations (batch ids would restart at 0 and
+    * overwrite them) — the StreamingAnnIngest guard verbatim. */
+  def start(embeddings: DataFrame, indexDir: String, checkpointDir: String,
+            k: Int = 10, hops: Int = 3, beam: Int = 10): StreamingQuery = {
+    val spark = embeddings.sparkSession
+    val streamed = StoreFs.listNames(s"$indexDir/graph")
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+      .filter(_ > 0)
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/offsets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val owns = fs.exists(p) && fs.listStatus(p).nonEmpty
+    require(streamed.isEmpty || owns,
+      s"refusing to start a fresh checkpoint ($checkpointDir) over a graph store " +
+        s"that already holds streamed generations ${streamed.sorted.mkString(",")} " +
+        s"under $indexDir/graph — resume with the original checkpoint or rebuild")
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        ingestBatch(b, indexDir, id, k, hops, beam))
+      .start()
+  }
+}
