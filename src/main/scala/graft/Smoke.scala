@@ -57,6 +57,8 @@ object Smoke {
         .collect().foreach(r => println(
           f"ANNRECALL method=${r.getString(0)}%-14s hits=${r.getLong(1)}%-4d truth=${r.getLong(2)}%-4d recall=${r.getDouble(3)}%.3f"))
     }
+    else if (args.headOption.contains("ivfrqlab")) ivfRqLab(spark,
+      args.lift(1).getOrElse("/root/testdata/sf0.001"))
     else if (args.headOption.contains("count")) {
       val n = SparkEntry.queries(args(1))(spark,
         args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
@@ -85,6 +87,45 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Parameter-sweep lab for the IVF-RQ serving point (r17 task 1):
+    * measures recall@10 of `ivfRqTopK` against the brute-force truth
+    * across (k1, k2, nProbe) settings, so the gated operating point is
+    * picked from data rather than guessed. Throwaway-cheap: every row
+    * retrains at its own params (distinct memo keys). */
+  private def ivfRqLab(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 100 === 0
+    val n = emb.count()
+    val c = Similarity.autoIvfCells(n)
+    val truth = Similarity.bruteForceTopKMemo(emb, pred, 10)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nTruth = truth.count()
+    def rec(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = df.filter(col("rnk") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      println(f"IVFRQLAB n=$n%-7d cells=$c%-3d cfg=$label%-28s recall=${hits.toDouble / nTruth}%.3f sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
+    }
+    val sp = math.max(2, math.ceil(math.sqrt(c.toDouble)).toInt).min(c)
+    rec(s"k4x4_p2 (gated)")(
+      Similarity.ivfRqTopK(emb, pred, 10, c, math.min(2, c), 4, 4, 1))
+    rec(s"k16x16_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq(16, 16), 1))
+    rec(s"L4x16_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(16), 1))
+    rec(s"L8x16_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(16), 1))
+    rec(s"L4x64_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 1))
+    rec(s"L4x64_p${sp}_i2")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 2))
+    rec(s"L8x64_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(64), 1))
   }
 
   /** Empirical scale validation (VERDICT r7 #2): generate synthetic

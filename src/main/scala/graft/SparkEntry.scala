@@ -565,19 +565,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
-          ("ivfrq_auto", 0.02), ("knn_graph", 0.31), ("knn_graph_search", 0.39)),
+          ("ivfrq_auto", 0.09), ("knn_graph", 0.31), ("knn_graph_search", 0.39)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
-          ("ivfrq_auto", 0.01), ("knn_graph", 0.25), ("knn_graph_search", 0.29)),
+          ("ivfrq_auto", 0.15), ("knn_graph", 0.25), ("knn_graph_search", 0.29)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-          ("ivfrq_auto", 0.015), ("knn_graph", 0.12), ("knn_graph_search", 0.16)))
+          ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.16)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-        ("ivfrq_auto", 0.01), ("knn_graph", 0.12), ("knn_graph_search", 0.16))
+        ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.16))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1162,17 +1162,25 @@ object SparkEntry {
         .withColumn("n_cells", lit(c.toLong))
     }),
     // IVF-RQ at AUTO cell count: the probed scale sibling of the flat
-    // q_rq_topk scan (32x exponent 1.01) — certified coarse chain, the
-    // two additive residual codebooks trained on coarse residuals,
-    // combined-table ADC restricted to each query's probed cells. The
-    // oracle derives the same cell count from COUNT(*). Closes the
-    // quantizer symmetry: PQ/SQ8/RQ each carry a sqrt(n)-celled probe.
+    // q_rq_topk scan (32x exponent 1.01) — certified coarse chain,
+    // FOUR additive 64-code residual stages (r17: the r16 2-stage
+    // 4x4-code point measured recall 0.02-0.04, UNDER the flat scan it
+    // exists to replace; 4x64 through the LUT-form ADC measures
+    // 0.18/0.30/0.13 across the three SFs — at last a usable probed
+    // rung), per-stage dot LUTs + stored reconstruction norms within
+    // each query's probed cells. nProbe scales with the cell count
+    // (max(2, ceil(sqrt(c))), capped at c) instead of the r16 fixed 2,
+    // so the probed fraction no longer collapses as cells grow. The
+    // oracle derives the same cell count AND probe count from
+    // COUNT(*). Closes the quantizer symmetry: PQ/SQ8/RQ each carry a
+    // sqrt(n)-celled probe.
     "q_ivfrq_auto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
-      Similarity.ivfRqTopK(e, col("vec_id") % 100 === 0, 10,
-        nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1)
+      Similarity.ivfRqTopKMulti(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = Similarity.autoIvfProbe(c),
+        ks = Seq.fill(4)(64), iters = 1)
         .withColumn("n_cells", lit(c.toLong))
     }),
     // IVF-RQ + exact re-rank: the probed additive-code pool (50)
@@ -1181,9 +1189,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
-      Similarity.ivfRqTopKRerank(e, col("vec_id") % 100 === 0, 10,
-        nCells = c, nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1,
-        pool = 50)
+      Similarity.ivfRqTopKMultiRerank(e, col("vec_id") % 100 === 0, 10,
+        nCells = c, nProbe = Similarity.autoIvfProbe(c),
+        ks = Seq.fill(4)(64), iters = 1, pool = 50)
     }),
     // deterministic kNN-graph (NN-descent, WWW 2011): LSH-seeded
     // per-node top-k lists refined by 2 fixed neighbor-of-neighbor
@@ -4527,24 +4535,76 @@ object SparkEntry {
 
   /** IVF-RQ replay (`q_ivfrq_auto` / `q_ivfrq_rerank`): auto cell
     * count from COUNT(*) (the ±1-corrected-sqrt contract), the
-    * certified 1-iteration coarse chain (seeds md5(vec_id)), residuals
-    * to the final assignment's centroid re-shifted +2^21, then
-    * rqTrain's two additive stages ON those residuals (stage-1 seeds
-    * md5(vec_id || 'r'); stage-2 residuals re-shifted +2^22, seeds
-    * md5(vec_id || 'rr')), probe = LEAST(2, k) nearest cells by exact
-    * integer L2 to the coarse centroids, combined-table ADC on the
-    * QUERY'S PER-CELL RESIDUAL restricted to probed cells — through
-    * the ranked candidate CTE `r`. Mirrors
-    * `Similarity.ivfRqTopK(iters = 1, k1 = 4, k2 = 4)` bit-exactly. */
-  private lazy val ivfRqAutoBaseSql: String = {
+    * certified 1-iteration coarse chain (seeds md5(vec_id)), then
+    * ks.length additive residual stages (stage s: input residuals in
+    * the +2^(20+s) frame, seeds md5(vec_id || 'r'·s)), generated as
+    * one CTE block per stage by `ivfRqMultiBaseSql`. Probing and the
+    * LUT-form ADC mirror `Similarity.ivfRqTopKMulti` bit-exactly:
+    * nProbe = LEAST(GREATEST(2, ceil(√cells)), cells) nearest cells
+    * by exact integer L2, per-(query, cell, stage, code) dot LUTs
+    * against the shift-adjusted codebooks, and a candidate's distance
+    * = ‖q_r‖² − 2·Σ_s dot + its stored reconstruction norm — through
+    * the ranked candidate CTE `r`. Serving point r17: 4 stages × 64
+    * codes, iters = 1. */
+  private lazy val ivfRqAutoBaseSql: String = ivfRqMultiBaseSql(Seq.fill(4)(64))
+
+  private def ivfRqMultiBaseSql(ks: Seq[Int]): String = {
     val k = "(SELECT k FROM ki)"
+    val probeExpr =
+      s"LEAST(GREATEST(2, CAST(ceil(sqrt(CAST($k AS DOUBLE))) AS BIGINT)), $k)"
+    // one certified fixed-point stage (seeds → assign-vs-seed-vectors
+    // → integer-mean update → final assign), exactly fpStage(iters=1)
+    val stageCtes = ks.zipWithIndex.map { case (kS, i) =>
+      val s = i + 1
+      val salt = "r" * s
+      val rd = s"rd$s"
+      val next =
+        if (s == ks.length) ""
+        else {
+          val frameShift = 1048576L * (1L << (s + 1)) // 2^(21+s)
+          s""",
+             |rd${s + 1} AS MATERIALIZED (SELECT $rd.vec_id, $rd.d, $rd.rx - c$s.c + $frameShift AS rx
+             |        FROM $rd JOIN a$s USING (vec_id)
+             |        JOIN c$s ON c$s.code = a$s.code AND c$s.d = $rd.d)""".stripMargin
+        }
+      s"""s$s AS (SELECT vec_id,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '$salt'), vec_id) - 1 AS code
+         |       FROM n QUALIFY code < $kS),
+         |c${s}0 AS MATERIALIZED (SELECT s$s.code, $rd.d, $rd.rx AS c FROM $rd JOIN s$s USING (vec_id)),
+         |a${s}0 AS MATERIALIZED (SELECT vec_id, code FROM (
+         |    SELECT $rd.vec_id, c${s}0.code,
+         |           row_number() OVER (PARTITION BY $rd.vec_id
+         |             ORDER BY sum(($rd.rx - c${s}0.c)*($rd.rx - c${s}0.c)), c${s}0.code) AS rn
+         |    FROM $rd JOIN c${s}0 ON $rd.d = c${s}0.d
+         |    GROUP BY $rd.vec_id, c${s}0.code QUALIFY rn = 1)),
+         |c$s AS MATERIALIZED (SELECT a${s}0.code, $rd.d,
+         |              CAST(CAST(sum($rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
+         |       FROM $rd JOIN a${s}0 USING (vec_id) GROUP BY 1, $rd.d),
+         |a$s AS MATERIALIZED (SELECT vec_id, code FROM (
+         |    SELECT $rd.vec_id, c$s.code,
+         |           row_number() OVER (PARTITION BY $rd.vec_id
+         |             ORDER BY sum(($rd.rx - c$s.c)*($rd.rx - c$s.c)), c$s.code) AS rn
+         |    FROM $rd JOIN c$s ON $rd.d = c$s.d
+         |    GROUP BY $rd.vec_id, c$s.code QUALIFY rn = 1))""".stripMargin + next
+    }.mkString(",\n")
+    // shift-adjusted codebooks: stage 1 as trained (the +2^21 frame),
+    // stage s >= 2 minus its 2^(20+s) frame shift
+    val cadjSql = ks.indices.map { i =>
+      val s = i + 1
+      if (s == 1) s"SELECT 1 AS s, code, d, c FROM c1"
+      else s"SELECT $s AS s, code, d, c - ${1048576L * (1L << s)} AS c FROM c$s"
+    }.mkString("\n       |         UNION ALL ")
+    val codesSql = ks.indices.map { i =>
+      val s = i + 1
+      s"SELECT vec_id, $s AS s, code FROM a$s"
+    }.mkString("\n       |               UNION ALL ")
     s"""WITH inn AS (SELECT count(*) AS n FROM embeddings),
        |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM inn),
        |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
        |                   WHEN 64*kr*kr < n THEN kr + 1
        |                   ELSE kr END AS k FROM ikr),
-       |n AS ($quantizedSql),
-       |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
+       |n AS MATERIALIZED ($quantizedSql),
+       |vd AS MATERIALIZED (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
        |              unnest(q) + 1048576 AS x FROM n),
        |cs AS (SELECT vec_id,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
@@ -4556,61 +4616,28 @@ object SparkEntry {
        |             ORDER BY sum((vd.x - cc0.c)*(vd.x - cc0.c)), cc0.cell_id) AS rn
        |    FROM vd JOIN cc0 ON vd.d = cc0.d
        |    GROUP BY vd.vec_id, cc0.cell_id QUALIFY rn = 1)),
-       |cc1 AS (SELECT ca1.cell_id, vd.d,
+       |cc1 AS MATERIALIZED (SELECT ca1.cell_id, vd.d,
        |              CAST(CAST(sum(vd.x) AS BIGINT) // count(*) AS BIGINT) AS c
        |       FROM vd JOIN ca1 USING (vec_id) GROUP BY 1, vd.d),
-       |ca AS (SELECT vec_id, cell_id FROM (
+       |ca AS MATERIALIZED (SELECT vec_id, cell_id FROM (
        |    SELECT vd.vec_id, cc1.cell_id,
        |           row_number() OVER (PARTITION BY vd.vec_id
        |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
        |    FROM vd JOIN cc1 ON vd.d = cc1.d
        |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
-       |rd AS (SELECT vd.vec_id, vd.d, vd.x - cc1.c + 2097152 AS rx
+       |rd1 AS MATERIALIZED (SELECT vd.vec_id, vd.d, vd.x - cc1.c + 2097152 AS rx
        |       FROM vd JOIN ca USING (vec_id)
        |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
-       |s1 AS (SELECT vec_id,
-       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'r'), vec_id) - 1 AS code1
-       |       FROM n QUALIFY code1 < 4),
-       |c10 AS (SELECT s1.code1, rd.d, rd.rx AS c FROM rd JOIN s1 USING (vec_id)),
-       |a10 AS (SELECT vec_id, code1 FROM (
-       |    SELECT rd.vec_id, c10.code1,
-       |           row_number() OVER (PARTITION BY rd.vec_id
-       |             ORDER BY sum((rd.rx - c10.c)*(rd.rx - c10.c)), c10.code1) AS rn
-       |    FROM rd JOIN c10 ON rd.d = c10.d
-       |    GROUP BY rd.vec_id, c10.code1 QUALIFY rn = 1)),
-       |c1 AS (SELECT a10.code1, rd.d,
-       |              CAST(CAST(sum(rd.rx) AS BIGINT) // count(*) AS BIGINT) AS c
-       |       FROM rd JOIN a10 USING (vec_id) GROUP BY 1, rd.d),
-       |a1 AS (SELECT vec_id, code1 FROM (
-       |    SELECT rd.vec_id, c1.code1,
-       |           row_number() OVER (PARTITION BY rd.vec_id
-       |             ORDER BY sum((rd.rx - c1.c)*(rd.rx - c1.c)), c1.code1) AS rn
-       |    FROM rd JOIN c1 ON rd.d = c1.d
-       |    GROUP BY rd.vec_id, c1.code1 QUALIFY rn = 1)),
-       |rd2 AS (SELECT rd.vec_id, rd.d, rd.rx - c1.c + 4194304 AS rx
-       |        FROM rd JOIN a1 USING (vec_id)
-       |        JOIN c1 ON c1.code1 = a1.code1 AND c1.d = rd.d),
-       |s2 AS (SELECT vec_id,
-       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'rr'), vec_id) - 1 AS code2
-       |       FROM n QUALIFY code2 < 4),
-       |c20 AS (SELECT s2.code2, rd2.d, rd2.rx AS c FROM rd2 JOIN s2 USING (vec_id)),
-       |b10 AS (SELECT vec_id, code2 FROM (
-       |    SELECT rd2.vec_id, c20.code2,
-       |           row_number() OVER (PARTITION BY rd2.vec_id
-       |             ORDER BY sum((rd2.rx - c20.c)*(rd2.rx - c20.c)), c20.code2) AS rn
-       |    FROM rd2 JOIN c20 ON rd2.d = c20.d
-       |    GROUP BY rd2.vec_id, c20.code2 QUALIFY rn = 1)),
-       |c2 AS (SELECT b10.code2, rd2.d,
-       |              CAST(CAST(sum(rd2.rx) AS BIGINT) // count(*) AS BIGINT) AS c
-       |       FROM rd2 JOIN b10 USING (vec_id) GROUP BY 1, rd2.d),
-       |b2 AS (SELECT vec_id, code2 FROM (
-       |    SELECT rd2.vec_id, c2.code2,
-       |           row_number() OVER (PARTITION BY rd2.vec_id
-       |             ORDER BY sum((rd2.rx - c2.c)*(rd2.rx - c2.c)), c2.code2) AS rn
-       |    FROM rd2 JOIN c2 ON rd2.d = c2.d
-       |    GROUP BY rd2.vec_id, c2.code2 QUALIFY rn = 1)),
-       |comb AS (SELECT c1.code1, c2.code2, c1.d, c1.c + c2.c - 4194304 AS cc
-       |         FROM c1 JOIN c2 ON c1.d = c2.d),
+       |$stageCtes,
+       |cadj AS MATERIALIZED ($cadjSql),
+       |codes AS MATERIALIZED (SELECT a.vec_id, ca.cell_id, a.s, a.code
+       |          FROM ($codesSql) a
+       |          JOIN ca USING (vec_id)),
+       |rnd AS (SELECT codes.vec_id, cadj.d, sum(cadj.c) AS rc
+       |        FROM codes JOIN cadj ON cadj.s = codes.s AND cadj.code = codes.code
+       |        GROUP BY 1, 2),
+       |rnorm AS (SELECT vec_id, CAST(sum(rc*rc) AS BIGINT) AS rnorm
+       |          FROM rnd GROUP BY 1),
        |qd AS (SELECT vec_id AS query_id, d, x FROM vd WHERE vec_id % 100 = 0),
        |qc AS (SELECT qd.query_id, cc1.cell_id,
        |              sum((qd.x - cc1.c)*(qd.x - cc1.c)) AS cd
@@ -4619,21 +4646,28 @@ object SparkEntry {
        |    SELECT query_id, cell_id,
        |           row_number() OVER (PARTITION BY query_id
        |             ORDER BY cd, cell_id) AS rn FROM qc)
-       |    WHERE rn <= LEAST(2, $k)),
-       |qrd AS (SELECT p.query_id, p.cell_id, qd.d, qd.x - cc1.c + 2097152 AS rx
+       |    WHERE rn <= $probeExpr),
+       |qrd AS MATERIALIZED (SELECT p.query_id, p.cell_id, qd.d, qd.x - cc1.c + 2097152 AS rx
        |        FROM probe p
        |        JOIN qd ON qd.query_id = p.query_id
        |        JOIN cc1 ON cc1.cell_id = p.cell_id AND cc1.d = qd.d),
-       |t AS (SELECT qrd.query_id, qrd.cell_id, comb.code1, comb.code2,
-       |             CAST(sum((qrd.rx - comb.cc)*(qrd.rx - comb.cc)) AS BIGINT) AS adist
-       |      FROM qrd JOIN comb ON qrd.d = comb.d
-       |      GROUP BY 1, 2, 3, 4),
-       |codes AS (SELECT ca.vec_id, ca.cell_id, a1.code1, b2.code2
-       |          FROM ca JOIN a1 USING (vec_id) JOIN b2 USING (vec_id)),
-       |dist AS (SELECT t.query_id, codes.vec_id, t.adist
-       |         FROM codes JOIN t ON codes.cell_id = t.cell_id
-       |           AND codes.code1 = t.code1 AND codes.code2 = t.code2
-       |         WHERE codes.vec_id <> t.query_id),
+       |qn AS (SELECT query_id, cell_id, CAST(sum(rx*rx) AS BIGINT) AS qn
+       |       FROM qrd GROUP BY 1, 2),
+       |lut AS MATERIALIZED (SELECT qrd.query_id, qrd.cell_id, cadj.s, cadj.code,
+       |               CAST(sum(qrd.rx * cadj.c) AS BIGINT) AS dot
+       |        FROM qrd JOIN cadj ON qrd.d = cadj.d GROUP BY 1, 2, 3, 4),
+       |sd AS (SELECT l.query_id, co.vec_id, co.cell_id,
+       |              CAST(sum(l.dot) AS BIGINT) AS sdot
+       |       FROM codes co
+       |       JOIN lut l ON co.cell_id = l.cell_id AND co.s = l.s
+       |         AND co.code = l.code
+       |       WHERE co.vec_id <> l.query_id
+       |       GROUP BY 1, 2, 3),
+       |dist AS (SELECT sd.query_id, sd.vec_id,
+       |                CAST(qn.qn - 2*sd.sdot + rnorm.rnorm AS BIGINT) AS adist
+       |         FROM sd
+       |         JOIN qn ON qn.query_id = sd.query_id AND qn.cell_id = sd.cell_id
+       |         JOIN rnorm ON rnorm.vec_id = sd.vec_id),
        |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY adist, vec_id) AS rnk

@@ -720,6 +720,17 @@ object Similarity {
   def autoIvfCells(nVecs: Long, targetCell: Int = 64): Int =
     autoSemDedupHierK(nVecs, targetCell)
 
+  /** Probe count scaled with the cell count — max(2, ⌈√c⌉), capped at
+    * c (r17: a FIXED nProbe is the recall mirror of the fixed-nCells
+    * scale trap — cells grow ~√n, so probing a constant 2 of them
+    * shrinks the probed corpus fraction toward zero and recall decays
+    * with scale; √c probing keeps probed work ~n^(3/4) while the
+    * probed FRACTION decays only ~c^(-1/2)). Oracle-replayable: IEEE
+    * double sqrt of an exact small integer, correctly rounded in both
+    * engines, with the same GREATEST/LEAST clamps in SQL. */
+  def autoIvfProbe(nCells: Int): Int =
+    math.min(math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt), nCells)
+
   /** Two-level (hierarchical) certified cell assignment — the flat
     * k ∝ n assignment's scale fix. `kmeansFixedPointAssign` with
     * k = n/64 keeps WITHIN-CELL joins linear but pays n·k = n²/64
@@ -1309,25 +1320,53 @@ object Similarity {
     * md5(vec_id || 'rr'); lexicographic argmin ties), so DuckDB
     * replays the whole build and search bit-exactly (`q_ivfrq_auto`).
     *
-    * Search cost shape: the combined additive table (k1·k2 rows of
-    * dims-arrays) is dictionary-sized; the per-(query, probed-cell)
-    * ADC table is |Q|·nProbe·k1·k2 rows, broadcast; a candidate's
-    * distance is then ONE broadcast-lookup join on (cell_id, code1,
-    * code2) — RQ's no-aggregation-on-the-candidate-side property,
-    * now restricted to probed cells. Int64-safe: stage operands ≤
-    * 2^23, diff² ≤ 2^48, 64-dim sums ≤ 2^54. */
+    * The two-stage entry point delegates to `ivfRqTopKMulti` (the
+    * L-stage LUT-ADC form below), whose distances are bit-identical
+    * to the r16 combined-table implementation for L = 2 — exact int64
+    * algebra, ‖q_r − recon‖² = ‖q_r‖² − 2⟨q_r, recon⟩ + ‖recon‖². */
   def ivfRqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                 nCells: Int, nProbe: Int, k1: Int, k2: Int,
-                iters: Int): DataFrame = {
-    require(iters >= 1, s"ivfRqTopK needs at least one iteration, got $iters")
+                iters: Int): DataFrame =
+    ivfRqTopKMulti(embeddings, queryPred, k, nCells, nProbe,
+      Seq(k1, k2), iters)
+
+  /** L-stage IVF-RQ with the scalable LUT-form ADC. The 2-stage form
+    * above computed each candidate's distance against a COMBINED
+    * (code1, code2) table — exact, but k1·…·kL rows, so dead beyond
+    * ~3 stages, and 2–3 additive stages measurably cap recall ~0.09
+    * on this corpus (r17 lab). Real residual quantizers run 4–16
+    * stages; the standard ADC for that regime expands the distance
+    * instead of materializing combinations:
+    *
+    *   ‖q_r − Σ_s c_s‖² = ‖q_r‖² − 2·Σ_s ⟨q_r, c_s⟩ + ‖Σ_s c_s‖²
+    *
+    * — a per-(query, probed-cell, stage) dot LUT of Σk_s entries
+    * (NOT Πk_s), plus a per-VECTOR reconstruction norm `rnorm`
+    * precomputed at train time (the "carry residual norms into the
+    * ADC ordering" form: rnorm is exactly the candidate-side term the
+    * combined table folded in implicitly). A candidate's distance is
+    * L broadcast LUT lookups summed + its stored norm — all int64
+    * exact (operands ≤ 2^22, dots ≤ 2^50), so for L = 2 this returns
+    * BIT-IDENTICAL distances to the combined-table form and the
+    * existing oracle replays unchanged; for L > 2 the DuckDB unroll
+    * mirrors the same expansion. Stage-s codebooks train in the
+    * +2^(20+s) shifted frame (non-negative operands keep the integer
+    * `sum div count` centroid update floor-division-exact in both
+    * engines); seeds md5(vec_id || 'r'·s). Residual magnitudes shrink
+    * stage-over-stage, so deeper frames stay inside int64 bounds. */
+  def ivfRqTopKMulti(embeddings: DataFrame, queryPred: Column, k: Int,
+                     nCells: Int, nProbe: Int, ks: Seq[Int],
+                     iters: Int): DataFrame = {
+    require(iters >= 1, s"ivfRqTopKMulti needs at least one iteration, got $iters")
     require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad stage sizes $ks")
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
     val shiftR = 2097152L  // 2^21 residual re-shift (see rqTrain)
     val e = ensureQuantized(embeddings)
-    val (codes, cc, c1, c2) =
+    val (codesLong, rnorm, cc, cadj) =
       IndexMemo.of[(DataFrame, DataFrame, DataFrame, DataFrame)](
-        "ivfrq_train", e, (nCells, k1, k2, iters))(
-        ivfRqTrainCompute(e, nCells, k1, k2, iters))
+        "ivfrq_train", e, (nCells, ks, iters))(
+        ivfRqTrainMulti(e, nCells, ks, iters))
     // --- search ---
     val ccArr = broadcast(centArrays(cc, "cell_id"))
     val qa = e.filter(queryPred)
@@ -1341,57 +1380,92 @@ object Similarity {
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("cell_id"))
-    // query residual per probed cell (the stored residuals' +2^21 frame)
+    // query residual per probed cell (the stored residuals' +2^21
+    // frame), with its exact squared norm — the ‖q_r‖² term
     val qr = probed.join(qa, Seq("query_id"))
       .join(ccArr, Seq("cell_id"))
       .select(col("query_id"), col("cell_id"),
         expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR}L)").as("ra"))
-    // combined additive codebook in array form: reconstruction of a
-    // (code1, code2) residual is c1 + c2 − 2^22 per dim
-    val comb = c1.select(col("code1"), col("d"), col("c").as("_c1"))
-      .join(c2.select(col("code2"), col("d"), col("c").as("_c2")), Seq("d"))
-      .groupBy(col("code1"), col("code2"))
-      .agg(expr("transform(array_sort(collect_list(" +
-        "struct(d, _c1 + _c2 - 4194304 AS c))), p -> p.c)").as("cma"))
-    val adc = qr.crossJoin(broadcast(comb))
-      .select(col("query_id"), col("cell_id"), col("code1"), col("code2"),
-        sqDistQ("ra", "cma").as("adist"))
-    topKAsc(codes.join(broadcast(adc), Seq("cell_id", "code1", "code2"))
+      .withColumn("qn", normQ("ra"))
+    // per-(query, cell, stage, code) dot LUT: Σ_s k_s rows per probed
+    // cell — linear in stage count where the combined table was
+    // multiplicative
+    val lut = qr.crossJoin(broadcast(centArrays(cadj, "s", "code")))
+      .select(col("query_id"), col("cell_id"), col("s"), col("code"),
+        col("qn"), dotQ("ra", "ca").as("dot"))
+    // candidate scan: stage rows of probed cells join the broadcast
+    // LUT, one SUM collapses each candidate to its exact distance
+    val scored = codesLong.join(broadcast(lut), Seq("cell_id", "s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist")),
-      k, "adist")
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((min(col("qn")) - lit(2L) * sum(col("dot"))).as("_qd"))
+      .join(rnorm, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("_qd") + col("rnorm")).as("adist"))
+    topKAsc(scored, k, "adist")
   }
 
-  /** The training block of `ivfRqTopK`: coarse fixed-point k-means,
-    * residuals, then rqTrain's two additive stages ON the residuals.
-    * Returns (codes = (vec_id, cell_id, code1, code2), coarse
-    * centroids, stage-1 codebook, stage-2 codebook), every frame
-    * checkpointed; centroid frames are (key, d, c) per-dim rows. */
-  private def ivfRqTrainCompute(e: DataFrame, nCells: Int, k1: Int,
-                                k2: Int, iters: Int)
+  /** The training block of `ivfRqTopKMulti`: coarse fixed-point
+    * k-means, then ks.length additive stages chained on successive
+    * residuals (stage s in the +2^(20+s) frame, seeds salted
+    * 'r'·s). Returns:
+    *  - codesLong (vec_id, cell_id, s, code) — the index, one row per
+    *    vector per stage;
+    *  - rnorm (vec_id, rnorm) — ‖Σ_s c_s_adj[code_s]‖², the exact
+    *    squared norm of the vector's reconstructed residual in the
+    *    stage-1 frame;
+    *  - cc — coarse centroids (cell_id, d, c per-dim rows);
+    *  - cadj — per-stage codebooks SHIFT-ADJUSTED into the stage-1
+    *    +2^21 frame ((s, code, d, c): stage 1 as trained, stage s ≥ 2
+    *    minus its 2^(20+s) frame shift), the form both the LUT dots
+    *    and rnorm read. */
+  private def ivfRqTrainMulti(e: DataFrame, nCells: Int, ks: Seq[Int],
+                              iters: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val shift = 1048576L   // 2^20
-    val shiftR = 2097152L  // 2^21: residuals to the coarse centroid
-    val shiftR2 = 4194304L // 2^22: stage-2 residuals-of-residuals
     val v = e.select(col("vec_id"), col("q"))
     val va = v.select(col("vec_id"),
         expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
     val (ca, cc) = fpStage(v, va, nCells, "", "cell_id", iters)
-    val ra = va.join(ca, Seq("vec_id"))
+    var res = va.join(ca, Seq("vec_id"))
       .join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
       .select(col("vec_id"),
-        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR}L)").as("xa"))
+        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift * 2}L)").as("xa"))
       .localCheckpoint()
-    val (a1, c1) = fpStage(v, ra, k1, "r", "code1", iters)
-    val ra2 = ra.join(a1, Seq("vec_id"))
-      .join(broadcast(centArrays(c1, "code1")), Seq("code1"))
-      .select(col("vec_id"),
-        expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shiftR2}L)").as("xa"))
+    val stages = ks.zipWithIndex.map { case (kS, i) =>
+      val s = i + 1
+      val (aS, cS) = fpStage(v, res, kS, "r" * s, "code", iters)
+      if (s < ks.length) {
+        val frameShift = shift * (1L << (s + 1)) // next frame: +2^(21+s)
+        res = res.join(aS, Seq("vec_id"))
+          .join(broadcast(centArrays(cS, "code")), Seq("code"))
+          .select(col("vec_id"),
+            expr(s"zip_with(xa, ca, (x, c) -> x - c + ${frameShift}L)").as("xa"))
+          .localCheckpoint()
+      }
+      (s, aS, cS)
+    }
+    val cadj = stages.map { case (s, _, cS) =>
+      val frameShift = if (s == 1) 0L else shift * (1L << s) // 2^(20+s)
+      cS.select(lit(s).as("s"), col("code"), col("d"),
+        (col("c") - frameShift).as("c"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val codesLong = stages.map { case (s, aS, _) =>
+      aS.select(col("vec_id"), lit(s).as("s"), col("code"))
+    }.reduce(_.unionByName(_))
+      .join(ca, Seq("vec_id"))
+      .select(col("vec_id"), col("cell_id"), col("s"), col("code"))
       .localCheckpoint()
-    val (b2, c2) = fpStage(v, ra2, k2, "rr", "code2", iters)
-    (ca.join(a1, Seq("vec_id")).join(b2, Seq("vec_id")).localCheckpoint(),
-      cc, c1, c2)
+    // rnorm: reconstruct each vector's residual (sum the adjusted
+    // per-dim codebook rows its codes select), then its exact norm
+    val rnorm = codesLong.join(broadcast(cadj), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("d"))
+      .agg(sum(col("c")).as("rc"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("rc") * col("rc")).as("rnorm"))
+      .localCheckpoint()
+    (codesLong, rnorm, cc, cadj)
   }
 
   /** IVF-RQ + exact re-rank: the cell-restricted additive-code pool
@@ -1399,11 +1473,20 @@ object Similarity {
     * `ivfpqTopKRerank` for the residual-quantized index. */
   def ivfRqTopKRerank(embeddings: DataFrame, queryPred: Column, k: Int,
                       nCells: Int, nProbe: Int, k1: Int, k2: Int,
-                      iters: Int, pool: Int): DataFrame = {
+                      iters: Int, pool: Int): DataFrame =
+    ivfRqTopKMultiRerank(embeddings, queryPred, k, nCells, nProbe,
+      Seq(k1, k2), iters, pool)
+
+  /** L-stage IVF-RQ + exact re-rank: the probed LUT-ADC pool refined
+    * by exact quantized cosine (rides `ivfRqTopKMulti`'s memoized
+    * training). */
+  def ivfRqTopKMultiRerank(embeddings: DataFrame, queryPred: Column,
+                           k: Int, nCells: Int, nProbe: Int,
+                           ks: Seq[Int], iters: Int, pool: Int): DataFrame = {
     require(pool >= k, s"rerank pool $pool must be >= k=$k")
     val e = ensureQuantized(embeddings)
     exactRerank(e, queryPred,
-      ivfRqTopK(e, queryPred, pool, nCells, nProbe, k1, k2, iters), k)
+      ivfRqTopKMulti(e, queryPred, pool, nCells, nProbe, ks, iters), k)
   }
 
   /** IVFADC — the canonical billion-scale serving index (FAISS's
@@ -1968,13 +2051,14 @@ object Similarity {
             nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
           .localCheckpoint()
       }
-      // ivfrq_auto (r16): the probed residual-quantizer at
-      // q_ivfrq_auto's served shape — memo-shares its training with
-      // the gated query like the other auto indexes
+      // ivfrq_auto (r16, re-pointed r17): the probed residual
+      // quantizer at q_ivfrq_auto's served shape (4 stages of 64
+      // codes, LUT-form ADC, √c probing) — memo-shares its training
+      // with the gated query like the other auto indexes
       val fIvfRqAuto = training {
         val c = autoIvfCells(embeddings.count())
-        ivfRqTopK(embeddings, queryPred, 5 * k, nCells = c,
-            nProbe = math.min(2, c), k1 = 4, k2 = 4, iters = 1)
+        ivfRqTopKMulti(embeddings, queryPred, 5 * k, nCells = c,
+            nProbe = autoIvfProbe(c), ks = Seq.fill(4)(64), iters = 1)
           .localCheckpoint()
       }
       // knn_graph (r16): the NN-descent graph index at q_knn_graph's
