@@ -59,6 +59,8 @@ object Smoke {
     }
     else if (args.headOption.contains("ivfrqlab")) ivfRqLab(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.001"))
+    else if (args.headOption.contains("graphlab")) graphLab(spark,
+      args.lift(1).getOrElse("/root/testdata/sf0.001"))
     else if (args.headOption.contains("count")) {
       val n = SparkEntry.queries(args(1))(spark,
         args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
@@ -87,6 +89,54 @@ object Smoke {
       println("DETAILS=" + df.select("details").head().getString(0).take(600))
     }
     spark.stop()
+  }
+
+  /** Parameter-sweep lab for the kNN-graph serving read (r17 task 2):
+    * measures recall@10 of `knnGraphSearch` against the brute-force
+    * cosine truth across (hops, beam, kGraph, rounds), plus the
+    * exact-L2-scan ceiling (the walk ranks by L2; truth is cosine —
+    * no L2 walk can beat the exact L2 scan's overlap with the cosine
+    * top-k). */
+  private def graphLab(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val pred = col("vec_id") % 100 === 0
+    val n = emb.count()
+    val truth = Similarity.bruteForceTopKMemo(emb, pred, 10)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nTruth = truth.count()
+    def rec(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = df.filter(col("rnk") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      println(f"GRAPHLAB n=$n%-7d cfg=$label%-30s recall=${hits.toDouble / nTruth}%.3f sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
+    }
+    // exact L2 scan = the ceiling of any L2-ranked walk
+    rec("L2_exact_ceiling") {
+      val e = Similarity.quantized(emb).localCheckpoint()
+      val q = e.filter(pred).select(col("vec_id").as("query_id"), col("q").as("qa"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("ca"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("aggregate(zip_with(qa, ca, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)").as("adist"))
+      scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))))
+    }
+    rec("h3_b10_kg10_r2 (gated)")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 3, 10))
+    rec("h6_b10_kg10_r2")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 10))
+    rec("h3_b20_kg10_r2")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 3, 20))
+    rec("h6_b20_kg10_r2")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 20))
+    rec("h6_b30_kg10_r2")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 30))
+    rec("h6_b20_kg10_r3")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 3, 6, 20))
   }
 
   /** Parameter-sweep lab for the IVF-RQ serving point (r17 task 1):

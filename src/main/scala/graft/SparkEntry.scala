@@ -565,19 +565,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
-          ("ivfrq_auto", 0.09), ("knn_graph", 0.31), ("knn_graph_search", 0.39)),
+          ("ivfrq_auto", 0.09), ("knn_graph", 0.31), ("knn_graph_search", 0.48)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
-          ("ivfrq_auto", 0.15), ("knn_graph", 0.25), ("knn_graph_search", 0.29)),
+          ("ivfrq_auto", 0.15), ("knn_graph", 0.25), ("knn_graph_search", 0.47)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-          ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.16)))
+          ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.36)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-        ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.16))
+        ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.36))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1201,14 +1201,21 @@ object SparkEntry {
     "q_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), 10, 2)),
     // the SERVING read of the graph index: greedy beam search (the
-    // HNSW/NSG walk, single-layer form) — global md5 entry points,
-    // 3 fixed hops of beam-10 expansion over the graph, per-query
-    // cost O(hops*beam*k) regardless of corpus size
+    // HNSW/NSG walk, single-layer form) — global md5 entry points.
+    // r17: hops/beam/entry-count AUTO-derived from COUNT(*) via the
+    // integer ceil-log2 chain (beam = max(10, 3p), hops = min(6,
+    // max(3, ceil(p/2))) — the r16 fixed (3, 10) point decayed recall
+    // 0.78 -> 0.32 across the landed decade; the walk's budget now
+    // grows ~log n, per-query cost O(hops*beam*kGraph) stays free of
+    // any corpus-linear term, and the oracle derives the SAME params
+    // from COUNT(*) with guarded hop CTEs up to the unroll cap.
     "q_knn_graph_search" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      Similarity.knnGraphSearch(Tables.embeddings(s, d),
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      Similarity.knnGraphSearch(e,
         col("vec_id") % 100 === 0, 10, kGraph = 10, rounds = 2,
-        hops = 3, beam = 10)
+        hops = Similarity.autoGraphHops(n), beam = Similarity.autoGraphBeam(n))
     }),
     // contrastive hard-negative mining: nearest different-label rows
     "q_hard_negatives" -> ((s, d) => {
@@ -4964,17 +4971,24 @@ object SparkEntry {
        |FROM g2""".stripMargin
 
   /** Beam-search replay (`q_knn_graph_search`): the graph chain above
-    * plus `hops` unrolled walk steps — global entry points by
-    * md5(vec_id || 'ep'), per-query beam via rank windows, candidates
-    * = beam's graph neighbors NOT yet visited (anti-join), scored by
-    * the same raw-array integer L2, visited set grows by UNION ALL
-    * (candidates are new by construction). Mirrors
-    * `Similarity.knnGraphSearch(k=10, kGraph=10, rounds=2, hops=3,
-    * beam=10)` bit-exactly. */
+    * plus the walk steps — global entry points by md5(vec_id || 'ep'),
+    * per-query beam via rank windows, candidates = beam's graph
+    * neighbors NOT yet visited (anti-join), scored by the same
+    * raw-array integer L2, visited set grows by UNION ALL (candidates
+    * are new by construction). r17: beam/hops/entry-count derive from
+    * COUNT(*) exactly as `Similarity.autoGraphBeam`/`autoGraphHops` —
+    * the integer ceil-log2 chain `gp`, beam = GREATEST(10, 3p) in the
+    * rank windows, and SIX unrolled hop blocks each guarded by
+    * `i <= (SELECT h FROM prm)` (a hop past the derived count
+    * contributes zero candidate rows, so vis_i = vis_{i-1} — the
+    * static unroll replays any derived hop count up to the engine's
+    * matching cap). Mirrors `Similarity.knnGraphSearch(k=10,
+    * kGraph=10, rounds=2, hops=autoGraphHops(n), beam=
+    * autoGraphBeam(n))` bit-exactly. */
   private lazy val knnGraphSearchSql: String = {
     val k = 10
-    val beam = 10
-    val hops = 3
+    val maxHops = 6 // = the autoGraphHops cap
+    val beam = "(SELECT bm FROM prm)"
     // every vis/graph CTE is MATERIALIZED: vis_{i} is referenced three
     // times by hop i+1 (beam window, not-visited anti-join, union) and
     // g2 once per hop — inline expansion would recompute the whole
@@ -4986,7 +5000,8 @@ object SparkEntry {
          |      ORDER BY adist, node) AS rn FROM vis${i - 1}) WHERE rn <= $beam),
          |cn$i AS MATERIALIZED (SELECT DISTINCT b.query_id, g.neighbor_id AS node
          |         FROM bm$i b JOIN gm g ON g.vec_id = b.node
-         |         WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} v
+         |         WHERE $i <= (SELECT h FROM prm)
+         |           AND NOT EXISTS (SELECT 1 FROM vis${i - 1} v
          |           WHERE v.query_id = b.query_id AND v.node = g.neighbor_id)),
          |sc$i AS MATERIALIZED (SELECT c.query_id, c.node,
          |               CAST(list_sum(list_transform(list_zip(qv.q, nv.q),
@@ -4994,20 +5009,29 @@ object SparkEntry {
          |        FROM cn$i c JOIN n nv ON nv.vec_id = c.node
          |        JOIN qs qv ON qv.query_id = c.query_id),
          |vis$i AS MATERIALIZED (SELECT * FROM vis${i - 1} UNION ALL SELECT * FROM sc$i)""".stripMargin
+    val pChain = (1 to 61)
+      .map(p => s"WHEN nn.n <= ${1L << p} THEN $p")
+      .mkString("\n            ")
     s"""$knnGraphChainSql,
+       |gp AS (SELECT CASE $pChain
+       |            ELSE 62 END AS p FROM nn),
+       |prm AS (SELECT GREATEST(10, 3 * p) AS bm,
+       |               LEAST($maxHops, GREATEST(3, (p + 1) // 2)) AS h FROM gp),
        |gm AS MATERIALIZED (SELECT vec_id, neighbor_id FROM g2),
        |qs AS MATERIALIZED (SELECT vec_id AS query_id, q FROM n WHERE vec_id % 100 = 0),
-       |ep AS (SELECT vec_id AS node FROM n
-       |       ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ep'), vec_id LIMIT $beam),
+       |ep AS (SELECT vec_id AS node FROM (
+       |       SELECT vec_id, row_number() OVER (
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ep'), vec_id) AS rn
+       |       FROM n) WHERE rn <= $beam),
        |vis0 AS MATERIALIZED (SELECT qs.query_id, ep.node,
        |               CAST(list_sum(list_transform(list_zip(qs.q, nv.q),
        |                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adist
        |        FROM qs CROSS JOIN ep JOIN n nv ON nv.vec_id = ep.node),
-       |${(1 to hops).map(hop).mkString(",\n")},
+       |${(1 to maxHops).map(hop).mkString(",\n")},
        |fin AS (SELECT query_id, node AS neighbor_id, adist,
        |               row_number() OVER (PARTITION BY query_id
        |                 ORDER BY adist, node) AS rnk
-       |        FROM vis$hops WHERE query_id <> node)
+       |        FROM vis$maxHops WHERE query_id <> node)
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist
        |FROM fin WHERE rnk <= $k""".stripMargin
   }

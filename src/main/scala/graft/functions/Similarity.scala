@@ -731,6 +731,34 @@ object Similarity {
   def autoIvfProbe(nCells: Int): Int =
     math.min(math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt), nCells)
 
+  /** Smallest p ≥ 1 with 2^p ≥ n (integer ⌈log₂ n⌉, saturating at 62)
+    * — the engine-portable log the graph-serving auto-params derive
+    * from: an integer threshold chain replays exactly in DuckDB (the
+    * `autoLshBits` discipline), where a float log2 could round the
+    * other way at power-of-two boundaries. */
+  def log2Ceil(n: Long): Int = {
+    var p = 1
+    while ((1L << p) < n && p < 62) p += 1
+    p
+  }
+
+  /** Beam width (and entry-point count) for the graph serving read,
+    * derived from COUNT(*): max(10, 3·⌈log₂ n⌉). r17 (VERDICT task 2):
+    * the r16 FIXED beam of 10 decayed recall 0.78 → 0.32 across the
+    * landed decade — the walk's budget must grow with the corpus the
+    * way HNSW's efSearch does, and ~log n keeps per-query cost
+    * corpus-independent in the sense that matters (no term linear in
+    * n; O(hops · beam · kGraph) id-rows ~ log² n). */
+  def autoGraphBeam(nVecs: Long): Int = math.max(10, 3 * log2Ceil(nVecs))
+
+  /** Hop count for the graph serving read: min(6, max(3, ⌈p/2⌉)) with
+    * p = ⌈log₂ n⌉ — the walk needs ~diameter hops (log n for a
+    * navigable kNN-graph); the 6 cap is the oracle-unroll bound (the
+    * DuckDB replay materializes one guarded CTE block per hop), with
+    * the beam's growth carrying recall past the cap. */
+  def autoGraphHops(nVecs: Long): Int =
+    math.min(6, math.max(3, (log2Ceil(nVecs) + 1) / 2))
+
   /** Two-level (hierarchical) certified cell assignment — the flat
     * k ∝ n assignment's scale fix. `kmeansFixedPointAssign` with
     * k = n/64 keeps WITHIN-CELL joins linear but pays n·k = n²/64
@@ -2064,11 +2092,13 @@ object Similarity {
       // knn_graph (r16): the NN-descent graph index at q_knn_graph's
       // served shape (k lists, 2 rounds) — already memo-checkpointed
       val fKnn = training { knnGraph(embeddings, k, 2) }
-      // knn_graph_search (r16): the beam-search SERVING read at
-      // q_knn_graph_search's shape — rides fKnn's memoized graph
+      // knn_graph_search (r16, auto-params r17): the beam-search
+      // SERVING read at q_knn_graph_search's shape (COUNT(*)-derived
+      // hops/beam) — rides fKnn's memoized graph
       val fKnnSearch = training {
+        val n = embeddings.count()
         knnGraphSearch(embeddings, queryPred, k, kGraph = k, rounds = 2,
-            hops = 3, beam = k)
+            hops = autoGraphHops(n), beam = autoGraphBeam(n))
           .localCheckpoint()
       }
       val all = Seq[Future[Any]](fTruth, fBuckets, fPq, fRq, fIvfpq, fSq8,

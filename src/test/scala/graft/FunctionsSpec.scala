@@ -2065,7 +2065,7 @@ class SimilaritySpec extends SparkSpec {
       // ivfrq_auto (r17): re-pointed to 4 additive stages x 64 codes
       // through the LUT-form ADC with sqrt(c) probing — measured 0.18
       // on this corpus (was 0.04 at the r16 2-stage 4x4 point)
-      "ivfrq_auto" -> 0.18, "knn_graph" -> 0.62, "knn_graph_search" -> 0.78, "sq8" -> 0.90,
+      "ivfrq_auto" -> 0.18, "knn_graph" -> 0.62, "knn_graph_search" -> 0.96, "sq8" -> 0.90,
       "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
