@@ -54,55 +54,161 @@ object ReportUpsert {
   def mergeInto(dir: String, incoming: DataFrame): Unit = withWriterLock(dir) {
     recover(dir)
     val spark = incoming.sparkSession
-    val target = new java.io.File(dir)
     val merged =
-      if (target.exists()) merge(spark.read.parquet(dir), incoming)
+      if (Fs.exists(dir)) merge(spark.read.parquet(dir), incoming)
       else incoming
     // Overwrite must not read its own output mid-write: stage to a temp
     // local collect-free checkpoint via a shadow dir swap.
     val tmp = dir + "_staged"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = new java.io.File(dir)
-    if (old.exists()) {
-      val bak = new java.io.File(dir + "_old")
-      deleteRec(bak)
-      move(old, bak)
-      move(new java.io.File(tmp), old)
-      deleteRec(bak)
-    } else move(new java.io.File(tmp), old)
+    if (Fs.exists(dir)) {
+      val bak = dir + "_old"
+      Fs.delete(bak)
+      Fs.move(dir, bak)
+      Fs.move(tmp, dir)
+      Fs.delete(bak)
+    } else Fs.move(tmp, dir)
   }
 
-  /** Directory rename that FAILS LOUDLY: a silently-ignored rename
-    * failure (cross-device target, open handle, permissions) would
-    * leave the live table stale or the swap half-done with readers
-    * none the wiser. ATOMIC_MOVE throws instead of degrading to
-    * copy+delete, so the swap invariant (readers see old-complete or
-    * new-complete, never partial) holds or the writer aborts — and a
-    * `recover` on the next run restores the directory layout. */
-  private def move(src: java.io.File, dst: java.io.File): Unit =
-    java.nio.file.Files.move(src.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  /** Filesystem layer of the MERGE/OCC sinks, on the Hadoop
+    * `FileSystem`/`FileContext` API so every path resolves against the
+    * SAME filesystem Spark writes to (r17, VERDICT task 3 — the
+    * manifest/CAS/vacuum machinery was `java.io.File` throughout, so
+    * on HDFS/S3 the crash-safety story silently did not exist: staged
+    * writes landed on the cluster FS while swaps, version listings and
+    * vacuums ran against the driver's LOCAL disk). Same conf
+    * resolution as `streaming.StoreFs` (which closed the identical
+    * r14 gap for the ingest stores): active session's Hadoop conf,
+    * bare conf for session-less callers. */
+  private object Fs {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+
+    private def hadoopConf: org.apache.hadoop.conf.Configuration =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+    private def fs(p: Path): org.apache.hadoop.fs.FileSystem =
+      p.getFileSystem(hadoopConf)
+
+    def exists(path: String): Boolean = {
+      val p = new Path(path); fs(p).exists(p)
+    }
+
+    def mkdirs(path: String): Unit = {
+      val p = new Path(path); fs(p).mkdirs(p)
+    }
+
+    /** Recursive delete; a missing path is a no-op. */
+    def delete(path: String): Unit = {
+      val p = new Path(path)
+      val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+    }
+
+    /** Children of `dir` (empty when missing) — name + mtime, one
+      * metadata listing. */
+    def list(dir: String): Seq[FileStatus] = {
+      val p = new Path(dir)
+      val f = fs(p)
+      if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
+    }
+
+    /** Rename that FAILS LOUDLY: a silently-ignored rename failure
+      * (cross-filesystem target, permissions) would leave the live
+      * table stale or the swap half-done with readers none the wiser.
+      * `FileSystem.rename` signals failure by RETURNING FALSE; this
+      * throws instead, so the swap invariant (readers see old-complete
+      * or new-complete, never partial) holds or the writer aborts —
+      * and a `recover` on the next run restores the layout. */
+    def move(src: String, dst: String): Unit = {
+      val sp = new Path(src)
+      if (!fs(sp).rename(sp, new Path(dst)))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+
+    /** Atomic publish-if-absent — the commit primitive (the HDFS
+      * LogStore pattern): `FileContext.rename(…, Rename.NONE)` fails
+      * with `FileAlreadyExistsException` when the destination exists,
+      * and on HDFS the check-and-rename is one atomic namenode op.
+      * Returns false on the lost race. The r16 local-FS form used
+      * hard-link creation, which object stores and HDFS federation
+      * don't portably offer; rename-no-replace is the portable CAS
+      * (object stores WITHOUT atomic rename need a coordination
+      * service here — the documented Delta-on-S3 caveat — while HDFS,
+      * ABFS, GCS and local FS all honor it). */
+    def renameNoReplace(src: String, dst: String): Boolean = {
+      val sp = new Path(src)
+      val qualified = fs(sp).makeQualified(sp)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        qualified.toUri, hadoopConf)
+      try {
+        fc.rename(qualified, fs(sp).makeQualified(new Path(dst)))
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+          false
+      }
+    }
+
+    def readUtf8(path: String): String = {
+      val p = new Path(path)
+      val in = fs(p).open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+
+    /** Write through `FileContext` (like the CAS rename) so manifest
+      * tmps and lock claims don't grow ChecksumFileSystem `.crc`
+      * siblings on local FS — FileContext renames wouldn't carry them,
+      * stranding unmatched crc litter in the manifest dir. */
+    def writeUtf8(path: String, content: String): Unit = {
+      val p = new Path(path)
+      val qualified = fs(p).makeQualified(p)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        qualified.toUri, hadoopConf)
+      val out = fc.create(qualified,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent())
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   /** Single-writer contract for the parquet MERGE sinks. The staged-swap
     * (`mergeInto`) and dynamic-partition-overwrite (`mergeIntoPartitioned`)
     * sequences have no cross-process transaction — two concurrent
     * writers on one reports dir could interleave renames or partition
     * overwrites. Writers therefore take an exclusive lock file
-    * (`<dir>_lock`, atomic create) for the duration of the batch and a
-    * concurrent writer fails fast with a clear error instead of
-    * corrupting the swap. A crash leaves the lock behind by design —
-    * operator intervention (delete the lock after confirming no writer
-    * is alive) beats silently stealing a lock that may still be held.
-    * With a transactional table format (Delta/Iceberg — unavailable in
-    * this environment) the format's own commit protocol replaces this. */
+    * (`<dir>_lock`, claimed by the atomic rename-no-replace CAS) for
+    * the duration of the batch and a concurrent writer fails fast with
+    * a clear error instead of corrupting the swap. A crash leaves the
+    * lock behind by design — operator intervention (delete the lock
+    * after confirming no writer is alive) beats silently stealing a
+    * lock that may still be held. With a transactional table format
+    * (Delta/Iceberg — unavailable in this environment) the format's
+    * own commit protocol replaces this. */
   private def withWriterLock[T](dir: String)(body: => T): T = {
-    val lock = new java.io.File(dir + "_lock")
-    Option(lock.getParentFile).foreach(_.mkdirs())
-    if (!lock.createNewFile())
+    val lock = dir + "_lock"
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    if (parent != null) Fs.mkdirs(parent.toString)
+    val claim = dir + s"_lockclaim_${java.util.UUID.randomUUID()}"
+    Fs.writeUtf8(claim, "")
+    val won = try Fs.renameNoReplace(claim, lock) finally {
+      if (Fs.exists(claim)) Fs.delete(claim)
+    }
+    if (!won)
       throw new IllegalStateException(
         s"reports MERGE sink at $dir is locked by another writer ($lock exists); " +
           "the sink is single-writer — if no writer is alive, remove the stale lock")
-    try body finally lock.delete()
+    try body finally Fs.delete(lock)
   }
 
   /** Restore the `mergeInto` directory invariant after a crash at any
@@ -111,10 +217,8 @@ object ReportUpsert {
     * `_staged` leftovers (incomplete or unswapped write — the batch
     * re-runs idempotently thanks to the monotone-count guard). */
   def recover(dir: String): Unit = {
-    val live = new java.io.File(dir)
-    val bak = new java.io.File(dir + "_old")
-    if (!live.exists() && bak.exists()) move(bak, live)
-    deleteRec(new java.io.File(dir + "_staged"))
+    if (!Fs.exists(dir) && Fs.exists(dir + "_old")) Fs.move(dir + "_old", dir)
+    Fs.delete(dir + "_staged")
   }
 
   /** Partitioned MERGE sink — the 100 TB shape. The reports table is
@@ -138,9 +242,8 @@ object ReportUpsert {
   def mergeIntoPartitioned(dir: String, incoming: DataFrame): Unit = withWriterLock(dir) {
     val spark = incoming.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val target = new java.io.File(dir)
     val merged =
-      if (target.exists()) {
+      if (Fs.exists(dir)) {
         val touchedDf = incoming.select(col("begin_date")).distinct()
         // cap the collect before building it: count first (cheap — the
         // distinct is one shuffle over a batch-sized frame)
@@ -185,16 +288,20 @@ object ReportUpsert {
   //
   // Layout: `<dir>/manifest/v%08d.json` (content: the committed data
   // dir's name) + `<dir>/data/<uuid>/part-*.parquet`. The commit point
-  // is ONE filesystem primitive: `Files.createLink(v<N+1>.json, tmp)`
-  // — hard-link creation is atomic and FAILS if the target exists, so
-  // exactly one writer claims each version and readers only ever see
-  // fully-written manifests (content is written to tmp BEFORE the
-  // link). Data dirs are immutable once committed — no in-place swap,
-  // no recovery dance: a crash leaves at worst an unreferenced staged
-  // dir and a tmp manifest, both dropped by `vacuumOcc`. Like the
-  // sibling sinks this is the LOCAL-FS form (hard links don't exist on
-  // object stores); with Delta/Iceberg the format's own CAS-on-log
-  // commit replaces it verbatim.
+  // is ONE filesystem primitive: rename-no-replace of the fully-written
+  // tmp manifest onto `v<N+1>.json` (`Fs.renameNoReplace` —
+  // FileContext + Rename.NONE, the HDFS LogStore protocol) — the
+  // rename fails if the target exists, so exactly one writer claims
+  // each version, and readers only ever see fully-written manifests
+  // (content is written to tmp BEFORE the publish). Data dirs are
+  // immutable once committed — no in-place swap, no recovery dance: a
+  // crash leaves at worst an unreferenced staged dir and a tmp
+  // manifest, both dropped by `vacuumOcc`. r17: the whole layer runs
+  // on the Hadoop FS API (was java.io.File — local-disk only), so the
+  // protocol holds on HDFS verbatim; object stores WITHOUT atomic
+  // rename-no-replace (raw S3) need a coordination service for the
+  // claim, exactly the documented Delta-on-S3 caveat. With
+  // Delta/Iceberg the format's own CAS-on-log commit replaces this.
   // ------------------------------------------------------------------
 
   /** Commit `incoming` into the OCC table at `dir` (creating it if
@@ -205,9 +312,9 @@ object ReportUpsert {
   def mergeIntoOcc(dir: String, incoming: DataFrame, maxRetries: Int = 10,
                    beforeCommit: Int => Unit = _ => ()): Int = {
     val spark = incoming.sparkSession
-    val manifestDir = new java.io.File(dir, "manifest")
-    val dataDir = new java.io.File(dir, "data")
-    manifestDir.mkdirs(); dataDir.mkdirs()
+    val manifestDir = occManifestDir(dir)
+    val dataDir = occDataDir(dir)
+    Fs.mkdirs(manifestDir); Fs.mkdirs(dataDir)
     var attempt = 0
     while (attempt <= maxRetries) {
       // 1. read-set: the current table version and its snapshot
@@ -215,37 +322,34 @@ object ReportUpsert {
       val merged = occSnapshotAt(spark, dir, v)
         .map(merge(_, incoming)).getOrElse(incoming)
       // 2. stage the post-merge snapshot under a fresh immutable dir
-      val staged = new java.io.File(dataDir, java.util.UUID.randomUUID().toString)
-      merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      val stagedName = java.util.UUID.randomUUID().toString
+      val staged = s"$dataDir/$stagedName"
+      merged.write.mode(SaveMode.Overwrite).parquet(staged)
       beforeCommit(attempt)
-      // 3. CAS: claim version v+1 by atomic hard-link creation
-      val tmp = java.io.File.createTempFile("manifest_", ".tmp", manifestDir)
-      java.nio.file.Files.write(tmp.toPath,
-        staged.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val target = new java.io.File(manifestDir, f"v${v + 1}%08d.json")
-      try {
-        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
-        tmp.delete()
+      // 3. CAS: claim version v+1 by atomic rename-no-replace of the
+      // fully-written tmp manifest
+      val tmp = s"$manifestDir/manifest_${java.util.UUID.randomUUID()}.tmp"
+      Fs.writeUtf8(tmp, stagedName)
+      if (Fs.renameNoReplace(tmp, f"$manifestDir/v${v + 1}%08d.json"))
         return v + 1
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // 4. conflict: another writer claimed v+1 — discard the
-          // staged data and REPLAY against the new snapshot
-          tmp.delete()
-          deleteRec(staged)
-          attempt += 1
-      }
+      // 4. conflict: another writer claimed v+1 — discard the staged
+      // data and REPLAY against the new snapshot
+      Fs.delete(tmp)
+      Fs.delete(staged)
+      attempt += 1
     }
     throw new IllegalStateException(
       s"OCC merge at $dir lost $maxRetries consecutive version races — " +
         "writer contention exceeds the retry budget")
   }
 
+  private def occManifestDir(dir: String) = s"$dir/manifest"
+  private def occDataDir(dir: String) = s"$dir/data"
+
   /** Highest committed version of the OCC table (-1 when empty). */
   def occVersion(dir: String): Int =
-    Option(new java.io.File(dir, "manifest").listFiles()).map(_.toSeq)
-      .getOrElse(Nil)
-      .map(_.getName)
+    Fs.list(occManifestDir(dir))
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
       .foldLeft(-1)(math.max)
@@ -259,17 +363,16 @@ object ReportUpsert {
                             dir: String, v: Int): Option[DataFrame] =
     if (v < 0) None
     else {
-      val mf = new java.io.File(new java.io.File(dir, "manifest"), f"v$v%08d.json")
-      if (!mf.exists()) throw new IllegalStateException(
+      val mf = f"${occManifestDir(dir)}/v$v%08d.json"
+      if (!Fs.exists(mf)) throw new IllegalStateException(
         s"OCC version $v of $dir is gone (vacuumed past keepVersions, or never " +
           "committed) — pinned readers must re-resolve to a live version")
-      val name = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val data = new java.io.File(new java.io.File(dir, "data"), name)
-      if (!data.exists()) throw new IllegalStateException(
+      val name = Fs.readUtf8(mf)
+      val data = s"${occDataDir(dir)}/$name"
+      if (!Fs.exists(data)) throw new IllegalStateException(
         s"OCC version $v of $dir references a missing data dir $name — " +
           "the table is corrupted (a vacuum dropped a referenced dir)")
-      Some(spark.read.parquet(data.toString))
+      Some(spark.read.parquet(data))
     }
 
   /** The current committed snapshot (None for an empty table). */
@@ -303,31 +406,29 @@ object ReportUpsert {
   def vacuumOcc(dir: String, keepVersions: Int = 2,
                 minAgeMs: Long = 3600L * 1000L): Unit = {
     val now = System.currentTimeMillis()
-    def aged(f: java.io.File): Boolean = now - f.lastModified() >= minAgeMs
-    val manifestDir = new java.io.File(dir, "manifest")
-    val versions = Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
-      .sortBy(_.getName)
+    def aged(f: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - f.getModificationTime >= minAgeMs
+    val manifestLs = Fs.list(occManifestDir(dir))
+    val versions = manifestLs
+      .filter { f =>
+        val n = f.getPath.getName; n.startsWith("v") && n.endsWith(".json")
+      }
+      .sortBy(_.getPath.getName)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = keep.map(f => new String(
-      java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)).toSet
-    Option(manifestDir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.getName.endsWith(".tmp") && aged(f)).foreach(_.delete())
-    drop.foreach(_.delete())
-    Option(new java.io.File(dir, "data").listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filterNot(d => referenced.contains(d.getName))
+    val referenced = keep.map(f => Fs.readUtf8(f.getPath.toString)).toSet
+    manifestLs
+      .filter(f => f.getPath.getName.endsWith(".tmp") && aged(f))
+      .foreach(f => Fs.delete(f.getPath.toString))
+    drop.foreach(f => Fs.delete(f.getPath.toString))
+    Fs.list(occDataDir(dir))
+      .filterNot(d => referenced.contains(d.getPath.getName))
       .filter(aged)
-      .foreach(deleteRec)
+      .foreach(d => Fs.delete(d.getPath.toString))
   }
 
-  /** Recursive delete of a local directory (test/probe helper). */
-  def deleteDir(path: String): Unit = deleteRec(new java.io.File(path))
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
-  }
+  /** Recursive delete (test/probe helper) — Hadoop FS, same resolution
+    * as every other path in this sink. */
+  def deleteDir(path: String): Unit = Fs.delete(path)
 
   /** One report row per txn_date (begin = end = the day): the per-file
     * report analog used to exercise merge semantics on the corpus. */

@@ -36,18 +36,23 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("mergeInto recovers from every crash point of the dir swap") {
+    // r17: driven through a scheme-qualified file: URI so the whole
+    // swap/recover sequence exercises the Hadoop FileSystem path (the
+    // java.io.File form silently no-ops on any non-local default FS);
+    // fixture manipulation below uses the raw local path.
     val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
-    val dir = base + "/reports"
+    val localDir = base + "/reports"
+    val dir = "file:" + localDir
     val v1 = reports(("2024-01-01", 10.0, "v1", 5L))
     ReportUpsert.mergeInto(dir, v1)
     // crash between the two renames: live dir gone, backup stranded
-    new java.io.File(dir).renameTo(new java.io.File(dir + "_old"))
+    new java.io.File(localDir).renameTo(new java.io.File(localDir + "_old"))
     ReportUpsert.mergeInto(dir, reports(("2024-01-02", 3.0, "v2", 1L)))
     val afterA = spark.read.parquet(dir).collect()
       .map(_.getAs[String]("version")).sorted.toSeq
     assert(afterA == Seq("v1", "v2"), s"backup not promoted: $afterA")
     // crash mid staged write: stranded _staged must be discarded, not read
-    val staged = new java.io.File(dir + "_staged")
+    val staged = new java.io.File(localDir + "_staged")
     staged.mkdirs()
     java.nio.file.Files.writeString(staged.toPath.resolve("garbage"), "not parquet")
     ReportUpsert.mergeInto(dir, reports(("2024-01-03", 4.0, "v3", 1L)))
@@ -81,8 +86,9 @@ class UpsertSpec extends SparkSpec {
 
   test("MERGE sinks are single-writer: held lock fails fast, released after a batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_lock").toString
-    val dir = base + "/reports"
-    val lock = new java.io.File(dir + "_lock")
+    val localDir = base + "/reports"
+    val dir = "file:" + localDir // hold the lock via the Hadoop FS path too
+    val lock = new java.io.File(localDir + "_lock")
     val v1 = reports(("2024-01-01", 10.0, "v1", 5L))
     // a concurrent writer's lock blocks both sink forms, fast
     assert(lock.createNewFile())
@@ -101,7 +107,7 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("OCC merge: interleaved writers — the loser replays and BOTH increments land") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_occ").toString + "/reports"
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft_occ").toString + "/reports"
     ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 10.0, "seed", 5L)))
     assert(ReportUpsert.occVersion(dir) == 0)
     // Writer A stages against version 0; before A's claim, writer B
@@ -125,7 +131,7 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("OCC merge: the P5 monotone guard holds under replay") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_occ2").toString + "/reports"
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft_occ2").toString + "/reports"
     ReportUpsert.mergeIntoOcc(dir, reports(("2024-01-01", 10.0, "seed", 5L)))
     // Writer A carries count 6 for the seed key; the rival commits
     // count 9 for the SAME key before A's claim. A's replay re-merges
@@ -158,7 +164,8 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("OCC merge: concurrent THREADS both land; vacuum drops only unreferenced dirs") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_occ3").toString + "/reports"
+    val localDir = java.nio.file.Files.createTempDirectory("graft_occ3").toString + "/reports"
+    val dir = "file:" + localDir
     val dates = (1 to 6).map(i => f"2024-02-$i%02d")
     // 6 genuinely concurrent writers, one date each — every row must
     // land regardless of race order, in <= 6 + retries commits
@@ -172,24 +179,24 @@ class UpsertSpec extends SparkSpec {
     assert(out.length == 6, s"all 6 concurrent increments must land, got ${out.length}")
     assert(ReportUpsert.occVersion(dir) == 5, "6 commits -> versions 0..5")
     // crash leftovers: a stranded staged dir and a manifest tmp
-    val junk = new java.io.File(dir + "/data/deadbeef-junk")
+    val junk = new java.io.File(localDir + "/data/deadbeef-junk")
     junk.mkdirs()
-    java.nio.file.Files.writeString(new java.io.File(dir + "/manifest/manifest_x.tmp").toPath, "junk")
+    java.nio.file.Files.writeString(new java.io.File(localDir + "/manifest/manifest_x.tmp").toPath, "junk")
     // writers are QUIESCED (threads joined), so the aggressive
     // minAgeMs = 0 form is legal here — fresh junk goes immediately
     ReportUpsert.vacuumOcc(dir, keepVersions = 2, minAgeMs = 0)
     assert(!junk.exists(), "unreferenced staged dir must be vacuumed")
-    assert(!new java.io.File(dir + "/manifest/manifest_x.tmp").exists())
+    assert(!new java.io.File(localDir + "/manifest/manifest_x.tmp").exists())
     // the LIVE snapshot survives vacuum
     assert(ReportUpsert.readOcc(spark, dir).get.count() == 6)
     // only keepVersions manifests remain
-    val vs = new java.io.File(dir + "/manifest").listFiles()
+    val vs = new java.io.File(localDir + "/manifest").listFiles()
       .map(_.getName).filter(_.endsWith(".json"))
     assert(vs.length == 2, s"history must be trimmed to keepVersions: ${vs.toSeq}")
   }
 
   test("OCC vacuum vs committing writer: safe at every interleaving; pinned readers fail cleanly") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_occ4").toString + "/reports"
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft_occ4").toString + "/reports"
     ReportUpsert.mergeIntoOcc(dir, reports(("2024-03-01", 1.0, "seed", 1L)))
     // ordering 1 — vacuum BEFORE the writer stages: trivially safe
     ReportUpsert.vacuumOcc(dir, keepVersions = 10)
@@ -227,7 +234,7 @@ class UpsertSpec extends SparkSpec {
     // and the WHY of the retention age, demonstrated: with minAgeMs=0
     // (the pre-r16 behavior) the stage->CAS vacuum corrupts the table —
     // and the corruption is now DETECTED at read, not silent
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_occ5").toString + "/reports"
+    val dir2 = "file:" + java.nio.file.Files.createTempDirectory("graft_occ5").toString + "/reports"
     ReportUpsert.mergeIntoOcc(dir2, reports(("2024-03-01", 1.0, "seed", 1L)))
     ReportUpsert.mergeIntoOcc(dir2, reports(("2024-03-02", 2.0, "w2", 1L)),
       beforeCommit = _ => ReportUpsert.vacuumOcc(dir2, keepVersions = 10, minAgeMs = 0))
