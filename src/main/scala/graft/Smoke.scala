@@ -61,6 +61,38 @@ object Smoke {
       args.lift(1).getOrElse("/root/testdata/sf0.001"))
     else if (args.headOption.contains("graphlab")) graphLab(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.001"))
+    else if (args.headOption.contains("graphbuildprof")) {
+      // stage-level timing of the kNN-graph BUILD (r17 task 4 lab)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long)]()
+      val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          js.stageIds.foreach(id => stageDesc.put(id, d))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(0L)
+          val m = si.taskMetrics
+          val site = Option(stageDesc.get(si.stageId)).filter(_.nonEmpty)
+            .getOrElse(si.name.trim.take(60))
+          stages.put(si.stageId, (site.take(90), ms,
+            m.shuffleWriteMetrics.bytesWritten, m.memoryBytesSpilled + m.diskBytesSpilled))
+        }
+      })
+      val t0 = System.nanoTime()
+      val n = graft.functions.Similarity.knnGraph(
+        Tables.embeddings(spark, args.lift(1).getOrElse("/root/testdata/sf0.01")), 10, 2).count()
+      println(f"GRAPHBUILD total=${(System.nanoTime() - t0) / 1e9}%.1f s rows=$n")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2._2).take(20).foreach { case (id, (nm, ms, sw, sp)) =>
+        println(f"STAGE $id%4d ${ms / 1000.0}%7.1fs shufW=${sw / 1e9}%6.2fGB spill=${sp / 1e9}%6.2fGB $nm")
+      }
+    }
     else if (args.headOption.contains("count")) {
       val n = SparkEntry.queries(args(1))(spark,
         args.lift(2).getOrElse("/root/testdata/sf0.01")).count()
@@ -125,18 +157,21 @@ object Smoke {
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("adist"), col("neighbor_id"))))
     }
-    rec("h3_b10_kg10_r2 (gated)")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 3, 10))
-    rec("h6_b10_kg10_r2")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 10))
-    rec("h3_b20_kg10_r2")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 3, 20))
-    rec("h6_b20_kg10_r2")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 20))
-    rec("h6_b30_kg10_r2")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, 6, 30))
-    rec("h6_b20_kg10_r3")(
-      Similarity.knnGraphSearch(emb, pred, 10, 10, 3, 6, 20))
+    val hA = Similarity.autoGraphHops(n)
+    val bA = Similarity.autoGraphBeam(n)
+    def recG(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = df.filter(pred)
+        .select(col("vec_id").as("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      println(f"GRAPHLAB n=$n%-7d cfg=$label%-30s recall=${hits.toDouble / nTruth}%.3f sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
+    }
+    recG("graph_r2 (node lists)")(Similarity.knnGraph(emb, 10, 2))
+    recG("graph_r3 (node lists)")(Similarity.knnGraph(emb, 10, 3))
+    rec(s"search_r2_h${hA}_b$bA (gated)")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 2, hA, bA))
+    rec(s"search_r3_h${hA}_b$bA")(
+      Similarity.knnGraphSearch(emb, pred, 10, 10, 3, hA, bA))
   }
 
   /** Parameter-sweep lab for the IVF-RQ serving point (r17 task 1):

@@ -565,19 +565,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
-          ("ivfrq_auto", 0.09), ("knn_graph", 0.31), ("knn_graph_search", 0.48)),
+          ("ivfrq_auto", 0.09), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
-          ("ivfrq_auto", 0.15), ("knn_graph", 0.25), ("knn_graph_search", 0.47)),
+          ("ivfrq_auto", 0.15), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-          ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.36)))
+          ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
-        ("ivfrq_auto", 0.065), ("knn_graph", 0.12), ("knn_graph_search", 0.36))
+        ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -5039,6 +5039,7 @@ object SparkEntry {
   private lazy val knnGraphChainSql: String = {
     val k = 10
     val rounds = 2
+    val ringJ = 2 * k // the bounded bucket-ring seed (see Similarity.knnGraph)
     val thresholds = (1 to 61)
       .map(b => s"WHEN nn.n <= ${256L * (1L << b)} THEN $b")
       .mkString("\n            ")
@@ -5083,8 +5084,20 @@ object SparkEntry {
        |tb AS (SELECT vec_id,
        |              CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INTEGER)) ELSE 0 END) AS BIGINT) AS b
        |       FROM proj GROUP BY vec_id),
-       |i0 AS (SELECT a.vec_id, b.vec_id AS neighbor_id
-       |       FROM tb a JOIN tb b ON a.b = b.b AND a.vec_id <> b.vec_id),
+       |szs AS (SELECT b, count(*) AS sz FROM tb GROUP BY b),
+       |rng AS (SELECT vec_id, b,
+       |               row_number() OVER (PARTITION BY b
+       |                 ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ring'), vec_id) AS rn
+       |        FROM tb),
+       |i0r AS (SELECT x.vec_id, y.vec_id AS neighbor_id
+       |        FROM rng x
+       |        JOIN szs s ON s.b = x.b
+       |        CROSS JOIN (SELECT unnest(range(1, $ringJ + 1)) AS j) js
+       |        JOIN rng y ON y.b = x.b AND y.rn = ((x.rn - 1 + js.j) % s.sz) + 1
+       |        WHERE js.j <= LEAST($ringJ, s.sz - 1)),
+       |i0 AS (SELECT vec_id, neighbor_id FROM i0r
+       |       UNION
+       |       SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM i0r),
        |${scoreTopK(0, "i0")},
        |${round(1)},
        |${round(2)}""".stripMargin

@@ -206,20 +206,6 @@ object Dedup {
         concat_ws(" ", (0 until n).map(i => col(s"z.t$i")): _*).as("sh"))
   }
 
-  /** Duplicated-span statistics (the exact-substring-dedup diagnostic
-    * of Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better", ACL 2022): per doc, how many of its token positions are
-    * covered by a k-gram that also appears in at least `minDf` distinct
-    * docs. Span coverage merges overlapping duplicated k-grams with a
-    * running-max window (gaps-and-islands), so `covered_tokens` is the
-    * true union length, not k × count.
-    *
-    * Scale shape: positions checkpoint once and every shuffle is keyed
-    * on the md5 shingle digest (never the text) or doc_id — the
-    * big-big digest join is the inherent cost of EXACT substring-level
-    * dedup; the approximate family (MinHash/SimHash) exists for when
-    * even that is too much. Integer arithmetic throughout (the only
-    * double is the final ratio), so the output is engine-portable. */
   /** The positional shingle-digest frame shared by the whole span
     * family (diagnostic + apply + savings run over the SAME (doc, pos,
     * md5(gram)) rows): memoized per (corpus plan, k) so the three
@@ -248,6 +234,20 @@ object Dedup {
         .localCheckpoint()
     }
 
+  /** Duplicated-span statistics (the exact-substring-dedup diagnostic
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): per doc, how many of its token positions are
+    * covered by a k-gram that also appears in at least `minDf` distinct
+    * docs. Span coverage merges overlapping duplicated k-grams with a
+    * running-max window (gaps-and-islands), so `covered_tokens` is the
+    * true union length, not k × count.
+    *
+    * Scale shape: positions checkpoint once and every shuffle is keyed
+    * on the md5 shingle digest (never the text) or doc_id — the
+    * big-big digest join is the inherent cost of EXACT substring-level
+    * dedup; the approximate family (MinHash/SimHash) exists for when
+    * even that is too much. Integer arithmetic throughout (the only
+    * double is the final ratio), so the output is engine-portable. */
   def duplicatedSpans(docs: DataFrame, k: Int, minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pg = spanPosDigests(docs, k)

@@ -938,9 +938,11 @@ object Similarity {
     * id-sized rows. The raw vectors are touched only to build the
     * |Q|-row query side. */
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-             m: Int, ksub: Int, iters: Int): DataFrame = {
+             m: Int, ksub: Int, iters: Int,
+             lutBudget: Long = defaultLutEntries): DataFrame = {
     val (codes, cents) = pqTrain(embeddings, m, ksub, iters)
-    pqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, cents, k)
+    pqSearchIndex(ensureQuantized(embeddings).filter(queryPred), codes, cents,
+      k, lutBudget)
   }
 
   /** Per-task LUT broadcast budget: the dense per-query ADC distance
@@ -948,32 +950,60 @@ object Similarity {
     * |Q| makes the broadcast itself the driver-side ceiling (the
     * autoDocFreqCap class of trap). 4M entries = 32 MB per broadcast —
     * chunks of ceil(budget / (m·ksub)) queries keep each broadcast
-    * bounded while the total scan work (|Q|·n gathers) is unchanged;
-    * queries partition BY VALUE (query_id % nChunks), each chunk's
-    * top-k is complete for its queries, and the union is the exact
-    * unchunked result (spec-pinned). Mutable ONLY so the equality spec
-    * can force chunking on fixture-sized query sets. */
-  private[graft] var maxLutEntries: Long = 4L << 20
+    * bounded while the total scan work (|Q|·n gathers) is unchanged.
+    * r17: a `val` default threaded as the `lutBudget` parameter
+    * everywhere (was a `private[graft] var` test seam on a production
+    * path — specs now pass the parameter). */
+  val defaultLutEntries: Long = 4L << 20
+
+  /** Deterministic chunk count with a HARD per-chunk cap: start at
+    * ceil(n / cap) and DOUBLE until no chunk exceeds `cap` ids (each
+    * check is one id-only aggregation; with xxhash64 spreading, the
+    * loop converges immediately in practice). r17 ADVICE fix: the r16
+    * split used pmod(id, nChunks) — this repo's query predicates are
+    * arithmetic progressions (vec_id % 100 === 0), so whenever nChunks
+    * shared a factor with the stride the queries COLLAPSED into one or
+    * two chunks and the per-broadcast budget was exceeded unboundedly
+    * (fully unchunked in the worst case — the exact driver-OOM the
+    * budget exists to prevent). Chunking never affects results (chunks
+    * partition queries), so the hash swap keeps every oracle gate. */
+  private[graft] def hashChunkCount(ids: DataFrame, idCol: String, cap: Long,
+                                    n: Long): Int = {
+    var nChunks = math.max(1L, (n + cap - 1) / cap)
+    while (nChunks > 1 && nChunks < (1L << 30) &&
+           ids.groupBy(pmod(xxhash64(col(idCol)), lit(nChunks)).as("_c"))
+             .count().agg(max(col("count"))).head().getLong(0) > cap)
+      nChunks *= 2
+    nChunks.toInt
+  }
 
   /** ADC search of query VECTORS against an existing (codes, cents)
     * index — the decoupled form `pqTopK` composes and the streaming
     * path (`StreamingAnnIngest.searchStream`) reuses per micro-batch:
     * queries need not come from the indexed corpus. `lutBudget`
     * overrides the per-broadcast LUT entry budget (tests force tiny
-    * chunks with it; serving uses the 32 MB default). */
+    * chunks with it; serving uses the 32 MB default). Callers that
+    * KNOW the query set is trigger-bounded far below the budget (the
+    * per-tick streaming path) pass `boundedQueries = true` to skip the
+    * sizing count — the per-tick search stays one job (r17 advice; a
+    * tick genuinely above ~512k queries belongs on the batch API). */
   def pqSearchIndex(queries: DataFrame, codes: DataFrame, cents: DataFrame,
-                    k: Int, lutBudget: Long = maxLutEntries): DataFrame = {
+                    k: Int, lutBudget: Long = defaultLutEntries,
+                    boundedQueries: Boolean = false): DataFrame = {
     val shift = 1048576L
     // geometry off the dictionary-sized codebook (one tiny job)
     val g = cents.agg(max(col("s")).cast("int"), max(col("code")).cast("int")).head()
     val m = g.getInt(0) + 1
     val ksub = g.getInt(1) + 1
     val q0 = ensureQuantized(queries)
-    // chunk count from ONE query count: |Q|·m·ksub entries over the
-    // budget split by query_id value — deterministic, no collect of ids
+    // chunk count from ONE query count (skipped when the caller
+    // declares the batch bounded): |Q|·m·ksub entries over the budget,
+    // split by a deterministic id hash with a hard per-chunk cap
     val chunkRows = math.max(1L, lutBudget / (m.toLong * ksub))
-    val nChunks = math.max(1L,
-      (q0.count() + chunkRows - 1) / chunkRows).toInt
+    val nChunks =
+      if (boundedQueries) 1
+      else hashChunkCount(q0.select(col("vec_id")), "vec_id", chunkRows,
+        q0.count())
     // the code index in array form (vec_id, carr) — memoized per
     // codes plan: the search-side shape of the stored index. A caller
     // that already holds the ARRAY form (the streaming ingest's
@@ -1023,7 +1053,8 @@ object Similarity {
     }
     if (nChunks <= 1) searchChunk(q0)
     else (0 until nChunks)
-      .map(i => searchChunk(q0.filter(pmod(col("vec_id"), lit(nChunks.toLong)) === i)))
+      .map(i => searchChunk(
+        q0.filter(pmod(xxhash64(col("vec_id")), lit(nChunks.toLong)) === i)))
       .reduce(_.unionByName(_))
   }
 
@@ -1544,7 +1575,8 @@ object Similarity {
     * exchange; the per-query top-k window runs over id-sized rows. */
   def ivfpqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                 nCells: Int, nProbe: Int, m: Int, ksub: Int,
-                iters: Int, candPred: Option[Column] = None): DataFrame = {
+                iters: Int, candPred: Option[Column] = None,
+                lutBudget: Long = defaultLutEntries): DataFrame = {
     require(iters >= 1, s"ivfpqTopK needs at least one iteration, got $iters")
     require(nProbe >= 1 && nProbe <= nCells, s"bad nProbe=$nProbe of $nCells cells")
     val shift = 1048576L   // 2^20 (see kmeansFixedPoint)
@@ -1577,16 +1609,19 @@ object Similarity {
     // ADC top-k among matching rows, never a post-filtered slice.
     val searchCodes = candPred.fold(codesArr)(p =>
       codesArr.join(e.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    // LUT broadcast budget (see pqSearchIndex / maxLutEntries): here
-    // the dense table is PER (query, probed cell) — |Q|·nProbe·m·ksub
-    // entries — so large query sets chunk by query_id value and each
-    // chunk re-reads the checkpointed qd + code index (cheap) while
-    // every broadcast stays <= the 32 MB budget. Chunks partition the
-    // queries, so the union is the exact unchunked result.
-    val nQ = qd.select(col("query_id")).distinct().count()
-    val lutRows = nQ * nProbe
-    val chunkRows = math.max(1L, maxLutEntries / (m.toLong * ksub))
-    val nChunks = math.max(1L, (lutRows + chunkRows - 1) / chunkRows).toInt
+    // LUT broadcast budget (see pqSearchIndex / defaultLutEntries):
+    // here the dense table is PER (query, probed cell) —
+    // |Q|·nProbe·m·ksub entries — so large query sets chunk by a
+    // deterministic id hash with a hard per-chunk cap (see
+    // hashChunkCount) and each chunk re-reads the checkpointed qd +
+    // code index (cheap) while every broadcast stays <= the budget.
+    // Chunks partition the queries, so the union is the exact
+    // unchunked result.
+    val qIds = qd.select(col("query_id")).distinct().localCheckpoint()
+    val nQ = qIds.count()
+    val qChunkRows = math.max(1L,
+      lutBudget / (m.toLong * ksub) / math.max(1, nProbe))
+    val nChunks = hashChunkCount(qIds, "query_id", qChunkRows, nQ)
     def searchChunk(qdc: DataFrame): DataFrame = {
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("cd").asc, col("cell_id").asc)
@@ -1627,7 +1662,8 @@ object Similarity {
     }
     if (nChunks <= 1) searchChunk(qd)
     else (0 until nChunks)
-      .map(i => searchChunk(qd.filter(pmod(col("query_id"), lit(nChunks.toLong)) === i)))
+      .map(i => searchChunk(
+        qd.filter(pmod(xxhash64(col("query_id")), lit(nChunks.toLong)) === i)))
       .reduce(_.unionByName(_))
   }
 
@@ -2315,7 +2351,9 @@ object Similarity {
     * Moses, Li, "Efficient K-Nearest Neighbor Graph Construction for
     * Generic Similarity Measures", WWW 2011 — the construction behind
     * graph-search serving indexes like HNSW/NSG): per-node top-k
-    * neighbor lists seeded from LSH buckets, then `rounds` fixed
+    * neighbor lists seeded from a BOUNDED md5-ring inside each LSH
+    * bucket (r17 — O(n·2k) seed pairs at any bucket-size
+    * distribution), then `rounds` fixed
     * NN-descent refinements — each round proposes every
     * NEIGHBOR-OF-A-NEIGHBOR over the UNDIRECTED current graph, scores
     * candidates by exact integer squared L2 (raw quantized dims —
@@ -2343,20 +2381,81 @@ object Similarity {
     require(rounds >= 0, s"knnGraph needs rounds >= 0, got $rounds")
     val e = ensureQuantized(embeddings)
     IndexMemo("knn_graph", e, (k, rounds)) {
+      val spark = e.sparkSession
       val bits = math.min(autoLshBits(e.count()), 64)
       val v = e.select(col("vec_id"), col("q")).localCheckpoint()
       val buckets = lshBuckets(e, bits).select(col("vec_id"), col("bucket"))
-      val init = buckets
-        .join(buckets.select(col("bucket"), col("vec_id").as("neighbor_id")),
-          Seq("bucket"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
+      // RING seeding (r17): the r16 init scored every same-bucket pair
+      // — Σ|bucket|² pairs, and the profiled 100× bottleneck wasn't the
+      // NN-descent rounds at all but this init clique blowup (planted
+      // duplicate clusters share exact buckets, so bucket sizes have a
+      // heavy tail the Σ|bucket|² shape squares). Seed instead with a
+      // BOUNDED deterministic ring per bucket: members order by
+      // md5(vec_id || 'ring') and each links to its 2k successors
+      // (wrapping, capped at sz−1 so a small bucket still forms its
+      // full clique) — O(n·2k) init pairs at ANY bucket-size
+      // distribution, the classic NN-descent random-init bound made
+      // md5-deterministic. The descent rounds recover list quality
+      // from the seed (measured; recall floors re-pinned r17).
+      val ringJ = 2 * k
+      val wRing = Window.partitionBy(col("bucket"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("ring"))),
+          col("vec_id"))
+      val ringed = buckets
+        .withColumn("rn", row_number().over(wRing))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .localCheckpoint() // both ring-join sides read it
+      val init = ringed
+        .select(col("bucket"), col("vec_id"), col("rn"), col("sz"),
+          explode(when(col("sz") > 1,
+            sequence(lit(1), least(lit(ringJ), col("sz") - 1)))
+            .otherwise(array())).as("j"))
+        .select(col("bucket"), col("vec_id"),
+          (pmod(col("rn") - 1 + col("j"), col("sz")) + 1).as("rn2"))
+        .join(ringed.select(col("bucket"), col("rn").as("rn2"),
+          col("vec_id").as("neighbor_id")), Seq("bucket", "rn2"))
         .select(col("vec_id"), col("neighbor_id"))
-      def score(pairs: DataFrame): DataFrame =
-        pairs
-          .join(v.select(col("vec_id"), col("q").as("qa")), Seq("vec_id"))
-          .join(v.select(col("vec_id").as("neighbor_id"), col("q").as("qb")),
-            Seq("neighbor_id"))
+      // BLOCKED (fragment-replicate) pair scoring — the build's r16
+      // shape joined each pair row to both vectors, so the scoring
+      // exchange shipped a 64-long array PER PAIR (~(2k)² per node):
+      // the measured one-box shuffle spill behind the 100× build
+      // exponent of 1.16. Here pairs ship IDS ONLY into (_ba, _bb)
+      // block partitions, each vector side replicates `blocks` ways
+      // (n·B array rows instead of n·(2k)² — B=16 ≪ 400), and both
+      // probes are SHUFFLE_HASH joins co-partitioned on (_ba, _bb)
+      // (subset-key co-partitioning: every side repartitions on the
+      // block pair, so EnsureRequirements inserts no further
+      // exchange and no sort — the array-carrying intermediate is
+      // PIPELINED from probe to probe to the partial TopK, never
+      // materialized, exchanged, or sorted). Same rows, same exact
+      // integer distances — the plan changes, the graph doesn't
+      // (hash-gate-proof). At cluster scale the per-partition hash
+      // table holds n·B/P vectors — P grows with the cluster, B is a
+      // constant knob.
+      def score(pairs: DataFrame): DataFrame = {
+        val blocks = 16
+        // one partition per block pair: the SHJ build side holds n/B
+        // vectors per task (not n·B/P at the session's default P — at
+        // local parallelism that build was the whole corpus replicated
+        // into a few hundred-MB hash maps, GC-bound)
+        val parts = blocks * blocks
+        def blk(c: Column): Column = pmod(xxhash64(c), lit(blocks.toLong))
+        val bRange = spark.range(blocks.toLong)
+        val pb = pairs.select(col("vec_id"), col("neighbor_id"),
+            blk(col("vec_id")).as("_ba"), blk(col("neighbor_id")).as("_bb"))
+          .repartition(parts, col("_ba"), col("_bb"))
+        val vaRep = v.select(col("vec_id"), col("q").as("qa"),
+            blk(col("vec_id")).as("_ba"))
+          .crossJoin(broadcast(bRange.select(col("id").as("_bb"))))
+          .repartition(parts, col("_ba"), col("_bb"))
+        val vbRep = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+            blk(col("vec_id")).as("_bb"))
+          .crossJoin(broadcast(bRange.select(col("id").as("_ba"))))
+          .repartition(parts, col("_ba"), col("_bb"))
+        pb.join(vaRep.hint("shuffle_hash"), Seq("_ba", "_bb", "vec_id"))
+          .join(vbRep.hint("shuffle_hash"), Seq("_ba", "_bb", "neighbor_id"))
           .select(col("vec_id"), col("neighbor_id"), sqDistQ("qa", "qb").as("adist"))
+      }
       def topKNode(scored: DataFrame): DataFrame =
         scored.groupBy(col("vec_id"))
           .agg(graft.plans.TopK.top_k(
@@ -2379,16 +2478,24 @@ object Similarity {
       }
       // buckets give each unordered pair in both orientations; the
       // canonical form scores it once
-      var g = topKNode(scoreBoth(init)).localCheckpoint()
-      (1 to rounds).foreach { _ =>
+      def described[T](d: String)(body: => T): T = {
+        spark.sparkContext.setJobDescription(d)
+        try body finally spark.sparkContext.setJobDescription(null)
+      }
+      var g = described("knnGraph init: bucket pairs score+topk") {
+        topKNode(scoreBoth(init)).localCheckpoint()
+      }
+      (1 to rounds).foreach { r =>
         // the undirected edge set KEEPS its distances — a known edge
         // is never re-scored (g's adist is exact; reverse direction
         // is the same distance by symmetry)
-        val undS = g.select(col("vec_id"), col("neighbor_id"), col("adist"))
-          .unionByName(g.select(col("neighbor_id").as("vec_id"),
-            col("vec_id").as("neighbor_id"), col("adist")))
-          .distinct()
-          .localCheckpoint() // consumed by both self-join sides + the union
+        val undS = described(s"knnGraph round $r: undirected closure") {
+          g.select(col("vec_id"), col("neighbor_id"), col("adist"))
+            .unionByName(g.select(col("neighbor_id").as("vec_id"),
+              col("vec_id").as("neighbor_id"), col("adist")))
+            .distinct()
+            .localCheckpoint() // consumed by both self-join sides + the union
+        }
         val und = undS.select(col("vec_id"), col("neighbor_id"))
         // neighbor-of-neighbor candidates, minus already-known edges
         // (if (u,w) is known, so is (w,u) — the closure is symmetric,
@@ -2401,7 +2508,9 @@ object Similarity {
           .distinct() // dedup BEFORE scoring: a duplicate candidate
                       // would occupy two top-k slots
           .join(und, Seq("vec_id", "neighbor_id"), "left_anti")
-        g = topKNode(scoreBoth(hop2).unionByName(undS)).localCheckpoint()
+        g = described(s"knnGraph round $r: hop2 score+topk") {
+          topKNode(scoreBoth(hop2).unionByName(undS)).localCheckpoint()
+        }
       }
       g
     }

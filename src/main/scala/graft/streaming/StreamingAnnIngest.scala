@@ -124,8 +124,13 @@ object StreamingAnnIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // boundedQueries: a per-tick batch is trigger-bounded far
+          // below the LUT chunk size, so the sizing count is skipped
+          // and the tick stays one Spark job (a tick above ~512k
+          // queries belongs on the batch API, not foreachBatch)
           Similarity.pqSearchIndex(batch.toDF(),
-              codeIndex(spark, indexDir), centroids(spark, indexDir), k)
+              codeIndex(spark, indexDir), centroids(spark, indexDir), k,
+              boundedQueries = true)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
       }

@@ -77,6 +77,20 @@ object StreamingGraphIngest {
       .filter(col("batch") < gen).drop("batch")
     val graph = graphStore(spark, indexDir)
       .filter(col("batch") < gen).drop("batch")
+    // Degenerate-store guard (r17 advice): over an EMPTY landed node
+    // store the walk has no entry points, so a small batch (1 vector —
+    // no within-batch edges either) would land a node with an EMPTY
+    // neighbor list, and since back-links are never retrofitted it
+    // would stay unreachable except through the global entry lottery
+    // forever. With a non-empty store every new node gets >= 1 walk
+    // edge (the entry points themselves are scored), so the only
+    // no-out-edges path is this one — refuse it loudly: buildIndex
+    // (even over a small seed) must run first. One LIMIT-1 probe per
+    // tick, metadata-cheap next to the walk.
+    require(!nodes.isEmpty,
+      s"graph-ingest at $indexDir has no landed nodes before generation " +
+        s"$gen — run buildIndex over a seed corpus first (a batch landed " +
+        "on an empty graph would be permanently unreachable by search)")
     // cross edges: the serving walk IS the insert path
     val cross = Similarity.knnGraphSearchIndex(b, graph, nodes, k, hops, beam)
       .select(col("query_id").as("vec_id"), col("neighbor_id"), col("adist"))
