@@ -110,6 +110,64 @@ object StoreCompaction {
     due
   }
 
+  /** Compact a `StreamingGraphIngest` store (nodes/, graph/) — and
+    * REFRESH BACK-LINKS (r17, VERDICT task 5): the walk-insert path is
+    * append-only, so landed nodes never gain reverse edges toward
+    * later arrivals and search recall over the incremental store
+    * decays monotonically with tick count (the stated ext-3 trade).
+    * Nodes consolidate like every other store; the graph's compacted
+    * generation is NOT the union of the old per-tick lists but a FULL
+    * offline NN-descent rebuild (`Similarity.knnGraph`) over the
+    * consolidated nodes — bit-identical to what `buildIndex` would
+    * produce over those vectors, so the pre-frontier store equals the
+    * offline rebuild EXACTLY (spec-pinned), undirected closure and
+    * back-links included. The frontier generation keeps its
+    * walk-inserted lists untouched (the replay contract shared by all
+    * compactions); its nodes regain back-links at the NEXT compaction,
+    * when they are no longer the frontier. Run with the stream
+    * STOPPED, like every compaction here; a crash at any stage is the
+    * same staged-swap story (`recover` restores or finishes), with the
+    * one new wrinkle that a crash BETWEEN the nodes and graph passes
+    * leaves nodes consolidated and the graph not yet rebuilt — a rerun
+    * keys its trigger off the GRAPH store's generations, so it
+    * finishes the job instead of declaring victory early. */
+  def compactGraphStore(spark: SparkSession, indexDir: String,
+                        k: Int, rounds: Int): Unit = {
+    // recover BEFORE counting: a crash mid-retire leaves pre-frontier
+    // generations invisible (renamed _retired_batch=), and counting
+    // them as absent would declare the store too small to compact —
+    // stranding the retired dirs forever
+    Seq("nodes", "graph").foreach { s =>
+      val p = new Path(s"$indexDir/$s")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) recover(spark, s"$indexDir/$s")
+    }
+    val gids = landed(spark, s"$indexDir/graph")
+    if (gids.size <= 2) return
+    val frontier = gids.max
+    val maxC = gids.filter(_ < frontier).max
+    compactDir(spark, s"$indexDir/nodes")
+    compactDir(spark, s"$indexDir/graph", reduce = _ => {
+      val nodes = spark.read.parquet(s"$indexDir/nodes")
+        .filter(col("batch") < frontier).drop("batch")
+      graft.functions.Similarity.knnGraph(nodes, k, rounds)
+    })
+    // the rebuilt generation replaces every pre-frontier list; sanity:
+    // the consolidated ids agree across the two sub-stores
+    require(landed(spark, s"$indexDir/graph").contains(maxC),
+      s"graph compaction did not install batch=$maxC under $indexDir/graph")
+  }
+
+  /** Generation-count trigger for the graph store (keys off graph/,
+    * so a rerun after a mid-pass crash still completes the rebuild). */
+  def compactGraphStoreEvery(spark: SparkSession, indexDir: String,
+                             k: Int, rounds: Int, every: Int): Boolean = {
+    require(every >= 3, s"generation trigger needs every >= 3, got $every")
+    val due = landed(spark, s"$indexDir/graph").size >= every
+    if (due) compactGraphStore(spark, indexDir, k, rounds)
+    due
+  }
+
   /** Compact a `StreamingClusterIngest` store: the four append
     * sub-stores consolidate like the dedup siblings, and the labels
     * SNAPSHOTS prune by retention — each `gen=<id>` is a complete

@@ -15,8 +15,9 @@ import graft.functions.Similarity
   * work: O(batch · hops · beam · k) walk rows + O(batch²) within-batch
   * scoring (batches are bounded) — never a corpus re-descent.
   *
-  * Layout: `<indexDir>/nodes/batch=<id>` (vec_id, q — the quantized
-  * vectors future walks score against) and `<indexDir>/graph/batch=<id>`
+  * Layout: `<indexDir>/nodes/batch=<id>` (vec_id, embedding, label, q
+  * — the quantized q future walks score against, plus the raw columns
+  * the compaction rebuild re-seeds from) and `<indexDir>/graph/batch=<id>`
   * (that batch's nodes' neighbor lists; streaming batch n lands as
   * batch=n+1, the offline seed keeps 0). Idempotence under
   * foreachBatch's at-least-once replays: a batch overwrites its OWN
@@ -26,12 +27,17 @@ import graft.functions.Similarity
   * Design point, stated: inserted nodes' lists come from the walk
   * (approximate — the property every online graph insert shares), and
   * reverse edges are NOT retrofitted onto already-landed nodes: the
-  * store is append-only (idempotent replayable dirs), and the offline
-  * `buildIndex` rebuild is what refreshes back-links — HNSW's in-place
-  * back-link is the mutable-store variant of the same trade. Searches
-  * still reach new nodes THROUGH their own out-edges' entry points
-  * plus the global entry set, and the incremental-recall spec pins how
-  * much that costs. */
+  * store is append-only (idempotent replayable dirs), and an offline
+  * rebuild is what refreshes back-links — HNSW's in-place back-link is
+  * the mutable-store variant of the same trade. Searches still reach
+  * new nodes THROUGH their own out-edges' entry points plus the global
+  * entry set, and the incremental-recall spec pins how much that
+  * costs. r17: `StoreCompaction.compactGraphStore` IS that offline
+  * rebuild, run in place — it consolidates generations and replaces
+  * every pre-frontier list with the full NN-descent over the landed
+  * vectors (bit-identical to `buildIndex` over them), so back-link
+  * quality no longer decays without bound: it resets at every
+  * compaction. */
 object StreamingGraphIngest {
 
   /** Offline index build: the full certified NN-descent over the seed
@@ -40,7 +46,13 @@ object StreamingGraphIngest {
                  rounds: Int): Unit = {
     Similarity.knnGraph(seed, k, rounds)
       .write.mode("overwrite").parquet(s"$indexDir/graph/batch=0")
-    Similarity.quantized(seed).select(col("vec_id"), col("q"))
+    // nodes keep the RAW embedding + label alongside the quantized q
+    // the walks score with: the compaction rebuild
+    // (StoreCompaction.compactGraphStore) re-runs the full certified
+    // NN-descent over the landed vectors, and its LSH seeding reads
+    // the raw frame — q alone cannot be inverted bit-safely.
+    Similarity.quantized(seed)
+      .select(col("vec_id"), col("embedding"), col("label"), col("q"))
       .write.mode("overwrite").parquet(s"$indexDir/nodes/batch=0")
   }
 
@@ -70,7 +82,8 @@ object StreamingGraphIngest {
       s"graph-ingest generation $gen is behind the store frontier $frontier " +
         s"at $indexDir — this sink is single-writer per checkpoint; a new " +
         "checkpoint needs a new indexDir")
-    val b = Similarity.quantized(batch).select(col("vec_id"), col("q"))
+    val b = Similarity.quantized(batch)
+      .select(col("vec_id"), col("embedding"), col("label"), col("q"))
       .localCheckpoint()
     // replays must not see their own first run's rows
     val nodes = nodeStore(spark, indexDir)

@@ -304,4 +304,132 @@ class StoreCompactionSpec extends SparkSpec {
     assert(index(100L) == before(101L),
       "a later batch must win the struct-max against compacted rows")
   }
+
+  private def gEmb(rows: (Long, Seq[Float], Int)*) =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+  private def gCluster(cx: Float, cy: Float, ids: Seq[Long]) =
+    ids.zipWithIndex.map { case (id, i) =>
+      (id, Seq(cx + 0.01f * i, cy - 0.01f * i, cx, cy), 0) }
+  private val gSeed = gCluster(1f, 0f, 0L to 5L) ++ gCluster(0f, 1f, 6L to 11L)
+  private val gWave1 = Seq((100L, Seq(1f, 0f, 1f, 0f), 0),
+    (101L, Seq(0f, 1f, 0f, 1f), 0))
+  private val gWave2 = Seq((200L, Seq(0.99f, 0.01f, 1f, 0f), 0))
+  private val gWave3 = Seq((300L, Seq(0.01f, 0.99f, 0f, 1f), 0))
+  private def gBuildStore(dir: String): Unit = {
+    import graft.streaming.StreamingGraphIngest
+    StreamingGraphIngest.buildIndex(gEmb(gSeed: _*), dir, k = 3, rounds = 2)
+    StreamingGraphIngest.ingestBatch(gEmb(gWave1: _*), dir, 0, 3, 3, 3)
+    StreamingGraphIngest.ingestBatch(gEmb(gWave2: _*), dir, 1, 3, 3, 3)
+    StreamingGraphIngest.ingestBatch(gEmb(gWave3: _*), dir, 2, 3, 3, 3)
+  }
+  private def gRows(dir: String, sub: String): Set[Seq[Any]] =
+    spark.read.parquet(s"$dir/$sub").drop("batch")
+      .collect().map(_.toSeq).toSet
+
+  test("graph-store compaction: pre-frontier store EQUALS the offline rebuild (back-links restored)") {
+    import graft.streaming.StreamingGraphIngest
+    import graft.functions.Similarity
+    // seed gen 0 + three walk-insert ticks (gens 1..3); frontier = 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_g").toString + "/ix"
+    gBuildStore(dir)
+    // the append-only trade, demonstrated: seed node 0's list predates
+    // its exact twin 100, so without compaction it NEVER links back
+    def list(node: Long): Set[Long] = StreamingGraphIngest.graphStore(spark, dir)
+      .filter(col("vec_id") === node)
+      .collect().map(_.getLong(2)).toSet
+    assert(!list(0L).contains(100L),
+      "fixture broken: the walk-insert should not retrofit 0 -> 100")
+    val frontierBefore = spark.read.parquet(s"$dir/graph/batch=3")
+      .collect().map(_.toSeq).toSet
+    // trigger sibling: no-op below threshold, compacts at it
+    assert(!StoreCompaction.compactGraphStoreEvery(spark, dir, 3, 2, every = 5))
+    assert(StoreCompaction.compactGraphStoreEvery(spark, dir, 3, 2, every = 4))
+    assert(batchDirs(s"$dir/graph") == Seq("batch=2", "batch=3"))
+    assert(batchDirs(s"$dir/nodes") == Seq("batch=2", "batch=3"))
+    // THE contract: the compacted pre-frontier generation is
+    // BIT-IDENTICAL to the offline NN-descent over those vectors —
+    // undirected closure, back-links and all
+    val offline = Similarity.knnGraph(
+        gEmb(gSeed ++ gWave1 ++ gWave2: _*), 3, 2)
+      .collect().map(_.toSeq).toSet
+    val compacted = spark.read.parquet(s"$dir/graph/batch=2")
+      .collect().map(_.toSeq).toSet
+    assert(compacted == offline,
+      "compacted generation must equal the offline rebuild bit-exactly")
+    // the back-link exists now: 0 links its twin at distance 0
+    assert(list(0L).contains(100L),
+      "compaction must retrofit the reverse edge 0 -> 100")
+    // the frontier generation is untouched (replay contract)
+    val frontierAfter = spark.read.parquet(s"$dir/graph/batch=3")
+      .collect().map(_.toSeq).toSet
+    assert(frontierAfter == frontierBefore)
+    // and the serving read still navigates both clusters
+    val hit = StreamingGraphIngest.search(spark, dir,
+        gEmb((900L, Seq(1f, 0f, 1f, 0f), 0)), k = 1, hops = 3, beam = 3)
+      .collect().head.getLong(2)
+    assert(((0L to 5L).toSet ++ Set(100L, 200L))(hit), s"got $hit")
+  }
+
+  test("graph-store compaction crash MATRIX: restore-or-finish at every inter-stage point") {
+    import graft.streaming.StreamingGraphIngest
+    // nodes/ and graph/ × the four swap stages — plus the r17 wrinkle:
+    // a crash between the two sub-store passes leaves nodes compacted
+    // with the graph not yet rebuilt, and the re-run must key off the
+    // GRAPH store's generations (recovering retired dirs first) to
+    // finish rather than declare the store too small.
+    val base = java.nio.file.Files.createTempDirectory("graft_crash_g").toString
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val proto = s"$base/proto"
+    gBuildStore(proto)
+    val golden = s"$base/golden"
+    copyDir(proto, golden)
+    StoreCompaction.compactGraphStore(spark, golden, 3, 2)
+    val goldenGraph = gRows(golden, "graph")
+    val goldenNodes = gRows(golden, "nodes")
+    for (sub <- Seq("nodes", "graph"); stage <- 1 to 4) {
+      val dir = s"$base/case_${sub}_$stage"
+      copyDir(proto, dir)
+      StoreCompaction.crashAfterStage = Some((s"/$sub", stage))
+      try {
+        val e = intercept[IllegalStateException] {
+          StoreCompaction.compactGraphStore(spark, dir, 3, 2)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally StoreCompaction.crashAfterStage = None
+      StoreCompaction.compactGraphStore(spark, dir, 3, 2)
+      assert(gRows(dir, "graph") == goldenGraph,
+        s"crash in $sub after stage $stage: graph must equal the golden compaction")
+      assert(gRows(dir, "nodes") == goldenNodes,
+        s"crash in $sub after stage $stage: nodes must equal the golden compaction")
+      assert(batchDirs(s"$dir/graph") == Seq("batch=2", "batch=3"))
+      Seq("nodes", "graph").foreach { s =>
+        val names = new java.io.File(s"$dir/$s").listFiles().map(_.getName)
+        assert(!names.exists(n => n.startsWith("_tmp_compact") || n.startsWith("_retired_")),
+          s"$s after $sub/$stage: ${names.toSeq}")
+      }
+    }
+    // a recovered store keeps ingesting — and the NEXT compaction is
+    // what makes the new arrival fully reachable: fresh node 400 has
+    // no back-links while it is the frontier (the stated trade), but
+    // once a later tick moves the frontier past it, compaction folds
+    // it into the rebuilt closure and an exact-match query finds it
+    val live = s"$base/case_graph_2"
+    StreamingGraphIngest.ingestBatch(
+      gEmb((400L, Seq(1f, 0.02f, 1f, 0f), 0)), live, 3, 3, 3, 3)
+    StreamingGraphIngest.ingestBatch(
+      gEmb((500L, Seq(0f, 0.98f, 0f, 1f), 0)), live, 4, 3, 3, 3)
+    StoreCompaction.compactGraphStore(spark, live, 3, 2)
+    val hits = StreamingGraphIngest.search(spark, live,
+        gEmb((901L, Seq(1f, 0.02f, 1f, 0f), 0)), k = 3, hops = 3, beam = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits.contains(400L),
+      s"post-compaction the landed arrival must be reachable by search: $hits")
+  }
 }
