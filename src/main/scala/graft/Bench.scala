@@ -12,6 +12,36 @@ import org.apache.spark.sql.SparkSession
   * prune away the very computation being measured (a map-only query
   * benches as a bare scan otherwise). */
 object Bench {
+
+  /** Fixed CPU-bound calibration probe (r17, VERDICT #6): ~200M
+    * SplitMix64 mixes on one thread — no IO, no Spark, no allocation —
+    * timed at suite start and end and recorded in the artifact. The
+    * r16 session burned a day proving a 1.4× artifact spread was
+    * co-tenant CPU noise INVISIBLE to loadavg (four identical-code
+    * runs read 213.7–301.6 s, worst at the LOWEST loadavg); this probe
+    * makes a degraded box self-describe numerically: identical work,
+    * so probe-ms varies only with the machine, and round-over-round
+    * per-query comparisons divide by the probe ratio first
+    * (BASELINE.md discipline). Run twice at start (the first rep
+    * absorbs JIT; the second is the record). */
+  private def calibrationProbe(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    val n = 200000000L
+    val t0 = System.nanoTime()
+    while (i < n) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    if (acc == 42L) System.err.print("") // blackhole: keep the loop live
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +92,10 @@ object Bench {
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // Calibration probe rep 1 absorbs its own JIT; rep 2 is the record.
+    calibrationProbe()
+    val probeStartMs = calibrationProbe()
 
     // Warmup: JVM/JIT, codegen, parquet footer caches.
     try {
@@ -175,6 +209,18 @@ object Bench {
       .mkString("{", ",", "}")
     val valueServingMin2 = min2
       .filterNot { case (n, _) => SparkEntry.demo(n) }.map(_._2).sum
+    // End-of-suite probe: the same fixed work re-timed after the bench
+    // generated its own load has died down; probe_ratio far from 1
+    // (or either probe far from the committed artifacts' band) marks a
+    // degraded box numerically — the reader normalizes per-query
+    // comparisons by the probe ratio before attributing a regression
+    // to code (BASELINE.md discipline).
+    val probeEndMs = calibrationProbe()
+    val probeRatio = probeEndMs / math.max(probeStartMs, 1e-9)
+    if (probeRatio > 1.5 || probeRatio < 0.67)
+      System.err.println(f"[bench] WARNING: calibration probe drifted " +
+        f"${probeStartMs}%.0f -> ${probeEndMs}%.0f ms across the suite — " +
+        "machine state changed mid-run; prefer min2/probe-normalized reads")
     // The driver captures a bounded tail of stdout; at 128 queries the
     // per-query map pushed the single JSON line past that window and the
     // leading "metric":"total" was cut off (BENCH_r02..r04 all parsed
@@ -182,7 +228,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"probe_ratio":$probeRatio,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different
@@ -195,7 +241,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
