@@ -76,8 +76,23 @@ object SparkEntry {
     * Scale-up runs exclude this set mechanically; `Bench` honors
     * SPARK_GRAFT_SKIP_DEMO=1. */
   val demo: Set[String] =
-    Set("q_simhash_neardup", "q_ann_recall", "q_candidate_stats", "q_semdedup",
-      "q_embedding_neardup_lsh")
+    Set("q_simhash_neardup", "q_ann_recall", "q_ann_frontier",
+      "q_candidate_stats", "q_semdedup", "q_embedding_neardup_lsh")
+
+  /** Cross-scale CERTIFIED recall floors (milli-recall), shared by the
+    * engine and the oracle of `q_ann_frontier` — per method, the
+    * minimum of the per-SF half-measured floors (`q_ann_recall`'s
+    * fallback row): the recall a serving policy can RELY on at any
+    * gated scale. The frontier is computed over these certified
+    * values, not the per-corpus measurements (which the oracle cannot
+    * derive) — "cheapest method whose certified recall ≥ R". */
+  private val frontierFloorsMilli: Seq[(String, Long)] = Seq(
+    "lsh" -> 350L, "lsh_multi" -> 380L, "ivf" -> 420L,
+    "pq" -> 7L, "pq_rerank" -> 37L, "pq_hi" -> 220L, "pq_opq" -> 220L,
+    "rq" -> 2L, "rq_rerank" -> 25L,
+    "ivfpq" -> 7L, "ivfpq_rerank" -> 30L, "ivfpq_auto" -> 5L,
+    "ivfrq_auto" -> 65L, "knn_graph" -> 57L, "knn_graph_search" -> 310L,
+    "sq8" -> 700L, "sq8_rerank" -> 900L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
@@ -600,6 +615,63 @@ object SparkEntry {
           when(col("recall") >= col("floor"), 1L).otherwise(0L).as("recall_ok"),
           when(col("base_recall").isNull || col("recall") >= col("base_recall"), 1L)
             .otherwise(0L).as("rerank_ok"))
+    }),
+    // serving-policy frontier over the ANN ladder (r17, VERDICT #8):
+    // one row per method with an INTEGER work-unit cost model (serve-
+    // time distance/LUT evaluations, closed-form from COUNT(*), |Q| and
+    // the COUNT(*)-derived auto params — the oracle computes the same
+    // numbers), the method's cross-scale CERTIFIED recall floor, a
+    // recall_ok flag (measured recall from the 17-method harness >= the
+    // certified floor — literal 1 in the oracle, so a retrieval
+    // regression fails the gate), and on_frontier: pareto-optimality
+    // over (cost_units ASC, certified floor DESC) — the policy read
+    // "cheapest method whose certified recall >= R" comes straight off
+    // the on_frontier rows. Demo-tier (reruns the harness aggregation;
+    // trainings memo-share with q_ann_recall and the gated queries).
+    "q_ann_frontier" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val q = e.filter(col("vec_id") % 100 === 0).count()
+      val c = Similarity.autoIvfCells(n).toLong
+      val p2 = Similarity.autoIvfProbe(c.toInt).toLong
+      val h = Similarity.autoGraphHops(n).toLong
+      val b = Similarity.autoGraphBeam(n).toLong
+      val bucket16 = math.max(1L, n / 16L) // harness lsh/ivf run 4 bits / 16 cells
+      val cost: Map[String, Long] = Map(
+        "lsh" -> q * 5 * bucket16,          // bucket + 4 Hamming-1 probes
+        "lsh_multi" -> q * 4 * bucket16,    // 4 tables, 1 bucket each
+        "ivf" -> (q * 16 + q * 4 * bucket16), // 16 cents + 4 probed cells
+        "pq" -> 2 * q * n, "pq_rerank" -> (2 * q * n + 50 * q), // m=2 lookups/cand
+        "pq_hi" -> 16 * q * n, "pq_opq" -> 16 * q * n,          // m=16
+        "rq" -> 2 * q * n, "rq_rerank" -> (2 * q * n + 50 * q), // L=2 lookups/cand
+        "ivfpq" -> (q * 4 + q * (n / 2L) * 2), // 4 cents + 2-of-4 cells, m=2
+        "ivfpq_rerank" -> (q * 4 + q * (n / 2L) * 2 + 50 * q),
+        "sq8" -> 64 * q * n, "sq8_rerank" -> (64 * q * n + 50 * q), // per-dim codes
+        "ivfpq_auto" -> (q * c + q * math.min(2L, c) * (n / c) * 2),
+        "ivfrq_auto" -> (q * c + q * p2 * (n / c) * 4), // L=4 stages
+        "knn_graph" -> q * 10,              // the node's own list, a lookup
+        "knn_graph_search" -> q * (h * b * 10 + b))
+      val costs = frontierFloorsMilli
+        .map { case (m, fm) => (m, cost(m), fm) }
+        .toDF("method", "cost_units", "floor_milli")
+        .localCheckpoint() // tiny; read three times below
+      val dominated = costs.as("a").join(costs.as("b"),
+        (col("b.cost_units") < col("a.cost_units") &&
+          col("b.floor_milli") >= col("a.floor_milli")) ||
+        (col("b.cost_units") <= col("a.cost_units") &&
+          col("b.floor_milli") > col("a.floor_milli")), "left_semi")
+        .select(col("a.method").as("method"), lit(0L).as("on_frontier"))
+      val measured = Similarity.annRecall(e,
+          col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
+        .select(col("method"), col("recall"))
+      costs.join(broadcast(measured), Seq("method"))
+        .join(broadcast(dominated), Seq("method"), "left")
+        .select(col("method"), col("cost_units"), col("floor_milli"),
+          when(col("recall") * 1000.0 >= col("floor_milli").cast("double"), 1L)
+            .otherwise(0L).as("recall_ok"),
+          coalesce(col("on_frontier"), lit(1L)).as("on_frontier"))
     }),
     // --- multimodal plumbing ---
     "q_multimodal_meta" -> ((s, d) =>
@@ -2336,6 +2408,7 @@ object SparkEntry {
         |             ('ivfpq_rerank'), ('ivfpq_auto'), ('ivfrq_auto'),
         |             ('knn_graph'), ('knn_graph_search'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
+    "q_ann_frontier" -> annFrontierSql,
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
         |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
@@ -4679,6 +4752,62 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY adist, vec_id) AS rnk
        |      FROM dist)""".stripMargin
+  }
+
+  /** `q_ann_frontier` replay: the same closed-form integer cost model
+    * (work units from COUNT(*), |Q| and the COUNT(*)-derived auto
+    * params), the same certified milli-recall floors (shared literal
+    * table `frontierFloorsMilli`), the same pareto rule over
+    * (cost_units ASC, floor DESC); recall_ok is literal 1 (the
+    * engine's measured-recall check, q_ann_recall's flag pattern). */
+  private lazy val annFrontierSql: String = {
+    val values = frontierFloorsMilli
+      .map { case (m, f) => s"('$m', $f)" }.mkString(", ")
+    val pChain = (1 to 61)
+      .map(p => s"WHEN prm0.n <= ${1L << p} THEN $p")
+      .mkString("\n            ")
+    s"""WITH prm0 AS (SELECT count(*) AS n FROM embeddings),
+       |qq AS (SELECT count(*) AS q FROM embeddings WHERE vec_id % 100 = 0),
+       |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM prm0),
+       |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
+       |                   WHEN 64*kr*kr < n THEN kr + 1
+       |                   ELSE kr END AS c FROM ikr),
+       |gp AS (SELECT CASE $pChain
+       |            ELSE 62 END AS p FROM prm0),
+       |prm AS (SELECT prm0.n, qq.q, ki.c,
+       |               LEAST(GREATEST(2, CAST(ceil(sqrt(CAST(ki.c AS DOUBLE))) AS BIGINT)), ki.c) AS p2,
+       |               GREATEST(10, 3 * gp.p) AS bm,
+       |               LEAST(6, GREATEST(3, (gp.p + 1) // 2)) AS h,
+       |               GREATEST(1, prm0.n // 16) AS b16
+       |        FROM prm0, qq, ki, gp),
+       |costs AS (SELECT m.method, m.floor_milli,
+       |       CAST(CASE m.method
+       |         WHEN 'lsh' THEN q*5*b16
+       |         WHEN 'lsh_multi' THEN q*4*b16
+       |         WHEN 'ivf' THEN q*16 + q*4*b16
+       |         WHEN 'pq' THEN 2*q*n
+       |         WHEN 'pq_rerank' THEN 2*q*n + 50*q
+       |         WHEN 'pq_hi' THEN 16*q*n
+       |         WHEN 'pq_opq' THEN 16*q*n
+       |         WHEN 'rq' THEN 2*q*n
+       |         WHEN 'rq_rerank' THEN 2*q*n + 50*q
+       |         WHEN 'ivfpq' THEN q*4 + q*(n//2)*2
+       |         WHEN 'ivfpq_rerank' THEN q*4 + q*(n//2)*2 + 50*q
+       |         WHEN 'sq8' THEN 64*q*n
+       |         WHEN 'sq8_rerank' THEN 64*q*n + 50*q
+       |         WHEN 'ivfpq_auto' THEN q*c + q*LEAST(2, c)*(n//c)*2
+       |         WHEN 'ivfrq_auto' THEN q*c + q*p2*(n//c)*4
+       |         WHEN 'knn_graph' THEN q*10
+       |         ELSE q*(h*bm*10 + bm) END AS BIGINT) AS cost_units
+       |       FROM (VALUES $values) AS m(method, floor_milli), prm)
+       |SELECT a.method, a.cost_units,
+       |       CAST(a.floor_milli AS BIGINT) AS floor_milli,
+       |       CAST(1 AS BIGINT) AS recall_ok,
+       |       CAST(CASE WHEN EXISTS (SELECT 1 FROM costs b
+       |           WHERE (b.cost_units < a.cost_units AND b.floor_milli >= a.floor_milli)
+       |              OR (b.cost_units <= a.cost_units AND b.floor_milli > a.floor_milli))
+       |         THEN 0 ELSE 1 END AS BIGINT) AS on_frontier
+       |FROM costs a""".stripMargin
   }
 
   /** PQ certified-training + ADC replay, parameterized by subspace
