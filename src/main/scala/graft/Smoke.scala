@@ -197,20 +197,14 @@ object Smoke {
       println(f"IVFRQLAB n=$n%-7d cells=$c%-3d cfg=$label%-28s recall=${hits.toDouble / nTruth}%.3f sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
     }
     val sp = math.max(2, math.ceil(math.sqrt(c.toDouble)).toInt).min(c)
-    rec(s"k4x4_p2 (gated)")(
-      Similarity.ivfRqTopK(emb, pred, 10, c, math.min(2, c), 4, 4, 1))
-    rec(s"k16x16_p$sp")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq(16, 16), 1))
-    rec(s"L4x16_p$sp")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(16), 1))
-    rec(s"L8x16_p$sp")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(16), 1))
-    rec(s"L4x64_p$sp")(
+    rec(s"ivfrq_L4x64_p$sp (gated)")(
       Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 1))
-    rec(s"L4x64_p${sp}_i2")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 2))
-    rec(s"L8x64_p$sp")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(64), 1))
+    rec(s"ivfpq_m2k4_p2 (gated)")(
+      Similarity.ivfpqTopK(emb, pred, 10, c, math.min(2, c), 2, 4, 1))
+    rec(s"ivfpq_m16k64_p$sp")(
+      Similarity.ivfpqTopK(emb, pred, 10, c, sp, 16, 64, 1))
+    rec(s"ivfpq_m16k64_p2")(
+      Similarity.ivfpqTopK(emb, pred, 10, c, math.min(2, c), 16, 64, 1))
   }
 
   /** Empirical scale validation (VERDICT r7 #2): generate synthetic

@@ -90,7 +90,7 @@ object SparkEntry {
     "lsh" -> 350L, "lsh_multi" -> 380L, "ivf" -> 420L,
     "pq" -> 7L, "pq_rerank" -> 37L, "pq_hi" -> 220L, "pq_opq" -> 220L,
     "rq" -> 2L, "rq_rerank" -> 25L,
-    "ivfpq" -> 7L, "ivfpq_rerank" -> 30L, "ivfpq_auto" -> 5L,
+    "ivfpq" -> 7L, "ivfpq_rerank" -> 30L, "ivfpq_auto" -> 170L,
     "ivfrq_auto" -> 65L, "knn_graph" -> 57L, "knn_graph_search" -> 310L,
     "sq8" -> 700L, "sq8_rerank" -> 900L)
 
@@ -579,19 +579,19 @@ object SparkEntry {
       val quantFloors: Map[String, Seq[(String, Double)]] = Map(
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
-          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.02),
+          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.24),
           ("ivfrq_auto", 0.09), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
-          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.03),
+          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.27),
           ("ivfrq_auto", 0.15), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
+          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
           ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-        ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.005),
+        ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
         ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
@@ -649,7 +649,7 @@ object SparkEntry {
         "ivfpq" -> (q * 4 + q * (n / 2L) * 2), // 4 cents + 2-of-4 cells, m=2
         "ivfpq_rerank" -> (q * 4 + q * (n / 2L) * 2 + 50 * q),
         "sq8" -> 64 * q * n, "sq8_rerank" -> (64 * q * n + 50 * q), // per-dim codes
-        "ivfpq_auto" -> (q * c + q * math.min(2L, c) * (n / c) * 2),
+        "ivfpq_auto" -> (q * c + q * p2 * (n / c) * 16),
         "ivfrq_auto" -> (q * c + q * p2 * (n / c) * 4), // L=4 stages
         "knn_graph" -> q * 10,              // the node's own list, a lookup
         "knn_graph_search" -> q * (h * b * 10 + b))
@@ -1200,8 +1200,17 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
+      // r17: re-pointed from (m=2, ksub=4, nProbe=2) — recall
+      // 0.04/0.06/0.01, the same fixed-probe + tiny-codebook disease
+      // IVF-RQ had — to the high-fidelity residual point (m=16,
+      // ksub=64, 96 code bits on coarse residuals) with sqrt(c)
+      // probing: measured 0.48/0.54/0.355 across the SFs, ABOVE flat
+      // pq_hi at sf0.1 (0.22) — the Jegou residual-quantization gain,
+      // now visible at the gated operating point. The 4-bit demo
+      // point lives on in q_ivfpq_topk/q_ivfpq_rerank.
       Similarity.ivfpqTopK(e, col("vec_id") % 100 === 0, 10,
-        nCells = c, nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
+        nCells = c, nProbe = Similarity.autoIvfProbe(c),
+        m = 16, ksub = 64, iters = 1)
         .withColumn("n_cells", lit(c.toLong))
     }),
     // SQ8 scalar quantization (FAISS QT_8bit shape): per-dim affine
@@ -4434,7 +4443,8 @@ object SparkEntry {
     * `Similarity.ivfpqTopK(candPred)` exactly. `"TRUE"` reduces to the
     * unfiltered chain. */
   private def ivfpqBaseSqlFor(candWhere: String, extraCtes: String = "",
-                              cells: String = "4", probe: String = "2") =
+                              cells: String = "4", probe: String = "2",
+                              subWidth: Int = 32, ksub: Int = 4) =
     s"""WITH $extraCtes n AS ($quantizedSql),
          |vd AS (SELECT vec_id, generate_subscripts(q,1)-1 AS d,
          |              unnest(q) + 1048576 AS x FROM n),
@@ -4459,13 +4469,13 @@ object SparkEntry {
          |             ORDER BY sum((vd.x - cc1.c)*(vd.x - cc1.c)), cc1.cell_id) AS rn
          |    FROM vd JOIN cc1 ON vd.d = cc1.d
          |    GROUP BY vd.vec_id, cc1.cell_id QUALIFY rn = 1)),
-         |rd AS (SELECT vd.vec_id, vd.d // 32 AS s, vd.d,
+         |rd AS (SELECT vd.vec_id, vd.d // $subWidth AS s, vd.d,
          |              vd.x - cc1.c + 2097152 AS rx
          |       FROM vd JOIN ca USING (vec_id)
          |       JOIN cc1 ON cc1.cell_id = ca.cell_id AND cc1.d = vd.d),
          |ps AS (SELECT vec_id,
          |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'p'), vec_id) - 1 AS code
-         |       FROM n QUALIFY code < 4),
+         |       FROM n QUALIFY code < $ksub),
          |pc0 AS (SELECT rd.s, ps.code, rd.d, rd.rx AS c
          |        FROM rd JOIN ps USING (vec_id)),
          |pa1 AS (SELECT vec_id, s, code FROM (
@@ -4492,7 +4502,7 @@ object SparkEntry {
          |    SELECT query_id, cell_id,
          |           row_number() OVER (PARTITION BY query_id
          |             ORDER BY cd, cell_id) AS rn FROM qc) WHERE rn <= $probe),
-         |qrd AS (SELECT p.query_id, p.cell_id, qd.d // 32 AS s, qd.d,
+         |qrd AS (SELECT p.query_id, p.cell_id, qd.d // $subWidth AS s, qd.d,
          |               qd.x - cc1.c + 2097152 AS rqx
          |        FROM probe p
          |        JOIN qd ON qd.query_id = p.query_id
@@ -4610,7 +4620,9 @@ object SparkEntry {
            |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
            |                   WHEN 64*kr*kr < n THEN kr + 1
            |                   ELSE kr END AS k FROM ikr),""".stripMargin,
-      cells = k, probe = s"LEAST(2, $k)")
+      cells = k,
+      probe = s"LEAST(GREATEST(2, CAST(ceil(sqrt(CAST($k AS DOUBLE))) AS BIGINT)), $k)",
+      subWidth = 4, ksub = 64)
   }
 
   /** IVF-RQ replay (`q_ivfrq_auto` / `q_ivfrq_rerank`): auto cell
@@ -4795,7 +4807,7 @@ object SparkEntry {
        |         WHEN 'ivfpq_rerank' THEN q*4 + q*(n//2)*2 + 50*q
        |         WHEN 'sq8' THEN 64*q*n
        |         WHEN 'sq8_rerank' THEN 64*q*n + 50*q
-       |         WHEN 'ivfpq_auto' THEN q*c + q*LEAST(2, c)*(n//c)*2
+       |         WHEN 'ivfpq_auto' THEN q*c + q*p2*(n//c)*16
        |         WHEN 'ivfrq_auto' THEN q*c + q*p2*(n//c)*4
        |         WHEN 'knn_graph' THEN q*10
        |         ELSE q*(h*bm*10 + bm) END AS BIGINT) AS cost_units

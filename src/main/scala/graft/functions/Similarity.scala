@@ -2112,7 +2112,7 @@ object Similarity {
       val fIvfAuto = training {
         val c = autoIvfCells(embeddings.count())
         ivfpqTopK(embeddings, queryPred, 5 * k, nCells = c,
-            nProbe = math.min(2, c), m = 2, ksub = 4, iters = 1)
+            nProbe = autoIvfProbe(c), m = 16, ksub = 64, iters = 1)
           .localCheckpoint()
       }
       // ivfrq_auto (r16, re-pointed r17): the probed residual

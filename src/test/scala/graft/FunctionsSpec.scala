@@ -2092,7 +2092,7 @@ class SimilaritySpec extends SparkSpec {
     val floors = Map("lsh" -> 0.38, "lsh_multi" -> 0.54, "ivf" -> 0.52,
       "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
-      "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.04,
+      "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.48,
       // ivfrq_auto (r17): re-pointed to 4 additive stages x 64 codes
       // through the LUT-form ADC with sqrt(c) probing — measured 0.18
       // on this corpus (was 0.04 at the r16 2-stage 4x4 point)
