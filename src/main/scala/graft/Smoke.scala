@@ -205,6 +205,10 @@ object Smoke {
       Similarity.ivfpqTopK(emb, pred, 10, c, sp, 16, 64, 1))
     rec(s"ivfpq_m16k64_p2")(
       Similarity.ivfpqTopK(emb, pred, 10, c, math.min(2, c), 16, 64, 1))
+    rec(s"ivfsq8_p2 (gated)")(
+      Similarity.ivfSq8TopK(emb, pred, 10, c, math.min(2, c), 2))
+    rec(s"ivfsq8_p$sp")(
+      Similarity.ivfSq8TopK(emb, pred, 10, c, sp, 2))
   }
 
   /** Empirical scale validation (VERDICT r7 #2): generate synthetic

@@ -1238,8 +1238,10 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
+      // r17: sqrt(c)-scaled probing like the other auto rungs —
+      // recall 0.495 -> 0.660 at sf0.1 in the lab
       Similarity.ivfSq8TopK(e, col("vec_id") % 100 === 0, 10,
-        nCells = c, nProbe = math.min(2, c), iters = 2)
+        nCells = c, nProbe = Similarity.autoIvfProbe(c), iters = 2)
         .withColumn("n_cells", lit(c.toLong))
     }),
     // IVF-RQ at AUTO cell count: the probed scale sibling of the flat
@@ -4580,7 +4582,7 @@ object SparkEntry {
        |    SELECT query_id, cell_id,
        |           row_number() OVER (PARTITION BY query_id
        |             ORDER BY cd, cell_id) AS rn FROM qc0)
-       |    WHERE rn <= LEAST(2, $k)),
+       |    WHERE rn <= LEAST(GREATEST(2, CAST(ceil(sqrt(CAST($k AS DOUBLE))) AS BIGINT)), $k)),
        |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM vd GROUP BY d),
        |cd AS (SELECT vd.vec_id, vd.d,
        |         CASE WHEN b.mx > b.mn

@@ -2031,7 +2031,22 @@ object Similarity {
     * hash seeds are fixed, ties break on ids — so the rows are stable
     * across runs and partitionings. */
   def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
-                bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame = {
+                bits: Int, tables: Int, nCells: Int, nProbe: Int): DataFrame =
+    // Memoized per (corpus plan, predicate, params): TWO gated queries
+    // read the harness now (q_ann_recall's flags and q_ann_frontier's
+    // recall_ok), and the 17-method scoring aggregation is identical
+    // for both — one run per session (r17; the trainings inside were
+    // already memo-shared, this collapses the scoring pass too).
+    IndexMemo("ann_recall", embeddings,
+      (org.apache.spark.sql.GraftSqlBridge.expression(queryPred).sql,
+        k, bits, tables, nCells, nProbe)) {
+      annRecallCompute(embeddings, queryPred, k, bits, tables, nCells,
+        nProbe).localCheckpoint()
+    }
+
+  private def annRecallCompute(embeddings: DataFrame, queryPred: Column,
+                               k: Int, bits: Int, tables: Int,
+                               nCells: Int, nProbe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // One QUANTIZED materialization of the embeddings feeds everything.
