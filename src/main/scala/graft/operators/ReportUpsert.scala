@@ -70,117 +70,12 @@ object ReportUpsert {
     } else Fs.move(tmp, dir)
   }
 
-  /** Filesystem layer of the MERGE/OCC sinks, on the Hadoop
-    * `FileSystem`/`FileContext` API so every path resolves against the
-    * SAME filesystem Spark writes to (r17, VERDICT task 3 — the
-    * manifest/CAS/vacuum machinery was `java.io.File` throughout, so
-    * on HDFS/S3 the crash-safety story silently did not exist: staged
-    * writes landed on the cluster FS while swaps, version listings and
-    * vacuums ran against the driver's LOCAL disk). Same conf
-    * resolution as `streaming.StoreFs` (which closed the identical
-    * r14 gap for the ingest stores): active session's Hadoop conf,
-    * bare conf for session-less callers. */
-  private object Fs {
-    import org.apache.hadoop.fs.{FileStatus, Path}
-
-    private def hadoopConf: org.apache.hadoop.conf.Configuration =
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-
-    private def fs(p: Path): org.apache.hadoop.fs.FileSystem =
-      p.getFileSystem(hadoopConf)
-
-    def exists(path: String): Boolean = {
-      val p = new Path(path); fs(p).exists(p)
-    }
-
-    def mkdirs(path: String): Unit = {
-      val p = new Path(path); fs(p).mkdirs(p)
-    }
-
-    /** Recursive delete; a missing path is a no-op. */
-    def delete(path: String): Unit = {
-      val p = new Path(path)
-      val f = fs(p)
-      if (f.exists(p)) f.delete(p, true)
-    }
-
-    /** Children of `dir` (empty when missing) — name + mtime, one
-      * metadata listing. */
-    def list(dir: String): Seq[FileStatus] = {
-      val p = new Path(dir)
-      val f = fs(p)
-      if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
-    }
-
-    /** Rename that FAILS LOUDLY: a silently-ignored rename failure
-      * (cross-filesystem target, permissions) would leave the live
-      * table stale or the swap half-done with readers none the wiser.
-      * `FileSystem.rename` signals failure by RETURNING FALSE; this
-      * throws instead, so the swap invariant (readers see old-complete
-      * or new-complete, never partial) holds or the writer aborts —
-      * and a `recover` on the next run restores the layout. */
-    def move(src: String, dst: String): Unit = {
-      val sp = new Path(src)
-      if (!fs(sp).rename(sp, new Path(dst)))
-        throw new java.io.IOException(s"rename $src -> $dst failed")
-    }
-
-    /** Atomic publish-if-absent — the commit primitive (the HDFS
-      * LogStore pattern): `FileContext.rename(…, Rename.NONE)` fails
-      * with `FileAlreadyExistsException` when the destination exists,
-      * and on HDFS the check-and-rename is one atomic namenode op.
-      * Returns false on the lost race. The r16 local-FS form used
-      * hard-link creation, which object stores and HDFS federation
-      * don't portably offer; rename-no-replace is the portable CAS
-      * (object stores WITHOUT atomic rename need a coordination
-      * service here — the documented Delta-on-S3 caveat — while HDFS,
-      * ABFS, GCS and local FS all honor it). */
-    def renameNoReplace(src: String, dst: String): Boolean = {
-      val sp = new Path(src)
-      val qualified = fs(sp).makeQualified(sp)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        qualified.toUri, hadoopConf)
-      try {
-        fc.rename(qualified, fs(sp).makeQualified(new Path(dst)))
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("already exists") =>
-          false
-      }
-    }
-
-    def readUtf8(path: String): String = {
-      val p = new Path(path)
-      val in = fs(p).open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    }
-
-    /** Write through `FileContext` (like the CAS rename) so manifest
-      * tmps and lock claims don't grow ChecksumFileSystem `.crc`
-      * siblings on local FS — FileContext renames wouldn't carry them,
-      * stranding unmatched crc litter in the manifest dir. */
-    def writeUtf8(path: String, content: String): Unit = {
-      val p = new Path(path)
-      val qualified = fs(p).makeQualified(p)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        qualified.toUri, hadoopConf)
-      val out = fc.create(qualified,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-        org.apache.hadoop.fs.Options.CreateOpts.createParent())
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+  /** Filesystem layer of the MERGE/OCC sinks — hoisted to the shared
+    * `graft.LakeFs` in r18 so `sources.Formats` runs on the same
+    * Hadoop `FileSystem`/`FileContext` bridge (r17 built it here for
+    * the manifest/CAS/vacuum machinery; see LakeFs for the full
+    * contract, including the file:-scheme hard-link CAS). */
+  private val Fs = graft.LakeFs
 
   /** Single-writer contract for the parquet MERGE sinks. The staged-swap
     * (`mergeInto`) and dynamic-partition-overwrite (`mergeIntoPartitioned`)

@@ -48,22 +48,17 @@ object Formats {
     // with locationAlreadyExists even in Overwrite mode — drop both
     // the catalog entry and the orphaned location first.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // Resolve the warehouse dir with Hadoop Path semantics (handles
-    // plain paths, file: URIs, AND unescaped characters like spaces
-    // that java.net.URI rejects), then delete ONLY the table's own
-    // subdirectory — guarded so a misconfigured warehouse value can
-    // never aim the recursive delete anywhere else.
+    // Resolve the warehouse dir with Hadoop Path semantics and delete
+    // ONLY the table's own subdirectory — guarded so a misconfigured
+    // warehouse value can never aim the recursive delete anywhere
+    // else. Through LakeFs (r18): the warehouse may live on the
+    // cluster's default FS, where a java.io.File delete would silently
+    // miss the stale location and saveAsTable would still fail.
     val whDir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-    val loc = new java.io.File(whDir, table)
-    val isTableDir =
-      loc.getCanonicalFile.getParentFile == new java.io.File(whDir).getCanonicalFile &&
-        loc.getCanonicalFile.getName == table
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      if (f.exists()) f.delete()
-    }
-    if (isTableDir) rm(loc)
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(whDir, table)
+    val isTableDir = loc.getParent == whDir && loc.getName == table
+    if (isTableDir) graft.LakeFs.delete(loc.toString)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -79,35 +74,63 @@ object Formats {
     * footer cost). `repartition(n)` balances bytes across the output
     * files — `coalesce` would be shuffle-free but inherits the input's
     * skew, which is the problem being fixed. The rewrite is staged and
-    * swapped with the backup discipline of the MERGE sinks
-    * (ATOMIC_MOVE renames that THROW on failure; a leftover `_old`
-    * means the swap crashed mid-way and holds the complete pre-compact
-    * table). Returns the output file count. */
+    * swapped with the backup discipline of the MERGE sinks, on the
+    * Hadoop FS API via `LakeFs` (r18 — the pass its own scaladoc calls
+    * 100 TB-critical previously ran `java.io.File` + `ATOMIC_MOVE`,
+    * i.e. local-disk only): loud-fail renames, and
+    * `recoverCompact(dir)` on entry restores the invariant after a
+    * crash at ANY swap point (a leftover `_old` with the live dir
+    * missing holds the complete pre-compact table and is re-promoted;
+    * a stale `_compacting` or post-swap `_old` is dropped). Readers
+    * only ever see the old complete table or the new one. Returns the
+    * output file count. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    def parquetFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
-    val live = new java.io.File(dir)
-    val total = parquetFiles(live).map(_.length()).sum
+    recoverCompact(dir)
+    def parquetFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      graft.LakeFs.list(d)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = parquetFiles(dir).map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val staged = dir + "_compacting"
-    val bak = new java.io.File(dir + "_old")
+    val bak = dir + "_old"
     spark.read.parquet(dir).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    def mv(src: java.io.File, dst: java.io.File): Unit =
-      java.nio.file.Files.move(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def rmRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRec)
-      if (f.exists()) f.delete()
-    }
-    rmRec(bak)
-    mv(live, bak)
-    mv(new java.io.File(staged), live)
-    rmRec(bak)
-    parquetFiles(live).size
+    crashPoint(0)
+    graft.LakeFs.move(dir, bak)
+    crashPoint(1)
+    graft.LakeFs.move(staged, dir)
+    crashPoint(2)
+    graft.LakeFs.delete(bak)
+    parquetFiles(dir).size
   }
+
+  /** Restore the `compact` directory invariant after a crash at any
+    * point of its swap sequence (invoked on entry by `compact`; safe
+    * to call any time the directory is quiescent). */
+  def recoverCompact(dir: String): Unit = {
+    if (!graft.LakeFs.exists(dir) && graft.LakeFs.exists(dir + "_old"))
+      // crash between the two swap renames: the backup holds the
+      // complete pre-compact table — promote it (the compaction
+      // simply re-runs)
+      graft.LakeFs.move(dir + "_old", dir)
+    else
+      // swap completed but cleanup crashed: the live dir is the
+      // compacted table and the backup is redundant
+      graft.LakeFs.delete(dir + "_old")
+    // an unswapped staged rewrite is never promoted — incomplete or
+    // superseded; the next compact re-writes it
+    graft.LakeFs.delete(dir + "_compacting")
+  }
+
+  /** Test seam: throw after swap stage `n` of `compact` (0 = staged
+    * rewrite written, 1 = live dir moved to backup, 2 = staged dir
+    * promoted to live) — the crash-matrix spec drives every point and
+    * asserts `recoverCompact` + re-run converge to the golden result. */
+  private[graft] var crashAfterStage: Option[Int] = None
+  private def crashPoint(stage: Int): Unit =
+    if (crashAfterStage.contains(stage))
+      throw new IllegalStateException(s"injected crash after compact stage $stage")
 
   /** Morton (Z-order) value of two bucketized non-negative ints: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure bitwise

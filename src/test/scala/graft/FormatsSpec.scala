@@ -74,6 +74,76 @@ class FormatsSpec extends SparkSpec {
       !new java.io.File(dir + "_compacting").exists(), "staging cleaned up")
   }
 
+  test("compact crash MATRIX: recover + re-run converge at every swap point (file: URIs)") {
+    // The staged-swap sequence has three inter-stage crash points
+    // (staged written / live→backup / staged→live). At EVERY point, a
+    // re-run after the crash must converge to the same compacted
+    // content, with no staging litter — exercised against
+    // scheme-qualified file: URIs so the paths travel the Hadoop FS
+    // resolution (the r18 port off java.io.File), like the OCC matrix.
+    val src = li.limit(800).localCheckpoint()
+    val cols = src.columns.map(col).toSeq
+    def checksum(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      graft.functions.Checksum.tableChecksum(df, cols).head().toSeq
+    val golden = checksum(src)
+    for (stage <- 0 to 2) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_cc$stage").toString
+      val dir = "file:" + base + "/t"
+      src.repartition(16).write.parquet(dir)
+      Formats.crashAfterStage = Some(stage)
+      try {
+        val e = intercept[IllegalStateException] {
+          Formats.compact(spark, dir, targetBytes = Long.MaxValue)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally Formats.crashAfterStage = None
+      // a reader arriving between crash and re-run must see a complete
+      // table (recoverCompact restores it without re-running compact)
+      Formats.recoverCompact(dir)
+      assert(checksum(spark.read.parquet(dir)) == golden,
+        s"stage $stage: recovered table must be complete")
+      val after = Formats.compact(spark, dir, targetBytes = Long.MaxValue)
+      assert(after == 1, s"stage $stage: expected 1 output file, got $after")
+      assert(checksum(spark.read.parquet(dir)) == golden,
+        s"stage $stage: content must survive the crash + re-run")
+      assert(!graft.LakeFs.exists(dir + "_old") &&
+        !graft.LakeFs.exists(dir + "_compacting"),
+        s"stage $stage: staging litter must be cleaned up")
+    }
+  }
+
+  test("renameNoReplace on file: scheme is an atomic hard-link CAS — one winner under a race") {
+    // RawLocalFs implements Rename.NONE as exists-check + POSIX rename
+    // (silently replacing), so two racing claimants could both "win"
+    // in the TOCTOU window. The file: branch uses link(2) (EEXIST is
+    // atomic in the kernel): race N claimants, exactly one wins, and
+    // the published file holds the winner's content.
+    val base = java.nio.file.Files.createTempDirectory("graft_cas").toString
+    val dst = s"file:$base/lock"
+    val n = 16
+    val claims = (0 until n).map { i =>
+      val c = s"file:$base/claim_$i"
+      graft.LakeFs.writeUtf8(c, s"writer-$i")
+      c
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = claims.zipWithIndex.map { case (c, i) =>
+      Future { gate.await(); (i, graft.LakeFs.renameNoReplace(c, dst)) }
+    }
+    gate.countDown()
+    val results = Await.result(Future.sequence(wins), 60.seconds)
+    val winners = results.filter(_._2)
+    assert(winners.size == 1, s"expected exactly one CAS winner, got $winners")
+    assert(graft.LakeFs.readUtf8(dst) == s"writer-${winners.head._1}",
+      "published content must be the winner's")
+    // losers' claims remain for the caller to clean; the winner's is consumed
+    assert(!graft.LakeFs.exists(claims(winners.head._1)))
+  }
+
   test("zValue interleaves bits; zOrdered tiles prune BOTH columns' predicates") {
     import spark.implicits._
     // zValue: a=0b101, b=0b011 -> z = a bits at even, b bits at odd
