@@ -79,20 +79,13 @@ object SparkEntry {
     Set("q_simhash_neardup", "q_ann_recall", "q_ann_frontier",
       "q_candidate_stats", "q_semdedup", "q_embedding_neardup_lsh")
 
-  /** Cross-scale CERTIFIED recall floors (milli-recall), shared by the
-    * engine and the oracle of `q_ann_frontier` — per method, the
-    * minimum of the per-SF half-measured floors (`q_ann_recall`'s
-    * fallback row): the recall a serving policy can RELY on at any
-    * gated scale. The frontier is computed over these certified
-    * values, not the per-corpus measurements (which the oracle cannot
-    * derive) — "cheapest method whose certified recall ≥ R". */
-  private val frontierFloorsMilli: Seq[(String, Long)] = Seq(
-    "lsh" -> 350L, "lsh_multi" -> 380L, "ivf" -> 420L,
-    "pq" -> 7L, "pq_rerank" -> 37L, "pq_hi" -> 220L, "pq_opq" -> 220L,
-    "rq" -> 2L, "rq_rerank" -> 25L,
-    "ivfpq" -> 7L, "ivfpq_rerank" -> 30L, "ivfpq_auto" -> 170L,
-    "ivfrq_auto" -> 65L, "knn_graph" -> 57L, "knn_graph_search" -> 310L,
-    "sq8" -> 700L, "sq8_rerank" -> 900L)
+  /** Cross-scale CERTIFIED recall floors (milli-recall) + serving
+    * constants + cost expressions now live in ONE config,
+    * `functions.AnnPolicy` (r18, VERDICT task 2) — the engine side of
+    * `q_ann_frontier`, its oracle SQL and the rung implementations all
+    * read it, so a rung re-point cannot mis-rank the policy surface. */
+  private def frontierFloorsMilli: Seq[(String, Long)] =
+    graft.functions.AnnPolicy.rungs.map(r => (r.method, r.floorMilli))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
@@ -605,7 +598,9 @@ object SparkEntry {
       // 14-row result; checkpoint so the base-recall self-join doesn't
       // re-run the method pipelines.
       val r = Similarity.annRecall(Tables.embeddings(s, d),
-        col("vec_id") % 100 === 0, 10, 4, 4, 16, 4).localCheckpoint()
+        col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
+        graft.functions.AnnPolicy.harnessLshBits, graft.functions.AnnPolicy.harnessLshTables,
+        graft.functions.AnnPolicy.harnessIvfCells, graft.functions.AnnPolicy.harnessIvfProbe).localCheckpoint()
       val baseRec = r.select(col("method").as("base_method"),
         col("recall").as("base_recall"))
       r.join(broadcast(floors), Seq("method"))
@@ -639,22 +634,13 @@ object SparkEntry {
       val h = Similarity.autoGraphHops(n).toLong
       val b = Similarity.autoGraphBeam(n).toLong
       val bucket16 = math.max(1L, n / 16L) // harness lsh/ivf run 4 bits / 16 cells
-      val cost: Map[String, Long] = Map(
-        "lsh" -> q * 5 * bucket16,          // bucket + 4 Hamming-1 probes
-        "lsh_multi" -> q * 4 * bucket16,    // 4 tables, 1 bucket each
-        "ivf" -> (q * 16 + q * 4 * bucket16), // 16 cents + 4 probed cells
-        "pq" -> 2 * q * n, "pq_rerank" -> (2 * q * n + 50 * q), // m=2 lookups/cand
-        "pq_hi" -> 16 * q * n, "pq_opq" -> 16 * q * n,          // m=16
-        "rq" -> 2 * q * n, "rq_rerank" -> (2 * q * n + 50 * q), // L=2 lookups/cand
-        "ivfpq" -> (q * 4 + q * (n / 2L) * 2), // 4 cents + 2-of-4 cells, m=2
-        "ivfpq_rerank" -> (q * 4 + q * (n / 2L) * 2 + 50 * q),
-        "sq8" -> 64 * q * n, "sq8_rerank" -> (64 * q * n + 50 * q), // per-dim codes
-        "ivfpq_auto" -> (q * c + q * p2 * (n / c) * 16),
-        "ivfrq_auto" -> (q * c + q * p2 * (n / c) * 4), // L=4 stages
-        "knn_graph" -> q * 10,              // the node's own list, a lookup
-        "knn_graph_search" -> q * (h * b * 10 + b))
-      val costs = frontierFloorsMilli
-        .map { case (m, fm) => (m, cost(m), fm) }
+      // every rung's cost expression + certified floor come from the
+      // shared AnnPolicy config — the oracle's CASE is generated from
+      // the SAME expression trees (drift-proof by construction)
+      val env = Map("n" -> n, "q" -> q, "c" -> c, "p2" -> p2,
+        "h" -> h, "bm" -> b, "b16" -> bucket16)
+      val costs = graft.functions.AnnPolicy.rungs
+        .map(r => (r.method, r.cost.eval(env), r.floorMilli))
         .toDF("method", "cost_units", "floor_milli")
         .localCheckpoint() // tiny; read three times below
       val dominated = costs.as("a").join(costs.as("b"),
@@ -664,7 +650,9 @@ object SparkEntry {
           col("b.floor_milli") > col("a.floor_milli")), "left_semi")
         .select(col("a.method").as("method"), lit(0L).as("on_frontier"))
       val measured = Similarity.annRecall(e,
-          col("vec_id") % 100 === 0, 10, 4, 4, 16, 4)
+          col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
+          graft.functions.AnnPolicy.harnessLshBits, graft.functions.AnnPolicy.harnessLshTables,
+          graft.functions.AnnPolicy.harnessIvfCells, graft.functions.AnnPolicy.harnessIvfProbe)
         .select(col("method"), col("recall"))
       costs.join(broadcast(measured), Seq("method"))
         .join(broadcast(dominated), Seq("method"), "left")
@@ -1208,9 +1196,9 @@ object SparkEntry {
       // pq_hi at sf0.1 (0.22) — the Jegou residual-quantization gain,
       // now visible at the gated operating point. The 4-bit demo
       // point lives on in q_ivfpq_topk/q_ivfpq_rerank.
-      Similarity.ivfpqTopK(e, col("vec_id") % 100 === 0, 10,
+      Similarity.ivfpqTopK(e, col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
         nCells = c, nProbe = Similarity.autoIvfProbe(c),
-        m = 16, ksub = 64, iters = 1)
+        m = graft.functions.AnnPolicy.ivfpqAutoM, ksub = graft.functions.AnnPolicy.ivfpqAutoKsub, iters = 1)
         .withColumn("n_cells", lit(c.toLong))
     }),
     // SQ8 scalar quantization (FAISS QT_8bit shape): per-dim affine
@@ -1261,9 +1249,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
-      Similarity.ivfRqTopKMulti(e, col("vec_id") % 100 === 0, 10,
+      Similarity.ivfRqTopKMulti(e, col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
         nCells = c, nProbe = Similarity.autoIvfProbe(c),
-        ks = Seq.fill(4)(64), iters = 1)
+        ks = graft.functions.AnnPolicy.ivfrqAutoKs, iters = 1)
         .withColumn("n_cells", lit(c.toLong))
     }),
     // IVF-RQ + exact re-rank: the probed additive-code pool (50)
@@ -1272,9 +1260,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
       val c = Similarity.autoIvfCells(e.count())
-      Similarity.ivfRqTopKMultiRerank(e, col("vec_id") % 100 === 0, 10,
+      Similarity.ivfRqTopKMultiRerank(e, col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
         nCells = c, nProbe = Similarity.autoIvfProbe(c),
-        ks = Seq.fill(4)(64), iters = 1, pool = 50)
+        ks = graft.functions.AnnPolicy.ivfrqAutoKs, iters = 1, pool = graft.functions.AnnPolicy.rerankPool)
     }),
     // deterministic kNN-graph (NN-descent, WWW 2011): LSH-seeded
     // per-node top-k lists refined by 2 fixed neighbor-of-neighbor
@@ -1282,7 +1270,8 @@ object SparkEntry {
     // index rung (HNSW/NSG class), oracle-replayable because seeds,
     // distances, tie-breaks and the round count are all deterministic
     "q_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(Tables.embeddings(s, d), 10, 2)),
+      Similarity.knnGraph(Tables.embeddings(s, d),
+        graft.functions.AnnPolicy.kGraph, graft.functions.AnnPolicy.graphRounds)),
     // the SERVING read of the graph index: greedy beam search (the
     // HNSW/NSG walk, single-layer form) — global md5 entry points.
     // r17: hops/beam/entry-count AUTO-derived from COUNT(*) via the
@@ -1297,7 +1286,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val n = e.count()
       Similarity.knnGraphSearch(e,
-        col("vec_id") % 100 === 0, 10, kGraph = 10, rounds = 2,
+        col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k,
+        kGraph = graft.functions.AnnPolicy.kGraph, rounds = graft.functions.AnnPolicy.graphRounds,
         hops = Similarity.autoGraphHops(n), beam = Similarity.autoGraphBeam(n))
     }),
     // contrastive hard-negative mining: nearest different-label rows
@@ -4624,7 +4614,8 @@ object SparkEntry {
            |                   ELSE kr END AS k FROM ikr),""".stripMargin,
       cells = k,
       probe = s"LEAST(GREATEST(2, CAST(ceil(sqrt(CAST($k AS DOUBLE))) AS BIGINT)), $k)",
-      subWidth = 4, ksub = 64)
+      subWidth = graft.functions.AnnPolicy.dims / graft.functions.AnnPolicy.ivfpqAutoM,
+      ksub = graft.functions.AnnPolicy.ivfpqAutoKsub)
   }
 
   /** IVF-RQ replay (`q_ivfrq_auto` / `q_ivfrq_rerank`): auto cell
@@ -4640,7 +4631,8 @@ object SparkEntry {
     * = ‖q_r‖² − 2·Σ_s dot + its stored reconstruction norm — through
     * the ranked candidate CTE `r`. Serving point r17: 4 stages × 64
     * codes, iters = 1. */
-  private lazy val ivfRqAutoBaseSql: String = ivfRqMultiBaseSql(Seq.fill(4)(64))
+  private lazy val ivfRqAutoBaseSql: String =
+    ivfRqMultiBaseSql(graft.functions.AnnPolicy.ivfrqAutoKs)
 
   private def ivfRqMultiBaseSql(ks: Seq[Int]): String = {
     val k = "(SELECT k FROM ki)"
@@ -4768,15 +4760,14 @@ object SparkEntry {
        |      FROM dist)""".stripMargin
   }
 
-  /** `q_ann_frontier` replay: the same closed-form integer cost model
-    * (work units from COUNT(*), |Q| and the COUNT(*)-derived auto
-    * params), the same certified milli-recall floors (shared literal
-    * table `frontierFloorsMilli`), the same pareto rule over
+  /** `q_ann_frontier` replay: the cost CASE and floor table are
+    * GENERATED from `functions.AnnPolicy`'s expression trees — the
+    * very objects the engine evaluates — so the two sides cannot
+    * drift (r18, VERDICT task 2); the same pareto rule over
     * (cost_units ASC, floor DESC); recall_ok is literal 1 (the
     * engine's measured-recall check, q_ann_recall's flag pattern). */
   private lazy val annFrontierSql: String = {
-    val values = frontierFloorsMilli
-      .map { case (m, f) => s"('$m', $f)" }.mkString(", ")
+    val values = graft.functions.AnnPolicy.floorsSqlValues
     val pChain = (1 to 61)
       .map(p => s"WHEN prm0.n <= ${1L << p} THEN $p")
       .mkString("\n            ")
@@ -4795,24 +4786,7 @@ object SparkEntry {
        |               GREATEST(1, prm0.n // 16) AS b16
        |        FROM prm0, qq, ki, gp),
        |costs AS (SELECT m.method, m.floor_milli,
-       |       CAST(CASE m.method
-       |         WHEN 'lsh' THEN q*5*b16
-       |         WHEN 'lsh_multi' THEN q*4*b16
-       |         WHEN 'ivf' THEN q*16 + q*4*b16
-       |         WHEN 'pq' THEN 2*q*n
-       |         WHEN 'pq_rerank' THEN 2*q*n + 50*q
-       |         WHEN 'pq_hi' THEN 16*q*n
-       |         WHEN 'pq_opq' THEN 16*q*n
-       |         WHEN 'rq' THEN 2*q*n
-       |         WHEN 'rq_rerank' THEN 2*q*n + 50*q
-       |         WHEN 'ivfpq' THEN q*4 + q*(n//2)*2
-       |         WHEN 'ivfpq_rerank' THEN q*4 + q*(n//2)*2 + 50*q
-       |         WHEN 'sq8' THEN 64*q*n
-       |         WHEN 'sq8_rerank' THEN 64*q*n + 50*q
-       |         WHEN 'ivfpq_auto' THEN q*c + q*p2*(n//c)*16
-       |         WHEN 'ivfrq_auto' THEN q*c + q*p2*(n//c)*4
-       |         WHEN 'knn_graph' THEN q*10
-       |         ELSE q*(h*bm*10 + bm) END AS BIGINT) AS cost_units
+       |       ${graft.functions.AnnPolicy.costSqlCase} AS cost_units
        |       FROM (VALUES $values) AS m(method, floor_milli), prm)
        |SELECT a.method, a.cost_units,
        |       CAST(a.floor_milli AS BIGINT) AS floor_milli,

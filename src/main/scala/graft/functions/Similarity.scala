@@ -2100,34 +2100,40 @@ object Similarity {
       }
       val fBuckets = training { lshBucketsMulti(embeddings, bits, tables) }
       val fPq = training {
-        pqTopK(embeddings, queryPred, 5 * k, m = 2, ksub = 4, iters = 1)
+        pqTopK(embeddings, queryPred, 5 * k,
+            m = AnnPolicy.pqDemoM, ksub = AnnPolicy.pqDemoKsub, iters = 1)
           .localCheckpoint()
       }
       val fRq = training {
-        rqTopK(embeddings, queryPred, 5 * k, k1 = 4, k2 = 4, iters = 1)
+        rqTopK(embeddings, queryPred, 5 * k,
+            k1 = AnnPolicy.rqDemoK, k2 = AnnPolicy.rqDemoK, iters = 1)
           .localCheckpoint()
       }
       val fIvfpq = training {
-        ivfpqTopK(embeddings, queryPred, 5 * k, nCells = 4, nProbe = 2,
-            m = 2, ksub = 4, iters = 1)
+        ivfpqTopK(embeddings, queryPred, 5 * k,
+            nCells = AnnPolicy.ivfpqDemoCells, nProbe = AnnPolicy.ivfpqDemoProbe,
+            m = AnnPolicy.ivfpqDemoM, ksub = AnnPolicy.ivfpqDemoKsub, iters = 1)
           .localCheckpoint()
       }
       val fSq8 = training { sq8TopK(embeddings, queryPred, 5 * k).localCheckpoint() }
       val fPqHi = training {
-        pqTopK(embeddings, queryPred, 5 * k, m = 16, ksub = 64, iters = 1)
+        pqTopK(embeddings, queryPred, 5 * k,
+            m = AnnPolicy.pqHiM, ksub = AnnPolicy.pqHiKsub, iters = 1)
           .localCheckpoint()
       }
       // pq_opq / ivfpq_auto (r15): the OPQ-P permuted index at
       // q_pq_opq's served shape and the corpus-sized IVFADC at
       // q_ivfpq_auto's — both memo-share with their gated queries
       val fOpq = training {
-        opqPqTopK(embeddings, queryPred, 5 * k, m = 16, ksub = 64, iters = 1)
+        opqPqTopK(embeddings, queryPred, 5 * k,
+            m = AnnPolicy.pqHiM, ksub = AnnPolicy.pqHiKsub, iters = 1)
           .localCheckpoint()
       }
       val fIvfAuto = training {
         val c = autoIvfCells(embeddings.count())
         ivfpqTopK(embeddings, queryPred, 5 * k, nCells = c,
-            nProbe = autoIvfProbe(c), m = 16, ksub = 64, iters = 1)
+            nProbe = autoIvfProbe(c),
+            m = AnnPolicy.ivfpqAutoM, ksub = AnnPolicy.ivfpqAutoKsub, iters = 1)
           .localCheckpoint()
       }
       // ivfrq_auto (r16, re-pointed r17): the probed residual
@@ -2137,7 +2143,7 @@ object Similarity {
       val fIvfRqAuto = training {
         val c = autoIvfCells(embeddings.count())
         ivfRqTopKMulti(embeddings, queryPred, 5 * k, nCells = c,
-            nProbe = autoIvfProbe(c), ks = Seq.fill(4)(64), iters = 1)
+            nProbe = autoIvfProbe(c), ks = AnnPolicy.ivfrqAutoKs, iters = 1)
           .localCheckpoint()
       }
       // knn_graph (r16): the NN-descent graph index at q_knn_graph's
