@@ -197,8 +197,14 @@ object Smoke {
       println(f"IVFRQLAB n=$n%-7d cells=$c%-3d cfg=$label%-28s recall=${hits.toDouble / nTruth}%.3f sec=${(System.nanoTime() - t0) / 1e9}%7.2f")
     }
     val sp = math.max(2, math.ceil(math.sqrt(c.toDouble)).toInt).min(c)
-    rec(s"ivfrq_L4x64_p$sp (gated)")(
+    rec(s"ivfrq_L4x64_p$sp (r17 gated)")(
       Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 1))
+    rec(s"ivfrq_L8x16_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(16), 1))
+    rec(s"ivfrq_L8x32_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(32), 1))
+    rec(s"ivfrq_L6x64_p$sp")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(6)(64), 1))
     rec(s"ivfpq_m2k4_p2 (gated)")(
       Similarity.ivfpqTopK(emb, pred, 10, c, math.min(2, c), 2, 4, 1))
     rec(s"ivfpq_m16k64_p$sp")(

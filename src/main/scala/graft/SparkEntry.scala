@@ -573,19 +573,19 @@ object SparkEntry {
         "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
           ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
           ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.24),
-          ("ivfrq_auto", 0.09), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
+          ("ivfrq_auto", 0.13), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
         "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
           ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
           ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.27),
-          ("ivfrq_auto", 0.15), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
+          ("ivfrq_auto", 0.20), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
         "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
           ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
           ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
-          ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
+          ("ivfrq_auto", 0.085), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
-        ("ivfrq_auto", 0.065), ("knn_graph", 0.057), ("knn_graph_search", 0.31))
+        ("ivfrq_auto", 0.085), ("knn_graph", 0.057), ("knn_graph_search", 0.31))
       val scaleKey = new java.io.File(d).getName
       val floors = (Seq(
         ("lsh", 0.35), ("lsh_multi", 0.38), ("ivf", 0.42),
@@ -1234,11 +1234,11 @@ object SparkEntry {
     }),
     // IVF-RQ at AUTO cell count: the probed scale sibling of the flat
     // q_rq_topk scan (32x exponent 1.01) — certified coarse chain,
-    // FOUR additive 64-code residual stages (r17: the r16 2-stage
-    // 4x4-code point measured recall 0.02-0.04, UNDER the flat scan it
-    // exists to replace; 4x64 through the LUT-form ADC measures
-    // 0.18/0.30/0.13 across the three SFs — at last a usable probed
-    // rung), per-stage dot LUTs + stored reconstruction norms within
+    // EIGHT additive 16-code residual stages (r17 fixed the ADC to the
+    // L-stage LUT expansion and gated 4x64 at 0.18/0.30/0.13; the r18
+    // tri-scale lab shows 8x16 above it at every SF — 0.26/0.40/0.17 —
+    // so the serving point moves, one edit in AnnPolicy.ivfrqAutoKs),
+    // per-stage dot LUTs + stored reconstruction norms within
     // each query's probed cells. nProbe scales with the cell count
     // (max(2, ceil(sqrt(c))), capped at c) instead of the r16 fixed 2,
     // so the probed fraction no longer collapses as cells grow. The
@@ -4629,8 +4629,9 @@ object SparkEntry {
     * by exact integer L2, per-(query, cell, stage, code) dot LUTs
     * against the shift-adjusted codebooks, and a candidate's distance
     * = ‖q_r‖² − 2·Σ_s dot + its stored reconstruction norm — through
-    * the ranked candidate CTE `r`. Serving point r17: 4 stages × 64
-    * codes, iters = 1. */
+    * the ranked candidate CTE `r`. Serving point r18: 8 stages × 16
+    * codes (AnnPolicy.ivfrqAutoKs — the CTE loop generates one block
+    * per stage), iters = 1. */
   private lazy val ivfRqAutoBaseSql: String =
     ivfRqMultiBaseSql(graft.functions.AnnPolicy.ivfrqAutoKs)
 

@@ -72,9 +72,14 @@ object AnnPolicy {
   val ivfpqAutoM = 16
   val ivfpqAutoKsub = 64
 
-  /** IVF-RQ auto point: additive residual stage widths (r17: 4 stages
-    * x 64 codes through the L-stage LUT ADC). */
-  val ivfrqAutoKs: Seq[Int] = Seq.fill(4)(64)
+  /** IVF-RQ auto point: additive residual stage widths. r18 re-point
+    * to 8 stages x 16 codes — the r17 lab table already showed L8x16
+    * above the gated L4x64 at the same sqrt(c) probe budget, and the
+    * tri-scale sweep confirms it at EVERY SF (0.26/0.40/0.17 vs
+    * 0.18/0.30/0.13): finer additive refinement beats wider per-stage
+    * codebooks at equal 2^32 code space. Serve cost is L LUT lookups
+    * per candidate (8 vs 4 — reflected in the cost tree below). */
+  val ivfrqAutoKs: Seq[Int] = Seq.fill(8)(16)
 
   /** kNN-graph: per-node list depth and NN-descent round count; the
     * serving walk derives beam/hops from COUNT(*)
@@ -179,7 +184,7 @@ object AnnPolicy {
     AnnRung("ivfpq_auto", 170L,
       q * c + q * p2 * (n / c) * L(ivfpqAutoM)),
     // L LUT lookups per candidate in the probed cells
-    AnnRung("ivfrq_auto", 65L,
+    AnnRung("ivfrq_auto", 85L,
       q * c + q * p2 * (n / c) * L(ivfrqAutoKs.length)),
     // the node's own list: one lookup
     AnnRung("knn_graph", 57L, q * L(kGraph)),

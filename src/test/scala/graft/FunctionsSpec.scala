@@ -2093,10 +2093,10 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> 0.04, "pq_rerank" -> 0.22, "pq_hi" -> 0.50, "pq_opq" -> 0.52,
       "rq" -> 0.02, "rq_rerank" -> 0.16,
       "ivfpq" -> 0.02, "ivfpq_rerank" -> 0.18, "ivfpq_auto" -> 0.48,
-      // ivfrq_auto (r17): re-pointed to 4 additive stages x 64 codes
-      // through the LUT-form ADC with sqrt(c) probing — measured 0.18
-      // on this corpus (was 0.04 at the r16 2-stage 4x4 point)
-      "ivfrq_auto" -> 0.18, "knn_graph" -> 0.24, "knn_graph_search" -> 0.92, "sq8" -> 0.90,
+      // ivfrq_auto (r18): re-pointed to 8 additive stages x 16 codes
+      // (AnnPolicy.ivfrqAutoKs) — measured 0.26 on this corpus (0.18
+      // at r17's 4x64, 0.04 at the r16 2-stage 4x4 point)
+      "ivfrq_auto" -> 0.26, "knn_graph" -> 0.24, "knn_graph_search" -> 0.92, "sq8" -> 0.90,
       "sq8_rerank" -> 1.00)
     out.foreach { case (m, (hits, n, rec)) =>
       info(f"$m%-10s recall=$rec%.3f ($hits/$n)")
