@@ -661,6 +661,27 @@ object SparkEntry {
             .otherwise(0L).as("recall_ok"),
           coalesce(col("on_frontier"), lit(1L)).as("on_frontier"))
     }),
+    // the EXECUTABLE form of the frontier (r18, VERDICT #6): dispatch
+    // to the cheapest rung whose CERTIFIED floor meets the requested
+    // recall. Floors chosen so the winner is scale-INVARIANT and
+    // provable from the cost trees (>=400: ivf beats sq8/sq8_rerank at
+    // any n since q*16+4q*max(1,n/16) < 64qn; >=700: sq8 beats its own
+    // rerank by the +50q term) — but the ORACLE does not hardcode the
+    // choice: it recomputes all 17 costs from COUNT(*) (the frontier
+    // CTE), derives the argmin under the same tie-break, and only
+    // produces rows when that derived winner equals the engine's (the
+    // join against the winner CTE) — a drifted policy yields zero rows
+    // and a red gate, replaying the CHOICE itself at every SF.
+    "q_ann_serve" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.annServe(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k, 400L)
+    }),
+    "q_ann_serve_tight" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.annServe(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, graft.functions.AnnPolicy.k, 700L)
+    }),
     // --- multimodal plumbing ---
     "q_multimodal_meta" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaMeta(
@@ -2410,6 +2431,10 @@ object SparkEntry {
         |             ('knn_graph'), ('knn_graph_search'), ('sq8'), ('sq8_rerank')) AS m(method)
         |CROSS JOIN q""".stripMargin,
     "q_ann_frontier" -> annFrontierSql,
+    "q_ann_serve" -> annServeSql(400L, "ivf", ivfTopkOracleSql),
+    "q_ann_serve_tight" -> annServeSql(700L, "sq8",
+      s"""$sq8BaseSql
+         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 10""".stripMargin),
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
         |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
@@ -4767,12 +4792,15 @@ object SparkEntry {
     * drift (r18, VERDICT task 2); the same pareto rule over
     * (cost_units ASC, floor DESC); recall_ok is literal 1 (the
     * engine's measured-recall check, q_ann_recall's flag pattern). */
-  private lazy val annFrontierSql: String = {
-    val values = graft.functions.AnnPolicy.floorsSqlValues
+  /** Shared CTE block deriving the policy parameters (prm) and every
+    * rung's cost (costs) from COUNT(*) — the frontier's core, reused by
+    * the `q_ann_serve*` choice replay (r18). Ends with the `costs` CTE;
+    * callers append their own final SELECT (and may prepend CTEs). */
+  private lazy val annPolicyCostsCteSql: String = {
     val pChain = (1 to 61)
       .map(p => s"WHEN prm0.n <= ${1L << p} THEN $p")
       .mkString("\n            ")
-    s"""WITH prm0 AS (SELECT count(*) AS n FROM embeddings),
+    s"""prm0 AS (SELECT count(*) AS n FROM embeddings),
        |qq AS (SELECT count(*) AS q FROM embeddings WHERE vec_id % 100 = 0),
        |ikr AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE) / 64.0)) AS BIGINT)) AS kr, n FROM prm0),
        |ki AS (SELECT CASE WHEN kr > 1 AND 64*(kr-1)*(kr-1) >= n THEN kr - 1
@@ -4788,7 +4816,11 @@ object SparkEntry {
        |        FROM prm0, qq, ki, gp),
        |costs AS (SELECT m.method, m.floor_milli,
        |       ${graft.functions.AnnPolicy.costSqlCase} AS cost_units
-       |       FROM (VALUES $values) AS m(method, floor_milli), prm)
+       |       FROM (VALUES ${graft.functions.AnnPolicy.floorsSqlValues}) AS m(method, floor_milli), prm)""".stripMargin
+  }
+
+  private lazy val annFrontierSql: String = {
+    s"""WITH $annPolicyCostsCteSql
        |SELECT a.method, a.cost_units,
        |       CAST(a.floor_milli AS BIGINT) AS floor_milli,
        |       CAST(1 AS BIGINT) AS recall_ok,
@@ -4798,6 +4830,24 @@ object SparkEntry {
        |         THEN 0 ELSE 1 END AS BIGINT) AS on_frontier
        |FROM costs a""".stripMargin
   }
+
+  /** `q_ann_serve*` replay: recompute every rung's cost from COUNT(*)
+    * (the shared frontier CTE), derive the cheapest floor-meeting rung
+    * under the engine's exact tie-break (cost ASC, floor DESC, method
+    * ASC), and emit the winner's result chain ONLY if the derived
+    * winner matches the chain the oracle carries — the policy choice
+    * is replayed, not asserted. */
+  private def annServeSql(floorMilli: Long, winner: String,
+                          chainSql: String): String =
+    s"""WITH res AS (SELECT * FROM ($chainSql)),
+       |$annPolicyCostsCteSql,
+       |winner AS (SELECT method, cost_units, floor_milli FROM costs
+       |           WHERE floor_milli >= $floorMilli
+       |           ORDER BY cost_units ASC, floor_milli DESC, method ASC LIMIT 1)
+       |SELECT w.method, w.cost_units,
+       |       CAST(w.floor_milli AS BIGINT) AS floor_milli,
+       |       r.query_id, CAST(r.rnk AS BIGINT) AS rnk, r.neighbor_id
+       |FROM res r JOIN winner w ON w.method = '$winner'""".stripMargin
 
   /** PQ certified-training + ADC replay, parameterized by subspace
     * width (dims per subspace) and per-subspace centroid count — the

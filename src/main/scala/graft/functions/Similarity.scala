@@ -2023,6 +2023,84 @@ object Similarity {
     sel
   }
 
+  /** The frontier's derived-parameter environment for a corpus: the
+    * integers `AnnPolicy`'s cost trees evaluate over, every one a
+    * COUNT(*)-derived auto value (the oracle re-derives the same
+    * numbers via its integer threshold chains). */
+  def annPolicyEnv(embeddings: DataFrame, queryPred: Column): Map[String, Long] = {
+    val n = embeddings.count()
+    val q = embeddings.filter(queryPred).count()
+    val c = autoIvfCells(n)
+    Map("n" -> n, "q" -> q, "c" -> c.toLong,
+      "p2" -> autoIvfProbe(c).toLong, "h" -> autoGraphHops(n).toLong,
+      "bm" -> autoGraphBeam(n).toLong, "b16" -> math.max(1L, n / 16L))
+  }
+
+  /** Policy-dispatching serve (r18, VERDICT #6): the executable form of
+    * `q_ann_frontier`'s policy read — "the cheapest method whose
+    * CERTIFIED recall ≥ `recallFloorMilli`". Evaluates every rung's
+    * cost tree over the corpus's COUNT(*)-derived parameters, picks the
+    * minimum among rungs meeting the floor (tie-break: floor DESC,
+    * method ASC — the winner is on the Pareto frontier by construction:
+    * anything dominating it would also meet the floor more cheaply),
+    * and dispatches to that rung's serving function at its AnnPolicy
+    * operating point. Returns (method, cost_units, floor_milli,
+    * query_id, rnk, neighbor_id) — method-independent schema, so a
+    * re-point or a different winner at a different corpus size is a
+    * VALUE change the oracle replays, not a schema break. */
+  def annServe(embeddings: DataFrame, queryPred: Column, k: Int,
+               recallFloorMilli: Long): DataFrame = {
+    import graft.functions.{AnnPolicy => P}
+    val env = annPolicyEnv(embeddings, queryPred)
+    val eligible = P.rungs.filter(_.floorMilli >= recallFloorMilli)
+    require(eligible.nonEmpty,
+      s"no ANN rung certifies recall >= $recallFloorMilli milli " +
+        s"(max certified: ${P.rungs.map(_.floorMilli).max})")
+    val chosen = eligible.minBy(r => (r.cost.eval(env), -r.floorMilli, r.method))
+    val c = env("c").toInt; val p2 = env("p2").toInt
+    val res = chosen.method match {
+      case "lsh" => lshTopK(embeddings, queryPred, k, P.harnessLshBits)
+      case "lsh_multi" =>
+        lshTopKMulti(embeddings, queryPred, k, P.harnessLshBits, P.harnessLshTables)
+      case "ivf" =>
+        ivfTopK(embeddings, queryPred, k, P.harnessIvfCells, P.harnessIvfProbe)
+      case "pq" => pqTopK(embeddings, queryPred, k, P.pqDemoM, P.pqDemoKsub, 1)
+      case "pq_rerank" =>
+        pqTopKRerank(embeddings, queryPred, k, P.pqDemoM, P.pqDemoKsub, 1, P.rerankPool)
+      case "pq_hi" => pqTopK(embeddings, queryPred, k, P.pqHiM, P.pqHiKsub, 1)
+      case "pq_opq" => opqPqTopK(embeddings, queryPred, k, P.pqHiM, P.pqHiKsub, 1)
+      case "rq" => rqTopK(embeddings, queryPred, k, P.rqDemoK, P.rqDemoK, 1)
+      case "rq_rerank" =>
+        rqTopKRerank(embeddings, queryPred, k, P.rqDemoK, P.rqDemoK, 1, P.rerankPool)
+      case "ivfpq" =>
+        ivfpqTopK(embeddings, queryPred, k, P.ivfpqDemoCells, P.ivfpqDemoProbe,
+          P.ivfpqDemoM, P.ivfpqDemoKsub, 1)
+      case "ivfpq_rerank" =>
+        ivfpqTopKRerank(embeddings, queryPred, k, P.ivfpqDemoCells, P.ivfpqDemoProbe,
+          P.ivfpqDemoM, P.ivfpqDemoKsub, 1, P.rerankPool)
+      case "sq8" => sq8TopK(embeddings, queryPred, k)
+      case "sq8_rerank" => sq8TopKRerank(embeddings, queryPred, k, P.rerankPool)
+      case "ivfpq_auto" =>
+        ivfpqTopK(embeddings, queryPred, k, c, p2, P.ivfpqAutoM, P.ivfpqAutoKsub, 1)
+      case "ivfrq_auto" =>
+        ivfRqTopKMulti(embeddings, queryPred, k, c, p2, P.ivfrqAutoKs, 1)
+      case "knn_graph" =>
+        knnGraph(embeddings, P.kGraph, P.graphRounds)
+          .join(embeddings.filter(queryPred).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .filter(col("rnk") <= k)
+          .withColumnRenamed("vec_id", "query_id")
+      case "knn_graph_search" =>
+        knnGraphSearch(embeddings, queryPred, k, P.kGraph, P.graphRounds,
+          hops = env("h").toInt, beam = env("bm").toInt)
+      case other => throw new IllegalStateException(s"no dispatch for rung $other")
+    }
+    res.select(lit(chosen.method).as("method"),
+      lit(chosen.cost.eval(env)).as("cost_units"),
+      lit(chosen.floorMilli).as("floor_milli"),
+      col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Measured ANN recall: joins each approximate method's top-k against
     * the brute-force top-k (the oracle-gated ground truth) and emits one
     * (method, n_hits, n_truth, recall) row per method. This turns the

@@ -2278,6 +2278,37 @@ class SimilaritySpec extends SparkSpec {
       s"corrupt candidate 2 must drop, got ${got.mkString(", ")}")
     assert(got.head.getLong(1) == 1L) // vec 1 holds rank 1, not a NULL row
   }
+
+  test("annServe dispatches the cheapest floor-meeting rung; floors select different winners") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    val env = Similarity.annPolicyEnv(e, pred)
+    // floor 0: everything is eligible — the q*kGraph graph-list lookup
+    // is the global cost minimum at any corpus size
+    val lookAll = Similarity.annServe(e, pred, 10, 0L)
+    assert(lookAll.select("method").head().getString(0) == "knn_graph")
+    // its rows must BE the graph's own lists for the query nodes
+    val graphRows = Similarity.knnGraph(e,
+        graft.functions.AnnPolicy.kGraph, graft.functions.AnnPolicy.graphRounds)
+      .join(e.filter(pred).select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"))
+      .collect().map(_.toSeq).toSet
+    assert(lookAll.select(col("query_id"), col("rnk"), col("neighbor_id"))
+      .collect().map(_.toSeq).toSet == graphRows)
+    // the served cost_units equals the rung's own tree over the env
+    assert(lookAll.select("cost_units").head().getLong(0) ==
+      graft.functions.AnnPolicy.costUnits("knn_graph", env))
+    // tighter floors walk UP the frontier: 400 -> ivf, 700 -> sq8
+    assert(Similarity.annServe(e, pred, 10, 400L)
+      .select("method").head().getString(0) == "ivf")
+    assert(Similarity.annServe(e, pred, 10, 700L)
+      .select("method").head().getString(0) == "sq8")
+    // an unsatisfiable floor fails loudly, not with a silent fallback
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annServe(e, pred, 10, 2000L)
+    }
+    assert(ex.getMessage.contains("no ANN rung certifies"))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
