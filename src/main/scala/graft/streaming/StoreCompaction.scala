@@ -144,6 +144,23 @@ object StoreCompaction {
     }
     val gids = landed(spark, s"$indexDir/graph")
     if (gids.size <= 2) return
+    // Legacy-layout guard (r17 advice): the rebuild re-runs NN-descent
+    // over the RAW embedding + label columns (lshBuckets reads them),
+    // but node stores written before r17 landed only (vec_id, q).
+    // Compacting such a store would either fail mid-swap or — the
+    // dangerous form, with mixed-schema batch dirs — read the missing
+    // columns as null and silently DROP those vectors from the rebuilt
+    // graph. Check the schema across ALL generations (parquet union
+    // keeps a column only if some dir has it; a per-dir footer check
+    // catches the mixed case) BEFORE retiring anything.
+    val nodesRoot = s"$indexDir/nodes"
+    landed(spark, nodesRoot).foreach { g =>
+      val cols = spark.read.parquet(s"$nodesRoot/batch=$g").columns.toSet
+      require(Set("embedding", "label").subsetOf(cols),
+        s"graph-store compaction needs raw 'embedding' and 'label' columns to " +
+          s"rebuild NN-descent, but $nodesRoot/batch=$g has ${cols.toSeq.sorted.mkString(", ")} " +
+          "— a pre-r17 legacy layout; re-ingest or backfill the store before compacting")
+    }
     val frontier = gids.max
     val maxC = gids.filter(_ < frontier).max
     compactDir(spark, s"$indexDir/nodes")
@@ -167,6 +184,42 @@ object StoreCompaction {
     if (due) compactGraphStore(spark, indexDir, k, rounds)
     due
   }
+
+  /** Single-maintainer lock around a compaction body (r18, VERDICT #4):
+    * the compactions require a quiesced single-writer store, and
+    * before this nothing ENFORCED it — two maintenance invocations (or
+    * a maintenance run racing a restarted ingest's close hook) could
+    * interleave the staged swaps. The lock is the OCC sinks' CAS claim
+    * (`LakeFs.renameNoReplace`: hard-link on file:, FileContext
+    * Rename.NONE elsewhere) on `<dir>/_maintenance_lock`; a held lock
+    * fails fast with the stale-lock instruction rather than silently
+    * stealing. A crash leaves the lock behind by design — same
+    * operator contract as the MERGE sinks' writer lock. */
+  def withMaintenanceLock[T](dir: String)(body: => T): T = {
+    val lock = s"$dir/_maintenance_lock"
+    graft.LakeFs.mkdirs(dir)
+    val claim = s"$dir/_maintenance_claim_${java.util.UUID.randomUUID()}"
+    graft.LakeFs.writeUtf8(claim, "")
+    val won = try graft.LakeFs.renameNoReplace(claim, lock) finally {
+      if (graft.LakeFs.exists(claim)) graft.LakeFs.delete(claim)
+    }
+    if (!won)
+      throw new IllegalStateException(
+        s"store at $dir is under maintenance by another process ($lock exists); " +
+          "compaction is single-maintainer — if none is alive, remove the stale lock")
+    try body finally graft.LakeFs.delete(lock)
+  }
+
+  /** The graph store's maintenance entry point: generation-pressure
+    * check + compaction under the single-maintainer lock. Call with
+    * the stream stopped (`StreamingGraphIngest.stopAndCompact` is the
+    * close-path hook that sequences exactly that). Returns whether a
+    * compaction ran. */
+  def maintainGraphStore(spark: SparkSession, indexDir: String,
+                         k: Int, rounds: Int, every: Int): Boolean =
+    withMaintenanceLock(indexDir) {
+      compactGraphStoreEvery(spark, indexDir, k, rounds, every)
+    }
 
   /** Compact a `StreamingClusterIngest` store: the four append
     * sub-stores consolidate like the dedup siblings, and the labels

@@ -432,4 +432,99 @@ class StoreCompactionSpec extends SparkSpec {
     assert(hits.contains(400L),
       s"post-compaction the landed arrival must be reachable by search: $hits")
   }
+
+  test("graph ingest close path: stopAndCompact observes generation pressure under the maintenance lock") {
+    import graft.streaming.StreamingGraphIngest
+    import org.apache.spark.sql.types._
+    // a LIVE checkpointed stream lands three walk-insert waves over the
+    // seed; the close-path hook stops it, takes the single-maintainer
+    // lock, sees 4 graph generations >= every=4 and compacts; probe
+    // semantics survive; the SAME checkpoint then resumes and ticks a
+    // fourth wave past the untouched frontier.
+    val base = java.nio.file.Files.createTempDirectory("graft_close_g")
+    val landing = base.toString + "/landing"
+    val dir = base.toString + "/ix"
+    val ck = base.toString + "/ck"
+    StreamingGraphIngest.buildIndex(gEmb(gSeed: _*), dir, k = 3, rounds = 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    def wave(rows: Seq[(Long, Seq[Float], Int)]): Unit = rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(landing)
+    def stream() = StreamingGraphIngest.start(
+      spark.readStream.schema(schema).parquet(landing), dir, ck,
+      k = 3, hops = 3, beam = 3)
+    wave(gWave1)
+    val q1 = stream(); q1.processAllAvailable()
+    wave(gWave2); q1.processAllAvailable()
+    wave(gWave3); q1.processAllAvailable()
+    assert(batchDirs(s"$dir/graph") == Seq("batch=0", "batch=1", "batch=2", "batch=3"))
+    def twinHit(): Long = StreamingGraphIngest.search(spark, dir,
+        gEmb((900L, Seq(1f, 0f, 1f, 0f), 0)), k = 1, hops = 3, beam = 3)
+      .collect().head.getLong(2)
+    val hitBefore = twinHit()
+    // under threshold: stream stopped, lock cycled, NO compaction
+    assert(!StreamingGraphIngest.stopAndCompact(q1, spark, dir, 3, 2, every = 5))
+    assert(batchDirs(s"$dir/graph") == Seq("batch=0", "batch=1", "batch=2", "batch=3"))
+    // resume, no new data — then close AT threshold: compaction runs
+    val q2 = stream(); q2.processAllAvailable()
+    assert(StreamingGraphIngest.stopAndCompact(q2, spark, dir, 3, 2, every = 4))
+    assert(batchDirs(s"$dir/graph") == Seq("batch=2", "batch=3"))
+    assert(batchDirs(s"$dir/nodes") == Seq("batch=2", "batch=3"))
+    // the maintenance lock is gone after the run (body completed)
+    assert(!new java.io.File(s"$dir/_maintenance_lock").exists())
+    // probe semantics survive the rebuild: the exact twin still wins
+    assert(twinHit() == hitBefore,
+      s"exact-twin probe must hit the same node across compaction")
+    // a held lock fails fast instead of interleaving swaps
+    val ex = intercept[IllegalStateException] {
+      StoreCompaction.withMaintenanceLock(dir) {
+        StoreCompaction.maintainGraphStore(spark, dir, 3, 2, every = 3)
+      }
+    }
+    assert(ex.getMessage.contains("under maintenance"), ex.getMessage)
+    assert(!new java.io.File(s"$dir/_maintenance_lock").exists(),
+      "the outer lock must release even when the body throws")
+    // the SAME checkpoint resumes past the compaction: wave 4 lands as
+    // the next generation (frontier guard passed, ids continue)
+    wave(Seq((400L, Seq(0.98f, 0.02f, 1f, 0f), 0)))
+    val q3 = stream(); q3.processAllAvailable(); q3.stop()
+    assert(batchDirs(s"$dir/graph") == Seq("batch=2", "batch=3", "batch=4"))
+    // the resumed tick walk-inserted a sane list: 400's neighbors are
+    // cluster-A nodes (its own side of the plane), never cluster B
+    val n400 = spark.read.parquet(s"$dir/graph/batch=4")
+      .filter(col("vec_id") === 400L).collect().map(_.getLong(2)).toSet
+    val clusterA = (0L to 5L).toSet ++ Set(100L, 200L, 900L)
+    assert(n400.nonEmpty && n400.subsetOf(clusterA),
+      s"resumed arrival must link into its own cluster: $n400")
+    // and with a full-width entry beam the new node is searchable
+    // (narrow beams may miss it until the NEXT compaction retrofits
+    // back-links — the documented append-only trade)
+    val hits = StreamingGraphIngest.search(spark, dir,
+        gEmb((901L, Seq(0.98f, 0.02f, 1f, 0f), 0)), k = 3, hops = 3, beam = 17)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits.contains(400L), s"resumed arrival must be searchable: $hits")
+  }
+
+  test("graph-store compaction refuses a legacy nodes layout (no raw embedding/label) BEFORE retiring") {
+    import graft.streaming.StreamingGraphIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_g").toString + "/ix"
+    gBuildStore(dir)
+    // simulate a pre-r17 generation: nodes/batch=1 holds only (vec_id, q)
+    val legacy = spark.read.parquet(s"$dir/nodes/batch=1")
+      .select(col("vec_id"), col("q")).collect()
+    val legacyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toSeq),
+      spark.read.parquet(s"$dir/nodes/batch=1").select("vec_id", "q").schema)
+    legacyDf.write.mode("overwrite").parquet(s"$dir/nodes/batch=1")
+    val before = (batchDirs(s"$dir/nodes"), batchDirs(s"$dir/graph"))
+    val ex = intercept[IllegalArgumentException] {
+      StoreCompaction.compactGraphStore(spark, dir, 3, 2)
+    }
+    assert(ex.getMessage.contains("legacy layout"), ex.getMessage)
+    assert(ex.getMessage.contains("batch=1"), "the error must name the offending generation")
+    // nothing was retired or swapped: the store is exactly as it was
+    assert((batchDirs(s"$dir/nodes"), batchDirs(s"$dir/graph")) == before)
+    assert(!new java.io.File(s"$dir/nodes/_tmp_compact").exists() &&
+      !new java.io.File(s"$dir/graph/_tmp_compact").exists())
+  }
 }
