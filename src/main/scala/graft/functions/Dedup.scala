@@ -501,6 +501,25 @@ object Dedup {
     pruned
   }
 
+  /** Memoizing wrapper over the candidate stage (r18, VERDICT #5): the
+    * posting table was already memo-shared, but every invocation of a
+    * metric query re-ran the rare self-join + stats + prune — the
+    * dominant serving cost, and the piece that slowed in r17's bench
+    * context once the span family's corpus-scale memo blocks became
+    * session-resident alongside it. The PRUNED pair frame is keyed by
+    * the metric's own prune expression (its SQL rendering), so each
+    * (corpus, n, cap, metric-threshold) serves repeat reads from one
+    * checkpointed candidate set — the persisted-index probe shape the
+    * rest of the dedup family already has. Prune-before-checkpoint is
+    * preserved: what is stored is the post-prune set. */
+  private def invertedCandidatesMemo(docs: DataFrame, n: Int, maxDocFreq: Int,
+                                     op: String, prune: Column): DataFrame =
+    IndexMemo.of[DataFrame]("ngram_cand", docs,
+      (n, maxDocFreq, op,
+        org.apache.spark.sql.GraftSqlBridge.expression(prune).sql)) {
+      invertedCandidates(docs, n, maxDocFreq, op, prune)
+    }
+
   /** Shared exact-intersection upper bound for candidate pruning:
     * |A∩B| = rare_shared + |hot_A ∩ hot_B| <= rare_shared +
     * min(|hot_A|,|hot_B|), and always <= min(|A|,|B|). Monotone in the
@@ -519,7 +538,7 @@ object Dedup {
     // old min(|A|,|B|) size-ratio form, which is this bound with the
     // hot term dropped); the hot intersect never runs, and the pair
     // never reaches checkpoint storage, if it cannot qualify.
-    val cand = invertedCandidates(docs, n, maxDocFreq,
+    val cand = invertedCandidatesMemo(docs, n, maxDocFreq,
       "ngramJaccardPairsInverted",
       interUpperBound.cast("double") * (1.0 + minJaccard)
         >= lit(minJaccard) * (col("n_a") + col("n_b")).cast("double"))
@@ -579,7 +598,7 @@ object Dedup {
                             maxDocFreq: Int = 0): DataFrame = {
     // Prune before checkpoint: C >= t ⟺ inter >= t*min(|A|,|B|), and
     // inter <= interUpperBound — necessary condition, result unchanged.
-    val cand = invertedCandidates(docs, n, maxDocFreq,
+    val cand = invertedCandidatesMemo(docs, n, maxDocFreq,
       "ngramContainmentPairs",
       interUpperBound.cast("double")
         >= lit(minContainment) * least(col("n_a"), col("n_b")).cast("double"))

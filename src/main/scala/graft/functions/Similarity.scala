@@ -1002,8 +1002,15 @@ object Similarity {
     val chunkRows = math.max(1L, lutBudget / (m.toLong * ksub))
     val nChunks =
       if (boundedQueries) 1
-      else hashChunkCount(q0.select(col("vec_id")), "vec_id", chunkRows,
-        q0.count())
+      else {
+        // ids-only checkpoint (r17 advice): hashChunkCount runs one
+        // aggregation job per doubling, and over the RAW q0 plan each
+        // iteration re-executed the query-side filter of the corpus
+        // (ivfpqTopK already checkpoints its ids before this loop);
+        // the count rides the same materialization.
+        val ids = q0.select(col("vec_id")).localCheckpoint()
+        hashChunkCount(ids, "vec_id", chunkRows, ids.count())
+      }
     // the code index in array form (vec_id, carr) — memoized per
     // codes plan: the search-side shape of the stored index. A caller
     // that already holds the ARRAY form (the streaming ingest's
