@@ -221,6 +221,20 @@ object Bench {
       System.err.println(f"[bench] WARNING: calibration probe drifted " +
         f"${probeStartMs}%.0f -> ${probeEndMs}%.0f ms across the suite — " +
         "machine state changed mid-run; prefer min2/probe-normalized reads")
+    // Probe-normalized headline (r18, VERDICT #8): BASELINE.md's
+    // discipline — divide both rounds' timings by their probe
+    // milliseconds — previously had to be applied by hand by every
+    // reader. The artifact now carries it: serving totals scaled by
+    // (band / measured probe), where the band is this box's quiesced
+    // probe reading (~220 ms). On a quiesced box the factor is ~1 and
+    // the field equals value_serving; on a degraded box it estimates
+    // what a quiesced run would have read, making round-over-round
+    // comparison a single-field read. The probe mean absorbs a mid-run
+    // machine-state shift symmetrically (probe_ratio still flags it).
+    val probeBandMs = 220.0
+    val probeMeanMs = math.max((probeStartMs + probeEndMs) / 2.0, 1e-9)
+    val valueServingNorm = valueServing * probeBandMs / probeMeanMs
+    val valueServingMin2Norm = valueServingMin2 * probeBandMs / probeMeanMs
     // The driver captures a bounded tail of stdout; at 128 queries the
     // per-query map pushed the single JSON line past that window and the
     // leading "metric":"total" was cut off (BENCH_r02..r04 all parsed
@@ -228,7 +242,7 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"probe_ratio":$probeRatio,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"probe_band_ms":$probeBandMs,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"probe_ratio":$probeRatio,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different
@@ -241,7 +255,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

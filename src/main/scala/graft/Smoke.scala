@@ -57,6 +57,8 @@ object Smoke {
         .collect().foreach(r => println(
           f"ANNRECALL method=${r.getString(0)}%-14s hits=${r.getLong(1)}%-4d truth=${r.getLong(2)}%-4d recall=${r.getDouble(3)}%.3f"))
     }
+    else if (args.headOption.contains("compactscale")) compactScaleProbe(spark,
+      args.lift(1).map(_.toLong).getOrElse(200000L))
     else if (args.headOption.contains("ivfrqlab")) ivfRqLab(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.001"))
     else if (args.headOption.contains("graphlab")) graphLab(spark,
@@ -179,6 +181,71 @@ object Smoke {
     * across (k1, k2, nProbe) settings, so the gated operating point is
     * picked from data rather than guessed. Throwaway-cheap: every row
     * retrains at its own params (distinct memo keys). */
+  /** Small-files probe-cost measurement (`Smoke compactscale [rows]`,
+    * r18 VERDICT #7): the StoreCompaction scaladoc claims per-file open
+    * + footer cost dominates fragmented probe reads, but no number in
+    * the repo backed it. Fix the TOTAL row count and land the SAME
+    * digest store as 1× / 8× / 64× `batch=` generations (8 files each —
+    * a streaming sink's per-tick fragmentation); time the ingest-probe
+    * read (a fresh batch's digests anti-joined against the landed
+    * store — `StreamingIngest`'s dedup probe shape) before and after
+    * `compactIngestStore`. Identical rows at every point, so the
+    * before/after delta IS the small-files tax. Two reps each; rep2
+    * removes the FS listing cold-cache component. */
+  private def compactScaleProbe(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StoreCompaction
+    val base = java.nio.file.Files.createTempDirectory("graft_cscale").toString
+    // fresh digests derived from the SHIFTED id — disjoint from any
+    // landed content, so the anti-join keeps the whole probe batch
+    val probe = graft.sources.Synthetic.documents(spark, 500)
+      .select((col("doc_id") + 10000000L).as("doc_id"))
+      .withColumn("digest", md5(concat(col("doc_id"), lit("_probe"))))
+      .localCheckpoint()
+    def timedProbe(store: String): Double = {
+      val t0 = System.nanoTime()
+      val n = probe.join(
+          spark.read.parquet(s"$store/digests").select(col("digest")),
+          Seq("digest"), "left_anti")
+        .count()
+      require(n == 500, s"probe must survive the anti-join, got $n")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def parquetFiles(store: String): Int =
+      graft.LakeFs.list(s"$store/digests")
+        .flatMap(d => graft.LakeFs.list(d.getPath.toString))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // warm-up store: absorb codegen/reader init so the gens=1 row
+    // isn't charged the session's first-parquet-read cost
+    spark.range(8).select(col("id").as("doc_id"), md5(concat(col("id"), lit("w"))).as("digest"))
+      .write.mode("overwrite").parquet(s"$base/warm/digests/batch=0")
+    timedProbe(s"$base/warm"); timedProbe(s"$base/warm")
+    Seq(1, 8, 64, 256).foreach { gens =>
+      val store = s"$base/x$gens"
+      val digests = graft.sources.Synthetic.documents(spark, rows)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      // land the fixed corpus as `gens` generations of 8 files each,
+      // plus an untouched frontier dir (the compaction contract)
+      (0 until gens).foreach { g =>
+        digests.filter(pmod(col("doc_id"), lit(gens)) === g)
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$store/digests/batch=$g")
+      }
+      spark.range(1).select(lit(-1L).as("doc_id"), lit("x").as("digest"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$store/digests/batch=$gens")
+      // docs sub-store: minimal mirror so compactIngestStore's layout holds
+      (0 to gens).foreach(g => spark.range(1).select(lit(g.toLong).as("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$store/docs/batch=$g"))
+      val f0 = parquetFiles(store)
+      val b1 = timedProbe(store); val b2 = timedProbe(store)
+      StoreCompaction.compactIngestStore(spark, store)
+      val f1 = parquetFiles(store)
+      val a1 = timedProbe(store); val a2 = timedProbe(store)
+      println(f"COMPACTSCALE gens=$gens%-3d files_before=$f0%-4d files_after=$f1%-3d " +
+        f"probe_before=$b1%6.2f/$b2%5.2f s probe_after=$a1%6.2f/$a2%5.2f s")
+    }
+  }
+
   private def ivfRqLab(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
