@@ -484,12 +484,16 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("rare_shared"))
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hotPerDoc = post.join(hot, Seq("lang", "source", "sh"))
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("hot_sh"))
-    val docStats = sizes.join(hotPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("hot_sh"), array().cast("array<string>")).as("hot_sh"))
+    // ONE pass for both per-doc stats (r18): the exact set size and the
+    // capped hot-shingle array come from a single broadcast-outer join
+    // + grouped aggregation (collect_set skips the nulls of non-hot
+    // rows), replacing two full posting passes + a stats join.
+    val docStats = post
+      .join(broadcast(hot.withColumn("_hot", lit(true))),
+        Seq("lang", "source", "sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        collect_set(when(col("_hot"), col("sh"))).as("hot_sh"))
       .localCheckpoint()
     val pruned = cand
       .join(docStats.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
