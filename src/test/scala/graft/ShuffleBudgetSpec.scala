@@ -210,6 +210,15 @@ class ShuffleBudgetSpec extends SparkSpec {
                                       // checkpoint; one _pid window
     "q_ann_filtered" -> 1,            // filtered scan + broadcast queries;
                                       // one per-query top-k window
+    "q_ann_serve" -> 6,               // dispatches to the flat-IVF rung:
+                                      // q_ivf_topk's own budget (assign/
+                                      // probe aggs + cell join + top-k);
+                                      // the policy choice itself is
+                                      // driver-side integer math, zero
+                                      // exchanges added
+    "q_ann_serve_tight" -> 1,         // sq8 rung: code scan + one
+                                      // bounded top-k agg, like
+                                      // q_sq8_topk
     "q_hard_negatives" -> 1,          // same shape: label inequality in
                                       // the broadcast-join condition,
                                       // one per-query top-k window
