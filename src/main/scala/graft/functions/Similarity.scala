@@ -1280,9 +1280,17 @@ object Similarity {
       .withColumn(codeName,
         row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
       .select(col("vec_id"), col(codeName))
-    var cents = dimRows.join(seeds, Seq("vec_id"))
-      .select(col(codeName), col("d"), col("x").as("c"))
-      .localCheckpoint()
+    // Seed centroids are consumed exactly ONCE when an update
+    // iteration follows (the first assign) — checkpointing them was a
+    // wasted eager job per stage, and the multi-stage residual
+    // quantizers pay it once per stage on their sequential critical
+    // path (r18: 9 stages for the L8 IVF-RQ training). Only the
+    // iters=0 path returns them to multiple downstream consumers.
+    var cents = {
+      val c0 = dimRows.join(seeds, Seq("vec_id"))
+        .select(col(codeName), col("d"), col("x").as("c"))
+      if (iters == 0) c0.localCheckpoint() else c0
+    }
     def assign(c: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(centArrays(c, codeName)))
         .select(col("vec_id"), col(codeName), sqDistQ("xa", "ca").as("_dist"))
