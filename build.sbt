@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r18: 8g on this 125 GiB box squeezed the whole suite's resident
+  // localCheckpoint blocks (every IndexMemo entry) into ~3 GiB of
+  // Spark storage memory — as the memo surface grew round-over-round,
+  // serving reps of unrelated queries drifted upward together (blocks
+  // silently spill/evict to disk under storage pressure). local[32]
+  // is a single JVM standing in for a cluster's aggregate memory;
+  // size it like one.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -609,10 +609,11 @@ object Similarity {
         .withColumn("cell_id",
           row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
         .select(col("vec_id"), col("cell_id"))
-      // seed centroids are the seed vectors themselves — array form
+      // seed centroids are the seed vectors themselves — array form;
+      // (r18) they feed ONLY the first assignment when iters >= 1
+      // (required above) — lazy, no eager checkpoint job
       var cents = va.join(seeds, Seq("vec_id"))
         .select(col("cell_id"), col("xa").as("ca"))
-        .localCheckpoint()
       var assign: DataFrame = null
       (1 to iters).foreach { i =>
         // array-form assignment: n·k rows, one codegen'd sqdist each —
@@ -805,9 +806,10 @@ object Similarity {
         .withColumn("code", row_number().over(wg) - 1)
         .filter(col("code") < k2)
         .select(col("vec_id"), col("code"))
+      // (r18) seed centroids feed ONLY the first assignment when
+      // iters >= 1 (required above) — lazy, no eager checkpoint job
       var cents = vag.join(seeds, Seq("vec_id"))
         .select(col("g"), col("code"), col("xa").as("ca"))
-        .localCheckpoint()
       def assign(c: DataFrame): DataFrame =
         vag.join(broadcast(c), Seq("g"))
           .select(col("vec_id"), col("code"), sqDistQ("xa", "ca").as("_dist"))
@@ -901,9 +903,10 @@ object Similarity {
       .withColumn("code",
         row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
       .select(col("vec_id"), col("code"))
+    // (r18) seed centroids feed ONLY the first assignment when
+    // iters >= 1 (required above) — lazy, no eager checkpoint job
     var cents = vd.join(seeds, Seq("vec_id"))
       .select(col("s"), col("code"), col("d"), col("x").as("c"))
-      .localCheckpoint()
     def assign(c: DataFrame): DataFrame =
       vs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
         .select(col("vec_id"), col("s"), col("code"),
@@ -1707,9 +1710,10 @@ object Similarity {
       .withColumn("cell_id",
         row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
       .select(col("vec_id"), col("cell_id"))
+    // (r18) seed centroids feed ONLY the first assignment (iters >= 1
+    // required at the caller) — lazy, no eager checkpoint job
     var cc = vd.join(seedsC, Seq("vec_id"))
       .select(col("cell_id"), col("d"), col("x").as("c"))
-      .localCheckpoint()
     def assignC(c: DataFrame): DataFrame =
       va.crossJoin(broadcast(centArrays(c, "cell_id")))
         .select(col("vec_id"), col("cell_id"), sqDistQ("xa", "ca").as("_dist"))
@@ -1748,7 +1752,6 @@ object Similarity {
       .select(col("vec_id"), col("code"))
     var pc = rd.join(seedsP, Seq("vec_id"))
       .select(col("s"), col("code"), col("d"), col("rx").as("c"))
-      .localCheckpoint()
     def assignP(c: DataFrame): DataFrame =
       rs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
         .select(col("vec_id"), col("s"), col("code"),
