@@ -30,12 +30,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // r18: 8g on this 125 GiB box squeezed the whole suite's resident
+  // r18: the old fixed 8g squeezed the whole suite's resident
   // localCheckpoint blocks (every IndexMemo entry) into ~3 GiB of
   // Spark storage memory — as the memo surface grew round-over-round,
   // serving reps of unrelated queries drifted upward together (blocks
   // silently spill/evict to disk under storage pressure). local[32]
   // is a single JVM standing in for a cluster's aggregate memory;
-  // size it like one.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // size it from the machine (half of physical, clamped to [8, 48] GiB)
+  // rather than hardcoding one box's number — a smaller host gets a
+  // heap that fits instead of an OOM-kill. SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        (b.getTotalMemorySize >> 30).toInt
+      case _ => 16
+    }
+    s"${math.max(8, math.min(48, physGb / 2))}g"
+  })}",
 )

@@ -89,6 +89,14 @@ private[graft] object LakeFs {
       try {
         java.nio.file.Files.createLink(dstNio, srcNio)
         java.nio.file.Files.deleteIfExists(srcNio)
+        // FileContext.create on file: goes through ChecksumFs and
+        // writes a `.name.crc` sibling next to the claim; the r17
+        // rename carried it along, but link(2) + delete strands it —
+        // one orphan per successful commit/lock claim, forever
+        // (losers clean theirs via Fs.delete, which IS crc-aware).
+        // Readers tolerate a missing crc on the published file.
+        java.nio.file.Files.deleteIfExists(
+          srcNio.resolveSibling("." + srcNio.getFileName + ".crc"))
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -118,10 +126,12 @@ private[graft] object LakeFs {
     } finally in.close()
   }
 
-  /** Write through `FileContext` (like the CAS rename) so manifest
-    * tmps and lock claims don't grow ChecksumFileSystem `.crc`
-    * siblings on local FS — FileContext renames wouldn't carry them,
-    * stranding unmatched crc litter in the manifest dir. */
+  /** Write through `FileContext`, matching the non-local CAS path (a
+    * FileContext rename carries whatever FileContext wrote). NOTE:
+    * on file: this still goes through ChecksumFs and writes a
+    * `.name.crc` sibling (verified empirically against the bundled
+    * Hadoop) — the file:-scheme CAS above cleans it up after the
+    * link, and `delete`/FileSystem renames are crc-aware. */
   def writeUtf8(path: String, content: String): Unit = {
     val p = new Path(path)
     val qualified = fs(p).makeQualified(p)

@@ -176,16 +176,11 @@ object Smoke {
       Similarity.knnGraphSearch(emb, pred, 10, 10, 3, hA, bA))
   }
 
-  /** Parameter-sweep lab for the IVF-RQ serving point (r17 task 1):
-    * measures recall@10 of `ivfRqTopK` against the brute-force truth
-    * across (k1, k2, nProbe) settings, so the gated operating point is
-    * picked from data rather than guessed. Throwaway-cheap: every row
-    * retrains at its own params (distinct memo keys). */
   /** Small-files probe-cost measurement (`Smoke compactscale [rows]`,
     * r18 VERDICT #7): the StoreCompaction scaladoc claims per-file open
     * + footer cost dominates fragmented probe reads, but no number in
     * the repo backed it. Fix the TOTAL row count and land the SAME
-    * digest store as 1× / 8× / 64× `batch=` generations (8 files each —
+    * digest store as 1× / 8× / 64× / 256× `batch=` generations (8 files each —
     * a streaming sink's per-tick fragmentation); time the ingest-probe
     * read (a fresh batch's digests anti-joined against the landed
     * store — `StreamingIngest`'s dedup probe shape) before and after
@@ -246,6 +241,12 @@ object Smoke {
     }
   }
 
+  /** Parameter-sweep lab for the IVF-RQ serving point (r17 task 1,
+    * extended r18 with the L8x16 / L8x32 / L6x64 rows): measures
+    * recall@10 against the brute-force truth across stage/probe
+    * settings, so the gated operating point is picked from data
+    * rather than guessed. Throwaway-cheap: every row retrains at its
+    * own params (distinct memo keys). */
   private def ivfRqLab(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity

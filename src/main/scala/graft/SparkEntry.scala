@@ -87,6 +87,26 @@ object SparkEntry {
   private def frontierFloorsMilli: Seq[(String, Long)] =
     graft.functions.AnnPolicy.rungs.map(r => (r.method, r.floorMilli))
 
+  /** Per-SF half-measured quantizer floors for `q_ann_recall` — each
+    * driver scale gets its own floor at HALF that scale's measured
+    * recall. `AnnPolicy.floorMilli` per rung is the MINIMUM of these
+    * across the SFs (the cross-scale certified floor); AnnPolicySpec
+    * re-derives that relationship so a re-point cannot update one
+    * table and silently strand the other. */
+  private[graft] val perSfQuantFloors: Map[String, Seq[(String, Double)]] = Map(
+    "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
+    ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
+    ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.24),
+    ("ivfrq_auto", 0.13), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
+    "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
+    ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
+    ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.27),
+    ("ivfrq_auto", 0.20), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
+    "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
+    ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
+    ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
+    ("ivfrq_auto", 0.085), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spending report core (SURVEY §2.4-§2.6) ---
     "q_global_summary" -> ((s, d) => SpendingReport.globalSummary(tx(s, d))),
@@ -569,19 +589,7 @@ object SparkEntry {
       // than half-measured at every scale and stay scale-invariant.
       // Unknown dirs (generated scale probes) fall back to half the
       // cross-scale minimum — still a non-collapse certificate there.
-      val quantFloors: Map[String, Seq[(String, Double)]] = Map(
-        "sf0.001" -> Seq(("pq", 0.02), ("pq_rerank", 0.11), ("rq", 0.01),
-          ("rq_rerank", 0.08), ("ivfpq", 0.01), ("ivfpq_rerank", 0.09),
-          ("pq_hi", 0.25), ("pq_opq", 0.26), ("ivfpq_auto", 0.24),
-          ("ivfrq_auto", 0.13), ("knn_graph", 0.12), ("knn_graph_search", 0.46)),
-        "sf0.01" -> Seq(("pq", 0.03), ("pq_rerank", 0.13), ("rq", 0.02),
-          ("rq_rerank", 0.10), ("ivfpq", 0.03), ("ivfpq_rerank", 0.12),
-          ("pq_hi", 0.27), ("pq_opq", 0.29), ("ivfpq_auto", 0.27),
-          ("ivfrq_auto", 0.20), ("knn_graph", 0.11), ("knn_graph_search", 0.44)),
-        "sf0.1" -> Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
-          ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
-          ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
-          ("ivfrq_auto", 0.085), ("knn_graph", 0.057), ("knn_graph_search", 0.31)))
+      val quantFloors = perSfQuantFloors
       val fallback = Seq(("pq", 0.007), ("pq_rerank", 0.037), ("rq", 0.002),
         ("rq_rerank", 0.025), ("ivfpq", 0.007), ("ivfpq_rerank", 0.03),
         ("pq_hi", 0.22), ("pq_opq", 0.22), ("ivfpq_auto", 0.17),
@@ -633,7 +641,9 @@ object SparkEntry {
       val p2 = Similarity.autoIvfProbe(c.toInt).toLong
       val h = Similarity.autoGraphHops(n).toLong
       val b = Similarity.autoGraphBeam(n).toLong
-      val bucket16 = math.max(1L, n / 16L) // harness lsh/ivf run 4 bits / 16 cells
+      // harness lsh/ivf bucket size — divisor from the shared config
+      val bucket16 =
+        math.max(1L, n / graft.functions.AnnPolicy.harnessIvfCells)
       // every rung's cost expression + certified floor come from the
       // shared AnnPolicy config — the oracle's CASE is generated from
       // the SAME expression trees (drift-proof by construction)
@@ -4812,7 +4822,7 @@ object SparkEntry {
        |               LEAST(GREATEST(2, CAST(ceil(sqrt(CAST(ki.c AS DOUBLE))) AS BIGINT)), ki.c) AS p2,
        |               GREATEST(10, 3 * gp.p) AS bm,
        |               LEAST(6, GREATEST(3, (gp.p + 1) // 2)) AS h,
-       |               GREATEST(1, prm0.n // 16) AS b16
+       |               GREATEST(1, prm0.n // ${graft.functions.AnnPolicy.harnessIvfCells}) AS b16
        |        FROM prm0, qq, ki, gp),
        |costs AS (SELECT m.method, m.floor_milli,
        |       ${graft.functions.AnnPolicy.costSqlCase} AS cost_units

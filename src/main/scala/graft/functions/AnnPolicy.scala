@@ -45,9 +45,15 @@ object AnnPolicy {
   val harnessLshBits = 4
   val harnessLshTables = 4
 
-  /** harness flat IVF: 16 cells, 4 probed. */
+  /** harness flat IVF: 16 cells, 4 probed. The cell count must equal
+    * the LSH table count 2^bits: the cost model's shared `b16` symbol
+    * is max(1, n / harnessIvfCells) — ONE bucket-size number serving
+    * both rungs (enforced below so a re-point cannot desync them). */
   val harnessIvfCells = 16
   val harnessIvfProbe = 4
+  require(harnessIvfCells == (1 << harnessLshBits),
+    "harness IVF cell count and LSH bucket count must agree: the " +
+      "b16 cost symbol is one bucket size shared by both rungs")
 
   /** PQ demo point (oracle-portability vehicle): m=2 subspaces of 4
     * codes; the high-fidelity gated point (q_pq_hi / q_pq_opq) is
@@ -99,7 +105,8 @@ object AnnPolicy {
     *   n   corpus size              q    query count
     *   c   auto IVF cell count      p2   auto probe count (sqrt c)
     *   h   auto graph hops          bm   auto graph beam
-    *   b16 harness bucket size max(1, n/16) (4 LSH bits / 16 IVF cells)
+    *   b16 harness bucket size max(1, n / harnessIvfCells)
+    *       (= 2^harnessLshBits buckets — one number for both rungs)
     */
   sealed trait Cost {
     def +(o: Cost): Cost = Cost.Add(this, o)

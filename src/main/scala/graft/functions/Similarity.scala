@@ -2051,7 +2051,8 @@ object Similarity {
     val c = autoIvfCells(n)
     Map("n" -> n, "q" -> q, "c" -> c.toLong,
       "p2" -> autoIvfProbe(c).toLong, "h" -> autoGraphHops(n).toLong,
-      "bm" -> autoGraphBeam(n).toLong, "b16" -> math.max(1L, n / 16L))
+      "bm" -> autoGraphBeam(n).toLong,
+      "b16" -> math.max(1L, n / AnnPolicy.harnessIvfCells))
   }
 
   /** Policy-dispatching serve (r18, VERDICT #6): the executable form of

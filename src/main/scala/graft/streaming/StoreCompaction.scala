@@ -150,16 +150,34 @@ object StoreCompaction {
     // Compacting such a store would either fail mid-swap or — the
     // dangerous form, with mixed-schema batch dirs — read the missing
     // columns as null and silently DROP those vectors from the rebuilt
-    // graph. Check the schema across ALL generations (parquet union
-    // keeps a column only if some dir has it; a per-dir footer check
-    // catches the mixed case) BEFORE retiring anything.
+    // graph. Every generation must be checked (a union/sampled read
+    // misses the mixed case), so the check reads ONE parquet FOOTER
+    // per dir directly (~ms each) rather than a full DataSource
+    // resolution per dir — this guard runs on exactly the path whose
+    // motivation is an unbounded accumulated dir count, and each dir
+    // is written atomically by one job with one schema.
     val nodesRoot = s"$indexDir/nodes"
+    val hconf = spark.sparkContext.hadoopConfiguration
     landed(spark, nodesRoot).foreach { g =>
-      val cols = spark.read.parquet(s"$nodesRoot/batch=$g").columns.toSet
-      require(Set("embedding", "label").subsetOf(cols),
-        s"graph-store compaction needs raw 'embedding' and 'label' columns to " +
-          s"rebuild NN-descent, but $nodesRoot/batch=$g has ${cols.toSeq.sorted.mkString(", ")} " +
-          "— a pre-r17 legacy layout; re-ingest or backfill the store before compacting")
+      val dir = new Path(s"$nodesRoot/batch=$g")
+      val fs = dir.getFileSystem(hconf)
+      fs.listStatus(dir)
+        .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val cols =
+            try {
+              import scala.jdk.CollectionConverters._
+              reader.getFooter.getFileMetaData.getSchema
+                .getFields.asScala.map(_.getName).toSet
+            } finally reader.close()
+          require(Set("embedding", "label").subsetOf(cols),
+            s"graph-store compaction needs raw 'embedding' and 'label' columns to " +
+              s"rebuild NN-descent, but $nodesRoot/batch=$g has ${cols.toSeq.sorted.mkString(", ")} " +
+              "— a pre-r17 legacy layout; re-ingest or backfill the store before compacting")
+        }
     }
     val frontier = gids.max
     val maxC = gids.filter(_ < frontier).max

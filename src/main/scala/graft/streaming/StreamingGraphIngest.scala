@@ -154,15 +154,19 @@ object StreamingGraphIngest {
     * 5-minute cadence a year of ticks (~100k dirs) quietly accumulated
     * the listing cost the compaction exists to remove. The sequencing
     * the compaction contract demands is enforced here: the stream is
-    * stopped FIRST (stop() blocks until the in-flight micro-batch
-    * completes, so the store is quiesced), then the single-maintainer
-    * lock is taken for the swap. Returns whether a compaction ran;
+    * DRAINED first (`processAllAvailable` blocks until every pending
+    * micro-batch has committed — `stop()` alone would INTERRUPT an
+    * in-flight foreachBatch, leaving a partially-written frontier dir
+    * for the maintenance pass to trip over), then stopped, then the
+    * single-maintainer lock is taken for the swap. Returns whether a
+    * compaction ran;
     * resuming from the same checkpoint afterwards is safe — the
     * frontier generation is never touched, so batch-id replay
     * semantics are unchanged (spec-pinned). */
   def stopAndCompact(query: StreamingQuery, spark: SparkSession,
                      indexDir: String, k: Int, rounds: Int,
                      every: Int): Boolean = {
+    query.processAllAvailable()
     query.stop()
     query.awaitTermination()
     StoreCompaction.maintainGraphStore(spark, indexDir, k, rounds, every)

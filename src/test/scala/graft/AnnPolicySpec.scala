@@ -56,6 +56,32 @@ class AnnPolicySpec extends AnyFunSuite {
     assert(v == 64L * 128L * 12800L + 50L * 128L)
   }
 
+  test("certified floors ARE the min of the per-SF half-measured floors (no hand-sync drift)") {
+    // AnnPolicy.floorMilli is documented as the minimum of
+    // SparkEntry.perSfQuantFloors across the gated SFs; a re-point
+    // that updates one table and not the other mis-certifies the
+    // policy surface with no oracle to catch it (both sides are
+    // engine constants) — this pin closes that gap.
+    val perSf = SparkEntry.perSfQuantFloors.values.toSeq
+    val quantMin: Map[String, Long] = perSf.flatten
+      .groupBy(_._1)
+      .map { case (m, fs) =>
+        m -> math.round(fs.map(_._2).min * 1000)
+      }
+    // the five non-quantizer rungs carry scale-invariant floors
+    // (q_ann_recall's fixed list) — pinned here at the same values
+    val fixed = Map("lsh" -> 350L, "lsh_multi" -> 380L, "ivf" -> 420L,
+      "sq8" -> 700L, "sq8_rerank" -> 900L)
+    AnnPolicy.rungs.foreach { r =>
+      val expected = quantMin.get(r.method).orElse(fixed.get(r.method))
+      assert(expected.contains(r.floorMilli),
+        s"${r.method}: certified floor ${r.floorMilli} != " +
+          s"min-of-per-SF/fixed ${expected} — re-pin both tables together")
+    }
+    // and every per-SF table covers every quantizer rung (no orphans)
+    perSf.foreach(t => assert(t.map(_._1).toSet == quantMin.keySet))
+  }
+
   test("oracle SQL fragments are generated from the rung table (one row per rung, floors in sync)") {
     val sqlCase = AnnPolicy.costSqlCase
     // every non-terminal rung appears as a WHEN branch

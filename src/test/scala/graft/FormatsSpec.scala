@@ -142,6 +142,15 @@ class FormatsSpec extends SparkSpec {
       "published content must be the winner's")
     // losers' claims remain for the caller to clean; the winner's is consumed
     assert(!graft.LakeFs.exists(claims(winners.head._1)))
+    // no ORPHANED ChecksumFs .crc siblings: FileContext.create writes
+    // one per claim on file:, and the link-based CAS must clean the
+    // winner's (losers' stay PAIRED with their live claim files until
+    // the caller's crc-aware delete removes both)
+    val dir = new java.io.File(base)
+    val names = dir.listFiles().map(_.getName).toSet
+    val orphanCrcs = names.filter(n => n.startsWith(".") && n.endsWith(".crc"))
+      .filterNot(n => names.contains(n.stripPrefix(".").stripSuffix(".crc")))
+    assert(orphanCrcs.isEmpty, s"orphaned crc siblings: $orphanCrcs")
   }
 
   test("zValue interleaves bits; zOrdered tiles prune BOTH columns' predicates") {
