@@ -231,7 +231,11 @@ object Bench {
     // what a quiesced run would have read, making round-over-round
     // comparison a single-field read. The probe mean absorbs a mid-run
     // machine-state shift symmetrically (probe_ratio still flags it).
-    val probeBandMs = 220.0
+    // r19 (ADVICE): the band is this box's quiesced probe reading, not a
+    // universal constant — configurable so another host can pin its own
+    // quiesced band; probe_band_ms is emitted, so readers keep context.
+    val probeBandMs = sys.env.get("SPARK_GRAFT_PROBE_BAND_MS")
+      .flatMap(_.toDoubleOption).getOrElse(220.0)
     val probeMeanMs = math.max((probeStartMs + probeEndMs) / 2.0, 1e-9)
     val valueServingNorm = valueServing * probeBandMs / probeMeanMs
     val valueServingMin2Norm = valueServingMin2 * probeBandMs / probeMeanMs
@@ -242,7 +246,15 @@ object Bench {
     // with the headline total; the full per-query map goes to stderr and
     // to a sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
     // bench_detail.json) for anyone who wants the breakdown.
-    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"probe_band_ms":$probeBandMs,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"probe_ratio":$probeRatio,"sf":"$sfDir"}"""
+    // Per-index-family BUILD seconds (r19, VERDICT r18 #7): itemizes
+    // the shared cold-training cost the first gated consumer's rep1
+    // absorbs, so per-query round-over-round attribution can subtract
+    // training from serve. Concurrent builds overlap in wall time.
+    val buildSecs = graft.functions.IndexMemo.buildSecs
+    val buildJson = buildSecs.toSeq.sortBy(-_._2)
+      .map { case (t, s) => s"${jstr(t)}:$s" }.mkString("{", ",", "}")
+    val buildTotal = buildSecs.values.sum
+    val full = s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"probe_band_ms":$probeBandMs,"value_demo":$valueDemo,"demo_queries":$demoJson,"unit":"sec","queries":$qs,"queries_min2":$min2Json,"errors":$errs,"loadavg_start":$loadavg,"hot_cores":$cores,"hot_threshold":$hotThreshold,"hot_start":$hotStart,"reps":${if (rep2Full) 2 else 1},"rep2_mode":${jstr(if (rep2Full) "full_serving" else "top10")},"rep2_top10":$rep2Json,"rep2_warm":$warmJson,"rep2_errors":$rep2ErrJson,"spikes":$spikesJson,"memo_hits":${graft.functions.IndexMemo.hits},"memo_evictions":${graft.functions.IndexMemo.evictions},"memo_build_sec":$buildJson,"memo_build_sec_total":$buildTotal,"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"probe_ratio":$probeRatio,"sf":"$sfDir"}"""
     System.err.println("[bench] detail: " + full)
     // A BENCH_ONLY isolate answers "why", never "whether" (BASELINE.md's
     // bench-comparison discipline): route its sidecar to a different
@@ -255,7 +267,7 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println("[bench] detail write failed: " + e) }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_serving":$valueServing,"value_serving_min2":$valueServingMin2,"value_serving_probe_normalized":$valueServingNorm,"value_serving_min2_probe_normalized":$valueServingMin2Norm,"value_demo":$valueDemo,"n_demo":${demoRun.size},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_schema_drift":${drift.size},"loadavg_start":$loadavg,"hot_start":$hotStart,"n_spikes":${spikes.size},"train_sec":$buildTotal,"probe_start_ms":$probeStartMs,"probe_end_ms":$probeEndMs,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,6 +100,22 @@ private[graft] object LakeFs {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // r19 (ADVICE): keep the Boolean CAS contract's failure modes
+        // explicit — a mount without hard-link support (or a vanished
+        // parent dir) must name the requirement, not escape as an
+        // unexplained crash from inside a commit.
+        case e: UnsupportedOperationException =>
+          throw new IllegalStateException(
+            s"LakeFs.renameNoReplace: the file: commit path requires " +
+              s"hard-link support (link(2) is the atomic " +
+              s"publish-if-absent primitive) but the filesystem holding " +
+              s"$dstNio does not provide it — use an HDFS-class scheme " +
+              "or a mount with hard links", e)
+        case e: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"LakeFs.renameNoReplace: claim source or destination parent " +
+              s"vanished mid-commit ($srcNio -> $dstNio) — the staging " +
+              "dir must outlive the claim", e)
       }
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(

@@ -38,6 +38,58 @@ object Smoke {
       df.write.format("noop").mode("overwrite").save()
       println(df.queryExecution.executedPlan.toString)
     }
+    else if (args.headOption.contains("jobs")) {
+      // Sequential-job profile of named queries (r19 optimization
+      // evidence): counts Spark jobs and wall seconds per query — the
+      // quantizer trainings are chains of small eager jobs
+      // (localCheckpoint per stage), so the job count IS the critical
+      // path being optimized. Queries run in order in ONE JVM (memo
+      // sharing mirrors the suite); pass a single query for a cold read.
+      val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      val verbose = sys.env.get("SMOKE_JOBS_VERBOSE").contains("1")
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          starts.put(js.jobId, System.nanoTime())
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (verbose) Option(starts.get(je.jobId)).foreach { t0 =>
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          }
+      })
+      names.foreach { q =>
+        val j0 = jobs.get(); val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        // listener events are async — give the bus a beat to drain
+        Thread.sleep(300)
+        println(f"[jobs] $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ${jobs.get() - j0}%5d jobs")
+      }
+    }
+    else if (args.headOption.contains("plans")) {
+      // explain("formatted") of named queries written to <outDir>/<q>.txt
+      // (the r19 optimization-evidence capture: plan shape — Exchange
+      // count, join strategy, PushedFilters/ReadSchema — as files a
+      // reviewer without Spark can diff). Queries: comma-separated names
+      // in args(1); outDir args(2); sf dir args(3).
+      val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val outDir = java.nio.file.Paths.get(args.lift(2).getOrElse("plans/r19"))
+      val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      java.nio.file.Files.createDirectories(outDir)
+      names.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(outDir.resolve(s"$q.txt"),
+          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[plans] wrote ${outDir.resolve(s"$q.txt")} (${txt.length} chars)")
+      }
+    }
     else if (args.headOption.contains("audit")) auditProbe(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.01"))
     else if (args.headOption.contains("scale")) scaleProbe(spark,
@@ -267,8 +319,14 @@ object Smoke {
     val sp = math.max(2, math.ceil(math.sqrt(c.toDouble)).toInt).min(c)
     rec(s"ivfrq_L4x64_p$sp (r17 gated)")(
       Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(4)(64), 1))
-    rec(s"ivfrq_L8x16_p$sp")(
-      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(16), 1))
+    // the SERVED point reads AnnPolicy.ivfrqAutoKs (r19, VERDICT r18
+    // item: the exact literal-drift class the config killed elsewhere
+    // survived in this diagnostic) — the other rows are deliberate
+    // non-served sweep points
+    rec(s"ivfrq_L${graft.functions.AnnPolicy.ivfrqAutoKs.length}" +
+        s"x${graft.functions.AnnPolicy.ivfrqAutoKs.head}_p$sp (served)")(
+      Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp,
+        graft.functions.AnnPolicy.ivfrqAutoKs, 1))
     rec(s"ivfrq_L8x32_p$sp")(
       Similarity.ivfRqTopKMulti(emb, pred, 10, c, sp, Seq.fill(8)(32), 1))
     rec(s"ivfrq_L6x64_p$sp")(

@@ -2442,9 +2442,12 @@ object SparkEntry {
         |CROSS JOIN q""".stripMargin,
     "q_ann_frontier" -> annFrontierSql,
     "q_ann_serve" -> annServeSql(400L, "ivf", ivfTopkOracleSql),
+    // r19 (ADVICE): the served depth interpolates AnnPolicy.k — the
+    // engine serves AnnPolicy.k, so a k re-point can no longer desync
+    // this oracle chain (the drift class AnnPolicy exists to kill)
     "q_ann_serve_tight" -> annServeSql(700L, "sq8",
       s"""$sq8BaseSql
-         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 10""".stripMargin),
+         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= ${graft.functions.AnnPolicy.k}""".stripMargin),
     "q_split_counts" ->
       """WITH s AS (SELECT lang, n_chars,
         |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
@@ -5310,9 +5313,12 @@ object SparkEntry {
        |$lshTopKTailSql""".stripMargin
 
   // full IVF top-k oracle; also embedded in q_rrf_fusion
+  // r19 (ADVICE): cell/probe counts interpolate the AnnPolicy harness
+  // constants the engine serves with, so a harness re-point cannot
+  // desync this oracle (same drift class as the generated cost CASE).
   private lazy val ivfTopkOracleSql =
     s"""WITH n AS ($quantizedSql),
-       |cent AS (SELECT vec_id AS cell_id, q AS cv, nq AS cn FROM n ORDER BY vec_id ASC LIMIT 16),
+       |cent AS (SELECT vec_id AS cell_id, q AS cv, nq AS cn FROM n ORDER BY vec_id ASC LIMIT ${graft.functions.AnnPolicy.harnessIvfCells}),
        |scored AS (SELECT n.vec_id, c.cell_id,
        |             CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cv), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
        |               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
@@ -5324,7 +5330,7 @@ object SparkEntry {
        |probe AS (SELECT vec_id AS query_id, cell_id FROM (
        |             SELECT vec_id, cell_id,
        |                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
-       |             FROM scored WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |             FROM scored WHERE vec_id % 100 = 0) WHERE rn <= ${graft.functions.AnnPolicy.harnessIvfProbe}),
        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |         FROM probe p JOIN assign a ON a.cell_id = p.cell_id
        |         WHERE a.vec_id <> p.query_id),

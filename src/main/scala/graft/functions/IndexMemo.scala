@@ -49,6 +49,16 @@ private[graft] object IndexMemo {
   private val tagHits = scala.collection.mutable.Map.empty[String, Long]
   def hitsFor(tag: String): Long = synchronized { tagHits.getOrElse(tag, 0L) }
 
+  /** Per-tag BUILD seconds (compute-path wall time, misses only) —
+    * r19, VERDICT r18 #7: the suite's shared cold-training cost lands
+    * on whichever gated query runs first, which makes per-query
+    * round-over-round attribution noisy. The bench emits this map so
+    * the artifact itemizes training cost separately from serve cost.
+    * Under concurrent trainings (the recall harness) entries OVERLAP
+    * in wall time — the map attributes, it does not sum to wall. */
+  private val tagBuildSecs = scala.collection.mutable.Map.empty[String, Double]
+  def buildSecs: Map[String, Double] = synchronized { tagBuildSecs.toMap }
+
   /** Per-(tag, params, session, plan-semantic-hash) compute locks: two
     * threads deriving DIFFERENT indexes proceed concurrently (the old
     * single global lock held across `compute` serialized every memo
@@ -118,7 +128,12 @@ private[graft] object IndexMemo {
     }
     lock.synchronized {
       lookup().getOrElse {
+        val t0 = System.nanoTime()
         val res = compute
+        val sec = (System.nanoTime() - t0) / 1e9
+        synchronized {
+          tagBuildSecs(tag) = tagBuildSecs.getOrElse(tag, 0.0) + sec
+        }
         // Cap raised 16 → 64 (r14) → 96 (r15): the suite's distinct
         // index artifacts (signatures, postings, pair graphs, CC
         // fixpoints, SIX quantizer bundles + their array-form code

@@ -603,32 +603,39 @@ object Similarity {
       val va = v.select(col("vec_id"),
           expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
         .localCheckpoint()
-      def vd = va.select(col("vec_id"), posexplode(col("xa")).as(Seq("d", "x")))
-      val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
-        .orderBy(col("_h"), col("vec_id")).limit(k)
-        .withColumn("cell_id",
-          row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-        .select(col("vec_id"), col("cell_id"))
+      // the k smallest md5(vec_id) via the bounded-TopK seedTable pick
+      // (bit-identical to the TakeOrdered + window form it replaces)
+      val seeds = seedTable(v, Seq(""), k)
+        .select(col("vec_id"), col("code").as("cell_id"))
       // seed centroids are the seed vectors themselves — array form;
       // (r18) they feed ONLY the first assignment when iters >= 1
       // (required above) — lazy, no eager checkpoint job
-      var cents = va.join(seeds, Seq("vec_id"))
+      var cents = va.join(broadcast(seeds), Seq("vec_id"))
         .select(col("cell_id"), col("xa").as("ca"))
       var assign: DataFrame = null
       (1 to iters).foreach { i =>
         // array-form assignment: n·k rows, one codegen'd sqdist each —
         // bit-identical to the per-dim aggregate (exact integer sums)
         val dist = va.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cell_id"), sqDistQ("xa", "ca").as("_dist"))
-        assign = dist.groupBy(col("vec_id"))
-          .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
-          .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
-        if (i < iters)
+          .select(col("vec_id"), col("cell_id"),
+            sqDistQ("xa", "ca").as("_dist"), col("xa"))
+        if (i < iters) {
+          // interior iteration: the centroid update rides the argmin
+          // aggregate (xa carried through the struct — (_dist, cell)
+          // is unique per vector) and explodes per-dim AFTER the
+          // per-vector reduction; the vd ⋈ assignment join is gone
           cents = centArrays(
-            vd.join(assign, Seq("vec_id"))
+            dist.groupBy(col("vec_id"))
+              .agg(min(struct(col("_dist"), col("cell_id"), col("xa"))).as("_m"))
+              .select(col("_m.cell_id").as("cell_id"),
+                posexplode(col("_m.xa")).as(Seq("d", "x")))
               .groupBy(col("cell_id"), col("d"))
               .agg(expr("sum(x) div count(1)").as("c")),
             "cell_id").localCheckpoint()
+        } else
+          assign = dist.groupBy(col("vec_id"))
+            .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
+            .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
       }
       assign.localCheckpoint()
     }
@@ -795,36 +802,44 @@ object Similarity {
           expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
         .join(coarse, Seq("vec_id"))
         .localCheckpoint()
-      def vdg = vag.select(col("vec_id"), col("g"),
-        posexplode(col("xa")).as(Seq("d", "x")))
       // per-coarse-cell seeds: the k2 smallest md5(vec_id || 'h') of g
-      val wg = Window.partitionBy(col("g"))
-        .orderBy(col("_h"), col("vec_id"))
+      // via the bounded per-group TopK (partial-aggregates map-side —
+      // the row_number window over the whole corpus it replaces
+      // shipped and sorted every row; picks are bit-identical)
       val seeds = v.select(col("vec_id"),
           md5(concat(col("vec_id").cast("string"), lit("h"))).as("_h"))
         .join(coarse, Seq("vec_id"))
-        .withColumn("code", row_number().over(wg) - 1)
-        .filter(col("code") < k2)
-        .select(col("vec_id"), col("code"))
+        .groupBy(col("g"))
+        .agg(graft.plans.TopK.top_k(struct(col("_h"), col("vec_id")), k2).as("_t"))
+        .select(posexplode(col("_t")).as(Seq("code", "_s")))
+        .select(col("_s.vec_id").as("vec_id"), col("code"))
       // (r18) seed centroids feed ONLY the first assignment when
       // iters >= 1 (required above) — lazy, no eager checkpoint job
-      var cents = vag.join(seeds, Seq("vec_id"))
+      var cents = vag.join(broadcast(seeds), Seq("vec_id"))
         .select(col("g"), col("code"), col("xa").as("ca"))
       def assign(c: DataFrame): DataFrame =
         vag.join(broadcast(c), Seq("g"))
-          .select(col("vec_id"), col("code"), sqDistQ("xa", "ca").as("_dist"))
+          .select(col("vec_id"), col("g"), col("code"),
+            sqDistQ("xa", "ca").as("_dist"), col("xa"))
           .groupBy(col("vec_id"))
-          .agg(min(struct(col("_dist"), col("code"))).as("_m"))
-          .select(col("vec_id"), col("_m.code").as("code"))
+          .agg(min(struct(col("_dist"), col("code"), col("g"), col("xa"))).as("_m"))
+          .select(col("vec_id"), col("_m.code").as("code"),
+            col("_m.g").as("g"), col("_m.xa").as("xa"))
       var a: DataFrame = null
       (1 to iters).foreach { i =>
-        a = assign(cents)
+        // interior updates ride the argmin aggregate (g + xa carried
+        // through the struct; (_dist, code) unique per vector) and
+        // explode per-dim AFTER the per-vector reduction
         if (i < iters)
           cents = centArrays(
-            vdg.join(a, Seq("vec_id"))
+            assign(cents)
+              .select(col("g"), col("code"),
+                posexplode(col("xa")).as(Seq("d", "x")))
               .groupBy(col("g"), col("code"), col("d"))
               .agg(expr("sum(x) div count(1)").as("c")),
             "g", "code").localCheckpoint()
+        else
+          a = assign(cents).select(col("vec_id"), col("code"))
       }
       coarse.join(a, Seq("vec_id"))
         .select(col("vec_id"),
@@ -885,43 +900,49 @@ object Similarity {
     val dims = v.select(size(col("q"))).head().getInt(0)
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val subDim = dims / m
-    // subvector ARRAYS (vec, s, sa) — the one materialization; the
-    // per-dim rows seeds/updates need explode off it (narrow op).
+    // subvector ARRAYS (vec, s, sa) — the one materialization;
+    // everything downstream (seeds, assignments, updates) rides it.
     val vs = v.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> " +
           s"transform(slice(q, s * $subDim + 1, $subDim), x -> x + ${shift}L))"))
         .as(Seq("s", "sa")))
       .localCheckpoint()
-    def vd = vs.select(col("vec_id"), col("s"),
-        posexplode(col("sa")).as(Seq("ds", "x")))
-      .select(col("vec_id"), col("s"),
-        (col("s") * lit(subDim) + col("ds")).as("d"), col("x"))
     // shared seed VECTORS across subspaces (each contributes its own
-    // subvector per subspace): the k smallest md5(vec_id)
-    val seeds = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(ksub)
-      .withColumn("code",
-        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+    // subvector per subspace): the ksub smallest md5(vec_id) — the
+    // bounded-TopK seedTable pick (bit-identical to the r18
+    // TakeOrdered + window form), and seed codebooks come straight
+    // off the subvector ARRAY frame via a ksub-row broadcast join
+    // (r19: no corpus-wide per-dim explode + array re-collect)
+    val seeds = seedTable(v, Seq(""), ksub)
       .select(col("vec_id"), col("code"))
-    // (r18) seed centroids feed ONLY the first assignment when
-    // iters >= 1 (required above) — lazy, no eager checkpoint job
-    var cents = vd.join(seeds, Seq("vec_id"))
-      .select(col("s"), col("code"), col("d"), col("x").as("c"))
-    def assign(c: DataFrame): DataFrame =
-      vs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
+    val seedArr = vs.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("s"), col("code"), col("sa").as("ca"))
+    // assignment carries sa through the argmin ((_dist, code) is
+    // unique per (vec, s) group, so the array never compares), and
+    // the centroid update explodes per-dim AFTER the per-vector
+    // reduction — the vd ⋈ assignment join per iteration is gone
+    def assign(cArr: DataFrame): DataFrame =
+      vs.join(broadcast(cArr), Seq("s"))
         .select(col("vec_id"), col("s"), col("code"),
-          sqDistQ("sa", "ca").as("_dist"))
+          sqDistQ("sa", "ca").as("_dist"), col("sa"))
         .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("_dist"), col("code"))).as("_m"))
-        .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+        .agg(min(struct(col("_dist"), col("code"), col("sa"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.code").as("code"),
+          col("_m.sa").as("sa"))
+    var cents: DataFrame = null
+    var cArr = seedArr
     (1 to iters).foreach { _ =>
-      val a = assign(cents)
-      cents = vd.join(a, Seq("vec_id", "s"))
+      cents = assign(cArr)
+        .select(col("s"), col("code"), posexplode(col("sa")).as(Seq("ds", "x")))
+        .select(col("s"), col("code"),
+          (col("s") * lit(subDim) + col("ds")).as("d"), col("x"))
         .groupBy(col("s"), col("code"), col("d"))
         .agg(expr("sum(x) div count(1)").as("c"))
         .localCheckpoint()
+      cArr = centArrays(cents, "s", "code")
     }
-    (assign(cents).localCheckpoint(), cents)
+    (assign(cArr).select(col("vec_id"), col("s"), col("code"))
+      .localCheckpoint(), cents)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): the query
@@ -980,6 +1001,20 @@ object Similarity {
     nChunks.toInt
   }
 
+  /** Memoized LUT-chunk sizing per (query-id plan, cap) — r19 (the
+    * annPolicyEnv discipline, VERDICT r18 #4 applied to the search
+    * paths): every quantizer serve paid a fresh ids checkpoint + one
+    * count + the hashChunkCount doubling probe PER CALL, for an
+    * integer that changes only when the query set does. The ids
+    * checkpoint is sizing-local (only the Int is retained), and a
+    * repeat serve over the same (corpus, predicate) runs ZERO sizing
+    * jobs. */
+  private def memoChunkCount(ids: DataFrame, idCol: String, cap: Long): Int =
+    IndexMemo.of[Int]("lut_chunks", ids, (idCol, cap)) {
+      val ck = ids.localCheckpoint()
+      hashChunkCount(ck, idCol, cap, ck.count())
+    }
+
   /** ADC search of query VECTORS against an existing (codes, cents)
     * index — the decoupled form `pqTopK` composes and the streaming
     * path (`StreamingAnnIngest.searchStream`) reuses per micro-batch:
@@ -1005,15 +1040,7 @@ object Similarity {
     val chunkRows = math.max(1L, lutBudget / (m.toLong * ksub))
     val nChunks =
       if (boundedQueries) 1
-      else {
-        // ids-only checkpoint (r17 advice): hashChunkCount runs one
-        // aggregation job per doubling, and over the RAW q0 plan each
-        // iteration re-executed the query-side filter of the corpus
-        // (ivfpqTopK already checkpoints its ids before this loop);
-        // the count rides the same materialization.
-        val ids = q0.select(col("vec_id")).localCheckpoint()
-        hashChunkCount(ids, "vec_id", chunkRows, ids.count())
-      }
+      else memoChunkCount(q0.select(col("vec_id")), "vec_id", chunkRows)
     // the code index in array form (vec_id, carr) — memoized per
     // codes plan: the search-side shape of the stored index. A caller
     // that already holds the ARRAY form (the streaming ingest's
@@ -1263,51 +1290,78 @@ object Similarity {
       rqTrainCompute(e, k1, k2, iters))
   }
 
+  /** Deterministic per-salt seed table shared by the multi-stage
+    * fixed-point trainers: for each salt, the `maxK` ids with smallest
+    * md5(vec_id || salt), coded 0..maxK-1 in (_h, vec_id) order —
+    * exactly the per-stage TakeOrdered + row_number pick it replaces
+    * (r19, guide §2.4): ONE bounded top-k aggregation computes EVERY
+    * stage's seeds in one pass (the TopK aggregate partial-reduces
+    * map-side, so the single exchange carries <= |salts|·maxK id
+    * rows), instead of a corpus order-by + single-partition window
+    * subtree on each training stage's critical path. */
+  private[graft] def seedTable(ids: DataFrame, salts: Seq[String], maxK: Int): DataFrame =
+    ids.select(col("vec_id"), explode(array(salts.map(s =>
+        struct(lit(s).as("salt"),
+          md5(concat(col("vec_id").cast("string"), lit(s))).as("_h"))): _*)).as("sh"))
+      .select(col("sh.salt").as("salt"), col("sh._h").as("_h"), col("vec_id"))
+      .groupBy(col("salt"))
+      .agg(graft.plans.TopK.top_k(struct(col("_h"), col("vec_id")), maxK).as("_t"))
+      .select(col("salt"), posexplode(col("_t")).as(Seq("_p", "_s")))
+      .select(col("salt"), col("_s.vec_id").as("vec_id"), col("_p").as("code"))
+
   /** One certified-fixpoint k-means stage over `vecs` (vec_id, xa
-    * ARRAY<BIGINT>): returns (final assignment, final PER-DIM
-    * centroids) — the pqTrain loop with a single codebook and a
-    * caller-chosen seed salt. Seeds are the `k` ids of `seedIds` with
-    * smallest md5(vec_id || seedSalt). Assignment runs array-form
-    * (n·k rows, codegen'd sqdist — bit-identical, see sqDistQ);
-    * seeds/updates explode per-dim off the array frame. Shared by
-    * rqTrain's two stages and ivfRqTrain's coarse + two residual
-    * stages. */
-  private def fpStage(seedIds: DataFrame, vecs: DataFrame, k: Int,
-                      seedSalt: String, codeName: String,
-                      iters: Int): (DataFrame, DataFrame) = {
-    def dimRows = vecs.select(col("vec_id"),
-      posexplode(col("xa")).as(Seq("d", "x")))
-    val seeds = seedIds.select(col("vec_id"),
-        md5(concat(col("vec_id").cast("string"), lit(seedSalt))).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(k)
-      .withColumn(codeName,
-        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-      .select(col("vec_id"), col(codeName))
-    // Seed centroids are consumed exactly ONCE when an update
-    // iteration follows (the first assign) — checkpointing them was a
-    // wasted eager job per stage, and the multi-stage residual
-    // quantizers pay it once per stage on their sequential critical
-    // path (r18: 9 stages for the L8 IVF-RQ training). Only the
-    // iters=0 path returns them to multiple downstream consumers.
-    var cents = {
-      val c0 = dimRows.join(seeds, Seq("vec_id"))
-        .select(col(codeName), col("d"), col("x").as("c"))
-      if (iters == 0) c0.localCheckpoint() else c0
-    }
-    def assign(c: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(centArrays(c, codeName)))
-        .select(col("vec_id"), col(codeName), sqDistQ("xa", "ca").as("_dist"))
+    * ARRAY<BIGINT>, plus optional `passCols` carried through): returns
+    * (final assignment — LAZY, carrying xa and passCols — and the
+    * final PER-DIM centroids, checkpointed). `seeds` holds the stage's
+    * (vec_id, codeName) seed picks — a salt-filtered `seedTable` slice.
+    *
+    * r19 reshape of the r18 form — bit-identical results (same seeds,
+    * same integer argmin/centroid algebra), fewer exchanges and eager
+    * jobs per stage (guide §2.3/§2.4):
+    *  - seed centroids come from a k-row broadcast join against the
+    *    ARRAY frame (the kmeansFixedPointAssign shape) instead of
+    *    exploding the whole corpus per-dim and re-collecting arrays;
+    *  - the centroid update rides the assignment aggregate itself —
+    *    xa is carried through the argmin struct ((_dist, code) is
+    *    unique per vector, so the array never participates in the
+    *    comparison) and explodes per-dim AFTER the per-vector
+    *    reduction: the n·dims-row dimRows ⋈ assignment join/shuffle
+    *    per iteration is gone;
+    *  - the FINAL assignment is returned lazy: callers fold its
+    *    materialization into their next checkpoint (the residual
+    *    frame / the code table) instead of paying an eager job per
+    *    stage, and because it carries xa the residual computation
+    *    needs no join back to the vector frame. */
+  private def fpStage(seeds: DataFrame, vecs: DataFrame,
+                      codeName: String, iters: Int,
+                      passCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val seedArr = vecs
+      .join(broadcast(seeds.select(col("vec_id"), col(codeName))), Seq("vec_id"))
+      .select(col(codeName), col("xa").as("ca"))
+    def assign(cArr: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cArr))
+        .select(col("vec_id") +: (passCols.map(col) ++ Seq(
+          col(codeName), sqDistQ("xa", "ca").as("_dist"), col("xa"))): _*)
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("_dist"), col(codeName))).as("_m"))
-        .select(col("vec_id"), col(s"_m.$codeName").as(codeName))
+        .agg(min(struct(
+          col("_dist") +: col(codeName) +: (passCols.map(col) :+ col("xa")): _*)).as("_m"))
+        .select(col("vec_id") +:
+          ((codeName +: passCols) :+ "xa").map(f => col(s"_m.$f").as(f)): _*)
+    var cents =
+      if (iters == 0)
+        seedArr.select(col(codeName), posexplode(col("ca")).as(Seq("d", "c")))
+          .localCheckpoint()
+      else null: DataFrame
+    var cArr = seedArr
     (1 to iters).foreach { _ =>
-      val a = assign(cents)
-      cents = dimRows.join(a, Seq("vec_id"))
+      cents = assign(cArr)
+        .select(col(codeName), posexplode(col("xa")).as(Seq("d", "x")))
         .groupBy(col(codeName), col("d"))
         .agg(expr("sum(x) div count(1)").as("c"))
         .localCheckpoint()
+      cArr = centArrays(cents, codeName)
     }
-    (assign(cents).localCheckpoint(), cents)
+    (assign(cArr), cents)
   }
 
   private def rqTrainCompute(e: DataFrame, k1: Int, k2: Int,
@@ -1318,16 +1372,29 @@ object Similarity {
     val va = v.select(col("vec_id"),
         expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    val (a1, c1) = fpStage(v, va, k1, "", "code1", iters)
-    // residual arrays: x − c1[code1] + 2^21, zip_with over the
-    // broadcast array-form level-1 codebook
-    val ra = va.join(a1, Seq("vec_id"))
-      .join(broadcast(centArrays(c1, "code1")), Seq("code1"))
-      .select(col("vec_id"),
+    // both stages' seeds in one bounded top-k pass (see seedTable);
+    // salts "" / "r" keep the md5 picks bit-identical to the r18 form
+    val seeds = seedTable(v, Seq("", "r"), math.max(k1, k2))
+    val (a1, c1) = fpStage(
+      seeds.filter(col("salt") === "" && col("code") < k1)
+        .withColumnRenamed("code", "code1"), va, "code1", iters)
+    // residual arrays: x − c1[code1] + 2^21 — a1 is lazy and carries
+    // xa, so its materialization rides THIS checkpoint (no separate
+    // eager assignment job) and the frame keeps code1 for the final
+    // code table
+    val ra = a1.join(broadcast(centArrays(c1, "code1")), Seq("code1"))
+      .select(col("vec_id"), col("code1"),
         expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift2}L)").as("xa"))
       .localCheckpoint()
-    val (b2, c2) = fpStage(v, ra, k2, "r", "code2", iters)
-    (a1.join(b2, Seq("vec_id")).localCheckpoint(), c1, c2)
+    val (b2, c2) = fpStage(
+      seeds.filter(col("salt") === "r" && col("code") < k2)
+        .withColumnRenamed("code", "code2"),
+      ra.select(col("vec_id"), col("xa")), "code2", iters)
+    // codes: stage-1 codes off the residual frame; the lazy stage-2
+    // assignment materializes inside this checkpoint
+    (ra.select(col("vec_id"), col("code1"))
+      .join(b2.select(col("vec_id"), col("code2")), Seq("vec_id"))
+      .localCheckpoint(), c1, c2)
   }
 
   /** RQ top-k by ADC: candidate reconstruction is c1[code1] +
@@ -1504,34 +1571,48 @@ object Similarity {
     val va = v.select(col("vec_id"),
         expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    val (ca, cc) = fpStage(v, va, nCells, "", "cell_id", iters)
-    var res = va.join(ca, Seq("vec_id"))
-      .join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
-      .select(col("vec_id"),
+    // every stage's seeds (coarse "", residual "r"·s) in ONE bounded
+    // top-k pass, checkpointed once — the L+1 per-stage corpus
+    // order-by subtrees this replaces sat on the sequential critical
+    // path of the r18 cold training (VERDICT r18 task 2)
+    val salts = "" +: ks.indices.map(i => "r" * (i + 1))
+    val allSeeds = seedTable(v, salts, math.max(nCells, ks.max)).localCheckpoint()
+    def seedsFor(salt: String, k: Int, codeName: String): DataFrame =
+      allSeeds.filter(col("salt") === salt && col("code") < k)
+        .withColumnRenamed("code", codeName)
+    val (caL, cc) = fpStage(seedsFor("", nCells, "cell_id"), va, "cell_id", iters)
+    // Residual chain: each checkpointed frame carries (cell_id, the
+    // stage's OWN code, xa) — the lazy stage assignment materializes
+    // INSIDE the next residual checkpoint (one eager job per stage,
+    // not three), and the code table below reads codes back off these
+    // frames instead of re-running per-stage assignment jobs.
+    var res = caL.join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
         expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift * 2}L)").as("xa"))
       .localCheckpoint()
     val stages = ks.zipWithIndex.map { case (kS, i) =>
       val s = i + 1
-      val (aS, cS) = fpStage(v, res, kS, "r" * s, "code", iters)
-      if (s < ks.length) {
-        val frameShift = shift * (1L << (s + 1)) // next frame: +2^(21+s)
-        res = res.join(aS, Seq("vec_id"))
-          .join(broadcast(centArrays(cS, "code")), Seq("code"))
-          .select(col("vec_id"),
-            expr(s"zip_with(xa, ca, (x, c) -> x - c + ${frameShift}L)").as("xa"))
-          .localCheckpoint()
-      }
-      (s, aS, cS)
+      val (aS, cS) = fpStage(seedsFor("r" * s, kS, "code"),
+        res.select(col("vec_id"), col("cell_id"), col("xa")), "code", iters,
+        passCols = Seq("cell_id"))
+      val codeRows =
+        if (s < ks.length) {
+          val frameShift = shift * (1L << (s + 1)) // next frame: +2^(21+s)
+          res = aS.join(broadcast(centArrays(cS, "code")), Seq("code"))
+            .select(col("vec_id"), col("cell_id"), col("code"),
+              expr(s"zip_with(xa, ca, (x, c) -> x - c + ${frameShift}L)").as("xa"))
+            .localCheckpoint()
+          res.select(col("vec_id"), col("cell_id"), lit(s).as("s"), col("code"))
+        } else
+          aS.select(col("vec_id"), col("cell_id"), lit(s).as("s"), col("code"))
+      (s, codeRows, cS)
     }
     val cadj = stages.map { case (s, _, cS) =>
       val frameShift = if (s == 1) 0L else shift * (1L << s) // 2^(20+s)
       cS.select(lit(s).as("s"), col("code"), col("d"),
         (col("c") - frameShift).as("c"))
     }.reduce(_.unionByName(_)).localCheckpoint()
-    val codesLong = stages.map { case (s, aS, _) =>
-      aS.select(col("vec_id"), lit(s).as("s"), col("code"))
-    }.reduce(_.unionByName(_))
-      .join(ca, Seq("vec_id"))
+    val codesLong = stages.map(_._2).reduce(_.unionByName(_))
       .select(col("vec_id"), col("cell_id"), col("s"), col("code"))
       .localCheckpoint()
     // rnorm: reconstruct each vector's residual (sum the adjusted
@@ -1608,10 +1689,17 @@ object Similarity {
         "ivfpq_train", e, (nCells, m, ksub, iters))(
         ivfpqTrainCompute(e, nCells, m, ksub, iters))
     // --- search ---
-    val qd = e.filter(queryPred)
-      .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
-      .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
-      .localCheckpoint() // consumed per chunk: cell ranking + residuals
+    // consumed per chunk (cell ranking + residuals); memoized per
+    // (corpus plan, predicate) so repeat serves over the same query
+    // set skip the materialization job (r19, the annPolicyEnv
+    // discipline — query-side, so bounded by |Q|·dims rows)
+    val qd = IndexMemo("ivfpq_qd", e,
+      org.apache.spark.sql.GraftSqlBridge.expression(queryPred).sql) {
+      e.filter(queryPred)
+        .select(col("vec_id").as("query_id"), posexplode(col("q")).as(Seq("d", "qx")))
+        .select(col("query_id"), col("d"), (col("qx") + shift).as("x"))
+        .localCheckpoint()
+    }
     // the inverted code index in array form (vec, cell, carr) —
     // memoized per codes plan like the row form it derives from
     val codesArr = IndexMemo("ivfpq_codes_arr", codes, ()) {
@@ -1635,11 +1723,14 @@ object Similarity {
     // code index (cheap) while every broadcast stays <= the budget.
     // Chunks partition the queries, so the union is the exact
     // unchunked result.
-    val qIds = qd.select(col("query_id")).distinct().localCheckpoint()
-    val nQ = qIds.count()
     val qChunkRows = math.max(1L,
       lutBudget / (m.toLong * ksub) / math.max(1, nProbe))
-    val nChunks = hashChunkCount(qIds, "query_id", qChunkRows, nQ)
+    // id frame built BEFORE the per-dim explode (vec_id is unique, so
+    // no distinct over the exploded rows); sizing memoized per
+    // (ids plan, cap) — zero sizing jobs on a repeat serve
+    val nChunks = memoChunkCount(
+      e.filter(queryPred).select(col("vec_id").as("query_id")),
+      "query_id", qChunkRows)
     def searchChunk(qdc: DataFrame): DataFrame = {
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("cd").asc, col("cell_id").asc)
@@ -1702,72 +1793,79 @@ object Similarity {
     val va = v.select(col("vec_id"),
         expr(s"transform(q, x -> x + ${shift}L)").as("xa"))
       .localCheckpoint()
-    def vd = va.select(col("vec_id"), posexplode(col("xa")).as(Seq("d", "x")))
+    // both seed sets (coarse md5(id), PQ md5(id || 'p')) in one
+    // bounded top-k pass — bit-identical picks to the r18
+    // TakeOrdered + window subtrees (see seedTable)
+    val seeds = seedTable(v, Seq("", "p"), math.max(nCells, ksub))
     // coarse quantizer: full-vector fixed-point k-means (array-form
-    // assignment — n·nCells codegen'd sqdists, bit-identical)
-    val seedsC = v.select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(nCells)
-      .withColumn("cell_id",
-        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-      .select(col("vec_id"), col("cell_id"))
-    // (r18) seed centroids feed ONLY the first assignment (iters >= 1
-    // required at the caller) — lazy, no eager checkpoint job
-    var cc = vd.join(seedsC, Seq("vec_id"))
-      .select(col("cell_id"), col("d"), col("x").as("c"))
-    def assignC(c: DataFrame): DataFrame =
-      va.crossJoin(broadcast(centArrays(c, "cell_id")))
-        .select(col("vec_id"), col("cell_id"), sqDistQ("xa", "ca").as("_dist"))
+    // assignment — n·nCells codegen'd sqdists, bit-identical); seed
+    // centroids ride a nCells-row broadcast join, the update rides
+    // the assignment aggregate (xa carried through the argmin)
+    val seedArrC = va.join(broadcast(
+        seeds.filter(col("salt") === "" && col("code") < nCells)
+          .select(col("vec_id"), col("code").as("cell_id"))), Seq("vec_id"))
+      .select(col("cell_id"), col("xa").as("ca"))
+    def assignC(cArr: DataFrame): DataFrame =
+      va.crossJoin(broadcast(cArr))
+        .select(col("vec_id"), col("cell_id"),
+          sqDistQ("xa", "ca").as("_dist"), col("xa"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("_dist"), col("cell_id"))).as("_m"))
-        .select(col("vec_id"), col("_m.cell_id").as("cell_id"))
+        .agg(min(struct(col("_dist"), col("cell_id"), col("xa"))).as("_m"))
+        .select(col("vec_id"), col("_m.cell_id").as("cell_id"),
+          col("_m.xa").as("xa"))
+    var cc: DataFrame = null
+    var ccArr = seedArrC
     (1 to iters).foreach { _ =>
-      val a = assignC(cc)
-      cc = vd.join(a, Seq("vec_id"))
+      cc = assignC(ccArr)
+        .select(col("cell_id"), posexplode(col("xa")).as(Seq("d", "x")))
         .groupBy(col("cell_id"), col("d"))
         .agg(expr("sum(x) div count(1)").as("c"))
         .localCheckpoint()
+      ccArr = centArrays(cc, "cell_id")
     }
-    val ca = assignC(cc).localCheckpoint()
-    // residual SUBVECTOR arrays to the assigned coarse centroid
-    // (zip_with against the broadcast array-form coarse codebook,
-    // then subspace slices); per-dim rows explode off it
-    val rs = va.join(ca, Seq("vec_id"))
-      .join(broadcast(centArrays(cc, "cell_id")), Seq("cell_id"))
-      .select(col("vec_id"),
+    // residual SUBVECTOR arrays to the assigned coarse centroid — the
+    // LAZY final coarse assignment (carrying xa) materializes inside
+    // this checkpoint, and the frame keeps cell_id so the code table
+    // below needs no assignment join
+    val rs = assignC(ccArr)
+      .join(broadcast(ccArr), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
         expr(s"zip_with(xa, ca, (x, c) -> x - c + ${shift2}L)").as("ra"))
-      .select(col("vec_id"), posexplode(expr(
+      .select(col("vec_id"), col("cell_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(ra, s * $subDim + 1, $subDim))"))
         .as(Seq("s", "sa")))
       .localCheckpoint()
-    def rd = rs.select(col("vec_id"), col("s"),
-        posexplode(col("sa")).as(Seq("ds", "rx")))
-      .select(col("vec_id"), col("s"),
-        (col("s") * lit(subDim) + col("ds")).as("d"), col("rx"))
-    // PQ codebooks on the residuals (jointly across subspaces)
-    val seedsP = v.select(col("vec_id"),
-        md5(concat(col("vec_id").cast("string"), lit("p"))).as("_h"))
-      .orderBy(col("_h"), col("vec_id")).limit(ksub)
-      .withColumn("code",
-        row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
-      .select(col("vec_id"), col("code"))
-    var pc = rd.join(seedsP, Seq("vec_id"))
-      .select(col("s"), col("code"), col("d"), col("rx").as("c"))
-    def assignP(c: DataFrame): DataFrame =
-      rs.join(broadcast(centArrays(c, "s", "code")), Seq("s"))
-        .select(col("vec_id"), col("s"), col("code"),
-          sqDistQ("sa", "ca").as("_dist"))
+    // PQ codebooks on the residuals (jointly across subspaces); same
+    // fused-update shape as pqTrainCompute, cell_id carried through
+    val seedArrP = rs.join(broadcast(
+        seeds.filter(col("salt") === "p" && col("code") < ksub)
+          .select(col("vec_id"), col("code"))), Seq("vec_id"))
+      .select(col("s"), col("code"), col("sa").as("ca"))
+    def assignP(cArr: DataFrame): DataFrame =
+      rs.join(broadcast(cArr), Seq("s"))
+        .select(col("vec_id"), col("s"), col("cell_id"), col("code"),
+          sqDistQ("sa", "ca").as("_dist"), col("sa"))
         .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("_dist"), col("code"))).as("_m"))
-        .select(col("vec_id"), col("s"), col("_m.code").as("code"))
+        .agg(min(struct(col("_dist"), col("code"), col("cell_id"), col("sa"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.code").as("code"),
+          col("_m.cell_id").as("cell_id"), col("_m.sa").as("sa"))
+    var pc: DataFrame = null
+    var pcArr = seedArrP
     (1 to iters).foreach { _ =>
-      val a = assignP(pc)
-      pc = rd.join(a, Seq("vec_id", "s"))
+      pc = assignP(pcArr)
+        .select(col("s"), col("code"), posexplode(col("sa")).as(Seq("ds", "rx")))
+        .select(col("s"), col("code"),
+          (col("s") * lit(subDim) + col("ds")).as("d"), col("rx"))
         .groupBy(col("s"), col("code"), col("d"))
         .agg(expr("sum(rx) div count(1)").as("c"))
         .localCheckpoint()
+      pcArr = centArrays(pc, "s", "code")
     }
-    // the inverted index: (vec, cell, s, code) — all the search scans
-    val codes = assignP(pc).join(ca, Seq("vec_id")).localCheckpoint()
+    // the inverted index: (vec, s, code, cell) — all the search scans;
+    // the final PQ assignment (lazy, carrying cell_id) materializes here
+    val codes = assignP(pcArr)
+      .select(col("vec_id"), col("s"), col("code"), col("cell_id"))
+      .localCheckpoint()
     (codes, cc, pc, subDim)
   }
 
@@ -2046,13 +2144,21 @@ object Similarity {
     * COUNT(*)-derived auto value (the oracle re-derives the same
     * numbers via its integer threshold chains). */
   def annPolicyEnv(embeddings: DataFrame, queryPred: Column): Map[String, Long] = {
-    val n = embeddings.count()
-    val q = embeddings.filter(queryPred).count()
-    val c = autoIvfCells(n)
-    Map("n" -> n, "q" -> q, "c" -> c.toLong,
-      "p2" -> autoIvfProbe(c).toLong, "h" -> autoGraphHops(n).toLong,
-      "bm" -> autoGraphBeam(n).toLong,
-      "b16" -> math.max(1L, n / AnnPolicy.harnessIvfCells))
+    // Memoized per (corpus plan, predicate SQL) — r19, VERDICT r18
+    // task 4: every annServe call paid TWO count() jobs before
+    // dispatch for integers that change only on ingest; at a serving
+    // cadence that is two cluster jobs per request. Rides IndexMemo
+    // like the trained indexes (collected Longs, fully materialized).
+    IndexMemo.of[Map[String, Long]]("ann_policy_env", embeddings,
+      org.apache.spark.sql.GraftSqlBridge.expression(queryPred).sql) {
+      val n = embeddings.count()
+      val q = embeddings.filter(queryPred).count()
+      val c = autoIvfCells(n)
+      Map("n" -> n, "q" -> q, "c" -> c.toLong,
+        "p2" -> autoIvfProbe(c).toLong, "h" -> autoGraphHops(n).toLong,
+        "bm" -> autoGraphBeam(n).toLong,
+        "b16" -> math.max(1L, n / AnnPolicy.harnessIvfCells))
+    }
   }
 
   /** Policy-dispatching serve (r18, VERDICT #6): the executable form of

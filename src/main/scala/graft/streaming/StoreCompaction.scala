@@ -161,9 +161,16 @@ object StoreCompaction {
     landed(spark, nodesRoot).foreach { g =>
       val dir = new Path(s"$nodesRoot/batch=$g")
       val fs = dir.getFileSystem(hconf)
-      fs.listStatus(dir)
+      // r19 (ADVICE): a batch dir with ZERO parquet files is itself a
+      // corrupt/degenerate generation the rebuild cannot read — hard
+      // failure, not a silent skip past the guard.
+      val first = fs.listStatus(dir)
         .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
+      require(first.nonEmpty,
+        s"graph-store compaction found no parquet file under " +
+          s"$nodesRoot/batch=$g — an empty or corrupt generation the " +
+          "rebuild cannot recover from; repair or remove it before compacting")
+      first.foreach { st =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, hconf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

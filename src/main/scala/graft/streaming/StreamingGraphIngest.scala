@@ -162,7 +162,18 @@ object StreamingGraphIngest {
     * compaction ran;
     * resuming from the same checkpoint afterwards is safe — the
     * frontier generation is never touched, so batch-id replay
-    * semantics are unchanged (spec-pinned). */
+    * semantics are unchanged (spec-pinned).
+    *
+    * Caller contract (r19, ADVICE): QUIESCE the source before calling.
+    * Data that arrives between `processAllAvailable()` and `stop()`
+    * can start a new micro-batch that `stop()` then interrupts — the
+    * partially-written-frontier hazard the drain exists to prevent.
+    * This helper closes the race only for a source that has stopped
+    * producing; for a live source, loop `processAllAvailable()` until
+    * no new batch starts, or stop the producer first. (A frontier dir
+    * interrupted mid-write is still recovered by the crash matrix's
+    * `recover` pass on the next maintenance run — the hazard is a
+    * torn FRONTIER visible to immediate readers, not store loss.) */
   def stopAndCompact(query: StreamingQuery, spark: SparkSession,
                      indexDir: String, k: Int, rounds: Int,
                      every: Int): Boolean = {

@@ -2309,6 +2309,48 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no ANN rung certifies"))
   }
+
+  test("seedTable picks == the per-stage TakeOrdered md5 ranking (r19 trainer reshape)") {
+    // the bounded-TopK seed pick must be BIT-identical to the
+    // TakeOrdered + row_number form every certified trainer used
+    // through r18 — same ids, same code order, per salt
+    val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"))
+    val salts = Seq("", "r", "rr", "p", "h")
+    val maxK = 17
+    val got = Similarity.seedTable(v, salts, maxK)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = salts.flatMap { salt =>
+      v.select(col("vec_id"),
+          md5(concat(col("vec_id").cast("string"), lit(salt))).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(maxK)
+        .collect().map(_.getLong(0)).zipWithIndex
+        .map { case (id, pos) => (salt, id, pos) }
+    }.toSet
+    assert(got == want, s"seedTable drifted from the TakeOrdered pick")
+  }
+
+  test("annPolicyEnv memoizes per (corpus plan, predicate): second call recomputes nothing") {
+    // The sizing jobs only exist inside the memo's compute path, so
+    // "second call runs zero count() jobs" == "second call is a memo
+    // HIT" — asserted via the per-tag hit counter, which is exact and
+    // immune to suite-level concurrency (a raw SparkListener job count
+    // reads other suites' concurrent jobs, and job-group tagging does
+    // not survive the AQE stage-submission pool).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 97 === 0 // distinct pred: cold memo key
+    val h0 = graft.functions.IndexMemo.hitsFor("ann_policy_env")
+    val env1 = Similarity.annPolicyEnv(e, pred)
+    assert(graft.functions.IndexMemo.hitsFor("ann_policy_env") == h0,
+      "first call over a fresh predicate must be a memo MISS (it pays the sizing counts)")
+    assert(env1("n") > 0 && env1("q") > 0)
+    // same frame, fresh-but-equal predicate (the serve pattern:
+    // annServe is called repeatedly over the session's corpus frame)
+    val env2 = Similarity.annPolicyEnv(e, col("vec_id") % 97 === 0)
+    assert(env2 == env1)
+    assert(graft.functions.IndexMemo.hitsFor("ann_policy_env") == h0 + 1,
+      "second call must be a memo hit — zero sizing jobs")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
