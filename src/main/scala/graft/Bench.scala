@@ -97,10 +97,22 @@ object Bench {
     calibrationProbe()
     val probeStartMs = calibrationProbe()
 
-    // Warmup: JVM/JIT, codegen, parquet footer caches.
+    // Warmup: JVM/JIT, codegen, parquet footer caches. r19 measurement
+    // fix (documented in OPTIMIZATION_r19.md, old numbers kept in the
+    // committed baseline artifact): the r18 warmup covered lineitem +
+    // documents only, so the FIRST embeddings query (alphabetically
+    // q_ann_filtered, 2nd in the suite) was charged the embeddings
+    // footer read + quantize/DotI64 codegen, and the first events query
+    // the events footer-encoding dispatch — one-time session costs,
+    // not those queries' own cost (the r18 close called this
+    // "start-window turbulence on the first ANN queries"). Warm all
+    // four fact tables' footers and the quantized-vector kernel.
     try {
       materialize(Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count())
       materialize(Tables.documents(spark, sfDir).selectExpr("md5(text) AS h"))
+      materialize(graft.functions.Similarity.quantized(
+        Tables.embeddings(spark, sfDir)).selectExpr("vec_id", "nq"))
+      materialize(Tables.events(spark, sfDir).groupBy("event_type").count())
     } catch { case _: Throwable => () }
 
     // Optional isolation filter (comma-separated query names): run a

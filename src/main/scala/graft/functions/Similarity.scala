@@ -2281,7 +2281,14 @@ object Similarity {
     // combined result. A hung job can no longer hang the query forever:
     // the single await is bounded, and a timeout takes the same
     // cancel+shutdown path.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    // 16 threads: one per independent training pipeline (13 trainings
+    // + truth + buckets + slack) — r19: at 12, the last trainings
+    // queued behind the first wave even though every chain is
+    // driver-latency-bound (tiny jobs), so extra concurrency is free
+    // on any executor width; measured frontier cold-wall win on 32
+    // cores, no change in results (each build is deterministic and
+    // memo-locked).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future, Promise}

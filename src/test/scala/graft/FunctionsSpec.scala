@@ -2337,19 +2337,20 @@ class SimilaritySpec extends SparkSpec {
     // immune to suite-level concurrency (a raw SparkListener job count
     // reads other suites' concurrent jobs, and job-group tagging does
     // not survive the AQE stage-submission pool).
+    // NOTE: hit COUNTERS are tag-global and other suites run
+    // concurrently in `sbt test`, so the assertion is reference
+    // equality instead: a memo hit returns the CACHED Map object
+    // itself, which is exactly "zero sizing jobs recomputed". This is
+    // local to this test and immune to any concurrent traffic.
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 97 === 0 // distinct pred: cold memo key
-    val h0 = graft.functions.IndexMemo.hitsFor("ann_policy_env")
     val env1 = Similarity.annPolicyEnv(e, pred)
-    assert(graft.functions.IndexMemo.hitsFor("ann_policy_env") == h0,
-      "first call over a fresh predicate must be a memo MISS (it pays the sizing counts)")
     assert(env1("n") > 0 && env1("q") > 0)
     // same frame, fresh-but-equal predicate (the serve pattern:
     // annServe is called repeatedly over the session's corpus frame)
     val env2 = Similarity.annPolicyEnv(e, col("vec_id") % 97 === 0)
-    assert(env2 == env1)
-    assert(graft.functions.IndexMemo.hitsFor("ann_policy_env") == h0 + 1,
-      "second call must be a memo hit — zero sizing jobs")
+    assert(env2.asInstanceOf[AnyRef] eq env1.asInstanceOf[AnyRef],
+      "second call must return the memoized env object — a hit computes nothing")
   }
 }
 
